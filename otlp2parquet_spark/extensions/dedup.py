@@ -1,0 +1,307 @@
+"""Deduplication operators (SURVEY §2.3 X1/X2) — the realized form of the
+reference's vestigial Blake3 dedup hook (reference src/types.rs:171-187,
+exported at src/lib.rs:32 but never invoked in its pipeline).
+
+Scale design notes:
+- Exact dedup = hash + shuffle on the hash — embarrassingly parallel; the
+  64-hex sha256 key is uniform so no skew.
+- Near-dup via MinHash-LSH: shingle -> K minhashes -> B bands; candidate pairs
+  only form inside a band-bucket, so the shuffle is on (band, signature) and
+  the cross product never materializes globally. This is the standard
+  linear-ish-scale near-dup pipeline for 100 TB corpora.
+- SimHash: 64-bit fingerprint via per-token md5 bit voting; Hamming-adjacent
+  buckets via band rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.queries.registry import T, query
+
+# Canonical text normalization shared by X2 variants: lowercase, strip
+# non-alphanumerics to spaces, collapse runs, trim. Both engines run the same
+# regex dialect (RE2-compatible patterns only).
+_NORM_RE = "[^a-z0-9 ]"
+
+
+def normalized_text(col):
+    c = F.lower(col)
+    c = F.regexp_replace(c, _NORM_RE, " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+SQL_NORM = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+
+@query(
+    "x1_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    ORDER BY keeper_doc_id
+    """,
+    tags=("X1", "F6", "A1"),
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: one row per distinct content hash, keeping
+    the smallest doc_id (deterministic survivor). Single shuffle on the hash."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2(F.col("text").cast("binary"), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+@query(
+    "x2_neardup_normhash",
+    oracle=f"""
+    SELECT md5({SQL_NORM.format(c='text')}) AS norm_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_members
+    FROM documents
+    GROUP BY norm_hash
+    ORDER BY keeper_doc_id
+    """,
+    tags=("X2", "F1", "F6"),
+)
+def x2_neardup_normhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via canonical-normalization hash (case/punct/
+    whitespace-insensitive duplicates). Same single-shuffle profile as X1."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalized_text(F.col("text")).cast("binary")).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_members"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+@query(
+    "x2_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM norm, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("X2", "F4", "J1"),
+)
+def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs (blocked by `source` so the
+    candidate space stays bounded; at corpus scale the block key would be an
+    LSH bucket — see x2_minhash_lsh). Explode -> equi-join on gram -> count:
+    all shuffles are on gram / doc ids, never a cross join."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), " ")
+    grams = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 3),
+                    lambda i: F.concat_ws(
+                        " ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of 4 rows each
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """doc_id -> array<string> of K minhashes over word-trigram shingles.
+
+    Hash family: md5(seed || gram) — deterministic, engine-portable, uniform.
+    Computed entirely with higher-order functions (no Python UDF): for each
+    seed, min over the gram array of md5(seed:gram).
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)),
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                grams, lambda g: F.md5(F.concat_ws(":", seed.cast("string"), g).cast("binary"))
+            )
+        ),
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+@query(
+    "x2_minhash_lsh",
+    oracle=None,  # verified in tests against exact trigram-jaccard instead
+    tags=("X2", "F4", "F6"),
+)
+def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands): candidate near-dup pairs. Docs land in the
+    same bucket when one full band of their signatures agrees; the shuffle key
+    is (band, band-signature), so work scales with bucket sizes, not n².
+    Tolerance-checked against exact Jaccard in tests (not hash-matched —
+    SURVEY §2.3 determinism rules exclude approx ops from the oracle)."""
+    d = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.array_join(F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band), "|").alias(
+                        "band_sig"
+                    ),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.band_sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "x2_simhash",
+    oracle=None,  # bit-vote fingerprint; verified against a python reference in tests
+    tags=("X2", "F6"),
+)
+def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 fingerprint per document: each token votes its md5 bits;
+    fingerprint bit i is 1 when the weighted vote is positive. Pure
+    higher-order-function implementation — stays in whole-stage codegen."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), " ")
+    # 32-bit token hash = first 8 hex chars of md5
+    tok_hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+    # bit i of h == floor(h / 2^i) % 2; exact for 32-bit values in double math
+    # (shiftright/shiftleft built-ins require a literal shift, not a column)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: F.aggregate(
+            tok_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.floor(h / F.pow(F.lit(2.0), i)).cast("long") % 2 == 1, 1).otherwise(-1),
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i)).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return d.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "x2_embed_neardup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("X2", "X3", "F4"),
+)
+def x2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (at corpus
+    scale the block key is an IVF/LSH bucket — see similarity.x3_ivf_ann).
+    Cosine is computed in double with index-ordered accumulation so both
+    engines produce bit-identical values."""
+    from otlp2parquet_spark.extensions.similarity import cosine_expr
+
+    e = T(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(F.col("cos_raw"), 4).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (SURVEY §2.3 X3).
+
+- Brute-force top-k cosine: the correctness baseline; query set broadcast
+  against the corpus, so the corpus never shuffles — at 100 TB the scan is
+  embarrassingly parallel and the per-partition top-k folds via the window
+  group-limit rewrite.
+- IVF-style ANN: coarse quantization to K centroids, probe the nearest P
+  lists — the scale path that turns an O(n) scan into O(n·P/K).
+
+All vector math uses built-in higher-order functions (zip_with/aggregate) in
+double precision with index-ordered accumulation — JVM-side, no Python UDF,
+and bit-identical with DuckDB's list_cosine_similarity evaluation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.queries.registry import T, query
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq_expr(a: Column) -> Column:
+    return F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """cos(a,b) = dot / sqrt(|a|²·|b|²) — same composition DuckDB's
+    list_cosine_similarity uses, so raw doubles agree bit-for-bit."""
+    return dot_expr(a, b) / F.sqrt(norm_sq_expr(a) * norm_sq_expr(b))
+
+
+@query(
+    "x3_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos_raw
+           FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+         ),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos_raw,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+           FROM scored
+         )
+    SELECT q_id, neighbor_id, ROUND(cos_raw, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+    tags=("X3", "F4", "J5", "W6"),
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a broadcast query set (vec_id < 5). The
+    corpus side streams; only (q_id, neighbor, score) survives to the window
+    top-k, which Spark executes as a per-partition group-limit."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_expr(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> tuple[DataFrame, DataFrame]:
+    """One k-means-like assignment pass: centroids are seeded deterministically
+    from the first `n_centroids` vectors by vec_id (no RNG — resumable and
+    oracle-friendly), every vector is assigned to its nearest centroid.
+
+    Returns (assignments(vec_id, embedding, label, cluster_id), centroids).
+    At real scale centroids come from a sampled k-means; the assignment/probe
+    dataflow — broadcast centroids, one narrow pass — is identical.
+    """
+    cents = embeddings.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored = embeddings.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "label",
+        "cent_id",
+        cosine_expr(F.col("embedding"), F.col("cent_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "label", F.col("cent_id").alias("cluster_id"))
+    )
+    return assign, cents
+
+
+@query(
+    "x3_ivf_ann",
+    oracle=None,  # ANN: recall vs x3 brute force asserted in tests, not hash-matched
+    tags=("X3",),
+)
+def x3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5: assign corpus to 8 coarse centroids,
+    probe the 2 nearest lists per query, brute-force inside the probed lists.
+    Scan cost drops to ~P/K of brute force; recall asserted >= 0.8 in tests."""
+    e = T(spark, sf_dir, "embeddings")
+    assign, cents = ivf_assign(e, n_centroids=8)
+    q = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # probe lists: 2 nearest centroids per query
+    qc = q.join(F.broadcast(cents)).select(
+        "q_id", "q_emb", "cent_id", cosine_expr(F.col("q_emb"), F.col("cent_emb")).alias("sim")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= 2).select(
+        "q_id", "q_emb", F.col("cent_id").alias("cluster_id")
+    )
+    cand = assign.join(
+        F.broadcast(probes),
+        (assign.cluster_id == probes.cluster_id) & (assign.vec_id != probes.q_id),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+        .orderBy("q_id", "rank")
+    )

@@ -1,0 +1,235 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.3 X4):
+language ID, quality scoring, token counting, document fingerprinting — all
+whole-stage-codegen built-ins (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.extensions.dedup import SQL_NORM, normalized_text
+from otlp2parquet_spark.queries.registry import T, query
+
+# Tiny per-language stopword marker sets (public common words). On synthetic
+# corpora this mostly detects English; the operator shape (per-language hit
+# scoring + argmax) is the real deliverable.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+}
+
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols (the classic
+# GPT-2-style pre-split regex family, simplified to RE2-safe constructs).
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _marker_hits(tokens, words) -> F.Column:
+    hits = None
+    for wrd in words:
+        h = F.size(F.filter(tokens, lambda t: t == F.lit(wrd)))
+        hits = h if hits is None else hits + h
+    return hits
+
+
+@query(
+    "x4_text_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, n_chars, string_split({SQL_NORM.format(c='text')}, ' ') AS toks, text
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars_measured,
+           len(list_distinct(toks)) AS n_unique,
+           ROUND(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE) / len(toks), 4) AS avg_tok_len,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_pieces
+    FROM tok
+    ORDER BY doc_id
+    """,
+    tags=("X4", "F1", "F4"),
+)
+def x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char counts, type-token ratio, average token length,
+    and BPE-ish piece count — the standard quality-filter feature set."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), " ")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(total_len.cast("double") / F.size(toks), 4).alias("avg_tok_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4).alias("ttr"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_pieces"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x4_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split({SQL_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS freq
+    FROM tok
+    WHERE length(term) > 0
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 25
+    """,
+    tags=("X4", "A1", "O2"),
+)
+def x4_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency top-25: explode -> two-phase count (map-side
+    partial agg absorbs the token explosion before the shuffle)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(25)
+    )
+
+
+def _sql_marker_hits(lang: str) -> str:
+    terms = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{terms}], t)))"
+
+
+@query(
+    "x4_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+             {_sql_marker_hits('en')} AS s_en,
+             {_sql_marker_hits('de')} AS s_de,
+             {_sql_marker_hits('fr')} AS s_fr,
+             {_sql_marker_hits('es')} AS s_es
+      FROM tok
+    )
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_guess,
+           s_en, s_de, s_fr, s_es
+    FROM scores
+    ORDER BY doc_id
+    """,
+    tags=("X4",),
+)
+def x4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword-marker hit counts with a
+    deterministic argmax (ties resolve en>de>fr>es; zero hits -> 'und')."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), " ")
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        _marker_hits(toks, LANG_MARKERS["en"]).alias("s_en"),
+        _marker_hits(toks, LANG_MARKERS["de"]).alias("s_de"),
+        _marker_hits(toks, LANG_MARKERS["fr"]).alias("s_fr"),
+        _marker_hits(toks, LANG_MARKERS["es"]).alias("s_es"),
+    )
+    best = F.greatest("s_en", "s_de", "s_fr", "s_es")
+    guess = (
+        F.when(best == 0, "und")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_fr", "s_es"), "en")
+        .when(F.col("s_de") >= F.greatest("s_fr", "s_es"), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scores.select(
+        "doc_id", "lang_label", guess.alias("lang_guess"), "s_en", "s_de", "s_fr", "s_es"
+    ).orderBy("doc_id")
+
+
+@query(
+    "x4_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(string_split({SQL_NORM.format(c='text')}, ' ')) AS n_tokens,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                             t -> list_contains(['the','a','and','of','to'], t))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           (n_chars_m >= 200 AND n_tokens >= 30
+            AND CAST(n_punct AS DOUBLE) / n_chars_m < 0.1) AS passes_quality
+    FROM feat
+    ORDER BY doc_id
+    """,
+    tags=("X4", "P4"),
+)
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: length / punctuation-ratio / stopword-ratio features and
+    a boolean filter decision — the canonical pre-training quality filter."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), " ")
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9\\s]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to")))
+    punct_ratio = n_punct.cast("double") / n_chars
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        ((n_chars >= 200) & (n_tokens >= 30) & (punct_ratio < 0.1)).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x4_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    )
+    SELECT doc_id, MIN(md5(gram)) AS fingerprint
+    FROM grams
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("X4", "X2", "F6"),
+)
+def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over rolling word trigrams (winnowing
+    with window = whole doc) — a single stable 128-bit id per document that
+    survives token reordering-free edits."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)),
+    )
+    fp = F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

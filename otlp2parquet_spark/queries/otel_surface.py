@@ -1,0 +1,285 @@
+"""SURVEY.md §2.2 — the reference's documented query surface
+(reference docs/querying.md), expressed over the driver's synthetic tables so
+every shape is DuckDB-oracle-matched.
+
+The same shapes run against the real `otel_logs`/`otel_traces`/`otel_metrics_*`
+tables in otlp2parquet_spark.queries.otel (exercised by pytest over ingested
+fixture data, since the oracle harness only registers the synthetic views).
+
+Mapping: events.event_type plays ServiceName/SeverityText, events.value plays
+Duration, user_id plays the join identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.queries.relational import DEC, davg, dsum, sql_davg, sql_dsum
+from otlp2parquet_spark.session import TABLES, register_views
+
+
+@query(
+    "q01_recent",
+    oracle="""
+    SELECT event_id, ts, event_type
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 10
+    """,
+    tags=("Q1", "O1", "O2"),
+    doc="Recent records: project/sort-desc/limit (reference docs/querying.md:11-16).",
+)
+def q01_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "ts", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q02_time_filter",
+    oracle="""
+    SELECT event_id, ts, event_type
+    FROM events
+    WHERE ts > (SELECT max(ts) - INTERVAL 6 HOUR FROM events)
+    ORDER BY event_id
+    """,
+    tags=("Q2", "F2"),
+    doc="Time-window filter with interval arithmetic (reference docs/querying.md:33-37); "
+    "anchored to max(ts) instead of now() for determinism.",
+)
+def q02_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, ts, event_type
+        FROM events
+        WHERE ts > (SELECT max(ts) - INTERVAL 6 HOURS FROM events)
+        ORDER BY event_id
+        """
+    )
+
+
+@query(
+    "q03_count_by_service",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    """,
+    tags=("Q3", "A1"),
+    doc="Records by service: GROUP BY + COUNT + ORDER BY count DESC (reference docs/querying.md:43-48).",
+)
+def q03_count_by_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count("*").alias("n")).orderBy(F.desc("n"), "event_type")
+
+
+@query(
+    "q04_errors_recent",
+    oracle="""
+    SELECT event_id, ts, user_id
+    FROM events
+    WHERE event_type IN ('error', 'signup')
+      AND ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 50
+    """,
+    tags=("Q4", "P2"),
+    doc="Recent errors: IN-list + time conjunction + sort + limit (reference docs/querying.md:52-59).",
+)
+def q04_errors_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, ts, user_id
+        FROM events
+        WHERE event_type IN ('error', 'signup')
+          AND ts > (SELECT max(ts) - INTERVAL 7 DAYS FROM events)
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 50
+        """
+    )
+
+
+@query(
+    "q05_slow_topk",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY value DESC, event_id
+    LIMIT 20
+    """,
+    tags=("Q5", "W6"),
+    doc="Error traces by duration: equality filter + top-k (reference docs/querying.md:63-69).",
+)
+def q05_slow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "q06_computed_threshold",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(ROUND(CAST(value / 60.0 AS DECIMAL(25,6)), 4) AS DOUBLE) AS value_minutes
+    FROM events
+    WHERE value > 400
+    ORDER BY event_id
+    """,
+    tags=("Q6", "P1"),
+    doc="Slow traces: threshold + arithmetic projection Duration/1e9 analog (reference docs/querying.md:73-83).",
+)
+def q06_computed_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value") > 400)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") / 60.0).cast(DEC), 4).cast("double").alias("value_minutes"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q07_hourly_avg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           """
+    + sql_davg("value", "avg_value")
+    + """,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY hour, event_type
+    ORDER BY hour, event_type
+    """,
+    tags=("Q7", "A1", "F2"),
+    doc="Metrics over time: date_trunc(hour) + AVG per metric (reference docs/querying.md:87-95).",
+)
+def q07_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(davg(F.col("value"), "avg_value"), F.count("*").alias("n"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "q08_histogram_p95",
+    oracle="""
+    WITH buckets AS (
+      SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, bucket
+    ), cum AS (
+      SELECT event_type, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM buckets
+    )
+    SELECT event_type,
+           MIN(CASE WHEN cum_cnt >= 0.95 * total THEN (bucket + 1) * 50.0 END) AS p95_upper_bound,
+           MAX(total) AS total
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("Q8", "W3", "A1"),
+    doc="Histogram p95 estimation from bucket counts + explicit bounds "
+    "(reference docs/querying.md:99-108) — the cumulative-distribution walk is the same "
+    "computation used on otel_metrics_histogram.BucketCounts/ExplicitBounds.",
+)
+def q08_histogram_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type", F.floor(F.col("value") / 50).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("event_type").orderBy("bucket")
+    w_all = Window.partitionBy("event_type")
+    cum = buckets.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("cum_cnt") >= 0.95 * F.col("total"), (F.col("bucket") + 1) * 50.0)
+            ).alias("p95_upper_bound"),
+            F.max("total").alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q09_hex_bridge_join",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, """
+    + sql_dsum("l_extendedprice", "total_price")
+    + """
+    FROM (SELECT hex(CAST(l_orderkey AS VARCHAR)) AS lk_hex, l_extendedprice FROM lineitem) l
+    JOIN (SELECT hex(CAST(o_orderkey AS VARCHAR)) AS ok_hex, o_orderstatus FROM orders) o
+      ON l.lk_hex = o.ok_hex
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("Q9", "J1", "F6"),
+    doc="Join across hex-encoded id representations — the logs(binary TraceId) ⋈ "
+    "traces(hex TraceId) bridge of reference docs/querying.md:112-124 (SURVEY §2.2 Q9).",
+)
+def q09_hex_bridge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        F.hex(F.col("l_orderkey").cast("string").cast("binary")).alias("lk_hex"),
+        "l_extendedprice",
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.hex(F.col("o_orderkey").cast("string").cast("binary")).alias("ok_hex"),
+        "o_orderstatus",
+    )
+    return (
+        li.join(o, li.lk_hex == o.ok_hex, "inner")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum(F.col("l_extendedprice"), "total_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q10_rowcount_verify",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n FROM {t}" for t in TABLES
+    )
+    + "\nORDER BY table_name",
+    tags=("Q10", "O3"),
+    doc="Per-table row-count verification — the reference smoke harness's DuckDB "
+    "check (reference tests/harness/mod.rs:207-249).",
+)
+def q10_rowcount_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = [
+        T(spark, sf_dir, t)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(t).alias("table_name"), "n")
+        for t in TABLES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out.orderBy("table_name")

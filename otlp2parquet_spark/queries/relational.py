@@ -1,0 +1,1336 @@
+"""SURVEY.md §2.3 relational operator inventory (P/J/A/W/O/F groups), each as a
+PySpark DataFrame builder with a DuckDB oracle twin.
+
+Design rules (scale-first):
+- Everything is declarative DataFrame API — Catalyst handles pushdown, column
+  pruning, join selection, AQE re-planning. No collect()-driven logic.
+- Small dimensions (region/nation/customer-at-small-sf) are broadcast
+  explicitly where the join is star-shaped (J5); other joins shuffle on their
+  keys, which is the correct strategy at 100 TB.
+- Floating aggregates accumulate in exact DECIMAL and round to 4 — this makes
+  the result independent of partial-aggregation order (critical on a cluster,
+  where the summation tree differs run to run) and lets the DuckDB oracle
+  hash-match exactly.
+- Every output has a total ORDER BY with a unique tiebreaker.
+
+Reference parity notes: the reference delegates all querying to external
+engines (reference docs/querying.md:1-9, README.md:73); this module IS the
+query surface the reference promises its users, made first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.queries.registry import T, query
+
+# ---------------------------------------------------------------------------
+# helpers: exact-decimal accumulation for floating aggregates
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(25,6)"
+
+
+def dsum(col, alias: str):
+    """SUM(double) that is reproducible across partial-agg orders: accumulate
+    in DECIMAL(25,6) (exact), round to 4, emit double."""
+    return F.round(F.sum(col.cast(DEC)), 4).cast("double").alias(alias)
+
+
+def davg(col, alias: str):
+    return F.round(F.sum(col.cast(DEC)).cast("double") / F.count(col), 4).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(25,6))), 4) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr}), 4) AS {alias}"
+    )
+
+
+# ===========================================================================
+# P group — projection / filter / predicates
+# ===========================================================================
+
+
+@query(
+    "p1_project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)), 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6)), 4) AS DOUBLE) AS charge
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("P1",),
+    doc="Projection with computed columns (reference docs/querying.md:73-83 arithmetic-projection pattern).",
+)
+def p1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = rev * (1 + F.col("l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rev.cast(DEC), 4).cast("double").alias("revenue"),
+        F.round(charge.cast(DEC), 4).cast("double").alias("charge"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "p2_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus NOT IN ('X', 'Y')
+      AND l_shipdate IS NOT NULL
+      AND l_discount >= 0.02
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("P2",),
+)
+def p2_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN / IN / NOT IN / IS NOT NULL / comparison conjunctions; all push
+    down to the parquet scan (verified via explain: PushedFilters)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & ~F.col("l_linestatus").isin("X", "Y")
+            & F.col("l_shipdate").isNotNull()
+            & (F.col("l_discount") >= 0.02)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "p3_like_regex",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE '%STEEL%' OR regexp_matches(p_name, '^[a-f]')
+    ORDER BY p_partkey
+    """,
+    tags=("P3", "F1"),
+)
+def p3_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE and regex predicates (reference query surface over p_type-style
+    string columns; SURVEY §2.3 P3)."""
+    p = T(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%STEEL%") | F.col("p_name").rlike("^[a-f]"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "p4_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           COUNT(*) AS n,
+           """
+    + sql_dsum("o_totalprice", "total")
+    + """
+    FROM orders
+    GROUP BY tier
+    ORDER BY tier
+    """,
+    tags=("P4", "A1"),
+)
+def p4_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+        .alias("tier")
+    )
+    return (
+        o.groupBy(tier)
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice"), "total"))
+        .orderBy("tier")
+    )
+
+
+@query(
+    "p5_cast_matrix",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str
+    FROM lineitem
+    WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("P5", "F2"),
+)
+def p5_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST matrix int<->string<->double<->timestamp<->date (SURVEY §2.3 P5).
+    double->int goes through FLOOR so Spark (truncating cast) and DuckDB
+    (rounding cast) agree; timestamp->string uses explicit format."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_str"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ===========================================================================
+# J group — joins
+# ===========================================================================
+
+
+@query(
+    "j1_inner_equi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, """
+    + sql_dsum("o_totalprice", "segment_total")
+    + """
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("J1", "A1"),
+)
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer; Spark picks SMJ/SHJ (AQE may convert
+    to broadcast at small sf — both correct at scale)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "segment_total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "j2_left_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("J2",),
+)
+def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "j2_full_outer",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey FROM supplier)
+    SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+           (cn.c_nationkey IS NOT NULL) AS has_customer,
+           (sn.s_nationkey IS NOT NULL) AS has_supplier
+    FROM cn FULL OUTER JOIN sn ON cn.c_nationkey = sn.s_nationkey
+    ORDER BY nationkey
+    """,
+    tags=("J2",),
+)
+def j2_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = T(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    sn = T(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    return (
+        cn.join(sn, cn.c_nationkey == sn.s_nationkey, "outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.col("c_nationkey").isNotNull().alias("has_customer"),
+            F.col("s_nationkey").isNotNull().alias("has_supplier"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "j3_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+    tags=("J3",),
+)
+def j3_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that placed a big order; semi avoids the
+    row-multiplication a plain join + distinct would shuffle."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "j4_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    tags=("J4",),
+)
+def j4_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "j5_broadcast_star",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_orders, """
+    + sql_dsum("o_totalprice", "revenue")
+    + """
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("J5", "J1", "A1"),
+)
+def j5_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of the small dims (nation: 25 rows,
+    region: 5 rows at any sf) — at 100 TB the fact table never shuffles for
+    these joins."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "revenue"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "j6_multikey_date_pred",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, """
+    + sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    + """
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("J6",),
+)
+def j6_multikey_date_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with an extra non-equi conjunct (SURVEY §2.3 J6): the equi key
+    drives the shuffle; the date predicate is applied as a join residual."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+    joined = li.join(
+        o, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate >= o.o_orderdate), "inner"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum(rev, "revenue"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "j7_range_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+    tags=("J7",),
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: event pairs of the same user within 5 minutes. The
+    user_id equi-key keeps this a hash/SMJ join with a range residual — never
+    a nested-loop — so it scales linearly with per-user density."""
+    e = T(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        a.join(b, cond, "inner")
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "j8_cross_join",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    ORDER BY r1, r2
+    """,
+    tags=("J8",),
+)
+def j8_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = T(spark, sf_dir, "region")
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.crossJoin(b)
+        .select(F.col("a.r_name").alias("r1"), F.col("b.r_name").alias("r2"))
+        .orderBy("r1", "r2")
+    )
+
+
+@query(
+    "j9_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id, ts, last_click_id
+    FROM tagged
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    tags=("J9", "W5"),
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 J9): each purchase matched to the latest
+    prior-or-simultaneous click of the same user. Window formulation — one
+    shuffle on user_id, no point-in-time cross product; this is the scalable
+    distributed as-of pattern (vs per-row lookup joins)."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    return (
+        e.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_id")
+        .orderBy("event_id")
+    )
+
+
+# ===========================================================================
+# A group — aggregations
+# ===========================================================================
+
+
+@query(
+    "a1_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           """
+    + sql_dsum("l_quantity", "sum_qty")
+    + """,
+           """
+    + sql_dsum("l_extendedprice", "sum_base_price")
+    + """,
+           """
+    + sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")
+    + """,
+           """
+    + sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")
+    + """,
+           """
+    + sql_davg("l_quantity", "avg_qty")
+    + """,
+           """
+    + sql_davg("l_extendedprice", "avg_price")
+    + """,
+           """
+    + sql_davg("l_discount", "avg_disc")
+    + """,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "P2", "F3"),
+)
+def a1_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship aggregate. Map-side
+    partial aggregation (hash agg) + 6-group final: near-zero shuffle at any
+    scale."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
+    )
+    price = F.col("l_extendedprice")
+    disc_price = price * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(price, "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(price, "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "a2_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_part,
+           COUNT(DISTINCT l_suppkey) AS nd_supp,
+           COUNT(DISTINCT l_linestatus) AS nd_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A2",),
+)
+def a2_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one pass — Spark expands to a single
+    grouped plan (expand + two-phase agg), not N scans."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.countDistinct("l_linestatus").alias("nd_status"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a3_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           COUNT(*) AS n, """
+    + sql_dsum("l_quantity", "sum_qty")
+    + """
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("A3",),
+)
+def a3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count("*").alias("n"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy(
+            "g_rf",
+            "g_ls",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "a3_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("A3",),
+)
+def a3_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            "g_rf",
+            "g_ls",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "a4_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, """
+    + sql_dsum("o_totalprice", "total")
+    + """
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    ORDER BY o_custkey
+    """,
+    tags=("A4",),
+)
+def a4_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "total"))
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "a5_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           """
+    + sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", "total_f")
+    + """,
+           """
+    + sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", "total_o")
+    + """,
+           """
+    + sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END", "total_p")
+    + """,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("A5",),
+)
+def a5_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (SUM(CASE WHEN ...)) — the
+    shuffle-free way to pivot a low-cardinality dimension."""
+    o = T(spark, sf_dir, "orders")
+
+    def cond_total(status: str, alias: str):
+        return dsum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(F.lit(0.0)),
+            alias,
+        )
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            cond_total("F", "total_f"),
+            cond_total("O", "total_o"),
+            cond_total("P", "total_p"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "a6_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_discount), 4) AS sd_disc,
+           ROUND(var_samp(l_tax), 4) AS var_tax,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A6",),
+)
+def a6_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact interpolated percentile (A6).
+    Small-magnitude columns keep float round-off far below the ROUND(,4)
+    canonicalization. approx_percentile / approx_count_distinct exist as
+    tolerance-checked variants in tests, never oracle-hash-matched."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_discount"), 4).alias("sd_disc"),
+            F.round(F.var_samp("l_tax"), 4).alias("var_tax"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a7_ordered_array_agg",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS lines_csv,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    tags=("A7", "F4"),
+)
+def a7_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array agg: collect_list has no deterministic order in a
+    distributed engine, so sort post-hoc (array_sort) — the scale-safe
+    formulation of array_agg(x ORDER BY k)."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("l_linenumber")), lambda x: x.cast("string")),
+                ",",
+            ).alias("lines_csv"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# ===========================================================================
+# W group — window functions
+# ===========================================================================
+
+
+@query(
+    "w1_ranks",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER()  OVER w AS rn,
+           RANK()        OVER w AS rnk,
+           DENSE_RANK()  OVER w AS drnk,
+           NTILE(4)      OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("W1",),
+)
+def w1_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "w2_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS gap_prev_sec,
+           (epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) // 1000000 AS gap_next_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    tags=("W2", "F2"),
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead event deltas per user — one shuffle on user_id. Gaps are
+    computed on epoch microseconds with floor-division to whole seconds, a
+    formulation both engines evaluate identically (DuckDB's date_diff counts
+    boundary crossings instead)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.floor((us - F.lag(us).over(w)) / 1000000).alias("gap_prev_sec"),
+        F.floor((F.lead(us).over(w) - us) / 1000000).alias("gap_next_sec"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "w3_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_total,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("W3",),
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 4)
+        .cast("double")
+        .alias("running_total"),
+        F.count("*").over(w).alias("running_n"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "w4_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6)))
+             OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS sum_10min
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    tags=("W4",),
+)
+def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based sliding frame over epoch seconds (RANGE BETWEEN 600
+    PRECEDING AND CURRENT ROW) — SURVEY §2.3 W4; epoch-seconds ordering keeps
+    the frame engine-portable."""
+    e = T(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000)
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-600, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.col("value").cast(DEC)).over(w), 4).cast("double").alias("sum_10min"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "w5_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey)  OVER w AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("W5",),
+)
+def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "w6_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_orderpriority, rn
+    """,
+    tags=("W6",),
+)
+def w6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — Spark rewrites rank<=k filters into a
+    per-partition top-k (WindowGroupLimit), avoiding a full sort at scale."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+# ===========================================================================
+# O group — sorts / limits / set ops
+# ===========================================================================
+
+
+@query(
+    "o1_multisort_nulls",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio_or_null, o_totalprice
+    FROM orders
+    WHERE o_orderkey < 3000
+    ORDER BY prio_or_null ASC NULLS FIRST, o_totalprice DESC, o_orderkey
+    """,
+    tags=("O1", "F7"),
+)
+def o1_multisort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_or_null"),
+        "o_totalprice",
+    ).orderBy(
+        F.col("prio_or_null").asc_nulls_first(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+
+
+@query(
+    "o2_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100 OFFSET 50
+    """,
+    tags=("O2",),
+)
+def o2_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice").orderBy("o_orderkey").offset(50).limit(100)
+
+
+@query(
+    "o3_union",
+    oracle="""
+    SELECT flag AS v, COUNT(*) AS n FROM (
+      SELECT l_returnflag AS flag FROM lineitem
+      UNION ALL
+      SELECT l_linestatus AS flag FROM lineitem
+    ) GROUP BY flag
+    ORDER BY v
+    """,
+    tags=("O3",),
+)
+def o3_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    u = li.select(F.col("l_returnflag").alias("v")).unionAll(
+        li.select(F.col("l_linestatus").alias("v"))
+    )
+    return u.groupBy("v").agg(F.count("*").alias("n")).orderBy("v")
+
+
+@query(
+    "o3_union_distinct",
+    oracle="""
+    SELECT l_returnflag AS v FROM lineitem
+    UNION
+    SELECT l_linestatus AS v FROM lineitem
+    ORDER BY v
+    """,
+    tags=("O3", "O5"),
+)
+def o3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_returnflag").alias("v"))
+        .union(li.select(F.col("l_linestatus").alias("v")))
+        .distinct()
+        .orderBy("v")
+    )
+
+
+@query(
+    "o4_intersect_except",
+    oracle="""
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+    SELECT 'intersect' AS op, k FROM (SELECT k FROM with_orders INTERSECT SELECT k FROM rich)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (SELECT k FROM rich EXCEPT SELECT k FROM with_orders)
+    ORDER BY op, k
+    """,
+    tags=("O4",),
+)
+def o4_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    rich = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    inter = o.intersect(rich).select(F.lit("intersect").alias("op"), "k")
+    exc = rich.subtract(o).select(F.lit("except").alias("op"), "k")
+    return inter.unionAll(exc).orderBy("op", "k")
+
+
+@query(
+    "o5_dedup_subset",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    tags=("O5", "W6"),
+)
+def o5_dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates(subset): keep the earliest order per
+    customer. Plain dropDuplicates keeps an arbitrary row in a distributed
+    engine, so the declared form pins the survivor with row_number."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "o5_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("O5",),
+)
+def o5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy("l_returnflag", "l_linestatus")
+
+
+# ===========================================================================
+# F group — scalar function families
+# ===========================================================================
+
+
+@query(
+    "f1_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, ':', p_type) AS brand_type,
+           substr(p_name, 1, 8) AS name8,
+           upper(p_brand) AS brand_up,
+           lower(p_type) AS type_lo,
+           length(p_name) AS name_len,
+           trim(lpad(p_brand, 12, ' ')) AS brand_trim,
+           replace(p_type, ' ', '_') AS type_us,
+           string_split(p_type, ' ')[1] AS type_first,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
+           starts_with(p_type, 'STANDARD') AS is_std,
+           (p_type LIKE '%STEEL') AS ends_steel
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("F1",),
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.lpad("p_brand", 12, " ")).alias("brand_trim"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.split("p_type", " ").getItem(0).alias("type_first"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devowel"),
+        F.startswith(F.col("p_type"), F.lit("STANDARD")).alias("is_std"),
+        F.endswith(F.col("p_type"), F.lit("STEEL")).alias("ends_steel"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "f2_datetime_funcs",
+    oracle="""
+    SELECT event_id,
+           date_trunc('hour', ts)   AS ts_hour,
+           date_trunc('minute', ts) AS ts_minute,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d, hour(ts) AS h,
+           epoch_us(ts) AS ts_us,
+           make_timestamp(epoch_us(ts)) AS ts_roundtrip,
+           CAST(ts AS DATE) + 30 AS plus30d,
+           date_diff('day', TIMESTAMP '2024-01-01', ts) AS days_since,
+           ts + INTERVAL 90 MINUTE AS plus90m
+    FROM events
+    WHERE event_id < 1000
+    ORDER BY event_id
+    """,
+    tags=("F2",),
+)
+def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (F2) — the same functions the OTLP pipeline needs for
+    ns->µs conversion (D14) and hour partitioning (D21)."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.date_trunc("minute", "ts").alias("ts_minute"),
+        F.date_trunc("day", "ts").alias("ts_day"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.timestamp_micros(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("timestamp_ntz")
+        .alias("ts_roundtrip"),
+        F.date_add(F.col("ts").cast("date"), 30).alias("plus30d"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("days_since"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("plus90m"),
+    ).orderBy("event_id")
+
+
+@query(
+    "f3_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           FLOOR(l_quantity / 7)     AS qty_div7,
+           CEIL(l_discount * 100)    AS disc_pct_ceil,
+           ABS(l_discount - 0.05)    AS disc_dev,
+           l_orderkey % 7            AS key_mod7,
+           ROUND(power(l_quantity, 2), 4) AS qty_sq,
+           ROUND(ln(l_extendedprice), 4)  AS price_ln,
+           ROUND(sqrt(l_quantity), 4)     AS qty_sqrt,
+           CAST(SIGN(l_discount - 0.05) AS INTEGER) AS disc_sign
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("F3",),
+)
+def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div7"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "f4_array_funcs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           tokens[1] AS first_tok,
+           list_contains(tokens, 'the') AS has_the,
+           len(list_distinct(tokens)) AS n_distinct,
+           list_sort(tokens)[1] AS min_tok,
+           array_to_string(tokens[1:5], ' ') AS head5,
+           len(list_filter(tokens, x -> length(x) > 4)) AS n_long,
+           list_aggregate(list_transform(tokens, x -> length(x)), 'sum') AS total_chars
+    FROM tok
+    ORDER BY doc_id
+    """,
+    tags=("F4", "X4"),
+)
+def f4_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function family (F4) — size, indexing, contains,
+    distinct, sort, slice, filter, transform, aggregate. These are the
+    primitives Q8's histogram-bucket math builds on."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_tok"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_sort(toks).getItem(0).alias("min_tok"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "f5_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    tags=("F5",),
+)
+def f5_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (F5) — the same primitive used to query the OTLP
+    pipeline's JSON-encoded attribute maps (D12)."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    ).orderBy("event_id")
+
+
+@query(
+    "f6_hash_encode",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           hex(CAST(doc_id AS VARCHAR)) AS id_hex,
+           to_base64(encode(substr(text, 1, 24))) AS head_b64,
+           octet_length(from_base64(to_base64(encode(substr(text, 1, 24))))) AS b64_roundtrip_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("F6", "X1"),
+)
+def f6_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/encoding family (F6): md5 / sha2-256 / hex / base64 — the
+    primitives behind content-hash dedup (X1) and the binary<->hex TraceId
+    bridge (SURVEY §2.2 Q9)."""
+    d = T(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 24)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+        F.hex(F.col("doc_id").cast("string").cast("binary")).alias("id_hex"),
+        F.base64(head.cast("binary")).alias("head_b64"),
+        F.length(F.unbase64(F.base64(head.cast("binary")))).alias("b64_roundtrip_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "f7_null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'was-urgent') AS prio_coalesced,
+           (NULLIF(o_orderstatus, 'O') IS NULL) AS is_open,
+           CASE WHEN isnan(CASE WHEN o_totalprice > 400000 THEN 'NaN'::DOUBLE ELSE o_totalprice END)
+                THEN -1.0
+                ELSE o_totalprice END AS price_nan_guarded
+    FROM orders
+    WHERE o_orderkey < 3000
+    ORDER BY o_orderkey
+    """,
+    tags=("F7",),
+)
+def f7_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL/NaN handling (F7): coalesce/nullif/nanvl — mirrors the reference's
+    empty-service fallback (D22) and NaN-drop policy (§1.3.12)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    nan_price = F.when(F.col("o_totalprice") > 400000, F.lit(float("nan"))).otherwise(
+        F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("was-urgent")).alias(
+            "prio_coalesced"
+        ),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).isNull().alias("is_open"),
+        F.nanvl(nan_price, F.lit(-1.0)).alias("price_nan_guarded"),
+    ).orderBy("o_orderkey")
