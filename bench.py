@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Protocol (BASELINE.md): per query, best of 2 consecutive runs (the first run
+pays JVM/codegen warmup; the second is the steady-state number a resident
+cluster would see). Results are forced with a count()-style full materialize
+(collect on aggregates is small; row-heavy outputs are counted instead to
+avoid measuring driver serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from otlp2parquet_spark.queries.registry import all_specs
+from otlp2parquet_spark.session import get_spark
+
+# Headline suite: one representative per cost class (scan-agg, star join,
+# fact-fact join, range join, window, explode-agg, dedup, LSH, ANN, sliding
+# window, text sweep).
+HEADLINE = [
+    "a1_tpch_q1",
+    "p1_project_compute",
+    "j1_inner_equi",
+    "j5_broadcast_star",
+    "j6_multikey_date_pred",
+    "j7_range_join",
+    "j9_asof_join",
+    "w1_ranks",
+    "q07_hourly_avg",
+    "q08_histogram_p95",
+    "t2_sliding_window",
+    "x1_exact_dedup",
+    "x2_minhash_lsh",
+    "x3_cosine_topk",
+    "x4_top_terms",
+]
+
+RUNS_PER_QUERY = 2
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="otlp2parquet-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    # warm the JVM / parquet footer caches with a trivial action
+    specs["o5_distinct"].build(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            # count() forces the full plan; AQE still executes every stage
+            specs[name].build(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall sec (best-of-2 per query)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

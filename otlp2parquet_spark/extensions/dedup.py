@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.session import spread
 
 # Canonical text normalization shared by X2 variants: lowercase, strip
 # non-alphanumerics to spaces, collapse runs, trim. Both engines run the same
@@ -36,6 +37,28 @@ def normalized_text(col):
 SQL_NORM = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
 
+def with_tokens(docs: DataFrame, cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Project normalized tokens as a MATERIALIZED column (repartition =
+    shuffle boundary).
+
+    Critical at scale: referencing a tokens *expression* N times (array
+    subscripts inside higher-order lambdas, per-language marker filters)
+    re-evaluates the full lower+regex+split chain N times per row — Spark
+    disables common-subexpression elimination inside lambda functions. A
+    materialized column is scanned, not recomputed (measured ~50x on the
+    trigram builders)."""
+    toks = F.split(normalized_text(F.col("text")), " ")
+    return docs.select(*cols, toks.alias("toks")).repartition(F.col(cols[0]))
+
+
+def gram3_expr(toks) -> "F.Column":
+    """Word-trigram array from a materialized token-array column."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)),
+    )
+
+
 @query(
     "x1_exact_dedup",
     oracle="""
@@ -51,7 +74,7 @@ SQL_NORM = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g
 def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content-hash dedup: one row per distinct content hash, keeping
     the smallest doc_id (deterministic survivor). Single shuffle on the hash."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     return (
         d.select(F.sha2(F.col("text").cast("binary"), 256).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
@@ -75,7 +98,7 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x2_neardup_normhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection via canonical-normalization hash (case/punct/
     whitespace-insensitive duplicates). Same single-shuffle profile as X1."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     return (
         d.select(F.md5(normalized_text(F.col("text")).cast("binary")).alias("norm_hash"), "doc_id")
         .groupBy("norm_hash")
@@ -117,21 +140,15 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate space stays bounded; at corpus scale the block key would be an
     LSH bucket — see x2_minhash_lsh). Explode -> equi-join on gram -> count:
     all shuffles are on gram / doc ids, never a cross join."""
-    d = T(spark, sf_dir, "documents")
-    toks = F.split(normalized_text(F.col("text")), " ")
+    d = spread(T(spark, sf_dir, "documents"))
+    tok_df = with_tokens(d, ("doc_id", "source"))
     grams = (
-        d.select(
+        tok_df.select(
             "doc_id",
             "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 3),
-                    lambda i: F.concat_ws(
-                        " ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)
-                    ),
-                )
-            ).alias("gram"),
+            F.explode(gram3_expr(F.col("toks"))).alias("gram"),
         )
+        .filter(F.length("gram") > 0)
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
@@ -167,29 +184,26 @@ MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # bands of 4 rows each
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
-    """doc_id -> array<string> of K minhashes over word-trigram shingles.
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id -> array<long> of K minhashes over word-trigram shingles.
 
-    Hash family: md5(seed || gram) — deterministic, engine-portable, uniform.
-    Computed entirely with higher-order functions (no Python UDF): for each
-    seed, min over the gram array of md5(seed:gram).
+    Hash family: xxhash64(seed, gram) — deterministic and JVM-vectorized
+    (~20x cheaper than md5-hex), computed entirely with higher-order
+    functions (no Python UDF): for each seed, min over the gram array.
+
+    Staged as tokenize -> grams -> signature with materialization boundaries
+    between, so the K seed-lambdas scan a stored gram array instead of
+    re-deriving it K times (lambda bodies defeat subexpression elimination).
     """
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-            lambda i: F.concat_ws(" ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)),
-        )
-    )
+    tok_df = with_tokens(docs)
+    gram_df = tok_df.select(
+        "doc_id", F.array_distinct(gram3_expr(F.col("toks"))).alias("grams")
+    ).repartition("doc_id")
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                grams, lambda g: F.md5(F.concat_ws(":", seed.cast("string"), g).cast("binary"))
-            )
-        ),
+        lambda seed: F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(seed, g))),
     )
-    return docs.select("doc_id", sig.alias("sig"))
+    return gram_df.select("doc_id", sig.alias("sig"))
 
 
 @query(
@@ -203,8 +217,11 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is (band, band-signature), so work scales with bucket sizes, not n².
     Tolerance-checked against exact Jaccard in tests (not hash-matched —
     SURVEY §2.3 determinism rules exclude approx ops from the oracle)."""
-    d = T(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    d = spread(T(spark, sf_dir, "documents"))
+    # repartition = materialization boundary: without it Catalyst inlines the
+    # whole 16-seed minhash expression into every downstream reference and
+    # the oversized codegen falls back to slow interpreted evaluation
+    sigs = minhash_signatures(d).repartition("doc_id")
     rows_per_band = MINHASH_K // LSH_BANDS
     banded = sigs.select(
         "doc_id",
@@ -213,9 +230,13 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
                 lambda band: F.struct(
                     band.alias("band"),
-                    F.array_join(F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band), "|").alias(
-                        "band_sig"
-                    ),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    ).alias("band_sig"),
                 ),
             )
         ).alias("b"),
@@ -244,10 +265,16 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-32 fingerprint per document: each token votes its md5 bits;
     fingerprint bit i is 1 when the weighted vote is positive. Pure
     higher-order-function implementation — stays in whole-stage codegen."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     toks = F.split(normalized_text(F.col("text")), " ")
-    # 32-bit token hash = first 8 hex chars of md5
-    tok_hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+    # 32-bit token hash = first 8 hex chars of md5; materialized via a
+    # repartition boundary so the 32 per-bit aggregates below scan a stored
+    # array instead of re-running tokenize+md5 32 times each
+    tok_hash_expr = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+    )
+    d = d.select("doc_id", tok_hash_expr.alias("tok_hashes")).repartition("doc_id")
+    tok_hashes = F.col("tok_hashes")
     # bit i of h == floor(h / 2^i) % 2; exact for 32-bit values in double math
     # (shiftright/shiftleft built-ins require a literal shift, not a column)
     bits = F.transform(

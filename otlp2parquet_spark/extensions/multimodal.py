@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 )
 
 from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.session import spread
 
 MEDIA_SCHEMA = StructType(
     [
@@ -52,7 +53,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the opaque-binary media table from documents.text — at
     production scale this is `spark.read.format('binaryFile')` over an object
     store plus a sidecar metadata table; the column shapes are identical."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     payload = F.col("text").cast("binary")
     return d.select(
         F.col("doc_id").alias("media_id"),

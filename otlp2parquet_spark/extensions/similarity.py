@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.session import spread
 
 
 def _as_double(vec: Column) -> Column:
@@ -66,7 +67,7 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a broadcast query set (vec_id < 5). The
     corpus side streams; only (q_id, neighbor, score) survives to the window
     top-k, which Spark executes as a per-partition group-limit."""
-    e = T(spark, sf_dir, "embeddings")
+    e = spread(T(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -124,7 +125,7 @@ def x3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5: assign corpus to 8 coarse centroids,
     probe the 2 nearest lists per query, brute-force inside the probed lists.
     Scan cost drops to ~P/K of brute force; recall asserted >= 0.8 in tests."""
-    e = T(spark, sf_dir, "embeddings")
+    e = spread(T(spark, sf_dir, "embeddings"))
     assign, cents = ivf_assign(e, n_centroids=8)
     q = assign.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from otlp2parquet_spark.extensions.dedup import SQL_NORM, normalized_text
 from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.session import spread
 
 # Tiny per-language stopword marker sets (public common words). On synthetic
 # corpora this mostly detects English; the operator shape (per-language hit
@@ -56,7 +57,7 @@ def _marker_hits(tokens, words) -> F.Column:
 def x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char counts, type-token ratio, average token length,
     and BPE-ish piece count — the standard quality-filter feature set."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     toks = F.split(normalized_text(F.col("text")), " ")
     total_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("long")),
@@ -94,7 +95,7 @@ def x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency top-25: explode -> two-phase count (map-side
     partial agg absorbs the token explosion before the shuffle)."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"))
         .filter(F.length("term") > 0)
@@ -139,7 +140,7 @@ def _sql_marker_hits(lang: str) -> str:
 def x4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language stopword-marker hit counts with a
     deterministic argmax (ties resolve en>de>fr>es; zero hits -> 'und')."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     toks = F.split(normalized_text(F.col("text")), " ")
     scores = d.select(
         "doc_id",
@@ -187,7 +188,7 @@ def x4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate: length / punctuation-ratio / stopword-ratio features and
     a boolean filter decision — the canonical pre-training quality filter."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     toks = F.split(normalized_text(F.col("text")), " ")
     n_chars = F.length("text")
     n_tokens = F.size(toks)
@@ -225,7 +226,7 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash over rolling word trigrams (winnowing
     with window = whole doc) — a single stable 128-bit id per document that
     survives token reordering-free edits."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     toks = F.split(normalized_text(F.col("text")), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),

@@ -395,14 +395,25 @@ def j6_multikey_date_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J7",),
 )
 def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range self-join: event pairs of the same user within 5 minutes. The
-    user_id equi-key keeps this a hash/SMJ join with a range residual — never
-    a nested-loop — so it scales linearly with per-user density."""
+    """Range self-join: event pairs of the same user within 5 minutes.
+
+    Banded formulation: both sides get a 5-minute time bucket; a qualifying
+    pair (b.ts in (a.ts, a.ts+5m]) always has bucket(b) in {bucket(a),
+    bucket(a)+1}, so probing those two buckets as an extra equi-key turns the
+    per-user O(n²) residual filter into O(n · per-bucket density). At 100 TB
+    this is the difference between a feasible SMJ and a quadratic blowup;
+    each pair matches exactly one probe bucket, so no dedup is needed."""
     e = T(spark, sf_dir, "events")
-    a = e.alias("a")
-    b = e.alias("b")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket = F.floor(us / (300 * 1000 * 1000))
+    eb = e.withColumn("bucket", bucket)
+    a = eb.withColumn(
+        "probe_bucket", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1))
+    ).alias("a")
+    b = eb.alias("b")
     cond = (
         (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.probe_bucket") == F.col("b.bucket"))
         & (F.col("b.ts") > F.col("a.ts"))
         & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
     )

@@ -93,6 +93,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df, multiplier: int = 1):
+    """Repartition a DataFrame to cluster parallelism before CPU-heavy
+    per-row work (regex sweeps, per-gram hashing, vector math).
+
+    Small dimension files arrive as 1-3 partitions (one per parquet file /
+    128 MiB split); everything downstream would then run on one core. At
+    100 TB inputs are naturally wide, but an explicit spread before a
+    compute-bound stage is still correct whenever the upstream stage has
+    fewer partitions than cores (e.g. after a selective filter or a
+    small-table scan).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every synthetic table as a temp view for spark.sql queries."""
     for name in TABLES:
