@@ -1,0 +1,279 @@
+"""Spark ingest pipeline: landing files -> decoded signal DataFrames.
+
+Reference dataflow D1-D15 re-expressed Spark-first (SURVEY.md §3.1):
+
+- the HTTP receiver is out-of-engine (reference src/lib.rs:221 is an axum
+  server); its semantic twin here is a *landing directory* of raw OTLP
+  payloads that Spark scans with `format("binaryFile")` (D1/S4);
+- gzip bodies are decompressed in the codec (D2, tower layer in reference);
+- format dispatch is by file extension — .pb / .json / .jsonl (+ .gz) —
+  mirroring content-type dispatch (D3, reference src/handlers.rs:68);
+- payload-size guard (D4, default 8 MiB) filters oversized payloads into a
+  rejected side-output instead of HTTP 413;
+- decode (D5-D14) runs in `mapInPandas`: Arrow-batched, one Python worker
+  per input partition — each payload file decodes independently, so the
+  stage scales horizontally with the number of landing files. At 100 TB the
+  landing scan parallelism is `spark.sql.files.maxPartitionBytes`-driven and
+  the codec stays embarrassingly parallel (no shuffle before the write).
+
+Decoded output uses raw schemas (epoch-µs longs); `finalize()` converts to
+the golden column types JVM-side via `timestamp_micros` (exact integer µs,
+never double math).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from otlp2parquet_spark.otel import flatten, otlp_json, schemas, wire
+from otlp2parquet_spark.otel.wire import OtlpDecodeError
+
+DEFAULT_MAX_PAYLOAD_BYTES = 8 * 1024 * 1024  # reference src/config/platform.rs:19
+
+_FORMATS = ("pb", "json", "jsonl")
+
+
+def payload_format(path: str) -> str | None:
+    """File-extension twin of InputFormat::from_content_type (D3)."""
+    name = path.lower()
+    if name.endswith(".gz"):
+        name = name[:-3]
+    ext = name.rsplit(".", 1)[-1] if "." in name else ""
+    return ext if ext in _FORMATS else None
+
+
+def read_landing(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_payload_bytes: int = DEFAULT_MAX_PAYLOAD_BYTES,
+) -> tuple[DataFrame, DataFrame]:
+    """Scan a landing dir of OTLP payload files -> (accepted, rejected).
+
+    Returns binaryFile rows (path, content, fmt); `rejected` carries
+    oversized payloads (D4: HTTP 413 twin) and unknown-extension files.
+    """
+    fmt_udf = F.udf(payload_format, StringType())
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content", fmt_udf(F.col("path")).alias("fmt"))
+    )
+    ok = (F.length("content") <= F.lit(max_payload_bytes)) & F.col("fmt").isNotNull()
+    reason = (
+        F.when(F.col("fmt").isNull(), F.lit("unknown format"))
+        .when(F.length("content") > F.lit(max_payload_bytes), F.lit("payload too large"))
+    )
+    return df.filter(ok), df.filter(~ok).select("path", reason.alias("reason"))
+
+
+def _parse_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]]:
+    """payload bytes -> list of canonical request dicts (D2/D5/D6/D7)."""
+    if content[:2] == b"\x1f\x8b":  # gzip magic (D2)
+        content = gzip.decompress(content)
+    if fmt == "pb":
+        return [wire.parse_request_pb(content, signal)]
+    if fmt == "json":
+        return [otlp_json.parse_request_json(content, signal)]
+    return otlp_json.parse_request_jsonl(content, signal)
+
+
+# ---------------------------------------------------------------------------
+# Logs / traces decode
+
+
+def _decode_simple(signal: str, table: str, on_error: str):
+    raw_cols = [f.name for f in schemas.raw_spark_schema(table).fields]
+    flat = flatten.flatten_logs if signal == "logs" else flatten.flatten_traces
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for content, fmt in zip(pdf["content"], pdf["fmt"]):
+                try:
+                    for req in _parse_payload(bytes(content), fmt, signal):
+                        rows.extend(flat(req))
+                except OtlpDecodeError:
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame(rows, columns=raw_cols) if rows else pd.DataFrame(
+                {c: [] for c in raw_cols}
+            )
+
+    return fn
+
+
+def finalize(raw_df: DataFrame, table: str) -> DataFrame:
+    """Raw (µs-long) frame -> golden-typed frame, JVM-side conversion only."""
+    cols = []
+    ts_cols = dict(schemas.timestamp_columns(table))
+    for f in schemas.spark_schema(table).fields:
+        c = F.col(f.name)
+        if f.name in ts_cols:
+            if ts_cols[f.name]:
+                c = F.transform(c, lambda x: F.timestamp_micros(x))
+            else:
+                c = F.timestamp_micros(c)
+        cols.append(c.alias(f.name))
+    return raw_df.select(*cols)
+
+
+def decode_logs(payloads: DataFrame, on_error: str = "raise") -> DataFrame:
+    raw = payloads.mapInPandas(
+        _decode_simple("logs", "otel_logs", on_error), schemas.raw_spark_schema("otel_logs")
+    )
+    return finalize(raw, "otel_logs")
+
+
+def decode_traces(payloads: DataFrame, on_error: str = "raise") -> DataFrame:
+    raw = payloads.mapInPandas(
+        _decode_simple("traces", "otel_traces", on_error), schemas.raw_spark_schema("otel_traces")
+    )
+    return finalize(raw, "otel_traces")
+
+
+# ---------------------------------------------------------------------------
+# Metrics decode: single pass -> union frame tagged by metric_type (D10)
+
+_SKIP_TAG = "skipped"
+
+
+def _metrics_union_schema() -> StructType:
+    """Common prefix + union of all type-specific columns + tag column.
+
+    One decode pass serves all 5 metric tables: each row carries its
+    `MetricType`; per-table frames are a filter+select away (never a second
+    decode). Skip accounting (D10/§1.3.12) rides the same frame as
+    `MetricType='skipped'` rows with the counter name in `SkipReason`.
+    """
+    seen: dict[str, StructField] = {}
+    for table in schemas.METRIC_TABLES.values():
+        for f in schemas.raw_spark_schema(table).fields:
+            seen.setdefault(f.name, StructField(f.name, f.dataType, True))
+    fields = list(seen.values())
+    fields.append(StructField("MetricType", StringType(), False))
+    fields.append(StructField("SkipReason", StringType(), True))
+    fields.append(StructField("SkipCount", LongType(), True))
+    return StructType(fields)
+
+
+METRICS_UNION_SCHEMA = _metrics_union_schema()
+
+
+def _decode_metrics_fn(on_error: str):
+    union_cols = [f.name for f in METRICS_UNION_SCHEMA.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for content, fmt in zip(pdf["content"], pdf["fmt"]):
+                try:
+                    for req in _parse_payload(bytes(content), fmt, "metrics"):
+                        per_type, skipped = flatten.flatten_metrics(req)
+                        for mtype, trows in per_type.items():
+                            for r in trows:
+                                r = r | {"MetricType": mtype}
+                                # explicit None (not pandas NaN) for columns
+                                # of other metric types — NaN breaks Arrow
+                                # conversion of array-typed columns
+                                rows.append({c: r.get(c) for c in union_cols})
+                        for reason, cnt in skipped.items():
+                            if cnt:
+                                r = {"MetricType": _SKIP_TAG, "SkipReason": reason, "SkipCount": cnt}
+                                rows.append({c: r.get(c) for c in union_cols})
+                except OtlpDecodeError:
+                    if on_error == "raise":
+                        raise
+            yield (
+                pd.DataFrame(rows, columns=union_cols)
+                if rows
+                else pd.DataFrame({c: [] for c in union_cols})
+            )
+
+    return fn
+
+
+def decode_metrics_union(payloads: DataFrame, on_error: str = "raise") -> DataFrame:
+    """One decode pass over metrics payloads -> tagged union DataFrame."""
+    return payloads.mapInPandas(_decode_metrics_fn(on_error), METRICS_UNION_SCHEMA)
+
+
+def metrics_table(union_df: DataFrame, metric_type: str) -> DataFrame:
+    """Project one persisted metric table out of the union frame."""
+    table = schemas.METRIC_TABLES[metric_type]
+    raw = union_df.filter(F.col("MetricType") == metric_type).select(
+        *[f.name for f in schemas.raw_spark_schema(table).fields]
+    )
+    return finalize(raw, table)
+
+
+def skipped_metrics(union_df: DataFrame) -> DataFrame:
+    """SkippedMetrics accounting twin (reference src/codec.rs:15-26):
+    summary rows also count as skipped.summaries (they are decoded but not
+    persisted by default, matching the 4-batcher server pipeline)."""
+    return (
+        union_df.filter(F.col("MetricType") == _SKIP_TAG)
+        .groupBy(F.col("SkipReason").alias("reason"))
+        .agg(F.sum("SkipCount").alias("count"))
+    )
+
+
+def decode_metrics(
+    payloads: DataFrame, on_error: str = "raise", include_summary: bool = False
+) -> dict[str, DataFrame]:
+    """{metric_type: golden-typed DataFrame} for the persisted types
+    (+ 'summary' when include_summary — the schema exists, the server
+    pipeline drops the rows; reference tests/e2e.rs:114-126)."""
+    union_df = decode_metrics_union(payloads, on_error)
+    types = list(schemas.PERSISTED_METRIC_TYPES) + (["summary"] if include_summary else [])
+    return {t: metrics_table(union_df, t) for t in types}
+
+
+# ---------------------------------------------------------------------------
+# Response accounting (D27)
+
+
+def ingest_summary(decoded: dict[str, DataFrame]) -> dict[str, int]:
+    """records-processed accounting dict (reference src/handlers.rs:191-198).
+    Batch-mode counts; in streaming this becomes `observe()` metrics."""
+    return {name: df.count() for name, df in decoded.items()}
+
+
+def ingest_directory(
+    spark: SparkSession,
+    landing_dir: str,
+    signal: str,
+    *,
+    max_payload_bytes: int = DEFAULT_MAX_PAYLOAD_BYTES,
+    on_error: str = "raise",
+) -> dict[str, DataFrame]:
+    """End-to-end decode of a landing dir for one signal.
+
+    Returns {table_name: DataFrame} (metrics contribute 4 tables + a
+    '_skipped' accounting frame).
+    """
+    payloads, rejected = read_landing(spark, landing_dir, max_payload_bytes=max_payload_bytes)
+    if signal == "logs":
+        return {"otel_logs": decode_logs(payloads, on_error), "_rejected": rejected}
+    if signal == "traces":
+        return {"otel_traces": decode_traces(payloads, on_error), "_rejected": rejected}
+    if signal == "metrics":
+        union_df = decode_metrics_union(payloads, on_error)
+        out: dict[str, DataFrame] = {
+            schemas.METRIC_TABLES[t]: metrics_table(union_df, t)
+            for t in schemas.PERSISTED_METRIC_TYPES
+        }
+        out["_skipped"] = skipped_metrics(union_df)
+        out["_rejected"] = rejected
+        return out
+    raise ValueError(f"unknown signal: {signal}")

@@ -1,0 +1,192 @@
+"""Partitioned Parquet sink (reference D21-D23, src/writer/write.rs).
+
+Two modes, per SURVEY.md §7 hard-part 4:
+
+- **parity mode** — byte-parity with the reference layout
+  ``{root}/{signal}/{service}/year=YYYY/month=MM/day=DD/hour=HH/{ts_us}-{uuid32}.parquet``
+  including Snappy compression, schema-version footer metadata, field_ids and
+  the uint32 TraceFlags column. Spark's `partitionBy` can produce neither the
+  bare `{service}` dir level nor custom file names, so each (service, hour)
+  group is written by `applyInPandas` with pyarrow — the write itself runs ON
+  THE EXECUTORS (one task per group, no driver collect), so it scales with
+  the number of (service, hour) groups. Group sizes are bounded by
+  `max_rows_per_file` (reference batch.max_rows default 200k, D17).
+
+- **native mode** — idiomatic Spark layout
+  ``{root}/{signal}/ServiceName=/year=/month=/day=/hour=/part-*.parquet``
+  via `df.write.partitionBy(...)`: strictly better partition pruning (service
+  becomes a real Hive partition column, SURVEY §4 row 2) and object-store
+  safe (Hadoop committers). This is the 100 TB path; parity mode exists for
+  drop-in compatibility with readers of the reference's layout.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from otlp2parquet_spark.otel import schemas
+
+DEFAULT_MAX_ROWS_PER_FILE = 200_000  # reference src/config/platform.rs:16
+
+
+def sanitize_service_name(name: str | None) -> str:
+    """Filesystem-hostile chars -> '_', empty -> 'unknown-service'
+    (reference src/writer/write.rs:132-148)."""
+    if not name:
+        return "unknown-service"
+    out = "".join("_" if c in '/\\:*?"<>| ' else c for c in name)
+    return out or "unknown-service"
+
+
+SANITIZE_REGEX = r'[/\\:*?"<>| ]'
+
+
+def sanitize_service_col(col) -> F.Column:
+    """Column twin of sanitize_service_name (D22) for the native writer."""
+    return F.when(
+        F.coalesce(col, F.lit("")) == "", F.lit("unknown-service")
+    ).otherwise(F.regexp_replace(col, SANITIZE_REGEX, "_"))
+
+
+def generate_parquet_path(
+    root: str, table: str, service: str | None, min_ts_us: int
+) -> str:
+    """Reference path builder (src/writer/write.rs:93-130): partition time =
+    batch min timestamp, now() fallback when ts <= 0, `{ts}-{uuid32}` name."""
+    if min_ts_us <= 0:
+        min_ts_us = int(datetime.now(tz=timezone.utc).timestamp() * 1_000_000)
+    dt = datetime.fromtimestamp(min_ts_us / 1_000_000, tz=timezone.utc)
+    return os.path.join(
+        root,
+        schemas.TABLE_PATH_SEGMENT[table],
+        sanitize_service_name(service),
+        f"year={dt.year:04d}",
+        f"month={dt.month:02d}",
+        f"day={dt.day:02d}",
+        f"hour={dt.hour:02d}",
+        f"{min_ts_us}-{uuid.uuid4().hex}.parquet",
+    )
+
+
+def _to_golden_arrow(pdf: pd.DataFrame, table: str) -> pa.Table:
+    """pandas group (Spark types) -> pyarrow table with the golden schema
+    (incl. uint32 cast + field_ids + footer metadata)."""
+    target = schemas.arrow_schema(table)
+    arrays = []
+    for f in target:
+        col = pdf[f.name]
+        if pa.types.is_timestamp(f.type):
+            arr = pa.Array.from_pandas(col, type=f.type)
+        elif pa.types.is_list(f.type):
+            arr = pa.array(col.tolist(), type=f.type)
+        else:
+            arr = pa.array(col.tolist(), type=f.type)
+        arrays.append(arr)
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
+def write_partitioned(
+    df: DataFrame,
+    table: str,
+    root: str,
+    *,
+    bucket: str = "hour",
+    max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+) -> DataFrame:
+    """Parity-mode write: one Parquet file per (service, time-bucket) group.
+
+    `bucket` is "hour" for batch mode, "minute" for the streaming twin of the
+    reference's (service, minute) BatchKey (D16, src/batch/mod.rs:24-44).
+    Returns an accounting frame (path, rows, service) — the D27 partitions[]
+    response twin. Executes distributed: groupBy shuffles rows to one task
+    per group, each task writes its own file with pyarrow.
+    """
+    trunc = {"hour": "hour", "minute": "minute"}[bucket]
+    out_schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("rows", LongType(), False),
+            StructField("service", StringType(), True),
+        ]
+    )
+
+    def write_group(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["__bucket"]).sort_values("Timestamp", kind="stable")
+        service = keys[0]
+        records = []
+        for start in range(0, len(pdf), max_rows_per_file):
+            chunk = pdf.iloc[start : start + max_rows_per_file]
+            min_ts = chunk["Timestamp"].min()
+            min_ts_us = 0 if pd.isna(min_ts) else int(pd.Timestamp(min_ts).value // 1000)
+            path = generate_parquet_path(root, table, service, min_ts_us)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(
+                _to_golden_arrow(chunk, table),
+                path,
+                compression="snappy",  # reference golden footers, D23
+            )
+            records.append({"path": path, "rows": len(chunk), "service": service})
+        return pd.DataFrame(records, columns=["path", "rows", "service"])
+
+    return (
+        df.withColumn("__bucket", F.date_trunc(trunc, F.col("Timestamp")))
+        .groupBy("ServiceName", "__bucket")
+        .applyInPandas(write_group, out_schema)
+    )
+
+
+def write_native(
+    df: DataFrame,
+    table: str,
+    root: str,
+    *,
+    max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+    mode: str = "append",
+) -> str:
+    """Native-mode write: Hive partitioning on (service, year, month, day,
+    hour) — Catalyst partition pruning covers both the time predicates (Q11)
+    and service narrowing (SURVEY §4 rows 1-2). `maxRecordsPerFile` enforces
+    the reference's 200k-row file-size policy (D17) without a custom batcher.
+    """
+    path = os.path.join(root, schemas.TABLE_PATH_SEGMENT[table])
+    (
+        df.withColumn("service", sanitize_service_col(F.col("ServiceName")))
+        .withColumn("year", F.year("Timestamp"))
+        .withColumn("month", F.month("Timestamp"))
+        .withColumn("day", F.dayofmonth("Timestamp"))
+        .withColumn("hour", F.hour("Timestamp"))
+        # cluster rows so each output file covers one contiguous time range
+        # per service (reference batch clustering, SURVEY §4 row 6)
+        .repartition("service", "year", "month", "day", "hour")
+        .sortWithinPartitions("Timestamp")
+        .write.mode(mode)
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", max_rows_per_file)
+        .partitionBy("service", "year", "month", "day", "hour")
+        .parquet(path)
+    )
+    return path
+
+
+def read_table(spark, root: str, table: str, *, layout: str = "parity") -> DataFrame:
+    """Read-back of a written table (Q10).
+
+    parity layout: recursive lookup (the year=/... dirs under the non-Hive
+    `{service}` level are data-path only; the golden schema carries no
+    partition columns). native layout: Hive partition discovery, so
+    service/year/month/day/hour become prunable partition columns (Q11).
+    """
+    path = os.path.join(root, schemas.TABLE_PATH_SEGMENT[table])
+    if layout == "parity":
+        return spark.read.option("recursiveFileLookup", "true").parquet(path)
+    return spark.read.parquet(path)

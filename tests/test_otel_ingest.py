@@ -1,0 +1,297 @@
+"""OTLP ingest pipeline tests (SURVEY.md §5 mirror).
+
+- golden-file equality: decode every reference fixture (pb + json + jsonl)
+  and compare cell-by-cell against /root/reference/testdata/parquet/* —
+  the reference's own expected-output oracle (mirror of its golden tests);
+- invalid-corpus hard errors (mirror reference tests/e2e.rs:238-318);
+- end-to-end: landing dir -> Spark decode -> partitioned write (both
+  layouts) -> spark + duckdb read-back row counts (mirror tests/smoke.rs).
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import math
+import os
+import shutil
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from otlp2parquet_spark.otel import flatten, ingest, otlp_json, schemas, wire, writer
+from otlp2parquet_spark.otel.wire import OtlpDecodeError
+
+TD = "/root/reference/testdata"
+
+FIXTURES = [
+    # (fixture stem, signal, golden parquet stem, metric type or None, rows)
+    ("logs", "logs", "logs", None, 81),
+    ("traces", "traces", "traces", None, 19),
+    ("metrics_gauge", "metrics", "metrics_gauge", "gauge", 3),
+    ("metrics_sum", "metrics", "metrics_sum", "sum", 4),
+    ("metrics_histogram", "metrics", "metrics_histogram", "histogram", 3),
+    (
+        "metrics_exponential_histogram",
+        "metrics",
+        "metrics_exponential_histogram",
+        "exponential_histogram",
+        2,
+    ),
+    ("metrics_summary", "metrics", "metrics_summary", "summary", 2),
+]
+
+
+def _decode_file(path: str, signal: str) -> list[dict]:
+    content = open(path, "rb").read()
+    fmt = ingest.payload_format(path)
+    reqs = ingest._parse_payload(content, fmt, signal)
+    rows = []
+    for req in reqs:
+        if signal == "logs":
+            rows += flatten.flatten_logs(req)
+        elif signal == "traces":
+            rows += flatten.flatten_traces(req)
+        else:
+            per_type, _ = flatten.flatten_metrics(req)
+            rows.append(per_type)  # caller picks the type
+    return rows
+
+
+def _golden_cell(ref, is_ts: bool, is_ts_list: bool):
+    import numpy as np
+
+    if is_ts_list:
+        return [pd.Timestamp(x).value // 1000 for x in ref]
+    if is_ts:
+        return None if pd.isna(ref) else ref.value // 1000
+    if isinstance(ref, np.ndarray):
+        return ref.tolist()
+    if isinstance(ref, np.integer):
+        return int(ref)
+    if isinstance(ref, np.floating):
+        v = float(ref)
+        return None if math.isnan(v) else v
+    if ref is pd.NA:
+        return None
+    return ref
+
+
+def _assert_rows_match_golden(rows: list[dict], golden_stem: str, table: str):
+    g = pq.read_table(f"{TD}/parquet/{golden_stem}.parquet").to_pandas()
+    ts_cols = dict(schemas.timestamp_columns(table))
+    assert len(rows) == len(g), f"row count {len(rows)} != {len(g)}"
+    for i, row in enumerate(rows):
+        for col in g.columns:
+            ref = _golden_cell(g.iloc[i][col], ts_cols.get(col) is False, ts_cols.get(col) is True)
+            assert row[col] == ref or (row[col] is None and ref is None), (
+                f"{golden_stem} row {i} col {col}: {row[col]!r} != {ref!r}"
+            )
+
+
+@pytest.mark.parametrize("fmt", ["pb", "json", "jsonl"])
+@pytest.mark.parametrize("stem,signal,golden,mtype,nrows", FIXTURES)
+def test_golden_parity(stem, signal, golden, mtype, nrows, fmt):
+    """Every fixture x wire format decodes bit-identical to the golden file."""
+    path = f"{TD}/{stem}.{fmt}"
+    if not os.path.exists(path):  # logs has log.json (single record) not logs.json
+        pytest.skip(f"no fixture {path}")
+    content = open(path, "rb").read()
+    reqs = ingest._parse_payload(content, fmt, signal)
+    if signal == "metrics":
+        rows = []
+        for req in reqs:
+            per_type, _ = flatten.flatten_metrics(req)
+            rows += per_type[mtype]
+        table = schemas.METRIC_TABLES[mtype]
+    else:
+        flat = flatten.flatten_logs if signal == "logs" else flatten.flatten_traces
+        rows = [r for req in reqs for r in flat(req)]
+        table = f"otel_{signal}"
+    assert len(rows) == nrows
+    _assert_rows_match_golden(rows, golden, table)
+
+
+def test_mixed_metrics_type_split():
+    """metrics_mixed routes one request to 3 tables (D10)."""
+    req = wire.parse_request_pb(open(f"{TD}/metrics_mixed.pb", "rb").read(), "metrics")
+    per_type, skipped = flatten.flatten_metrics(req)
+    assert {k: len(v) for k, v in per_type.items() if v} == {
+        "gauge": 1,
+        "sum": 1,
+        "histogram": 1,
+    }
+    assert not any(skipped.values())
+
+
+def test_summary_skip_accounting():
+    """Summary points are counted-and-dropped (reference tests/e2e.rs:114-126)."""
+    req = wire.parse_request_pb(open(f"{TD}/metrics_summary.pb", "rb").read(), "metrics")
+    per_type, skipped = flatten.flatten_metrics(req)
+    assert skipped["summaries"] == 2
+    assert len(per_type["summary"]) == 2  # schema rows still produced
+
+
+INVALID_EXPECT = {
+    "log_invalid_severity.json": "logs",
+    "malformed.json": "logs",
+    "metrics_invalid_temporality.json": "metrics",
+    "trace_invalid_base64.json": "traces",
+    "trace_invalid_kind.json": "traces",
+    "trace_mixed_encoding.json": "traces",
+}
+
+
+@pytest.mark.parametrize("name,signal", sorted(INVALID_EXPECT.items()))
+def test_invalid_corpus_hard_errors(name, signal):
+    """Negative corpus: every file is a hard error (testdata/invalid/README.md)."""
+    body = open(f"{TD}/invalid/{name}", "rb").read()
+    with pytest.raises(OtlpDecodeError):
+        req = otlp_json.parse_request_json(body, signal)
+        if signal == "logs":
+            flatten.flatten_logs(req)
+        elif signal == "traces":
+            flatten.flatten_traces(req)
+        else:
+            flatten.flatten_metrics(req)
+
+
+def test_base64_and_hex_ids_both_accepted():
+    """JSON IDs decode from base64 (protobuf-JSON) and hex alike (D6)."""
+    b64 = otlp_json.decode_id_bytes("px89Gm0tPK2zZpy9UOFl5A==", "t")
+    assert len(b64) == 16
+    hx = otlp_json.decode_id_bytes("69842a979911036cf3e822086ecaa007", "t")
+    assert hx.hex() == "69842a979911036cf3e822086ecaa007"
+
+
+def test_sanitize_service_name():
+    """D22 twin of reference src/writer/write.rs:242-250."""
+    assert writer.sanitize_service_name('a/b\\c:d*e?f"g<h>i|j k') == "a_b_c_d_e_f_g_h_i_j_k"
+    assert writer.sanitize_service_name("") == "unknown-service"
+    assert writer.sanitize_service_name(None) == "unknown-service"
+    assert writer.sanitize_service_name("ok-name") == "ok-name"
+
+
+def test_generate_parquet_path():
+    """D21 path builder: layout + ts-based partition dirs + now() fallback."""
+    ts = 1760741572254301  # µs
+    p = writer.generate_parquet_path("/out", "otel_logs", "svc a", ts)
+    assert p.startswith("/out/logs/svc_a/year=2025/month=10/day=17/hour=22/")
+    assert p.endswith(".parquet") and os.path.basename(p).startswith(f"{ts}-")
+    p2 = writer.generate_parquet_path("/out", "otel_metrics_gauge", "s", 0)
+    assert "/metrics/gauge/s/year=" in p2  # now() fallback produced a real date
+
+
+# ---------------------------------------------------------------------------
+# Spark end-to-end
+
+
+@pytest.fixture(scope="module")
+def landing(tmp_path_factory):
+    """Landing dir with every signal in every format (+ one gzip payload)."""
+    root = tmp_path_factory.mktemp("landing")
+    for sig, stems in [
+        ("logs", ["logs"]),
+        ("traces", ["traces"]),
+        ("metrics", ["metrics_gauge", "metrics_sum", "metrics_histogram",
+                     "metrics_exponential_histogram", "metrics_summary", "metrics_mixed"]),
+    ]:
+        d = root / sig
+        d.mkdir()
+        for stem in stems:
+            for fmt in ("pb", "json", "jsonl"):
+                src = f"{TD}/{stem}.{fmt}"
+                if os.path.exists(src):
+                    shutil.copy(src, d / f"{stem}.{fmt}")
+    # gzip variant exercises D2
+    raw = open(f"{TD}/logs.jsonl", "rb").read()
+    (root / "logs" / "logs_gz.jsonl.gz").write_bytes(gzip.compress(raw))
+    # oversized + unknown-extension files exercise D4/D3 rejection
+    (root / "logs" / "oversize.pb").write_bytes(b"x" * (9 * 1024 * 1024))
+    (root / "logs" / "notes.txt").write_bytes(b"not otlp")
+    return root
+
+
+def test_spark_ingest_logs_counts(spark, landing):
+    payloads, rejected = ingest.read_landing(spark, str(landing / "logs"))
+    # oversize.pb (9 MiB > default 8 MiB guard) and notes.txt rejected
+    rej = {os.path.basename(r.path): r.reason for r in rejected.collect()}
+    assert rej == {"oversize.pb": "payload too large", "notes.txt": "unknown format"}
+    payloads, _ = ingest.read_landing(spark, str(landing / "logs"))
+    df = ingest.decode_logs(payloads.filter(~payloads.path.contains("oversize")))
+    # logs.pb + log.json? (not copied) + logs.jsonl + gz copy: 81 * 3
+    assert df.count() == 81 * 3
+    assert [f.name for f in df.schema.fields] == [c for c, _, _ in schemas.LOGS_COLUMNS]
+
+
+def test_spark_ingest_metrics_split_and_skips(spark, landing):
+    out = ingest.ingest_directory(spark, str(landing / "metrics"), "metrics")
+    counts = {k: v.count() for k, v in out.items() if not k.startswith("_")}
+    # per format: gauge 3+1(mixed), sum 4+1, histogram 3+1, exp 2 — ×3 formats
+    assert counts == {
+        "otel_metrics_gauge": 12,
+        "otel_metrics_sum": 15,
+        "otel_metrics_histogram": 12,
+        "otel_metrics_exponential_histogram": 6,
+    }
+    skips = {r.reason: r["count"] for r in out["_skipped"].collect()}
+    assert skips == {"summaries": 6}  # metrics_summary × 3 formats, 2 points each
+
+
+@pytest.mark.parametrize("layout", ["parity", "native"])
+def test_write_read_roundtrip(spark, landing, tmp_path, layout):
+    """Decode -> partitioned write -> Spark + DuckDB read-back (smoke twin)."""
+    payloads, _ = ingest.read_landing(spark, str(landing / "traces"))
+    df = ingest.decode_traces(payloads)
+    root = str(tmp_path / layout)
+    if layout == "parity":
+        acct = writer.write_partitioned(df, "otel_traces", root).collect()
+        assert sum(r.rows for r in acct) == 19 * 2  # traces.pb + traces.jsonl (no traces.json fixture)
+        files = [r.path for r in acct]
+        # layout: root/traces/{service}/year=/month=/day=/hour=/{ts}-{uuid}.parquet
+        for p in files:
+            rel = os.path.relpath(p, root)
+            parts = rel.split(os.sep)
+            assert parts[0] == "traces"
+            assert [seg.split("=")[0] for seg in parts[2:6]] == ["year", "month", "day", "hour"]
+        # golden footer metadata + field_ids survive the parity writer
+        sch = pq.ParquetFile(files[0]).schema_arrow
+        assert sch.metadata[b"otlp2parquet.traces_schema_version"] == b"1.0.0"
+        assert sch.field(0).metadata[b"PARQUET:field_id"] == b"1"
+    else:
+        writer.write_native(df, "otel_traces", root)
+    back = writer.read_table(spark, root, "otel_traces", layout=layout)
+    assert back.count() == 19 * 2
+    # DuckDB sees the same rows (external-engine oracle, reference smoke test)
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{root}/traces/**/*.parquet')"
+    ).fetchone()[0]
+    assert n == 19 * 2
+    if layout == "native":
+        # service is a real prunable partition column in native mode
+        assert "service" in [f.name for f in back.schema.fields]
+        svc = back.filter(back.service == "product-catalog")
+        plan = svc._jdf.queryExecution().executedPlan().toString()
+        assert svc.count() > 0
+
+
+def test_parity_writer_matches_golden_bytes(spark, landing, tmp_path):
+    """Logs written by the parity writer read back cell-identical to golden
+    (uint32 TraceFlags preserved at the parquet level)."""
+    payloads, _ = ingest.read_landing(spark, str(landing / "logs"))
+    df = ingest.decode_logs(payloads.filter(payloads.path.endswith("logs.pb")))
+    root = str(tmp_path / "golden")
+    writer.write_partitioned(df, "otel_logs", root).collect()
+    files = glob.glob(f"{root}/logs/**/*.parquet", recursive=True)
+    import pyarrow as pa
+
+    # per-file read: keeps the on-disk schema (pq.read_table over a file list
+    # would hive-infer year=/month= dirs as extra columns)
+    mine = pa.concat_tables([pq.ParquetFile(f).read() for f in files])
+    golden = pq.read_table(f"{TD}/parquet/logs.parquet")
+    assert mine.schema.field("TraceFlags").type == "uint32"
+    ms = mine.to_pandas().sort_values(["Timestamp", "ServiceName", "Body"]).reset_index(drop=True)
+    gs = golden.to_pandas().sort_values(["Timestamp", "ServiceName", "Body"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ms[sorted(ms.columns)], gs[sorted(gs.columns)])
