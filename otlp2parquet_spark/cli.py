@@ -1,0 +1,143 @@
+"""CLI entry point (reference src/main.rs:33-130 twin, Spark-flavored).
+
+Subcommands:
+- ``ingest``  — batch ingest a landing dir for one signal into the
+  partitioned layout (the reference's serve+POST dataflow, batch-mode);
+- ``stream``  — continuous Structured-Streaming ingest with checkpointing;
+- ``connect`` — emit client config templates (D29);
+- ``validate-config`` — load + validate the layered config and print it.
+
+Global flags mirror the reference: ``--config FILE``, ``--output DIR``,
+``--log-level LEVEL`` (reference --port applies to the out-of-engine HTTP
+receiver and is accepted for parity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="otlp2parquet-spark")
+    p.add_argument("--config", metavar="FILE", help="TOML config file")
+    p.add_argument("--output", metavar="DIR", help="output root (fs backend only)")
+    p.add_argument("--port", type=int, help="receiver port (parity flag)")
+    p.add_argument("-v", "--log-level", metavar="LEVEL", help="log level")
+    sub = p.add_subparsers(dest="command")
+
+    ing = sub.add_parser("ingest", help="batch-ingest a landing directory")
+    ing.add_argument("landing_dir")
+    ing.add_argument("signal", choices=["logs", "traces", "metrics"])
+
+    st = sub.add_parser("stream", help="streaming ingest with checkpoints")
+    st.add_argument("landing_dir")
+    st.add_argument("signal", choices=["logs", "traces", "metrics"])
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--trigger-seconds", type=float, default=5.0)
+    st.add_argument("--available-now", action="store_true")
+
+    con = sub.add_parser("connect", help="emit client config templates")
+    con.add_argument("service")
+    con.add_argument("--url", default=None)
+
+    sub.add_parser("validate-config", help="load, validate and print config")
+    return p
+
+
+def _load_cfg(args):
+    from otlp2parquet_spark.otel.config import load_config
+
+    overrides: dict = {}
+    if args.output:
+        overrides.setdefault("storage", {})["output"] = args.output
+    if args.port:
+        overrides.setdefault("server", {})["port"] = args.port
+    if args.log_level:
+        overrides.setdefault("server", {})["log_level"] = args.log_level
+    return load_config(args.config, overrides)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.command == "connect":
+        from otlp2parquet_spark.otel import connect
+
+        endpoint = args.url or connect.DEFAULT_ENDPOINT
+        try:
+            print(connect.generate(args.service, endpoint))
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        return 0
+
+    try:
+        cfg = _load_cfg(args)
+    except Exception as e:
+        print(f"configuration error: {e}", file=sys.stderr)
+        return 2
+
+    if args.command == "validate-config":
+        print(json.dumps(cfg.__dict__, indent=2, default=str))
+        return 0
+
+    if args.command in ("ingest", "stream"):
+        from otlp2parquet_spark.otel import config as cfgmod
+        from otlp2parquet_spark.otel import ingest as batch_ingest
+        from otlp2parquet_spark.otel import schemas, writer
+        from otlp2parquet_spark.session import get_spark
+
+        spark = get_spark(app_name=f"otlp2parquet-{args.command}")
+        cfgmod.apply_storage_conf(spark, cfg)
+        root = cfg.output_root()
+        layout = cfg.engine["layout"]
+
+        if args.command == "ingest":
+            tables = batch_ingest.ingest_directory(
+                spark,
+                args.landing_dir,
+                args.signal,
+                max_payload_bytes=cfg.request["max_payload_bytes"],
+            )
+            summary: dict[str, int] = {}
+            for name, df in tables.items():
+                if name.startswith("_"):
+                    continue
+                if layout == "parity":
+                    acct = writer.write_partitioned(
+                        df, name, root, max_rows_per_file=cfg.batch["max_rows"]
+                    )
+                    summary[name] = int(
+                        acct.agg({"rows": "sum"}).collect()[0][0] or 0
+                    )
+                else:
+                    writer.write_native(df, name, root, max_rows_per_file=cfg.batch["max_rows"])
+                    summary[name] = writer.read_table(spark, root, name, layout=layout).count()
+            # D27 response-accounting twin
+            print(json.dumps({"written": summary, "output": root}))
+            return 0
+
+        from otlp2parquet_spark.streaming.ingest import stream_ingest
+
+        q = stream_ingest(
+            spark,
+            args.landing_dir,
+            args.signal,
+            root,
+            args.checkpoint,
+            layout=layout,
+            trigger_seconds=None if args.available_now else args.trigger_seconds,
+            available_now=args.available_now,
+            max_rows_per_file=cfg.batch["max_rows"],
+        )
+        q.awaitTermination()
+        return 0
+
+    _build_parser().print_help()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

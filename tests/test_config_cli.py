@@ -1,0 +1,118 @@
+"""Config layering / validation (D28), connect templates (D29), CLI (main)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from otlp2parquet_spark.otel import connect
+from otlp2parquet_spark.otel.config import ConfigError, load_config
+
+
+def test_defaults():
+    cfg = load_config(env={})
+    assert cfg.batch["max_rows"] == 200_000
+    assert cfg.batch["max_bytes"] == 128 * 1024 * 1024
+    assert cfg.batch["max_age_secs"] == 10
+    assert cfg.request["max_payload_bytes"] == 8 * 1024 * 1024
+    assert cfg.storage["backend"] == "fs"
+    assert cfg.output_root() == "./data"
+
+
+def test_toml_layer(tmp_path):
+    f = tmp_path / "config.toml"
+    f.write_text('[batch]\nmax_rows = 1000\n[storage]\noutput = "/tmp/out"\nprefix = "team"\n')
+    cfg = load_config(str(f), env={})
+    assert cfg.batch["max_rows"] == 1000
+    assert cfg.output_root() == "/tmp/out/team"
+
+
+def test_env_beats_toml(tmp_path):
+    f = tmp_path / "config.toml"
+    f.write_text("[batch]\nmax_rows = 1000\n")
+    cfg = load_config(str(f), env={"OTLP2PARQUET_BATCH_MAX_ROWS": "77"})
+    assert cfg.batch["max_rows"] == 77
+
+
+def test_config_content_env():
+    cfg = load_config(env={"OTLP2PARQUET_CONFIG_CONTENT": "[server]\nport = 9999\n"})
+    assert cfg.server["port"] == 9999
+
+
+def test_s3_backend_output_root():
+    cfg = load_config(
+        env={
+            "OTLP2PARQUET_STORAGE_BACKEND": "s3",
+            "OTLP2PARQUET_BUCKET": "otel-data",
+            "OTLP2PARQUET_PREFIX": "prod/",
+        }
+    )
+    assert cfg.output_root() == "s3a://otel-data/prod"
+
+
+@pytest.mark.parametrize(
+    "env,msg",
+    [
+        ({"OTLP2PARQUET_BATCH_MAX_ROWS": "0"}, "max_rows"),
+        ({"OTLP2PARQUET_BATCH_MAX_ROWS": "abc"}, "integer"),
+        ({"OTLP2PARQUET_STORAGE_BACKEND": "gcs"}, "fs|s3|r2"),
+        ({"OTLP2PARQUET_STORAGE_BACKEND": "s3"}, "bucket"),
+        ({"OTLP2PARQUET_LAYOUT": "exotic"}, "layout"),
+    ],
+)
+def test_validation_errors(env, msg):
+    with pytest.raises(ConfigError, match=msg):
+        load_config(env=env)
+
+
+def test_missing_config_file():
+    with pytest.raises(ConfigError, match="not found"):
+        load_config("/nonexistent/config.toml", env={})
+
+
+@pytest.mark.parametrize("service", sorted(connect.GENERATORS))
+def test_connect_templates(service):
+    out = connect.generate(service, "http://example:4318")
+    assert "http://example:4318" in out
+    if service == "otel-collector":
+        assert "send_batch_size: 1000" in out and "compression: gzip" in out
+    if service == "claude-code":
+        assert "CLAUDE_CODE_ENABLE_TELEMETRY=1" in out
+    if service == "claude-code-json":
+        json.loads("\n".join(out.splitlines()[1:]))  # valid JSON after comment
+    if service == "codex":
+        assert "/v1/logs" in out
+
+
+def test_connect_unknown_service():
+    with pytest.raises(ValueError, match="unknown connect target"):
+        connect.generate("nope")
+
+
+def test_cli_connect_and_validate(tmp_path):
+    r = subprocess.run(
+        [sys.executable, "-m", "otlp2parquet_spark.cli", "connect", "otel-collector"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0 and "otlphttp" in r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "otlp2parquet_spark.cli", "connect", "bogus"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 2
+    r = subprocess.run(
+        [sys.executable, "-m", "otlp2parquet_spark.cli", "--output", str(tmp_path), "validate-config"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root"},
+    )
+    assert r.returncode == 0
+    assert json.loads(r.stdout)["storage"]["output"] == str(tmp_path)
