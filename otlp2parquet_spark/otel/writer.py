@@ -121,7 +121,9 @@ def write_partitioned(
     )
 
     def write_group(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop(columns=["__bucket"]).sort_values("Timestamp", kind="stable")
+        pdf = pdf.drop(columns=["__bucket", "__chunk"], errors="ignore").sort_values(
+            "Timestamp", kind="stable"
+        )
         service = keys[0]
         records = []
         for start in range(0, len(pdf), max_rows_per_file):
@@ -138,10 +140,27 @@ def write_partitioned(
             records.append({"path": path, "rows": len(chunk), "service": service})
         return pd.DataFrame(records, columns=["path", "rows", "service"])
 
-    return (
-        df.withColumn("__bucket", F.date_trunc(trunc, F.col("Timestamp")))
-        .groupBy("ServiceName", "__bucket")
-        .applyInPandas(write_group, out_schema)
+    bucketed = df.withColumn("__bucket", F.date_trunc(trunc, F.col("Timestamp")))
+    # Memory bound: applyInPandas materializes a whole group per task, so a
+    # hot (service, bucket) with 100M rows would OOM an executor. Pre-count
+    # group sizes (cheap partial-agg shuffle on the same keys) and salt any
+    # group beyond max_rows_per_file into ceil(n/max) sub-groups — each task
+    # then holds at most one file's worth of rows. The reference has the
+    # same invariant via its flush thresholds (D17).
+    sizes = bucketed.groupBy("ServiceName", "__bucket").agg(F.count("*").alias("__n"))
+    bucketed = (
+        bucketed.join(F.broadcast(sizes), ["ServiceName", "__bucket"], "left")
+        .withColumn(
+            "__chunk",
+            F.when(
+                F.col("__n") > max_rows_per_file,
+                F.pmod(F.xxhash64("Timestamp"), F.ceil(F.col("__n") / max_rows_per_file)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__n")
+    )
+    return bucketed.groupBy("ServiceName", "__bucket", "__chunk").applyInPandas(
+        write_group, out_schema
     )
 
 
