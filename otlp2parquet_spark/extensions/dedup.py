@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.queries.relational import DEC
 from otlp2parquet_spark.session import spread
 
 # Canonical text normalization shared by X2 variants: lowercase, strip
@@ -253,6 +254,63 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "x2_embedding_neardup",
+    oracle="""
+    WITH norm AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(CAST(
+             list_sum(list_zip(a.embedding, b.embedding)
+                      .list_transform(p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.nrm * b.nrm)
+             AS DECIMAL(38,10)), 4) AS DOUBLE) AS cos_sim
+    FROM norm a JOIN norm b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_zip(a.embedding, b.embedding)
+                   .list_transform(p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.nrm * b.nrm) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("X2", "X3", "J1", "F4"),
+)
+def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    The block key (here the coarse `label`; at corpus scale an IVF/LSH bucket
+    id from similarity.ivf_assign) turns the O(n²) all-pairs cosine into an
+    equi-join + per-block pairs — the same shuffle profile as the n-gram
+    blocking in x2_ngram_jaccard. Dot products and norms run as JVM
+    higher-order functions (zip_with/aggregate), never a Python UDF."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x))
+    n = e.select("vec_id", "label", dbl.alias("emb"), norm.alias("nrm")).repartition("label")
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("raw_cos"),
+        )
+        .filter(F.col("raw_cos") >= 0.3)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("raw_cos").cast(DEC), 4).cast("double").alias("cos_sim"),
+        )
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -1,0 +1,133 @@
+"""Live Structured-Streaming forms of the T-group operators (SURVEY §2.3).
+
+The oracle-matched event-time twins live in streaming/batch_twins.py; this
+module is the actual `readStream` surface — watermarks, streaming dedup, and
+custom per-key state — exercised operationally in tests (a closed input via
+availableNow must reproduce the batch twin's results exactly).
+
+| id | operator                          | here                           |
+|----|-----------------------------------|--------------------------------|
+| T1 | tumbling 1-min count/agg          | tumbling_counts                |
+| T2 | sliding 5-min/1-min agg           | sliding_counts                 |
+| T4 | watermark + late-data drop        | withWatermark in every pipeline|
+| T5 | streaming dedup by key            | dedup_events                   |
+| T6 | stateful running count per key    | running_count (applyInPandasWithState) |
+| T7 | foreachBatch partitioned flush    | streaming/ingest.py            |
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-stream over events-shaped parquet drops (S6). The driver's
+    events.parquet carries TIMESTAMP(NANOS); test fixtures re-write it with
+    µs timestamps so the stream schema is plain TimestampType."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """T1+T4: per-(1-min window, event_type) counts with late-data drop.
+    The watermark mirrors the reference's max_age flush bound (D17: 10 s)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """T2: sliding 5-minute window, 1-minute slide."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def dedup_events(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5: exactly-once by event_id within the watermark horizon — state
+    expires with the watermark, so memory is bounded by (horizon x rate),
+    not by stream length."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType(), False), StructField("total", DoubleType(), False)]
+)
+
+
+def running_count(stream: DataFrame) -> DataFrame:
+    """T6: custom per-user running (count, sum) via applyInPandasWithState —
+    the mapGroupsWithState twin of the reference's per-key BatchState
+    accumulation (reference src/batch/mod.rs:143-165). Each micro-batch emits
+    the updated totals for the users it touched; state lives in the
+    checkpointed state store, partitioned by user_id."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, *, output_mode: str = "append", timeout: int = 120
+) -> None:
+    """Drain a closed stream into an in-memory table (test/ops harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    q.stop()

@@ -1,0 +1,113 @@
+"""Live streaming T-group tests: a closed input drained with availableNow
+must reproduce the batch recomputation exactly (SURVEY §7 hard-part 5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.session import load_table
+from otlp2parquet_spark.streaming import pipeline as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events re-written with µs timestamps (streaming schema needs a plain
+    TimestampType; the driver file carries TIMESTAMP(NANOS))."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).coalesce(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch_events(spark, events_dir):
+    return spark.read.schema(P.EVENTS_SCHEMA).parquet(events_dir)
+
+
+def test_t1_t4_tumbling_with_watermark(spark, events_dir):
+    stream = P.events_stream(spark, events_dir)
+    # complete mode: every window state emits -> equals batch recomputation
+    P.run_to_memory(P.tumbling_counts(stream), "t1_live", output_mode="complete")
+    live = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value or 0, 4))
+        for r in spark.sql("SELECT * FROM t1_live").collect()
+    }
+    batch = {
+        (r.w.start, r.event_type): (r.n, round(r.total_value or 0, 4))
+        for r in _batch_events(spark, events_dir)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert live == batch and live
+
+
+def test_t4_append_mode_withholds_open_windows(spark, events_dir):
+    """T4 evidence: in append mode only windows sealed by the watermark emit;
+    the tail window (watermark never advanced past it on a finite stream)
+    stays open — exactly the late-data barrier semantics."""
+    stream = P.events_stream(spark, events_dir)
+    P.run_to_memory(P.tumbling_counts(stream), "t4_live", output_mode="append")
+    emitted = {r.window_start for r in spark.sql("SELECT * FROM t4_live").collect()}
+    all_windows = {
+        r.w.start
+        for r in _batch_events(spark, events_dir)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert emitted and emitted < all_windows
+    # everything except the unsealed tail emitted
+    assert all_windows - emitted == {max(all_windows)}
+
+
+def test_t2_sliding_live(spark, events_dir):
+    stream = P.events_stream(spark, events_dir)
+    P.run_to_memory(P.sliding_counts(stream), "t2_live", output_mode="complete")
+    live = {r.window_start: r.n for r in spark.sql("SELECT * FROM t2_live").collect()}
+    batch = {
+        r.w.start: r.n
+        for r in _batch_events(spark, events_dir)
+        .groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert live == batch and live
+
+
+def test_t5_dedup_live(spark, events_dir, tmp_path):
+    """Duplicate a slice of events into a second file; the stream keeps
+    exactly one row per event_id."""
+    import shutil
+
+    dup_dir = tmp_path / "dup"
+    shutil.copytree(events_dir, dup_dir)
+    base = _batch_events(spark, events_dir)
+    base.limit(100).write.mode("append").parquet(str(dup_dir))
+    stream = P.events_stream(spark, str(dup_dir))
+    P.run_to_memory(P.dedup_events(stream), "t5_live")
+    n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM t5_live").collect()[0]
+    assert n.c == n.n == base.count()
+
+
+def test_t6_stateful_running_count(spark, events_dir):
+    """applyInPandasWithState totals == batch groupBy totals on a closed
+    stream (final update per user wins)."""
+    stream = P.events_stream(spark, events_dir)
+    P.run_to_memory(P.running_count(stream), "t6_live", output_mode="update")
+    # multiple micro-batches may emit interim rows per user; the last is final
+    live_df = spark.sql("SELECT * FROM t6_live")
+    # availableNow over one closed dir -> single micro-batch here, so rows are final
+    live = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in live_df.collect()}
+    batch = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in _batch_events(spark, events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("total"))
+        .collect()
+    }
+    assert live == batch and len(live) > 10
