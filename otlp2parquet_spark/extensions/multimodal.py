@@ -132,3 +132,149 @@ def x5_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extraction pipeline over binary media columns via
     Arrow-batched mapInPandas (stubbed kernel, real dataflow)."""
     return decode_features(media_table(spark, sf_dir)).orderBy("media_id")
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", IntegerType(), True),
+        StructField("out_height", IntegerType(), True),
+        StructField("resized_len", LongType(), True),
+        StructField("resized_payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_side: int = 128) -> DataFrame:
+    """Resize stage: clamp the longer side to `max_side` preserving aspect
+    ratio (integer floor), emit the transformed payload.
+
+    The kernel is where PIL.Image.resize / ffmpeg scale would run; the stub
+    emits a deterministic `out_width*out_height`-byte payload derived from
+    the content hash. Runs after decode_features in the same narrow pipeline
+    (no shuffle between decode -> resize at any scale)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "out_width": [],
+                "out_height": [],
+                "resized_len": [],
+                "resized_payload": [],
+            }
+            for w, h, payload in zip(pdf["width"], pdf["height"], pdf["payload"]):
+                w, h = int(w), int(h)
+                m = max(w, h)
+                # integer arithmetic: float scale factors round 128.0 down to
+                # 127 for the clamped side (and disagree with the SQL oracle)
+                ow, oh = (w, h) if m <= max_side else (w * max_side // m, h * max_side // m)
+                n = ow * oh
+                # STUB_DECODER: a real kernel returns the re-encoded image;
+                # the stub tiles the sha256 of the source payload to size n
+                seed = hashlib.sha256(bytes(payload or b"")).digest()
+                body = (seed * (n // len(seed) + 1))[:n]
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["resized_len"].append(n)
+                out["resized_payload"].append(body)
+            yield pd.DataFrame(out)
+
+    joined = decode_features(media).join(media.select("media_id", "payload"), "media_id")
+    return joined.select("media_id", "width", "height", "payload").mapInPandas(
+        kernel, schema=RESIZE_SCHEMA
+    )
+
+
+@query(
+    "x5_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192 AS w,
+             64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192 AS h
+      FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN greatest(w, h) <= 128 THEN w
+                ELSE (w * 128) // greatest(w, h) END AS out_width,
+           CASE WHEN greatest(w, h) <= 128 THEN h
+                ELSE (h * 128) // greatest(w, h) END AS out_height
+    FROM dims
+    ORDER BY media_id
+    """,
+    tags=("X5", "U4"),
+)
+def x5_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize metadata, oracle-matched: DuckDB recomputes the stub decoder's
+    hash-derived dimensions and the aspect-preserving clamp — validating the
+    whole decode->resize dataflow, payload excluded (binary stub)."""
+    return (
+        resize_media(media_table(spark, sf_dir))
+        .select("media_id", "out_width", "out_height")
+        .orderBy("media_id")
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_sha", StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every: int = 8) -> DataFrame:
+    """Frame-sampling stage: one input video row expands to ceil(n_frames /
+    every) frame rows (row-explosion inside mapInPandas — the same 1->N batch
+    shape an av.open frame iterator produces). 25 fps assumed for frame
+    timestamps."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, shas = [], [], [], []
+            for mid, n_frames, fhash in zip(
+                pdf["media_id"], pdf["n_frames"], pdf["feature_hash"]
+            ):
+                for i in range(0, int(n_frames), every):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * 40)  # 25 fps
+                    shas.append(hashlib.sha256(f"{fhash}:{i}".encode()).hexdigest()[:16])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame_sha": shas}
+            )
+
+    return (
+        decode_features(media)
+        .filter(F.col("media_type") == "video/mp4")
+        .select("media_id", "n_frames", "feature_hash")
+        .mapInPandas(kernel, schema=FRAME_SCHEMA)
+    )
+
+
+@query(
+    "x5_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 32 AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(f.i AS INT) AS frame_idx, CAST(f.i * 40 AS BIGINT) AS frame_ts_ms
+    FROM vids, LATERAL (SELECT unnest(range(0, n_frames, 8)) AS i) f
+    ORDER BY media_id, frame_idx
+    """,
+    tags=("X5", "U4", "U5"),
+)
+def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads, oracle-matched on the sampled
+    frame grid (ids/indices/timestamps); per-frame hashes are stub output."""
+    return (
+        sample_frames(media_table(spark, sf_dir))
+        .select("media_id", "frame_idx", "frame_ts_ms")
+        .orderBy("media_id", "frame_idx")
+    )
