@@ -91,6 +91,27 @@ def _parse_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]
     return otlp_json.parse_request_jsonl(content, signal)
 
 
+def read_landing_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-splitting scan for large JSONL landing files (S3, `spark.read.text`).
+
+    `read_landing` treats one FILE as one payload — right for HTTP-captured
+    bodies, wrong for bulk JSONL drops: a 10 GB JSONL file would decode as a
+    single task (and trip the payload guard). The text source splits files at
+    line boundaries across `maxPartitionBytes` ranges, so one big file
+    decodes on the whole cluster. Each line is an independent OTLP export
+    request (reference JSONL semantics, tests/e2e.rs:44-52).
+    """
+    return (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(
+            F.lit("").alias("path"),
+            F.encode("value", "UTF-8").alias("content"),
+            F.lit("json").alias("fmt"),  # one request per row
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Logs / traces decode
 

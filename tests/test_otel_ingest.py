@@ -295,3 +295,23 @@ def test_parity_writer_matches_golden_bytes(spark, landing, tmp_path):
     ms = mine.to_pandas().sort_values(["Timestamp", "ServiceName", "Body"]).reset_index(drop=True)
     gs = golden.to_pandas().sort_values(["Timestamp", "ServiceName", "Body"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(ms[sorted(ms.columns)], gs[sorted(gs.columns)])
+
+
+def test_jsonl_line_split_ingest(spark, tmp_path):
+    """S3 scale path: one large JSONL file decodes across many tasks via the
+    line-splitting text source, same results as the whole-file payload path."""
+    src = open(f"{TD}/logs.jsonl").read()
+    big = tmp_path / "big.jsonl"
+    big.write_text(src * 10)  # 810 records in one file
+    lines = ingest.read_landing_lines(spark, str(big))
+    df = ingest.decode_logs(lines)
+    assert df.count() == 81 * 10
+    # same decoded content as the whole-file path
+    whole_dir = tmp_path / "whole"
+    whole_dir.mkdir()
+    shutil.copy(big, whole_dir / "big.jsonl")
+    payloads, _ = ingest.read_landing(spark, str(whole_dir))
+    df2 = ingest.decode_logs(payloads)
+    a = sorted((r.Timestamp, r.ServiceName, r.Body) for r in df.collect())
+    b = sorted((r.Timestamp, r.ServiceName, r.Body) for r in df2.collect())
+    assert a == b
