@@ -39,8 +39,11 @@ HEADLINE = [
     "t2_sliding_window",
     "x1_exact_dedup",
     "x2_minhash_lsh",
+    "x2_embedding_neardup",
     "x3_cosine_topk",
     "x4_top_terms",
+    "u3_grouped_agg_pandas_udf",
+    "x5_frame_sample",
 ]
 
 RUNS_PER_QUERY = 2

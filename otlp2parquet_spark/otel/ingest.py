@@ -264,7 +264,29 @@ def decode_metrics(
 
 
 # ---------------------------------------------------------------------------
-# Response accounting (D27)
+# Ingest observability + response accounting (D26/D27)
+
+
+def observed(df: DataFrame, name: str):
+    """Attach a zero-cost metrics probe to a decoded frame (D26 twin of the
+    reference's `otlp.ingest.records` counter + timestamp histogram range,
+    src/handlers.rs:102-103).
+
+    Returns (df, Observation): the metrics ride the caller's own action (the
+    partitioned write, a count, ...) — no second job, unlike `ingest_summary`.
+    `Observation.get` blocks until that action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("records"),
+        F.min("Timestamp").alias("min_ts"),
+        F.max("Timestamp").alias("max_ts"),
+        F.approx_count_distinct("ServiceName").alias("approx_services"),
+    )
+    return out, obs
 
 
 def ingest_summary(decoded: dict[str, DataFrame]) -> dict[str, int]:

@@ -116,3 +116,21 @@ def test_cli_connect_and_validate(tmp_path):
     )
     assert r.returncode == 0
     assert json.loads(r.stdout)["storage"]["output"] == str(tmp_path)
+
+
+def test_cli_batch_ingest_end_to_end(spark, tmp_path):
+    """`ingest` subcommand: landing dir -> parity layout + D27 summary JSON
+    (in-process; get_spark getOrCreate reuses the test session)."""
+    import shutil
+
+    from otlp2parquet_spark import cli
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy("/root/reference/testdata/logs.pb", landing / "logs.pb")
+    out = tmp_path / "out"
+    rc = cli.main(["--output", str(out), "ingest", str(landing), "logs"])
+    assert rc == 0
+    from otlp2parquet_spark.otel import writer
+
+    assert writer.read_table(spark, str(out), "otel_logs").count() == 81

@@ -315,3 +315,16 @@ def test_jsonl_line_split_ingest(spark, tmp_path):
     a = sorted((r.Timestamp, r.ServiceName, r.Body) for r in df.collect())
     b = sorted((r.Timestamp, r.ServiceName, r.Body) for r in df2.collect())
     assert a == b
+
+
+def test_observed_metrics_ride_the_write(spark, landing, tmp_path):
+    """D26/D27: Observation metrics come back from the SAME job as the
+    partitioned write — no second pass over the data."""
+    payloads, _ = ingest.read_landing(spark, str(landing / "logs"))
+    df = ingest.decode_logs(payloads.filter(payloads.path.endswith("logs.pb")))
+    df, obs = ingest.observed(df, "ingest_logs")
+    acct = writer.write_partitioned(df, "otel_logs", str(tmp_path / "obs")).collect()
+    m = obs.get
+    assert m["records"] == 81 == sum(r.rows for r in acct)
+    assert m["min_ts"].year == 2025 and m["max_ts"] >= m["min_ts"]
+    assert m["approx_services"] >= 5
