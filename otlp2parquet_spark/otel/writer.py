@@ -59,10 +59,15 @@ def sanitize_service_col(col) -> F.Column:
 
 
 def generate_parquet_path(
-    root: str, table: str, service: str | None, min_ts_us: int
+    root: str, table: str, service: str | None, min_ts_us: int, file_id: str | None = None
 ) -> str:
     """Reference path builder (src/writer/write.rs:93-130): partition time =
-    batch min timestamp, now() fallback when ts <= 0, `{ts}-{uuid32}` name."""
+    batch min timestamp, now() fallback when ts <= 0, `{ts}-{uuid32}` name.
+
+    `file_id` overrides the random uuid with a deterministic name — the
+    streaming sink derives it from (epoch, group) so a retried micro-batch
+    overwrites its own files instead of duplicating them (exactly-once at
+    the file level; the reference's HTTP flush is only at-least-once)."""
     if min_ts_us <= 0:
         min_ts_us = int(datetime.now(tz=timezone.utc).timestamp() * 1_000_000)
     dt = datetime.fromtimestamp(min_ts_us / 1_000_000, tz=timezone.utc)
@@ -74,7 +79,7 @@ def generate_parquet_path(
         f"month={dt.month:02d}",
         f"day={dt.day:02d}",
         f"hour={dt.hour:02d}",
-        f"{min_ts_us}-{uuid.uuid4().hex}.parquet",
+        f"{min_ts_us}-{file_id or uuid.uuid4().hex}.parquet",
     )
 
 
@@ -102,6 +107,7 @@ def write_partitioned(
     *,
     bucket: str = "hour",
     max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+    run_tag: str | None = None,
 ) -> DataFrame:
     """Parity-mode write: one Parquet file per (service, time-bucket) group.
 
@@ -110,6 +116,10 @@ def write_partitioned(
     Returns an accounting frame (path, rows, service) — the D27 partitions[]
     response twin. Executes distributed: groupBy shuffles rows to one task
     per group, each task writes its own file with pyarrow.
+
+    `run_tag` (set by the streaming sink to the epoch id) switches file names
+    from random uuids to deterministic `{run_tag}-{group-hash}-{chunk}` so a
+    replayed micro-batch overwrites rather than duplicates its output.
     """
     trunc = {"hour": "hour", "minute": "minute"}[bucket]
     out_schema = StructType(
@@ -130,7 +140,13 @@ def write_partitioned(
             chunk = pdf.iloc[start : start + max_rows_per_file]
             min_ts = chunk["Timestamp"].min()
             min_ts_us = 0 if pd.isna(min_ts) else int(pd.Timestamp(min_ts).value // 1000)
-            path = generate_parquet_path(root, table, service, min_ts_us)
+            file_id = None
+            if run_tag is not None:
+                import hashlib
+
+                gh = hashlib.sha256(repr(keys).encode()).hexdigest()[:16]
+                file_id = f"{run_tag}-{gh}-{start // max_rows_per_file}"
+            path = generate_parquet_path(root, table, service, min_ts_us, file_id)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             pq.write_table(
                 _to_golden_arrow(chunk, table),

@@ -121,17 +121,25 @@ def stream_ingest(
             try:
                 for mtype in schemas.PERSISTED_METRIC_TYPES:
                     tdf = ingest.metrics_table(batch_df, mtype)
-                    _write(tdf, schemas.METRIC_TABLES[mtype])
+                    _write(tdf, schemas.METRIC_TABLES[mtype], epoch_id)
             finally:
                 batch_df.unpersist()
         else:
-            _write(batch_df, next(iter(tables)))
+            _write(batch_df, next(iter(tables)), epoch_id)
 
-    def _write(df: DataFrame, table: str) -> None:
+    def _write(df: DataFrame, table: str, epoch_id: int) -> None:
         if layout == "parity":
-            # bucket="minute": one file per (service, minute) — D16 BatchKey
+            # bucket="minute": one file per (service, minute) — D16 BatchKey.
+            # run_tag=epoch makes file names deterministic, so a replayed
+            # micro-batch (crash between write and checkpoint commit)
+            # overwrites its own files: exactly-once at the file level.
             writer.write_partitioned(
-                df, table, output_root, bucket="minute", max_rows_per_file=max_rows_per_file
+                df,
+                table,
+                output_root,
+                bucket="minute",
+                max_rows_per_file=max_rows_per_file,
+                run_tag=f"epoch{epoch_id}",
             ).collect()
         else:
             writer.write_native(df, table, output_root, max_rows_per_file=max_rows_per_file)

@@ -88,3 +88,26 @@ def test_stream_metrics_type_split(spark, dirs):
     }
     # summary rows were counted-and-dropped: no summary table written
     assert not os.path.exists(f"{out}/metrics/summary")
+
+
+def test_stream_replay_is_idempotent(spark, dirs):
+    """A replayed micro-batch overwrites its own files (deterministic
+    epoch-derived names) instead of duplicating them — write, wipe the
+    checkpoint so the same input replays as epoch 0 again, re-run, and the
+    file set + row count must be unchanged."""
+    landing, out, ckpt = dirs
+    shutil.copy(f"{TD}/logs.pb", landing / "logs.pb")
+    q = sing.stream_ingest(
+        spark, str(landing), "logs", out, ckpt, layout="parity", available_now=True
+    )
+    _wait(q)
+    files1 = sorted(glob.glob(f"{out}/logs/**/*.parquet", recursive=True))
+    assert writer.read_table(spark, out, "otel_logs").count() == 81
+    shutil.rmtree(ckpt)  # simulate lost commit -> full replay of epoch 0
+    q2 = sing.stream_ingest(
+        spark, str(landing), "logs", out, ckpt, layout="parity", available_now=True
+    )
+    _wait(q2)
+    files2 = sorted(glob.glob(f"{out}/logs/**/*.parquet", recursive=True))
+    assert files2 == files1  # same deterministic names, overwritten in place
+    assert writer.read_table(spark, out, "otel_logs").count() == 81
