@@ -91,6 +91,21 @@ def _parse_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]
     return otlp_json.parse_request_jsonl(content, signal)
 
 
+def ingest_jsonl_fast(spark: SparkSession, path: str) -> DataFrame:
+    """Bulk JSONL logs -> otel_logs via the pure-Catalyst fast path
+    (otel/native_json.py): line-split text scan, from_json decode, automatic
+    fallback of nested-shaped lines to the general codec. ~1.8x the Python
+    codec's throughput on scalar-shaped corpora, zero Python in the hot loop."""
+    from otlp2parquet_spark.otel import native_json
+
+    lines = (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(F.col("value").alias("line"))
+    )
+    return native_json.decode_logs_json_auto(lines)
+
+
 def read_landing_lines(spark: SparkSession, path: str) -> DataFrame:
     """Line-splitting scan for large JSONL landing files (S3, `spark.read.text`).
 

@@ -1,0 +1,157 @@
+"""Pure-Catalyst JSONL logs fast path (otel/native_json.py) vs the general
+Python codec: cell-identical output, correct fallback routing, hard errors."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from otlp2parquet_spark.otel import ingest, native_json, schemas
+
+TD = "/root/reference/testdata"
+COLS = [f.name for f in schemas.spark_schema("otel_logs").fields]
+
+
+def _lines_df(spark, lines: list[str]):
+    return spark.createDataFrame([(ln,) for ln in lines], "line string")
+
+
+def _python_rows(spark, lines_df):
+    payloads = lines_df.select(
+        F.lit("").alias("path"),
+        F.encode("line", "UTF-8").alias("content"),
+        F.lit("json").alias("fmt"),
+    )
+    return sorted(map(tuple, ingest.decode_logs(payloads).select(COLS).collect()))
+
+
+def test_native_matches_python_on_fixture(spark):
+    lines = (
+        spark.read.text(f"{TD}/logs.jsonl")
+        .filter(F.length(F.trim("value")) > 0)
+        .select(F.col("value").alias("line"))
+    )
+    a = sorted(map(tuple, native_json.decode_logs_json_auto(lines).select(COLS).collect()))
+    assert a == _python_rows(spark, lines)
+    # fixture is fully scalar-shaped: nothing routes to the fallback
+    assert lines.filter(native_json.needs_fallback(F.col("line"))).count() == 0
+
+
+def _req(records, resource_attrs=None):
+    return json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {"attributes": resource_attrs or []},
+                    "scopeLogs": [{"scope": {"name": "s"}, "logRecords": records}],
+                }
+            ]
+        }
+    )
+
+
+def test_fallback_routes_nested_values(spark):
+    """kvlist/array attr values route to the general codec; output is still
+    the canonical encoding, united with native rows."""
+    nested = _req(
+        [
+            {
+                "timeUnixNano": "1760741572254301000",
+                "body": {"kvlistValue": {"values": [{"key": "a", "value": {"intValue": "7"}}]}},
+            }
+        ]
+    )
+    simple = _req(
+        [{"timeUnixNano": "1760741572254301000", "body": {"stringValue": "plain"}}],
+        resource_attrs=[{"key": "service.name", "value": {"stringValue": "svc"}}],
+    )
+    lines = _lines_df(spark, [nested, simple])
+    routed = lines.filter(native_json.needs_fallback(F.col("line"))).count()
+    assert routed == 1
+    rows = sorted(map(tuple, native_json.decode_logs_json_auto(lines).select(COLS).collect()))
+    assert rows == _python_rows(spark, lines)
+    bodies = {r[COLS.index("Body")] for r in rows}
+    assert bodies == {'{"a":7}', '"plain"'}
+
+
+def test_snake_case_routes_to_fallback(spark):
+    snake = json.dumps(
+        {
+            "resource_logs": [
+                {"scope_logs": [{"log_records": [{"time_unix_nano": "1000000", "severity_number": 9}]}]}
+            ]
+        }
+    )
+    lines = _lines_df(spark, [snake])
+    assert lines.filter(native_json.needs_fallback(F.col("line"))).count() == 1
+    rows = native_json.decode_logs_json_auto(lines).collect()
+    assert len(rows) == 1 and rows[0].SeverityNumber == 9
+
+
+def test_escape_parity_on_hostile_strings(spark):
+    """Quotes/backslashes/control chars/unicode in attrs and body encode
+    identically to the Python codec's json.dumps."""
+    hostile = 'he said "hi"\\\twith\nnewlines é中文'
+    line = _req(
+        [
+            {
+                "timeUnixNano": "1760741572254301000",
+                "body": {"stringValue": hostile},
+                "attributes": [{"key": 'k"x\\', "value": {"stringValue": hostile}}],
+            }
+        ]
+    )
+    lines = _lines_df(spark, [line])
+    assert lines.filter(native_json.needs_fallback(F.col("line"))).count() == 0  # still native
+    rows = sorted(map(tuple, native_json.decode_logs_json_auto(lines).select(COLS).collect()))
+    assert rows == _python_rows(spark, lines)
+
+
+def test_double_formatting_parity(spark):
+    """Integral doubles -> N.0 (serde style), fractional -> shortest repr."""
+    line = _req(
+        [
+            {
+                "timeUnixNano": "1000000",
+                "attributes": [
+                    {"key": "a", "value": {"doubleValue": 8589934592.0}},
+                    {"key": "b", "value": {"doubleValue": 0.25}},
+                    {"key": "c", "value": {"intValue": "42"}},
+                    {"key": "d", "value": {"boolValue": True}},
+                ],
+            }
+        ]
+    )
+    lines = _lines_df(spark, [line])
+    rows = native_json.decode_logs_json_auto(lines).collect()
+    assert rows[0].LogAttributes == '{"a":8589934592.0,"b":0.25,"c":42,"d":true}'
+    assert sorted(map(tuple, native_json.decode_logs_json_auto(lines).select(COLS).collect())) == _python_rows(spark, lines)
+
+
+def test_malformed_json_hard_errors(spark):
+    lines = _lines_df(spark, ['{"resourceLogs": [}'])
+    with pytest.raises(Exception):
+        native_json.decode_logs_json_native(lines).collect()
+
+
+def test_invalid_id_hard_errors(spark):
+    line = _req([{"timeUnixNano": "1", "traceId": "zzz"}])
+    with pytest.raises(Exception):
+        native_json.decode_logs_json_native(_lines_df(spark, [line])).collect()
+
+
+def test_unknown_severity_enum_hard_errors(spark):
+    line = _req([{"timeUnixNano": "1", "severityNumber": "SEVERITY_NUMBER_BOGUS"}])
+    with pytest.raises(Exception):
+        native_json.decode_logs_json_native(_lines_df(spark, [line])).collect()
+
+
+def test_base64_and_hex_ids_native(spark):
+    b64 = _req([{"timeUnixNano": "1", "traceId": "px89Gm0tPK2zZpy9UOFl5A==", "spanId": "NCSdi4KfQRY="}])
+    hx = _req([{"timeUnixNano": "1", "traceId": "a71f3d1a6d2d3cadb3669cbd50e165e4", "spanId": "34249d8b829f4116"}])
+    rows = native_json.decode_logs_json_auto(_lines_df(spark, [b64, hx])).collect()
+    tids = {bytes(r.TraceId).hex() for r in rows}
+    assert tids == {"a71f3d1a6d2d3cadb3669cbd50e165e4"}  # same id, both encodings
