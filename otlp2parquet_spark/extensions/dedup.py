@@ -179,6 +179,122 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """(doc_a, doc_b) word-trigram Jaccard pairs >= threshold, source-blocked
+    (the candidate-edge generator shared by x2_ngram_jaccard and the
+    connected-components clustering)."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok_df = with_tokens(d, ("doc_id", "source"))
+    grams = (
+        tok_df.select("doc_id", "source", F.explode(gram3_expr(F.col("toks"))).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+_CLUSTER_EDGE_THRESHOLD = 0.02  # low bar so fixture chains span >1 hop
+
+
+@query(
+    "x2_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, source, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM norm, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
+            >= {_CLUSTER_EDGE_THRESHOLD}
+    ), bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS reachable FROM documents
+      UNION
+      SELECT r.node, b.dst FROM reach r JOIN bidir b ON b.src = r.reachable
+    )
+    SELECT node AS doc_id, MIN(reachable) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+    tags=("X2", "X1", "J1", "A1"),
+)
+def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the Jaccard
+    candidate graph via iterative min-label propagation — the survivorship
+    step of a corpus-dedup pipeline (each cluster keeps `cluster_id` = its
+    smallest doc_id).
+
+    Iterative DataFrame algorithm (non-SQL-expressible in one query; the
+    DuckDB twin is a recursive CTE): labels start as doc_id; each round every
+    node takes min(label, neighbors' labels); `localCheckpoint` truncates the
+    growing lineage per round; converges in O(component diameter) rounds.
+    At corpus scale the same loop is run with the large-star/small-star
+    optimization; the propagation join shuffles on node id either way."""
+    d = T(spark, sf_dir, "documents")
+    edges = jaccard_pairs(spark, sf_dir, _CLUSTER_EDGE_THRESHOLD)
+    bidir = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()  # edge set is reused every round: cut it off the gram pipeline
+    labels = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    for _ in range(25):  # >= max component diameter; fixture graphs need ~3
+        neighbor_min = (
+            bidir.join(labels, bidir.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 MINHASH_K = 16  # signature length

@@ -24,9 +24,16 @@ from otlp2parquet_spark.queries.registry import T, query
 @pandas_udf(DoubleType())
 def _weighted_price(price: pd.Series, qty: pd.Series) -> float:
     """Quantity-weighted mean price — a shape builtins don't provide
-    directly (sum(p*q)/sum(q) fused in one grouped-agg kernel)."""
+    directly (sum(p*q)/sum(q) fused in one grouped-agg kernel).
+
+    Terms are sorted before summing: the Series order follows shuffle order,
+    and float accumulation order must not leak into the ROUND(·,4)-matched
+    result (SURVEY §2.3 determinism rules)."""
     q = qty.sum()
-    return float((price * qty).sum() / q) if q else 0.0
+    if not q:
+        return 0.0
+    terms = (price * qty).sort_values(kind="stable")
+    return float(terms.sum() / q)
 
 
 # type OBJECT, not a DDL string: string return types parse via the active
