@@ -134,3 +134,26 @@ def test_cli_batch_ingest_end_to_end(spark, tmp_path):
     from otlp2parquet_spark.otel import writer
 
     assert writer.read_table(spark, str(out), "otel_logs").count() == 81
+
+
+def test_cli_stream_available_now(spark, tmp_path):
+    """`stream` subcommand with --available-now drains the landing dir once."""
+    import shutil
+
+    from otlp2parquet_spark import cli
+    from otlp2parquet_spark.otel import writer
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy("/root/reference/testdata/traces.pb", landing / "traces.pb")
+    out = tmp_path / "out"
+    rc = cli.main(
+        [
+            "--output", str(out),
+            "stream", str(landing), "traces",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--available-now",
+        ]
+    )
+    assert rc == 0
+    assert writer.read_table(spark, str(out), "otel_traces").count() == 19
