@@ -91,8 +91,8 @@ def _parse_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]
     return otlp_json.parse_request_jsonl(content, signal)
 
 
-def ingest_jsonl_fast(spark: SparkSession, path: str) -> DataFrame:
-    """Bulk JSONL logs -> otel_logs via the pure-Catalyst fast path
+def ingest_jsonl_fast(spark: SparkSession, path: str, signal: str = "logs") -> DataFrame:
+    """Bulk JSONL logs/traces -> otel table via the pure-Catalyst fast path
     (otel/native_json.py): line-split text scan, from_json decode, automatic
     fallback of nested-shaped lines to the general codec. ~1.8x the Python
     codec's throughput on scalar-shaped corpora, zero Python in the hot loop."""
@@ -103,7 +103,11 @@ def ingest_jsonl_fast(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.length(F.trim("value")) > 0)
         .select(F.col("value").alias("line"))
     )
-    return native_json.decode_logs_json_auto(lines)
+    if signal == "logs":
+        return native_json.decode_logs_json_auto(lines)
+    if signal == "traces":
+        return native_json.decode_traces_json_auto(lines)
+    raise ValueError(f"fast path supports logs|traces, got {signal!r}")
 
 
 def read_landing_lines(spark: SparkSession, path: str) -> DataFrame:

@@ -218,6 +218,19 @@ def _severity_to_int(col: Column) -> Column:
     return F.when(checked.isNull(), F.coalesce(num, named, F.lit(0)))
 
 
+def _cast_to_raw(df: DataFrame, table: str) -> DataFrame:
+    """Project to the raw-schema column order/types. Array columns keep their
+    element type uncast: Spark refuses nullability-only array casts, and the
+    downstream union/finalize accepts the relaxed containsNull."""
+    from pyspark.sql.types import ArrayType as _AT
+
+    cols = []
+    for f in schemas.raw_spark_schema(table).fields:
+        c = F.col(f.name)
+        cols.append((c if isinstance(f.dataType, _AT) else c.cast(f.dataType)).alias(f.name))
+    return df.select(*cols)
+
+
 def decode_logs_json_native(lines: DataFrame, line_col: str = "line") -> DataFrame:
     """One OTLP/JSON logs export request per row -> raw otel_logs frame
     (same column set/types as the Python codec's raw output).
@@ -280,9 +293,7 @@ def decode_logs_json_native(lines: DataFrame, line_col: str = "line") -> DataFra
         body_json.alias("Body"),
         _attrs_to_json(F.col("r.attributes")).alias("LogAttributes"),
     )
-    # exact raw-schema column order/types
-    raw = schemas.raw_spark_schema("otel_logs")
-    return out.select(*[F.col(f.name).cast(f.dataType) for f in raw.fields])
+    return _cast_to_raw(out, "otel_logs")
 
 
 def needs_fallback(line: Column) -> Column:
@@ -312,3 +323,212 @@ def decode_logs_json_auto(lines: DataFrame, line_col: str = "line") -> DataFrame
         schemas.raw_spark_schema("otel_logs"),
     )
     return ingest.finalize(native_raw.unionAll(py_raw), "otel_logs")
+
+
+# ---------------------------------------------------------------------------
+# Traces fast path (same design; metrics stay on the general codec — OTLP/JSON
+# metric traffic is rare and the 5-way oneof routing buys little)
+
+_SPAN_EVENT = StructType(
+    [
+        StructField("timeUnixNano", StringType()),
+        StructField("name", StringType()),
+        StructField("attributes", ArrayType(_KV)),
+    ]
+)
+_SPAN_LINK = StructType(
+    [
+        StructField("traceId", StringType()),
+        StructField("spanId", StringType()),
+        StructField("traceState", StringType()),
+        StructField("attributes", ArrayType(_KV)),
+    ]
+)
+_SPAN = StructType(
+    [
+        StructField("traceId", StringType()),
+        StructField("spanId", StringType()),
+        StructField("traceState", StringType()),
+        StructField("parentSpanId", StringType()),
+        StructField("name", StringType()),
+        StructField("kind", StringType()),
+        StructField("startTimeUnixNano", StringType()),
+        StructField("endTimeUnixNano", StringType()),
+        StructField("attributes", ArrayType(_KV)),
+        StructField("events", ArrayType(_SPAN_EVENT)),
+        StructField("links", ArrayType(_SPAN_LINK)),
+        StructField(
+            "status",
+            StructType([StructField("message", StringType()), StructField("code", StringType())]),
+        ),
+    ]
+)
+TRACES_REQUEST_SCHEMA = StructType(
+    [
+        StructField(
+            "resourceSpans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "resource",
+                            StructType([StructField("attributes", ArrayType(_KV))]),
+                        ),
+                        StructField(
+                            "scopeSpans",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField("scope", _SCOPE),
+                                        StructField("spans", ArrayType(_SPAN)),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+TRACES_FALLBACK_MARKERS = (
+    '"arrayValue"',
+    '"kvlistValue"',
+    '"bytesValue"',
+    '"array_value"',
+    '"kvlist_value"',
+    '"bytes_value"',
+    "resource_spans",
+    "scope_spans",
+    "trace_id",
+    "start_time_unix_nano",
+)
+
+_SPAN_KIND_NAMES = {
+    0: "SPAN_KIND_UNSPECIFIED",
+    1: "SPAN_KIND_INTERNAL",
+    2: "SPAN_KIND_SERVER",
+    3: "SPAN_KIND_CLIENT",
+    4: "SPAN_KIND_PRODUCER",
+    5: "SPAN_KIND_CONSUMER",
+}
+_STATUS_NAMES = {0: "STATUS_CODE_UNSET", 1: "STATUS_CODE_OK", 2: "STATUS_CODE_ERROR"}
+
+
+def _enum_to_name(col: Column, names: dict[int, str], variants: dict[str, int], what: str) -> Column:
+    """Numeric or variant-string enum -> canonical variant name; unknown
+    values hard-error (reference invalid-corpus semantics)."""
+    as_num = F.when(col.rlike("^[0-9]+$"), col.cast("int"))
+    num_map = F.create_map(*[F.lit(x) for kv in names.items() for x in kv])
+    str_map = F.create_map(*[F.lit(x) for kv in variants.items() for x in kv])
+    name = F.coalesce(
+        F.try_element_at(num_map, as_num),
+        F.when(F.try_element_at(str_map, col).isNotNull(), col),
+        F.when(col.isNull(), F.lit(names[0])),
+    )
+    checked = F.assert_true(name.isNotNull(), F.concat(F.lit(f"invalid {what}: "), col))
+    return F.when(checked.isNull(), name)
+
+
+def _hex_id(col: Column, nbytes: int) -> Column:
+    """Input base64-or-hex -> lowercase hex string (traces id encoding)."""
+    return F.lower(F.hex(_decode_id(col, nbytes)))
+
+
+def needs_fallback_traces(line: Column) -> Column:
+    cond = F.lit(False)
+    for marker in TRACES_FALLBACK_MARKERS:
+        cond = cond | line.contains(marker)
+    return cond
+
+
+def decode_traces_json_native(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """One OTLP/JSON traces export request per row -> raw otel_traces frame."""
+    from otlp2parquet_spark.otel.otlp_json import SPAN_KIND, STATUS_CODE
+
+    parsed = lines.select(
+        F.from_json(F.col(line_col), TRACES_REQUEST_SCHEMA, {"mode": "FAILFAST"}).alias("req")
+    )
+    rs = parsed.select(F.explode("req.resourceSpans").alias("rs"))
+    ss = rs.select(
+        F.col("rs.resource.attributes").alias("rattrs"),
+        F.explode("rs.scopeSpans").alias("ss"),
+    )
+    sp = ss.select(
+        "rattrs",
+        F.col("ss.scope").alias("scope"),
+        F.explode("ss.spans").alias("s"),
+    )
+    start = F.coalesce(F.col("s.startTimeUnixNano").cast("long"), F.lit(0))
+    end = F.coalesce(F.col("s.endTimeUnixNano").cast("long"), F.lit(0))
+    events = F.coalesce(F.col("s.events"), F.array())
+    links = F.coalesce(F.col("s.links"), F.array())
+    parent_hex = _hex_id(F.col("s.parentSpanId"), 8)
+
+    out = sp.select(
+        F.expr("CAST(coalesce(CAST(s.startTimeUnixNano AS LONG), 0L) div 1000 AS LONG)").alias(
+            "Timestamp"
+        ),
+        _hex_id(F.col("s.traceId"), 16).alias("TraceId"),
+        _hex_id(F.col("s.spanId"), 8).alias("SpanId"),
+        _attr_lookup(F.col("rattrs"), "service.name").alias("ServiceName"),
+        _attrs_to_json(
+            F.col("rattrs"), ("service.name", "service.namespace", "service.instance.id")
+        ).alias("ResourceAttributes"),
+        F.nullif(F.col("scope.name"), F.lit("")).alias("ScopeName"),
+        F.nullif(F.col("scope.version"), F.lit("")).alias("ScopeVersion"),
+        # all-zero parent == absent (flatten.py parity)
+        F.when(parent_hex.rlike("^0+$") | parent_hex.isNull(), F.lit(None)).otherwise(
+            parent_hex
+        ).alias("ParentSpanId"),
+        F.nullif(F.col("s.traceState"), F.lit("")).alias("TraceState"),
+        F.coalesce(F.col("s.name"), F.lit("")).alias("SpanName"),
+        _enum_to_name(F.col("s.kind"), _SPAN_KIND_NAMES, SPAN_KIND, "span kind").alias("SpanKind"),
+        _attrs_to_json(F.col("s.attributes")).alias("SpanAttributes"),
+        (end - start).alias("Duration"),
+        _enum_to_name(
+            F.col("s.status.code"), _STATUS_NAMES, STATUS_CODE, "status code"
+        ).alias("StatusCode"),
+        F.nullif(F.col("s.status.message"), F.lit("")).alias("StatusMessage"),
+        F.transform(
+            events, lambda e: F.coalesce(e.getField("timeUnixNano").cast("long"), F.lit(0))
+        ).alias("__ev_ns"),
+        F.transform(events, lambda e: F.coalesce(e.getField("name"), F.lit(""))).alias(
+            "EventsName"
+        ),
+        F.transform(events, lambda e: _attrs_to_json(e.getField("attributes"))).alias(
+            "EventsAttributes"
+        ),
+        F.transform(links, lambda ln: _hex_id(ln.getField("traceId"), 16)).alias("LinksTraceId"),
+        F.transform(links, lambda ln: _hex_id(ln.getField("spanId"), 8)).alias("LinksSpanId"),
+        F.transform(links, lambda ln: F.nullif(ln.getField("traceState"), F.lit(""))).alias(
+            "LinksTraceState"
+        ),
+        F.transform(links, lambda ln: _attrs_to_json(ln.getField("attributes"))).alias(
+            "LinksAttributes"
+        ),
+    ).withColumn(
+        "EventsTimestamp", F.expr("transform(__ev_ns, x -> CAST(x div 1000 AS LONG))")
+    ).drop("__ev_ns")
+    return _cast_to_raw(out, "otel_traces")
+
+
+def decode_traces_json_auto(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Route + union, finalized to golden types (traces twin of
+    decode_logs_json_auto)."""
+    from otlp2parquet_spark.otel import ingest
+
+    simple = lines.filter(~needs_fallback_traces(F.col(line_col)))
+    complex_ = lines.filter(needs_fallback_traces(F.col(line_col)))
+    native_raw = decode_traces_json_native(simple, line_col)
+    py_payloads = complex_.select(
+        F.lit("").alias("path"),
+        F.encode(F.col(line_col), "UTF-8").alias("content"),
+        F.lit("json").alias("fmt"),
+    )
+    py_raw = py_payloads.mapInPandas(
+        ingest._decode_simple("traces", "otel_traces", "raise"),
+        schemas.raw_spark_schema("otel_traces"),
+    )
+    return ingest.finalize(native_raw.unionAll(py_raw), "otel_traces")

@@ -155,3 +155,98 @@ def test_base64_and_hex_ids_native(spark):
     rows = native_json.decode_logs_json_auto(_lines_df(spark, [b64, hx])).collect()
     tids = {bytes(r.TraceId).hex() for r in rows}
     assert tids == {"a71f3d1a6d2d3cadb3669cbd50e165e4"}  # same id, both encodings
+
+
+# ---------------------------------------------------------------------------
+# Traces fast path
+
+
+def test_traces_native_matches_python_on_fixture(spark):
+    lines = (
+        spark.read.text(f"{TD}/traces.jsonl")
+        .filter(F.length(F.trim("value")) > 0)
+        .select(F.col("value").alias("line"))
+    )
+    tcols = [f.name for f in schemas.spark_schema("otel_traces").fields]
+
+    def key(r):
+        return tuple(tuple(x) if isinstance(x, list) else x for x in r)
+
+    a = sorted(map(key, native_json.decode_traces_json_auto(lines).select(tcols).collect()))
+    payloads = lines.select(
+        F.lit("").alias("path"), F.encode("line", "UTF-8").alias("content"), F.lit("json").alias("fmt")
+    )
+    b = sorted(map(key, ingest.decode_traces(payloads).select(tcols).collect()))
+    assert a == b and len(a) == 19
+    assert lines.filter(native_json.needs_fallback_traces(F.col("line"))).count() == 0
+
+
+def test_traces_native_events_links_and_enums(spark):
+    """Spans with events/links/status exercise the array lambdas and enum
+    name mapping; compared against the Python codec."""
+    span = {
+        "traceId": "a71f3d1a6d2d3cadb3669cbd50e165e4",
+        "spanId": "34249d8b829f4116",
+        "parentSpanId": "44e61d9ab30fcb06",
+        "name": "op",
+        "kind": "SPAN_KIND_CLIENT",
+        "startTimeUnixNano": "1760738064624180000",
+        "endTimeUnixNano": "1760738064991180000",
+        "status": {"code": "STATUS_CODE_ERROR", "message": "boom"},
+        "attributes": [{"key": "rpc.method", "value": {"stringValue": "Get"}}],
+        "events": [
+            {
+                "timeUnixNano": "1760738064700000000",
+                "name": "retry",
+                "attributes": [{"key": "n", "value": {"intValue": "2"}}],
+            }
+        ],
+        "links": [
+            {
+                "traceId": "px89Gm0tPK2zZpy9UOFl5A==",
+                "spanId": "NCSdi4KfQRY=",
+                "attributes": [],
+            }
+        ],
+    }
+    line = json.dumps(
+        {
+            "resourceSpans": [
+                {
+                    "resource": {
+                        "attributes": [{"key": "service.name", "value": {"stringValue": "svc"}}]
+                    },
+                    "scopeSpans": [{"scope": {"name": "sc"}, "spans": [span]}],
+                }
+            ]
+        }
+    )
+    lines = _lines_df(spark, [line])
+    tcols = [f.name for f in schemas.spark_schema("otel_traces").fields]
+
+    def key(r):
+        return tuple(tuple(x) if isinstance(x, list) else x for x in r)
+
+    a = sorted(map(key, native_json.decode_traces_json_auto(lines).select(tcols).collect()))
+    payloads = lines.select(
+        F.lit("").alias("path"), F.encode("line", "UTF-8").alias("content"), F.lit("json").alias("fmt")
+    )
+    b = sorted(map(key, ingest.decode_traces(payloads).select(tcols).collect()))
+    assert a == b
+    row = native_json.decode_traces_json_auto(lines).collect()[0]
+    assert row.SpanKind == "SPAN_KIND_CLIENT" and row.StatusCode == "STATUS_CODE_ERROR"
+    assert row.Duration == 367000000
+    assert list(row.EventsAttributes) == ['{"n":2}']
+    assert list(row.LinksTraceId) == ["a71f3d1a6d2d3cadb3669cbd50e165e4"]
+
+
+def test_traces_native_invalid_kind_hard_errors(spark):
+    line = json.dumps(
+        {
+            "resourceSpans": [
+                {"scopeSpans": [{"spans": [{"traceId": "a" * 32, "spanId": "b" * 16, "kind": "SPAN_KIND_BOGUS"}]}]}
+            ]
+        }
+    )
+    with pytest.raises(Exception):
+        native_json.decode_traces_json_native(_lines_df(spark, [line])).collect()
