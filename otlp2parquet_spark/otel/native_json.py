@@ -111,9 +111,18 @@ LOGS_REQUEST_SCHEMA = StructType(
 # textual markers that force the general-codec path (nested/bytes values,
 # snake_case payloads the native schema doesn't parse)
 FALLBACK_MARKERS = (
+    # \u00XX escapes (control chars must be escaped in JSON source): Jackson
+    # re-emits them uppercase, Python/serde lowercase — general codec decides
+    "\\u00",
+    "\\U00",
     '"arrayValue"',
     '"kvlistValue"',
     '"bytesValue"',
+    # doubles route to the general codec: Python/serde shortest-repr float
+    # formatting (incl. -0.0 and the >=1e16 exponent switch) is not
+    # reproducible with Spark casts, and canonical-JSON parity beats speed
+    '"doubleValue"',
+    '"double_value"',
     '"array_value"',
     '"kvlist_value"',
     '"bytes_value"',
@@ -148,7 +157,8 @@ def _encode_scalar_value(v: Column) -> Column:
             # serde_json prints integral doubles as "N.0"; Spark's cast gives
             # scientific notation for big values, so build it explicitly
             F.when(
-                dv == F.floor(dv), F.concat(dv.cast("long").cast("string"), F.lit(".0"))
+                (dv == F.floor(dv)) & ~((dv == 0) & (F.lit(1.0) / dv < 0)),
+                F.concat(dv.cast("long").cast("string"), F.lit(".0")),
             ).otherwise(dv.cast("string")),
         )
         .otherwise(F.lit("null"))
@@ -393,9 +403,20 @@ TRACES_REQUEST_SCHEMA = StructType(
 )
 
 TRACES_FALLBACK_MARKERS = (
+    # \u00XX escapes (control chars must be escaped in JSON source): Jackson
+    # re-emits them uppercase, Python/serde lowercase — general codec decides
+    "\\u00",
+    "\\U00",
     '"arrayValue"',
     '"kvlistValue"',
     '"bytesValue"',
+    '"doubleValue"',
+    '"double_value"',
+    # doubles route to the general codec: Python/serde shortest-repr float
+    # formatting (incl. -0.0 and the >=1e16 exponent switch) is not
+    # reproducible with Spark casts, and canonical-JSON parity beats speed
+    '"doubleValue"',
+    '"double_value"',
     '"array_value"',
     '"kvlist_value"',
     '"bytes_value"',

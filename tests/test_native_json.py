@@ -19,13 +19,18 @@ def _lines_df(spark, lines: list[str]):
     return spark.createDataFrame([(ln,) for ln in lines], "line string")
 
 
+def _rowset(df, cols):
+    # repr-keyed sort: tuples mix None/str/bytes/datetime which don't compare
+    return sorted(map(tuple, df.select(cols).collect()), key=repr)
+
+
 def _python_rows(spark, lines_df):
     payloads = lines_df.select(
         F.lit("").alias("path"),
         F.encode("line", "UTF-8").alias("content"),
         F.lit("json").alias("fmt"),
     )
-    return sorted(map(tuple, ingest.decode_logs(payloads).select(COLS).collect()))
+    return _rowset(ingest.decode_logs(payloads), COLS)
 
 
 def test_native_matches_python_on_fixture(spark):
@@ -34,7 +39,7 @@ def test_native_matches_python_on_fixture(spark):
         .filter(F.length(F.trim("value")) > 0)
         .select(F.col("value").alias("line"))
     )
-    a = sorted(map(tuple, native_json.decode_logs_json_auto(lines).select(COLS).collect()))
+    a = _rowset(native_json.decode_logs_json_auto(lines), COLS)
     assert a == _python_rows(spark, lines)
     # fixture is fully scalar-shaped: nothing routes to the fallback
     assert lines.filter(native_json.needs_fallback(F.col("line"))).count() == 0
@@ -71,7 +76,7 @@ def test_fallback_routes_nested_values(spark):
     lines = _lines_df(spark, [nested, simple])
     routed = lines.filter(native_json.needs_fallback(F.col("line"))).count()
     assert routed == 1
-    rows = sorted(map(tuple, native_json.decode_logs_json_auto(lines).select(COLS).collect()))
+    rows = _rowset(native_json.decode_logs_json_auto(lines), COLS)
     assert rows == _python_rows(spark, lines)
     bodies = {r[COLS.index("Body")] for r in rows}
     assert bodies == {'{"a":7}', '"plain"'}
@@ -105,9 +110,17 @@ def test_escape_parity_on_hostile_strings(spark):
         ]
     )
     lines = _lines_df(spark, [line])
-    assert lines.filter(native_json.needs_fallback(F.col("line"))).count() == 0  # still native
-    rows = sorted(map(tuple, native_json.decode_logs_json_auto(lines).select(COLS).collect()))
+    # \u00XX escapes in the source route to the general codec (Jackson would
+    # re-emit them uppercase); parity must hold either way
+    rows = _rowset(native_json.decode_logs_json_auto(lines), COLS)
     assert rows == _python_rows(spark, lines)
+    # quotes/backslashes alone stay on the native lane and escape identically
+    clean = _req(
+        [{"timeUnixNano": "1", "body": {"stringValue": 'say "hi" \\ done'}}]
+    )
+    cl = _lines_df(spark, [clean])
+    assert cl.filter(native_json.needs_fallback(F.col("line"))).count() == 0
+    assert _rowset(native_json.decode_logs_json_auto(cl), COLS) == _python_rows(spark, cl)
 
 
 def test_double_formatting_parity(spark):
@@ -128,7 +141,7 @@ def test_double_formatting_parity(spark):
     lines = _lines_df(spark, [line])
     rows = native_json.decode_logs_json_auto(lines).collect()
     assert rows[0].LogAttributes == '{"a":8589934592.0,"b":0.25,"c":42,"d":true}'
-    assert sorted(map(tuple, native_json.decode_logs_json_auto(lines).select(COLS).collect())) == _python_rows(spark, lines)
+    assert _rowset(native_json.decode_logs_json_auto(lines), COLS) == _python_rows(spark, lines)
 
 
 def test_malformed_json_hard_errors(spark):
@@ -250,3 +263,76 @@ def test_traces_native_invalid_kind_hard_errors(spark):
     )
     with pytest.raises(Exception):
         native_json.decode_traces_json_native(_lines_df(spark, [line])).collect()
+
+
+# ---------------------------------------------------------------------------
+# Property: native path == python codec on random scalar-shaped trees
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from test_wire_property import render_json  # noqa: E402
+
+_scalar_any = st.one_of(
+    st.fixed_dictionaries({"string_value": st.text(max_size=10)}),
+    st.fixed_dictionaries({"bool_value": st.booleans()}),
+    st.fixed_dictionaries({"int_value": st.integers(-(2**53), 2**53)}),
+    st.fixed_dictionaries(
+        {"double_value": st.floats(allow_nan=False, allow_infinity=False, width=32)}
+    ),
+)
+_scalar_attrs = st.lists(
+    st.fixed_dictionaries(
+        {"key": st.text(alphabet="abcdef.x_", min_size=1, max_size=6), "value": _scalar_any}
+    ),
+    max_size=3,
+    unique_by=lambda kv: kv["key"],
+)
+_scalar_record = st.fixed_dictionaries(
+    {},
+    optional={
+        "time_unix_nano": st.integers(0, 2**62),
+        "observed_time_unix_nano": st.integers(0, 2**62),
+        "severity_number": st.integers(0, 24),
+        "severity_text": st.text(max_size=6),
+        "body": _scalar_any,
+        "attributes": _scalar_attrs,
+        "flags": st.integers(0, 2**32 - 1),
+        "trace_id": st.binary(min_size=16, max_size=16),
+        "span_id": st.binary(min_size=8, max_size=8),
+    },
+)
+_scalar_logs_tree = st.fixed_dictionaries(
+    {
+        "resource_logs": st.lists(
+            st.fixed_dictionaries(
+                {
+                    "scope_logs": st.lists(
+                        st.fixed_dictionaries(
+                            {"log_records": st.lists(_scalar_record, min_size=1, max_size=2)},
+                            optional={
+                                "scope": st.fixed_dictionaries(
+                                    {}, optional={"name": st.text(max_size=5), "version": st.text(max_size=5)}
+                                )
+                            },
+                        ),
+                        min_size=1,
+                        max_size=2,
+                    )
+                },
+                optional={"resource": st.fixed_dictionaries({}, optional={"attributes": _scalar_attrs})},
+            ),
+            min_size=1,
+            max_size=2,
+        )
+    }
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_scalar_logs_tree, min_size=1, max_size=3))
+def test_property_native_logs_equals_python(spark, trees):
+    lines = [json.dumps(render_json(t, "ExportLogsServiceRequest")) for t in trees]
+    df = _lines_df(spark, lines)
+    a = _rowset(native_json.decode_logs_json_auto(df), COLS)
+    assert a == _python_rows(spark, df)
