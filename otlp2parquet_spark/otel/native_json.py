@@ -553,3 +553,205 @@ def decode_traces_json_auto(lines: DataFrame, line_col: str = "line") -> DataFra
         schemas.raw_spark_schema("otel_traces"),
     )
     return ingest.finalize(native_raw.unionAll(py_raw), "otel_traces")
+
+
+# ---------------------------------------------------------------------------
+# Metrics fast path: gauge + sum number points (the dominant metric volume —
+# counters and gauges). Histogram / exponential-histogram / summary payloads
+# route to the general codec: their array-heavy oneofs are rare in JSON form.
+
+_NUMBER_DP = StructType(
+    [
+        StructField("timeUnixNano", StringType()),
+        StructField("asDouble", DoubleType()),
+        StructField("asInt", StringType()),
+        StructField("attributes", ArrayType(_KV)),
+    ]
+)
+_METRIC = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("description", StringType()),
+        StructField("unit", StringType()),
+        StructField("gauge", StructType([StructField("dataPoints", ArrayType(_NUMBER_DP))])),
+        StructField(
+            "sum",
+            StructType(
+                [
+                    StructField("dataPoints", ArrayType(_NUMBER_DP)),
+                    StructField("aggregationTemporality", StringType()),
+                    StructField("isMonotonic", BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
+METRICS_REQUEST_SCHEMA = StructType(
+    [
+        StructField(
+            "resourceMetrics",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "resource",
+                            StructType([StructField("attributes", ArrayType(_KV))]),
+                        ),
+                        StructField(
+                            "scopeMetrics",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField("scope", _SCOPE),
+                                        StructField("metrics", ArrayType(_METRIC)),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+METRICS_FALLBACK_MARKERS = (
+    "\\u00",
+    "\\U00",
+    '"arrayValue"',
+    '"kvlistValue"',
+    '"bytesValue"',
+    '"doubleValue"',
+    # non-number metric kinds -> general codec (incl. skip accounting)
+    '"histogram"',
+    '"exponentialHistogram"',
+    '"summary"',
+    # NaN/Inf values need the Python skip counters
+    "NaN",
+    "Infinity",
+    # snake_case payloads
+    "resource_metrics",
+    "scope_metrics",
+    "data_points",
+    "time_unix_nano",
+    "_value",
+    "as_double",
+    "as_int",
+)
+
+_TEMPORALITY = {
+    "AGGREGATION_TEMPORALITY_UNSPECIFIED": 0,
+    "AGGREGATION_TEMPORALITY_DELTA": 1,
+    "AGGREGATION_TEMPORALITY_CUMULATIVE": 2,
+}
+
+
+def needs_fallback_metrics(line: Column) -> Column:
+    cond = F.lit(False)
+    for marker in METRICS_FALLBACK_MARKERS:
+        cond = cond | line.contains(marker)
+    return cond
+
+
+def _number_rows(sm_df, kind: str):
+    """Explode one number-metric kind (gauge|sum) to union-frame rows."""
+    m = sm_df.filter(F.col(f"m.{kind}").isNotNull())
+    dp = m.select(
+        "rattrs",
+        "svc",
+        "scope",
+        F.col("m.name").alias("mname"),
+        F.col("m.description").alias("mdesc"),
+        F.col("m.unit").alias("munit"),
+        *(
+            [
+                F.col("m.sum.aggregationTemporality").alias("temp_raw"),
+                F.coalesce(F.col("m.sum.isMonotonic"), F.lit(False)).alias("IsMonotonic"),
+            ]
+            if kind == "sum"
+            else [F.lit(None).cast("string").alias("temp_raw"), F.lit(None).cast("boolean").alias("IsMonotonic")]
+        ),
+        F.explode(F.col(f"m.{kind}.dataPoints")).alias("dp"),
+    )
+    # as_double wins the oneof when both appear; as_int coerced to double;
+    # neither present -> the general codec counts it, but this shape can't
+    # reach here textually without asInt/asDouble — drop defensively
+    val = F.coalesce(F.col("dp.asDouble"), F.col("dp.asInt").cast("double"))
+    temp_num = F.when(F.col("temp_raw").rlike("^[0-9]+$"), F.col("temp_raw").cast("int"))
+    temp_named = F.try_element_at(
+        F.create_map(*[F.lit(x) for kv in _TEMPORALITY.items() for x in kv]), F.col("temp_raw")
+    )
+    temp_ok = F.col("temp_raw").isNull() | temp_num.isNotNull() | temp_named.isNotNull()
+    temp_checked = F.assert_true(
+        temp_ok, F.concat(F.lit("invalid aggregation temporality: "), F.col("temp_raw"))
+    )
+    return dp.filter(val.isNotNull()).select(
+        F.expr("CAST(coalesce(CAST(dp.timeUnixNano AS LONG), 0L) div 1000 AS LONG)").alias(
+            "Timestamp"
+        ),
+        F.coalesce(F.col("svc"), F.lit("")).alias("ServiceName"),
+        # metrics KEEP service.* inside ResourceAttributes (§1.3.6)
+        _attrs_to_json(F.col("rattrs")).alias("ResourceAttributes"),
+        F.nullif(F.col("scope.name"), F.lit("")).alias("ScopeName"),
+        F.nullif(F.col("scope.version"), F.lit("")).alias("ScopeVersion"),
+        F.coalesce(F.col("mname"), F.lit("")).alias("MetricName"),
+        F.nullif(F.col("mdesc"), F.lit("")).alias("MetricDescription"),
+        F.nullif(F.col("munit"), F.lit("")).alias("MetricUnit"),
+        _attrs_to_json(F.col("dp.attributes")).alias("Attributes"),
+        val.alias("Value"),
+        F.when(temp_checked.isNull(), F.coalesce(temp_num, temp_named, F.lit(0))).alias(
+            "AggregationTemporality"
+        ),
+        F.col("IsMonotonic"),
+        F.lit(kind).alias("MetricType"),
+    )
+
+
+def decode_metrics_json_native(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """One OTLP/JSON metrics export request per row -> gauge/sum rows in the
+    metrics-union layout (ingest.METRICS_UNION_SCHEMA columns)."""
+    from otlp2parquet_spark.otel import ingest as ing
+
+    parsed = lines.select(
+        F.from_json(F.col(line_col), METRICS_REQUEST_SCHEMA, {"mode": "FAILFAST"}).alias("req")
+    )
+    rm = parsed.select(F.explode("req.resourceMetrics").alias("rm"))
+    sm = rm.select(
+        F.col("rm.resource.attributes").alias("rattrs"),
+        F.explode("rm.scopeMetrics").alias("sm"),
+    ).select(
+        "rattrs",
+        F.col("sm.scope").alias("scope"),
+        F.explode("sm.metrics").alias("m"),
+    )
+    sm = sm.withColumn("svc", _attr_lookup(F.col("rattrs"), "service.name"))
+    rows = _number_rows(sm, "gauge").unionAll(_number_rows(sm, "sum"))
+    # project to the union schema (absent type-specific columns -> NULL)
+    cols = []
+    have = set(rows.columns)
+    for f in ing.METRICS_UNION_SCHEMA.fields:
+        if f.name in have:
+            c = F.col(f.name)
+            from pyspark.sql.types import ArrayType as _AT
+
+            cols.append((c if isinstance(f.dataType, _AT) else c.cast(f.dataType)).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return rows.select(*cols)
+
+
+def decode_metrics_json_auto(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Route + union in the metrics-union layout (pair with
+    ingest.metrics_table / ingest.skipped_metrics for per-table frames)."""
+    from otlp2parquet_spark.otel import ingest as ing
+
+    simple = lines.filter(~needs_fallback_metrics(F.col(line_col)))
+    complex_ = lines.filter(needs_fallback_metrics(F.col(line_col)))
+    native_rows = decode_metrics_json_native(simple, line_col)
+    py_payloads = complex_.select(
+        F.lit("").alias("path"),
+        F.encode(F.col(line_col), "UTF-8").alias("content"),
+        F.lit("json").alias("fmt"),
+    )
+    py_rows = ing.decode_metrics_union(py_payloads)
+    return native_rows.unionAll(py_rows)

@@ -336,3 +336,43 @@ def test_property_native_logs_equals_python(spark, trees):
     df = _lines_df(spark, lines)
     a = _rowset(native_json.decode_logs_json_auto(df), COLS)
     assert a == _python_rows(spark, df)
+
+
+# ---------------------------------------------------------------------------
+# Metrics fast path (gauge/sum native; other kinds route to the general codec)
+
+
+@pytest.mark.parametrize(
+    "fixture", ["metrics_gauge", "metrics_sum", "metrics_mixed", "metrics_histogram", "metrics_summary"]
+)
+def test_metrics_native_matches_python(spark, fixture):
+    lines = (
+        spark.read.text(f"{TD}/{fixture}.jsonl")
+        .filter(F.length(F.trim("value")) > 0)
+        .select(F.col("value").alias("line"))
+    )
+    union_native = native_json.decode_metrics_json_auto(lines)
+    payloads = lines.select(
+        F.lit("").alias("path"), F.encode("line", "UTF-8").alias("content"), F.lit("json").alias("fmt")
+    )
+    union_py = ingest.decode_metrics_union(payloads)
+    for mt in ["gauge", "sum", "histogram", "exponential_histogram"]:
+        a = sorted(map(tuple, ingest.metrics_table(union_native, mt).collect()), key=repr)
+        b = sorted(map(tuple, ingest.metrics_table(union_py, mt).collect()), key=repr)
+        assert a == b, (fixture, mt)
+    # skip accounting (summaries) survives the fallback routing
+    sk_a = {r.reason: r["count"] for r in ingest.skipped_metrics(union_native).collect()}
+    sk_b = {r.reason: r["count"] for r in ingest.skipped_metrics(union_py).collect()}
+    assert sk_a == sk_b
+
+
+def test_metrics_native_pure_lane_counts(spark):
+    """Gauge/sum-only payloads stay fully on the native lane."""
+    for fixture, expect_fb in [("metrics_gauge", 0), ("metrics_summary", 1)]:
+        lines = (
+            spark.read.text(f"{TD}/{fixture}.jsonl")
+            .filter(F.length(F.trim("value")) > 0)
+            .select(F.col("value").alias("line"))
+        )
+        fb = lines.filter(native_json.needs_fallback_metrics(F.col("line"))).count()
+        assert (fb > 0) == (expect_fb > 0), fixture
