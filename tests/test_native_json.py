@@ -7,7 +7,6 @@ import json
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from otlp2parquet_spark.otel import ingest, native_json, schemas
 
