@@ -470,39 +470,3 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     ).cast("long")
     return d.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
-
-
-@query(
-    "x2_embed_neardup",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
-    ORDER BY vec_a, vec_b
-    """,
-    tags=("X2", "X3", "F4"),
-)
-def x2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label (at corpus
-    scale the block key is an IVF/LSH bucket — see similarity.x3_ivf_ann).
-    Cosine is computed in double with index-ordered accumulation so both
-    engines produce bit-identical values."""
-    from otlp2parquet_spark.extensions.similarity import cosine_expr
-
-    e = T(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.99)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(F.col("cos_raw"), 4).alias("cos_sim"),
-        )
-        .orderBy("vec_a", "vec_b")
-    )
