@@ -48,6 +48,61 @@ HEADLINE = [
 
 RUNS_PER_QUERY = 2
 
+INGEST_RECORDS = 100_000  # logs.jsonl fixture replicated across 32 landing files
+
+
+def _ingest_metrics(spark) -> dict[str, float]:
+    """Ingest throughput (BASELINE.md protocol): reference logs fixture
+    scaled to ~100k records; (a) Python codec decode + parity partitioned
+    write, (b) pure-Catalyst JSONL fast lane decode-only."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.otel import ingest, native_json, writer
+
+    src = open("/root/reference/testdata/logs.jsonl").read().strip().splitlines()
+    reps = INGEST_RECORDS // len(src) + 1
+    all_lines = src * reps
+    landing = tempfile.mkdtemp(prefix="bench_landing_")
+    out = tempfile.mkdtemp(prefix="bench_out_")
+    try:
+        per = len(all_lines) // 32 + 1
+        for i in range(32):
+            with open(f"{landing}/c{i}.jsonl", "w") as f:
+                f.write("\n".join(all_lines[i * per : (i + 1) * per]))
+
+        payloads, _ = ingest.read_landing(spark, landing)
+        ingest.decode_logs(payloads).count()  # warm codec workers
+        decode_write = 0.0
+        for run in range(2):
+            t0 = time.perf_counter()
+            acct = writer.write_partitioned(
+                ingest.decode_logs(payloads), "otel_logs", f"{out}/r{run}"
+            ).collect()
+            rows = sum(r.rows for r in acct)
+            decode_write = max(decode_write, rows / (time.perf_counter() - t0))
+
+        lines = (
+            spark.read.text(landing)
+            .filter(F.length(F.trim("value")) > 0)
+            .select(F.col("value").alias("line"))
+        )
+        native_json.decode_logs_json_native(lines).count()  # warm
+        native_rate = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = native_json.decode_logs_json_native(lines).count()
+            native_rate = max(native_rate, n / (time.perf_counter() - t0))
+        return {
+            "ingest_decode_write_rows_per_s": round(decode_write),
+            "ingest_native_decode_rows_per_s": round(native_rate),
+        }
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,6 +125,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    ingest_metrics = _ingest_metrics(spark)
     print(
         json.dumps(
             {
@@ -78,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **ingest_metrics,
             }
         )
     )
