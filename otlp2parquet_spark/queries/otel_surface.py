@@ -192,8 +192,8 @@ def q07_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM buckets
     )
     SELECT event_type,
-           MIN(CASE WHEN cum_cnt >= 0.95 * total THEN (bucket + 1) * 50.0 END) AS p95_upper_bound,
-           MAX(total) AS total
+           CAST(MIN(CASE WHEN 20 * cum_cnt >= 19 * total THEN (bucket + 1) * 50.0 END) AS DOUBLE) AS p95_upper_bound,
+           CAST(MAX(total) AS BIGINT) AS total
     FROM cum
     GROUP BY event_type
     ORDER BY event_type
@@ -221,7 +221,9 @@ def q08_histogram_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.groupBy("event_type")
         .agg(
             F.min(
-                F.when(F.col("cum_cnt") >= 0.95 * F.col("total"), (F.col("bucket") + 1) * 50.0)
+                F.when(
+                    20 * F.col("cum_cnt") >= 19 * F.col("total"), (F.col("bucket") + 1) * 50.0
+                )
             ).alias("p95_upper_bound"),
             F.max("total").alias("total"),
         )

@@ -1190,8 +1190,8 @@ def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 1) AS price_r1,
-           FLOOR(l_quantity / 7)     AS qty_div7,
-           CEIL(l_discount * 100)    AS disc_pct_ceil,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT)  AS qty_div7,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            ABS(l_discount - 0.05)    AS disc_dev,
            l_orderkey % 7            AS key_mod7,
            ROUND(power(l_quantity, 2), 4) AS qty_sq,
@@ -1233,7 +1233,7 @@ def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_sort(tokens)[1] AS min_tok,
            array_to_string(tokens[1:5], ' ') AS head5,
            len(list_filter(tokens, x -> length(x) > 4)) AS n_long,
-           list_aggregate(list_transform(tokens, x -> length(x)), 'sum') AS total_chars
+           CAST(list_aggregate(list_transform(tokens, x -> length(x)), 'sum') AS BIGINT) AS total_chars
     FROM tok
     ORDER BY doc_id
     """,
@@ -1247,13 +1247,13 @@ def f4_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         toks.getItem(0).alias("first_tok"),
         F.array_contains(toks, "the").alias("has_the"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.array_sort(toks).getItem(0).alias("min_tok"),
         F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
-        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),
