@@ -153,6 +153,18 @@ def validate(cfg: RuntimeConfig) -> RuntimeConfig:
         raise ConfigError("storage.account_id (or explicit endpoint) is required for r2")
     if cfg.engine["layout"] not in ("parity", "native"):
         raise ConfigError(f"engine.layout must be parity|native, got {cfg.engine['layout']!r}")
+    if s["backend"] in ("s3", "r2") and cfg.engine["layout"] == "parity":
+        # parity writes go through pyarrow (write.rs-compatible file names),
+        # so the object-store path needs pyarrow built with S3 — fail fast at
+        # startup instead of silently writing to executor-local disks.
+        try:
+            from pyarrow.fs import S3FileSystem  # noqa: F401
+        except ImportError as e:
+            raise ConfigError(
+                "layout='parity' with an s3/r2 backend requires pyarrow S3 "
+                "support (pyarrow.fs.S3FileSystem); use layout='native' or "
+                "install pyarrow with S3 enabled"
+            ) from e
     if not (0 < cfg.server["port"] < 65536):
         raise ConfigError(f"server.port out of range: {cfg.server['port']}")
     return cfg

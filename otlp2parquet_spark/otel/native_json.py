@@ -306,9 +306,21 @@ def decode_logs_json_native(lines: DataFrame, line_col: str = "line") -> DataFra
     return _cast_to_raw(out, "otel_logs")
 
 
+# intValue with >=19 digits may overflow int64: Catalyst's long cast would
+# null it out and array_join would silently DROP the attribute, while the
+# Python codec emits the arbitrary-precision integer (ADVICE r1). Route such
+# lines to the general codec. (19 digits is conservative — int64 max is
+# 9223372036854775807 — so some in-range values also take the slow lane.)
+_BIG_INT_RE = '"intValue"\\s*:\\s*"?-?[0-9]{19}'
+
+
+def _risky_int(line: Column) -> Column:
+    return line.rlike(_BIG_INT_RE)
+
+
 def needs_fallback(line: Column) -> Column:
     """True when a payload uses shapes outside the native fast path."""
-    cond = F.lit(False)
+    cond = _risky_int(line)
     for marker in FALLBACK_MARKERS:
         cond = cond | line.contains(marker)
     return cond
@@ -458,7 +470,7 @@ def _hex_id(col: Column, nbytes: int) -> Column:
 
 
 def needs_fallback_traces(line: Column) -> Column:
-    cond = F.lit(False)
+    cond = _risky_int(line)
     for marker in TRACES_FALLBACK_MARKERS:
         cond = cond | line.contains(marker)
     return cond
@@ -647,7 +659,7 @@ _TEMPORALITY = {
 
 
 def needs_fallback_metrics(line: Column) -> Column:
-    cond = F.lit(False)
+    cond = _risky_int(line)
     for marker in METRICS_FALLBACK_MARKERS:
         cond = cond | line.contains(marker)
     return cond
@@ -681,7 +693,14 @@ def _number_rows(sm_df, kind: str):
     temp_named = F.try_element_at(
         F.create_map(*[F.lit(x) for kv in _TEMPORALITY.items() for x in kv]), F.col("temp_raw")
     )
-    temp_ok = F.col("temp_raw").isNull() | temp_num.isNotNull() | temp_named.isNotNull()
+    # numeric temporality must be in the spec enum {0,1,2} — the general
+    # codec (flatten.flatten_metrics) hard-errors outside it, so the fast
+    # path must too, or the same payload is lane-dependent (ADVICE r1)
+    temp_ok = (
+        F.col("temp_raw").isNull()
+        | F.coalesce(temp_num.isin(0, 1, 2), F.lit(False))
+        | temp_named.isNotNull()
+    )
     temp_checked = F.assert_true(
         temp_ok, F.concat(F.lit("invalid aggregation temporality: "), F.col("temp_raw"))
     )

@@ -67,9 +67,17 @@ def generate_parquet_path(
     `file_id` overrides the random uuid with a deterministic name — the
     streaming sink derives it from (epoch, group) so a retried micro-batch
     overwrites its own files instead of duplicating them (exactly-once at
-    the file level; the reference's HTTP flush is only at-least-once)."""
+    the file level; the reference's HTTP flush is only at-least-once).
+
+    When `file_id` is given the whole path must be deterministic, so the
+    reference's now() fallback for ts <= 0 is replaced by the 1970-01-01
+    sentinel partition — a replayed task re-derives the SAME path and
+    overwrites instead of duplicating."""
     if min_ts_us <= 0:
-        min_ts_us = int(datetime.now(tz=timezone.utc).timestamp() * 1_000_000)
+        if file_id is not None:
+            min_ts_us = 0  # deterministic sentinel -> year=1970 partition
+        else:
+            min_ts_us = int(datetime.now(tz=timezone.utc).timestamp() * 1_000_000)
     dt = datetime.fromtimestamp(min_ts_us / 1_000_000, tz=timezone.utc)
     return os.path.join(
         root,
@@ -81,6 +89,23 @@ def generate_parquet_path(
         f"hour={dt.hour:02d}",
         f"{min_ts_us}-{file_id or uuid.uuid4().hex}.parquet",
     )
+
+
+def _resolve_fs(path: str):
+    """(pyarrow FileSystem, fs-relative path) for an object-store URI, or
+    (None, path) for a plain local path (D24 twin of storage.rs:12-104).
+
+    The Hadoop-style ``s3a://`` scheme used by `RuntimeConfig.output_root`
+    is normalized to pyarrow's ``s3://``; ``file://`` resolves to the local
+    filesystem (useful to exercise this branch in tests without S3). S3
+    credentials/region/endpoint come from the standard AWS env vars, which
+    pyarrow reads on each executor."""
+    if "://" not in path:
+        return None, path
+    from pyarrow import fs as pafs
+
+    uri = path.replace("s3a://", "s3://", 1)
+    return pafs.FileSystem.from_uri(uri)
 
 
 def _to_golden_arrow(pdf: pd.DataFrame, table: str) -> pa.Table:
@@ -117,11 +142,18 @@ def write_partitioned(
     response twin. Executes distributed: groupBy shuffles rows to one task
     per group, each task writes its own file with pyarrow.
 
-    `run_tag` (set by the streaming sink to the epoch id) switches file names
-    from random uuids to deterministic `{run_tag}-{group-hash}-{chunk}` so a
-    replayed micro-batch overwrites rather than duplicates its output.
+    File names are always the deterministic `{run_tag}-{group-hash}-{chunk}`:
+    the streaming sink passes `run_tag` = the epoch id so a replayed
+    micro-batch overwrites rather than duplicates its output, and batch mode
+    draws ONE random tag on the driver at plan-build time so a retried or
+    speculative task (or a re-evaluated accounting frame) re-derives the same
+    paths and overwrites its own first attempt — task-retry-safe without an
+    object-store rename commit protocol. Distinct batch runs still get
+    distinct tags, so append semantics across runs are preserved.
     """
     trunc = {"hour": "hour", "minute": "minute"}[bucket]
+    if run_tag is None:
+        run_tag = uuid.uuid4().hex[:16]  # driver-side, once per plan
     out_schema = StructType(
         [
             StructField("path", StringType(), False),
@@ -140,17 +172,20 @@ def write_partitioned(
             chunk = pdf.iloc[start : start + max_rows_per_file]
             min_ts = chunk["Timestamp"].min()
             min_ts_us = 0 if pd.isna(min_ts) else int(pd.Timestamp(min_ts).value // 1000)
-            file_id = None
-            if run_tag is not None:
-                import hashlib
+            import hashlib
 
-                gh = hashlib.sha256(repr(keys).encode()).hexdigest()[:16]
-                file_id = f"{run_tag}-{gh}-{start // max_rows_per_file}"
+            gh = hashlib.sha256(repr(keys).encode()).hexdigest()[:16]
+            file_id = f"{run_tag}-{gh}-{start // max_rows_per_file}"
             path = generate_parquet_path(root, table, service, min_ts_us, file_id)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fs, where = _resolve_fs(path)
+            if fs is None:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+            else:
+                fs.create_dir(os.path.dirname(where), recursive=True)
             pq.write_table(
                 _to_golden_arrow(chunk, table),
-                path,
+                where,
+                filesystem=fs,
                 compression="snappy",  # reference golden footers, D23
             )
             records.append({"path": path, "rows": len(chunk), "service": service})

@@ -375,3 +375,68 @@ def test_metrics_native_pure_lane_counts(spark):
         )
         fb = lines.filter(native_json.needs_fallback_metrics(F.col("line"))).count()
         assert (fb > 0) == (expect_fb > 0), fixture
+
+
+def test_big_intvalue_routes_to_fallback(spark):
+    """ADVICE r1: an intValue beyond int64 would null out under Catalyst's
+    long cast (silently dropping the attribute); such lines must take the
+    general codec, which emits the arbitrary-precision integer."""
+    big = 2**63 + 5
+    line = _req(
+        [
+            {
+                "timeUnixNano": "1700000000000000000",
+                "body": {"stringValue": "x"},
+                "attributes": [{"key": "big", "value": {"intValue": str(big)}}],
+            }
+        ]
+    )
+    df = _lines_df(spark, [line])
+    assert df.filter(native_json.needs_fallback(F.col("line"))).count() == 1
+    rows = _rowset(native_json.decode_logs_json_auto(df), COLS)
+    assert rows == _python_rows(spark, df)
+    attrs = rows[0][COLS.index("LogAttributes")]
+    assert str(big) in attrs
+
+
+def _sum_metric_req(temporality):
+    return json.dumps(
+        {
+            "resourceMetrics": [
+                {
+                    "resource": {"attributes": []},
+                    "scopeMetrics": [
+                        {
+                            "scope": {"name": "s"},
+                            "metrics": [
+                                {
+                                    "name": "m",
+                                    "sum": {
+                                        "aggregationTemporality": temporality,
+                                        "isMonotonic": True,
+                                        "dataPoints": [
+                                            {"timeUnixNano": "1700000000000000000", "asInt": "1"}
+                                        ],
+                                    },
+                                }
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+
+
+def test_metrics_native_invalid_temporality_hard_errors(spark):
+    """ADVICE r1: numeric temporality outside {0,1,2} must hard-error on the
+    fast lane exactly like the general codec — not be silently persisted."""
+    bad = _lines_df(spark, [_sum_metric_req(7)])
+    assert bad.filter(native_json.needs_fallback_metrics(F.col("line"))).count() == 0
+    union = native_json.decode_metrics_json_auto(bad)
+    with pytest.raises(Exception, match="temporality"):
+        ingest.metrics_table(union, "sum").collect()
+    ok = _lines_df(spark, [_sum_metric_req(2)])
+    union_ok = native_json.decode_metrics_json_auto(ok)
+    rows = ingest.metrics_table(union_ok, "sum").collect()
+    assert len(rows) == 1 and rows[0].AggregationTemporality == 2

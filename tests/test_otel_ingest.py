@@ -328,3 +328,48 @@ def test_observed_metrics_ride_the_write(spark, landing, tmp_path):
     assert m["records"] == 81 == sum(r.rows for r in acct)
     assert m["min_ts"].year == 2025 and m["max_ts"] >= m["min_ts"]
     assert m["approx_services"] >= 5
+
+
+def test_generate_parquet_path_deterministic_sentinel():
+    """ADVICE r1: with a deterministic file_id, ts<=0 must NOT fall back to
+    now() — a replayed task re-derives the same 1970-sentinel path."""
+    p = writer.generate_parquet_path("/out", "otel_logs", "s", 0, file_id="abc")
+    assert "/year=1970/month=01/day=01/hour=00/" in p
+    assert p.endswith("/0-abc.parquet")
+    assert writer.generate_parquet_path("/out", "otel_logs", "s", 0, file_id="abc") == p
+    # without file_id the reference's now() fallback behavior is preserved
+    p2 = writer.generate_parquet_path("/out", "otel_logs", "s", 0)
+    assert "/year=1970/" not in p2
+
+
+def test_parity_writer_reexecution_idempotent(spark, landing, tmp_path):
+    """ADVICE r1: batch parity writes are task-retry-safe — re-evaluating the
+    accounting frame (== a retried/speculative task) overwrites the same
+    deterministic paths instead of duplicating files."""
+    payloads, _ = ingest.read_landing(spark, str(landing / "traces"))
+    df = ingest.decode_traces(payloads)
+    root = str(tmp_path / "idem")
+    acct = writer.write_partitioned(df, "otel_traces", root)
+    first = sorted(r.path for r in acct.collect())
+    second = sorted(r.path for r in acct.collect())
+    assert first == second
+    on_disk = sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+    assert on_disk == first
+    # distinct plans (runs) still append distinct files
+    writer.write_partitioned(df, "otel_traces", root).collect()
+    assert len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)) == 2 * len(first)
+
+
+def test_parity_writer_file_uri_root(spark, landing, tmp_path):
+    """D24: an object-store-style URI root routes through pyarrow.fs on the
+    executors (file:// stands in for s3:// — same code path)."""
+    payloads, _ = ingest.read_landing(spark, str(landing / "traces"))
+    df = ingest.decode_traces(payloads)
+    root_dir = tmp_path / "uri_root"
+    acct = writer.write_partitioned(df, "otel_traces", f"file://{root_dir}").collect()
+    assert sum(r.rows for r in acct) == df.count() > 0
+    assert all(r.path.startswith("file://") for r in acct)
+    files = list(root_dir.rglob("*.parquet"))
+    assert files
+    back = writer.read_table(spark, f"file://{root_dir}", "otel_traces")
+    assert back.count() == df.count()
