@@ -30,6 +30,12 @@ def _build_parser() -> argparse.ArgumentParser:
     ing = sub.add_parser("ingest", help="batch-ingest a landing directory")
     ing.add_argument("landing_dir")
     ing.add_argument("signal", choices=["logs", "traces", "metrics"])
+    ing.add_argument(
+        "--quarantine",
+        metavar="DIR",
+        help="land invalid payloads (+ typed-reason sidecars) here and "
+        "continue, instead of failing the job (D25)",
+    )
 
     st = sub.add_parser("stream", help="streaming ingest with checkpoints")
     st.add_argument("landing_dir")
@@ -37,6 +43,7 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--trigger-seconds", type=float, default=5.0)
     st.add_argument("--available-now", action="store_true")
+    st.add_argument("--quarantine", metavar="DIR", help="as in ingest --quarantine")
 
     con = sub.add_parser("connect", help="emit client config templates")
     con.add_argument("service")
@@ -100,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.landing_dir,
                 args.signal,
                 max_payload_bytes=cfg.request["max_payload_bytes"],
+                quarantine_dir=args.quarantine,
             )
             summary: dict[str, int] = {}
             for name, df in tables.items():
@@ -115,8 +123,16 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     writer.write_native(df, name, root, max_rows_per_file=cfg.batch["max_rows"])
                     summary[name] = writer.read_table(spark, root, name, layout=layout).count()
+            if "_union" in tables:
+                tables["_union"].unpersist()
             # D27 response-accounting twin
-            print(json.dumps({"written": summary, "output": root}))
+            resp = {"written": summary, "output": root}
+            if args.quarantine:
+                qdf = batch_ingest.read_quarantine(spark, args.quarantine)
+                resp["quarantined"] = {
+                    r.code: r["count"] for r in qdf.groupBy("code").count().collect()
+                }
+            print(json.dumps(resp))
             return 0
 
         from otlp2parquet_spark.streaming.ingest import stream_ingest
@@ -131,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
             trigger_seconds=None if args.available_now else args.trigger_seconds,
             available_now=args.available_now,
             max_rows_per_file=cfg.batch["max_rows"],
+            quarantine_dir=args.quarantine,
         )
         q.awaitTermination()
         return 0

@@ -91,6 +91,62 @@ def _parse_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]
     return otlp_json.parse_request_jsonl(content, signal)
 
 
+# ---------------------------------------------------------------------------
+# Quarantine sink (D25): invalid payloads land in a bad-input dir with a
+# typed reason, and the pipeline continues — the batch twin of the
+# reference's HTTP-400-per-request error model (src/lib.rs:75-117,
+# testdata/invalid/README.md: "invalid data is properly rejected, no silent
+# failures").
+
+
+def _write_quarantine(qdir: str, path: str, content: bytes, err: OtlpDecodeError) -> None:
+    """Executor-side quarantine write: payload copy + error sidecar.
+
+    File names derive deterministically from the source path (content hash
+    when the path is empty, e.g. line-split scans), so a retried or
+    speculative task overwrites its first attempt instead of duplicating."""
+    import hashlib
+    import json as _json
+
+    base = os.path.basename(path) or hashlib.sha256(content).hexdigest()[:16]
+    os.makedirs(qdir, exist_ok=True)
+    with open(os.path.join(qdir, base), "wb") as f:
+        f.write(content)
+    sidecar = {"path": path, "code": err.code, "error": str(err)}
+    with open(os.path.join(qdir, base + ".error.json"), "w") as f:
+        _json.dump(sidecar, f)
+
+
+def read_quarantine(spark: SparkSession, qdir: str) -> DataFrame:
+    """Quarantined payload accounting: (path, code, error) rows from the
+    sidecar files (D25/D27)."""
+    schema = StructType(
+        [
+            StructField("path", StringType(), True),
+            StructField("code", StringType(), True),
+            StructField("error", StringType(), True),
+        ]
+    )
+    import glob
+
+    files = glob.glob(os.path.join(qdir, "*.error.json"))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
+def _handle_decode_error(
+    err: OtlpDecodeError, on_error: str, quarantine_dir: str | None, path: str, content: bytes
+) -> None:
+    if on_error == "raise":
+        raise err
+    if on_error == "quarantine":
+        if not quarantine_dir:
+            raise ValueError("on_error='quarantine' requires quarantine_dir")
+        _write_quarantine(quarantine_dir, path, content, err)
+    # on_error == "skip": drop silently (caller opted out of accounting)
+
+
 def ingest_jsonl_fast(spark: SparkSession, path: str, signal: str = "logs") -> DataFrame:
     """Bulk JSONL logs/traces -> otel table via the pure-Catalyst fast path
     (otel/native_json.py): line-split text scan, from_json decode, automatic
@@ -135,22 +191,24 @@ def read_landing_lines(spark: SparkSession, path: str) -> DataFrame:
 # Logs / traces decode
 
 
-def _decode_simple(signal: str, table: str, on_error: str):
+def _decode_simple(signal: str, table: str, on_error: str, quarantine_dir: str | None = None):
     raw_cols = [f.name for f in schemas.raw_spark_schema(table).fields]
     flat = flatten.flatten_logs if signal == "logs" else flatten.flatten_traces
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict[str, Any]] = []
-            for content, fmt in zip(pdf["content"], pdf["fmt"]):
+            for path, content, fmt in zip(pdf["path"], pdf["content"], pdf["fmt"]):
                 try:
                     for req in _parse_payload(bytes(content), fmt, signal):
                         rows.extend(flat(req))
-                except OtlpDecodeError:
-                    if on_error == "raise":
-                        raise
+                except OtlpDecodeError as e:
+                    _handle_decode_error(e, on_error, quarantine_dir, path, bytes(content))
+            # object dtype on the empty frame: default float64 columns break
+            # Arrow conversion for array-typed schema fields (hit when every
+            # payload in a partition is skipped/quarantined)
             yield pd.DataFrame(rows, columns=raw_cols) if rows else pd.DataFrame(
-                {c: [] for c in raw_cols}
+                {c: pd.Series([], dtype=object) for c in raw_cols}
             )
 
     return fn
@@ -171,16 +229,22 @@ def finalize(raw_df: DataFrame, table: str) -> DataFrame:
     return raw_df.select(*cols)
 
 
-def decode_logs(payloads: DataFrame, on_error: str = "raise") -> DataFrame:
+def decode_logs(
+    payloads: DataFrame, on_error: str = "raise", quarantine_dir: str | None = None
+) -> DataFrame:
     raw = payloads.mapInPandas(
-        _decode_simple("logs", "otel_logs", on_error), schemas.raw_spark_schema("otel_logs")
+        _decode_simple("logs", "otel_logs", on_error, quarantine_dir),
+        schemas.raw_spark_schema("otel_logs"),
     )
     return finalize(raw, "otel_logs")
 
 
-def decode_traces(payloads: DataFrame, on_error: str = "raise") -> DataFrame:
+def decode_traces(
+    payloads: DataFrame, on_error: str = "raise", quarantine_dir: str | None = None
+) -> DataFrame:
     raw = payloads.mapInPandas(
-        _decode_simple("traces", "otel_traces", on_error), schemas.raw_spark_schema("otel_traces")
+        _decode_simple("traces", "otel_traces", on_error, quarantine_dir),
+        schemas.raw_spark_schema("otel_traces"),
     )
     return finalize(raw, "otel_traces")
 
@@ -213,13 +277,15 @@ def _metrics_union_schema() -> StructType:
 METRICS_UNION_SCHEMA = _metrics_union_schema()
 
 
-def _decode_metrics_fn(on_error: str):
+def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str | None = None):
     union_cols = [f.name for f in METRICS_UNION_SCHEMA.fields]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict[str, Any]] = []
-            for content, fmt in zip(pdf["content"], pdf["fmt"]):
+            for path, content, fmt in zip(pdf["path"], pdf["content"], pdf["fmt"]):
+                if decode_counter is not None:
+                    decode_counter.add(1)
                 try:
                     for req in _parse_payload(bytes(content), fmt, "metrics"):
                         per_type, skipped = flatten.flatten_metrics(req)
@@ -234,21 +300,30 @@ def _decode_metrics_fn(on_error: str):
                             if cnt:
                                 r = {"MetricType": _SKIP_TAG, "SkipReason": reason, "SkipCount": cnt}
                                 rows.append({c: r.get(c) for c in union_cols})
-                except OtlpDecodeError:
-                    if on_error == "raise":
-                        raise
+                except OtlpDecodeError as e:
+                    _handle_decode_error(e, on_error, quarantine_dir, path, bytes(content))
             yield (
                 pd.DataFrame(rows, columns=union_cols)
                 if rows
-                else pd.DataFrame({c: [] for c in union_cols})
+                else pd.DataFrame({c: pd.Series([], dtype=object) for c in union_cols})
             )
 
     return fn
 
 
-def decode_metrics_union(payloads: DataFrame, on_error: str = "raise") -> DataFrame:
-    """One decode pass over metrics payloads -> tagged union DataFrame."""
-    return payloads.mapInPandas(_decode_metrics_fn(on_error), METRICS_UNION_SCHEMA)
+def decode_metrics_union(
+    payloads: DataFrame,
+    on_error: str = "raise",
+    decode_counter=None,
+    quarantine_dir: str | None = None,
+) -> DataFrame:
+    """One decode pass over metrics payloads -> tagged union DataFrame.
+
+    `decode_counter` (a SparkContext accumulator) counts payload decodes —
+    used by tests to prove the fan-out runs exactly one decode job."""
+    return payloads.mapInPandas(
+        _decode_metrics_fn(on_error, decode_counter, quarantine_dir), METRICS_UNION_SCHEMA
+    )
 
 
 def metrics_table(union_df: DataFrame, metric_type: str) -> DataFrame:
@@ -321,24 +396,44 @@ def ingest_directory(
     *,
     max_payload_bytes: int = DEFAULT_MAX_PAYLOAD_BYTES,
     on_error: str = "raise",
+    decode_counter=None,
+    quarantine_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end decode of a landing dir for one signal.
 
     Returns {table_name: DataFrame} (metrics contribute 4 tables + a
-    '_skipped' accounting frame).
-    """
+    '_skipped' accounting frame). The metrics union frame is persisted so
+    the 5-way fan-out (4 table writes + skip accounting) runs ONE decode
+    job, mirroring streaming/ingest.py's micro-batch persist; it is exposed
+    as '_union' so callers can unpersist after their actions complete.
+
+    Passing `quarantine_dir` switches on_error to 'quarantine': invalid
+    payloads + typed-reason sidecars land in the bad-input dir while the
+    pipeline continues (D25)."""
+    if quarantine_dir:
+        on_error = "quarantine"
     payloads, rejected = read_landing(spark, landing_dir, max_payload_bytes=max_payload_bytes)
     if signal == "logs":
-        return {"otel_logs": decode_logs(payloads, on_error), "_rejected": rejected}
+        return {
+            "otel_logs": decode_logs(payloads, on_error, quarantine_dir),
+            "_rejected": rejected,
+        }
     if signal == "traces":
-        return {"otel_traces": decode_traces(payloads, on_error), "_rejected": rejected}
+        return {
+            "otel_traces": decode_traces(payloads, on_error, quarantine_dir),
+            "_rejected": rejected,
+        }
     if signal == "metrics":
-        union_df = decode_metrics_union(payloads, on_error)
+        from pyspark import StorageLevel
+
+        union_df = decode_metrics_union(payloads, on_error, decode_counter, quarantine_dir)
+        union_df = union_df.persist(StorageLevel.MEMORY_AND_DISK)
         out: dict[str, DataFrame] = {
             schemas.METRIC_TABLES[t]: metrics_table(union_df, t)
             for t in schemas.PERSISTED_METRIC_TYPES
         }
         out["_skipped"] = skipped_metrics(union_df)
         out["_rejected"] = rejected
+        out["_union"] = union_df
         return out
     raise ValueError(f"unknown signal: {signal}")

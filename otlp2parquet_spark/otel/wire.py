@@ -20,7 +20,43 @@ from typing import Any
 
 class OtlpDecodeError(ValueError):
     """Invalid OTLP payload — the reference hard-errors with HTTP 400
-    (reference src/lib.rs:75-117, testdata/invalid/README.md)."""
+    (reference src/lib.rs:75-117, testdata/invalid/README.md).
+
+    `code` is a typed reason for programmatic handling (the quarantine
+    sink records it; twin of the reference's E-coded WriterError,
+    src/writer/error.rs:7-28). Derived from the message when not given."""
+
+    def __init__(self, message: str, code: str | None = None):
+        super().__init__(message)
+        self.code = code or _classify_decode_error(message)
+
+
+_DECODE_ERROR_CODES = (
+    # (code, message-substring) — first match wins; substrings cover every
+    # raise site in wire.py / otlp_json.py / flatten.py
+    ("E-JSON", "malformed JSON"),
+    ("E-PB", "malformed protobuf"),
+    ("E-PB", "truncated"),
+    ("E-PB", "varint"),
+    ("E-PB", "wire type"),
+    ("E-PB", "packed field"),
+    ("E-PB", "invalid utf-8"),
+    ("E-ID", "id encoding"),
+    ("E-ID", "Id length"),
+    ("E-ENUM-KIND", "span kind"),
+    ("E-ENUM-STATUS", "status code"),
+    ("E-ENUM-TEMPORALITY", "temporality"),
+    ("E-ENUM", "enum variant"),
+    ("E-VALUE", "bad "),
+    ("E-SHAPE", "expected "),
+)
+
+
+def _classify_decode_error(message: str) -> str:
+    for code, needle in _DECODE_ERROR_CODES:
+        if needle in message:
+            return code
+    return "E-DECODE"
 
 
 # ---------------------------------------------------------------------------

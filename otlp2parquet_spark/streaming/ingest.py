@@ -87,6 +87,7 @@ def stream_ingest(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
     max_rows_per_file: int = writer.DEFAULT_MAX_ROWS_PER_FILE,
+    quarantine_dir: str | None = None,
 ):
     """Landing dir -> decoded -> partitioned Parquet, continuously.
 
@@ -101,14 +102,17 @@ def stream_ingest(
         spark, landing_dir, max_files_per_trigger=max_files_per_trigger
     )
 
+    # a poison payload must not kill the long-running query: with a
+    # quarantine dir the bad input lands there (D25), otherwise fail loudly
+    on_error = "quarantine" if quarantine_dir else "raise"
     if signal == "logs":
-        decoded = ingest.decode_logs(payloads)
+        decoded = ingest.decode_logs(payloads, on_error, quarantine_dir)
         tables = {"otel_logs": decoded}
     elif signal == "traces":
-        decoded = ingest.decode_traces(payloads)
+        decoded = ingest.decode_traces(payloads, on_error, quarantine_dir)
         tables = {"otel_traces": decoded}
     elif signal == "metrics":
-        union_df = ingest.decode_metrics_union(payloads)
+        union_df = ingest.decode_metrics_union(payloads, on_error, quarantine_dir=quarantine_dir)
         tables = None  # split inside foreachBatch (one decode pass per batch)
         decoded = union_df
     else:

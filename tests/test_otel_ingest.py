@@ -373,3 +373,67 @@ def test_parity_writer_file_uri_root(spark, landing, tmp_path):
     assert files
     back = writer.read_table(spark, f"file://{root_dir}", "otel_traces")
     assert back.count() == df.count()
+
+
+def test_metrics_fanout_single_decode_job(spark, landing):
+    """The 5-way metrics fan-out (4 table counts + skip accounting) must run
+    ONE decode pass over the payloads — the union frame is persisted inside
+    ingest_directory, mirroring the streaming micro-batch persist."""
+    n_payloads = len(
+        [p for p in (landing / "metrics").iterdir() if p.suffix in (".pb", ".json", ".jsonl")]
+    )
+    counter = spark.sparkContext.accumulator(0)
+    out = ingest.ingest_directory(
+        spark, str(landing / "metrics"), "metrics", decode_counter=counter
+    )
+    for name, df in out.items():
+        if name != "_union":
+            df.count()  # one action per consumer, like the CLI write loop
+    assert out["_union"].is_cached
+    assert counter.value == n_payloads > 0
+    out["_union"].unpersist()
+
+
+INVALID_TD = "/root/reference/testdata/invalid"
+
+
+def test_quarantine_invalid_corpus(spark, tmp_path):
+    """D25: the reference's invalid corpus (testdata/invalid/README.md) lands
+    in the quarantine dir with typed reasons; valid payloads still decode and
+    the pipeline continues (no raise)."""
+    cases = {
+        "logs": {"log_invalid_severity.json": "E-ENUM", "malformed.json": "E-JSON"},
+        "traces": {
+            "trace_invalid_base64.json": "E-ID",
+            "trace_invalid_kind.json": "E-ENUM",
+            "trace_mixed_encoding.json": "E-ID",
+        },
+        "metrics": {"metrics_invalid_temporality.json": "E-ENUM-TEMPORALITY"},
+    }
+    valid = {"logs": "log.json", "traces": "traces.pb", "metrics": "metrics_gauge.pb"}
+    for sig, bad in cases.items():
+        d = tmp_path / sig
+        d.mkdir()
+        shutil.copy(f"{TD}/{valid[sig]}", d / valid[sig])
+        for f in bad:
+            shutil.copy(f"{INVALID_TD}/{f}", d / f)
+        qdir = str(tmp_path / f"quarantine_{sig}")
+        out = ingest.ingest_directory(spark, str(d), sig, quarantine_dir=qdir)
+        # valid payloads decode; invalid ones are absent, pipeline continues
+        total = sum(df.count() for name, df in out.items() if not name.startswith("_"))
+        assert total > 0
+        q = {r.path.split("/")[-1]: r.code for r in ingest.read_quarantine(spark, qdir).collect()}
+        assert q == bad, sig
+        # payload copy + sidecar both present, deterministically named
+        for f in bad:
+            assert (tmp_path / f"quarantine_{sig}" / f).exists()
+            assert (tmp_path / f"quarantine_{sig}" / (f + ".error.json")).exists()
+        if "_union" in out:
+            out["_union"].unpersist()
+
+
+def test_quarantine_requires_dir():
+    with pytest.raises(ValueError, match="quarantine_dir"):
+        ingest._handle_decode_error(
+            wire.OtlpDecodeError("x"), "quarantine", None, "p", b""
+        )
