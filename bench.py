@@ -5,9 +5,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 
 Protocol (BASELINE.md): per query, best of 2 consecutive runs (the first run
 pays JVM/codegen warmup; the second is the steady-state number a resident
-cluster would see). Results are forced with a count()-style full materialize
-(collect on aggregates is small; row-heavy outputs are counted instead to
-avoid measuring driver serialization).
+cluster would see). Results are forced with a `noop`-format write: unlike
+count(), Catalyst cannot prune computed columns under it, so map-only
+queries measure their projections, not just the scan — and nothing crosses
+back to the driver. The machine's 1-minute load average is recorded
+alongside (BASELINE.md's load-sensitivity note: ingest anchors drop >3x at
+load avg ~7, so numbers are only comparable at similar load).
 """
 
 from __future__ import annotations
@@ -106,6 +109,7 @@ def _ingest_metrics(spark) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = os.getloadavg()[0]  # ambient load, before Spark spins up
     spark = get_spark(app_name="otlp2parquet-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
@@ -118,8 +122,10 @@ def main() -> None:
         best = float("inf")
         for _ in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
-            # count() forces the full plan; AQE still executes every stage
-            specs[name].build(spark, sf_dir).count()
+            # noop write: full materialization of every output column
+            # (count() lets Catalyst prune computed columns), zero driver
+            # transfer, zero disk
+            specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
@@ -129,12 +135,17 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall sec (best-of-2 per query)",
+                "metric": "headline suite wall sec (best-of-2 per query, noop-write forced)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **ingest_metrics,
+                # context for cross-round comparability (BASELINE.md
+                # load-sensitivity note): ambient 1m load before Spark
+                # started, and after the suite (includes our own burn)
+                "load_avg_1m_start": round(load_start, 2),
+                "load_avg_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )

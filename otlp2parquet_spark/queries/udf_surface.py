@@ -43,6 +43,54 @@ def _group_size(qty: pd.Series) -> int:
     return len(qty)
 
 
+@pandas_udf(DoubleType())
+def _charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    """U1 scalar kernel: whole Arrow batches as pandas Series, vectorized
+    numpy arithmetic, no per-row Python. The op order matches the oracle's
+    left-to-right evaluation exactly, so the doubles are bit-identical
+    (pure +,*: no transcendental / rounding divergence between engines)."""
+    return price * (1.0 - disc) * (1.0 + tax)
+
+
+@query(
+    "u1_scalar_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CASE WHEN l_extendedprice * (1 - l_discount) * (1 + l_tax) >= 80000
+                THEN 'high'
+                WHEN l_extendedprice * (1 - l_discount) * (1 + l_tax) >= 30000
+                THEN 'mid'
+                ELSE 'low' END AS band
+    FROM lineitem
+    WHERE l_quantity > 45
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("U1",),
+)
+def u1_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: scalar pandas UDF in a projection — Arrow-batched columnar
+    transfer, one Python worker per partition, banding done JVM-side on the
+    UDF's output so only the kernel itself leaves the JVM."""
+    li = T(spark, sf_dir, "lineitem")
+    charge = _charge("l_extendedprice", "l_discount", "l_tax")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            charge.alias("charge"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("charge") >= 80000, "high")
+            .when(F.col("charge") >= 30000, "mid")
+            .otherwise("low"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 @query(
     "u3_grouped_agg_pandas_udf",
     oracle="""
