@@ -49,6 +49,10 @@ def _build_parser() -> argparse.ArgumentParser:
     con.add_argument("service")
     con.add_argument("--url", default=None)
 
+    srv = sub.add_parser("serve", help="run the out-of-engine HTTP receiver (D1)")
+    srv.add_argument("landing_root")
+    srv.add_argument("--host", default="0.0.0.0")
+
     sub.add_parser("validate-config", help="load, validate and print config")
     return p
 
@@ -88,6 +92,28 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "validate-config":
         print(json.dumps(cfg.__dict__, indent=2, default=str))
+        return 0
+
+    if args.command == "serve":
+        from otlp2parquet_spark.otel import receiver
+
+        srv = receiver.make_server(
+            args.landing_root,
+            args.host,
+            cfg.server["port"],
+            max_payload_bytes=cfg.request["max_payload_bytes"],
+            quiet=False,
+        )
+        print(
+            f"listening on {args.host}:{srv.server_address[1]}, "
+            f"landing -> {args.landing_root}"
+        )
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.server_close()
         return 0
 
     if args.command in ("ingest", "stream"):
