@@ -254,45 +254,68 @@ _CLUSTER_EDGE_THRESHOLD = 0.02  # low bar so fixture chains span >1 hop
 )
 def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components over the Jaccard
-    candidate graph via iterative min-label propagation — the survivorship
-    step of a corpus-dedup pipeline (each cluster keeps `cluster_id` = its
-    smallest doc_id).
+    candidate graph — the survivorship step of a corpus-dedup pipeline
+    (each cluster keeps `cluster_id` = its smallest doc_id).
 
-    Iterative DataFrame algorithm (non-SQL-expressible in one query; the
-    DuckDB twin is a recursive CTE): labels start as doc_id; each round every
-    node takes min(label, neighbors' labels); `localCheckpoint` truncates the
-    growing lineage per round; converges in O(component diameter) rounds.
-    At corpus scale the same loop is run with the large-star/small-star
-    optimization; the propagation join shuffles on node id either way."""
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm):
+    each round is two groupBy-node shuffles over the EDGE list only, and
+    the edge set converges to a star forest (every node -> its component
+    min) in O(log^2 n) rounds — vs O(component diameter) for plain
+    min-label propagation, whose giant-component chains make it the
+    scale-killer at corpus size. No per-node label table is carried
+    between rounds, so skew concentrates only on true hub nodes and AQE
+    splits those shuffle partitions. Non-SQL-expressible (iterative); the
+    DuckDB twin is a recursive reachability CTE."""
     d = T(spark, sf_dir, "documents")
-    edges = jaccard_pairs(spark, sf_dir, _CLUSTER_EDGE_THRESHOLD)
-    bidir = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()  # edge set is reused every round: cut it off the gram pipeline
-    labels = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
-    for _ in range(25):  # >= max component diameter; fixture graphs need ~3
-        neighbor_min = (
-            bidir.join(labels, bidir.doc_b == labels.node)
-            .groupBy(F.col("doc_a").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
+    # star edges always point (hi -> lo); seed by canonicalizing the pairs
+    E = (
+        jaccard_pairs(spark, sf_dir, _CLUSTER_EDGE_THRESHOLD)
+        .select(
+            F.greatest("doc_a", "doc_b").alias("hi"), F.least("doc_a", "doc_b").alias("lo")
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
-            )
-        ).localCheckpoint()
-        changed = updated.filter(F.col("new_label") != F.col("label")).count()
-        labels = updated.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
+        .distinct()
+        .localCheckpoint()  # reused every round: cut off the gram pipeline
+    )
+    prev_sig = None
+    for _ in range(15):  # log^2 bound; fixture graphs settle in ~3
+        # large-star: every neighbor v > u links to m = min(N(u) u {u})
+        bidir = E.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            E.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        E = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star: u and its smaller neighbors all link to their min
+        mins2 = E.groupBy(F.col("hi").alias("u")).agg(F.min("lo").alias("m"))
+        lows = (
+            E.join(mins2, E.hi == F.col("u"))
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        his = mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+        E = lows.union(his).distinct().localCheckpoint()
+        # converged when the edge set is stable: (count, order-free checksum)
+        sig = E.agg(
+            F.count("*").alias("n"),
+            # decimal accumulation: a long sum of xxhash64 overflows ANSI
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
             break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+        prev_sig = sig
+    # star forest: hi -> component min; isolated docs label themselves
+    return (
+        d.select("doc_id")
+        .join(E, d.doc_id == E.hi, "left")
+        .select("doc_id", F.coalesce(F.col("lo"), F.col("doc_id")).alias("cluster_id"))
+        .orderBy("doc_id")
+    )
 
 
 # --- MinHash + LSH ---------------------------------------------------------

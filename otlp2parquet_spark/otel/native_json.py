@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -580,6 +581,37 @@ _NUMBER_DP = StructType(
         StructField("attributes", ArrayType(_KV)),
     ]
 )
+# proto3 JSON maps (u)int64 to strings; Jackson also tolerates bare numbers
+# into StringType, so count-like fields read as text and cast("long") later
+_HIST_DP = StructType(
+    [
+        StructField("timeUnixNano", StringType()),
+        StructField("attributes", ArrayType(_KV)),
+        StructField("count", StringType()),
+        StructField("sum", DoubleType()),
+        StructField("bucketCounts", ArrayType(StringType())),
+        StructField("explicitBounds", ArrayType(DoubleType())),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+    ]
+)
+_EXP_BUCKETS = StructType(
+    [StructField("offset", IntegerType()), StructField("bucketCounts", ArrayType(StringType()))]
+)
+_EXP_HIST_DP = StructType(
+    [
+        StructField("timeUnixNano", StringType()),
+        StructField("attributes", ArrayType(_KV)),
+        StructField("count", StringType()),
+        StructField("sum", DoubleType()),
+        StructField("scale", IntegerType()),
+        StructField("zeroCount", StringType()),
+        StructField("positive", _EXP_BUCKETS),
+        StructField("negative", _EXP_BUCKETS),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+    ]
+)
 _METRIC = StructType(
     [
         StructField("name", StringType()),
@@ -595,6 +627,11 @@ _METRIC = StructType(
                     StructField("isMonotonic", BooleanType()),
                 ]
             ),
+        ),
+        StructField("histogram", StructType([StructField("dataPoints", ArrayType(_HIST_DP))])),
+        StructField(
+            "exponentialHistogram",
+            StructType([StructField("dataPoints", ArrayType(_EXP_HIST_DP))]),
         ),
     ]
 )
@@ -634,9 +671,7 @@ METRICS_FALLBACK_MARKERS = (
     '"kvlistValue"',
     '"bytesValue"',
     '"doubleValue"',
-    # non-number metric kinds -> general codec (incl. skip accounting)
-    '"histogram"',
-    '"exponentialHistogram"',
+    # summary points need the Python skip counters (skipped.summaries)
     '"summary"',
     # NaN/Inf values need the Python skip counters
     "NaN",
@@ -726,9 +761,77 @@ def _number_rows(sm_df, kind: str):
     )
 
 
+def _metric_prefix_cols(kind: str):
+    """The shared 9-column metrics prefix (§1.3.6: service.* stays in
+    ResourceAttributes) + MetricType tag."""
+    return [
+        F.expr("CAST(coalesce(CAST(dp.timeUnixNano AS LONG), 0L) div 1000 AS LONG)").alias(
+            "Timestamp"
+        ),
+        F.coalesce(F.col("svc"), F.lit("")).alias("ServiceName"),
+        _attrs_to_json(F.col("rattrs")).alias("ResourceAttributes"),
+        F.nullif(F.col("scope.name"), F.lit("")).alias("ScopeName"),
+        F.nullif(F.col("scope.version"), F.lit("")).alias("ScopeVersion"),
+        F.coalesce(F.col("m.name"), F.lit("")).alias("MetricName"),
+        F.nullif(F.col("m.description"), F.lit("")).alias("MetricDescription"),
+        F.nullif(F.col("m.unit"), F.lit("")).alias("MetricUnit"),
+        _attrs_to_json(F.col("dp.attributes")).alias("Attributes"),
+        F.lit(kind).alias("MetricType"),
+    ]
+
+
+def _counts_to_longs(col: Column) -> Column:
+    """uint64-as-string bucket counts -> array<long> ([] when absent, like
+    flatten's `[int(c) for c in dp.get(..., [])]`)."""
+    return F.coalesce(
+        F.transform(col, lambda c: c.cast("long")), F.array().cast("array<long>")
+    )
+
+
+def _histogram_rows(sm_df):
+    """Explode histogram metrics to union-frame rows (flatten.py:262-273
+    parity: count/sum default 0, bucket arrays default empty, min/max null)."""
+    m = sm_df.filter(F.col("m.histogram").isNotNull())
+    dp = m.select("rattrs", "svc", "scope", "m", F.explode("m.histogram.dataPoints").alias("dp"))
+    return dp.select(
+        *_metric_prefix_cols("histogram"),
+        F.coalesce(F.col("dp.count").cast("long"), F.lit(0)).alias("Count"),
+        F.coalesce(F.col("dp.sum"), F.lit(0.0)).alias("Sum"),
+        _counts_to_longs(F.col("dp.bucketCounts")).alias("BucketCounts"),
+        F.coalesce(F.col("dp.explicitBounds"), F.array().cast("array<double>")).alias(
+            "ExplicitBounds"
+        ),
+        F.col("dp.min").alias("Min"),
+        F.col("dp.max").alias("Max"),
+    )
+
+
+def _exp_histogram_rows(sm_df):
+    """Explode exponentialHistogram metrics to union-frame rows
+    (flatten.py:274-292 parity)."""
+    m = sm_df.filter(F.col("m.exponentialHistogram").isNotNull())
+    dp = m.select(
+        "rattrs", "svc", "scope", "m", F.explode("m.exponentialHistogram.dataPoints").alias("dp")
+    )
+    return dp.select(
+        *_metric_prefix_cols("exponential_histogram"),
+        F.coalesce(F.col("dp.count").cast("long"), F.lit(0)).alias("Count"),
+        F.coalesce(F.col("dp.sum"), F.lit(0.0)).alias("Sum"),
+        F.coalesce(F.col("dp.scale"), F.lit(0)).alias("Scale"),
+        F.coalesce(F.col("dp.zeroCount").cast("long"), F.lit(0)).alias("ZeroCount"),
+        F.coalesce(F.col("dp.positive.offset"), F.lit(0)).alias("PositiveOffset"),
+        _counts_to_longs(F.col("dp.positive.bucketCounts")).alias("PositiveBucketCounts"),
+        F.coalesce(F.col("dp.negative.offset"), F.lit(0)).alias("NegativeOffset"),
+        _counts_to_longs(F.col("dp.negative.bucketCounts")).alias("NegativeBucketCounts"),
+        F.col("dp.min").alias("Min"),
+        F.col("dp.max").alias("Max"),
+    )
+
+
 def decode_metrics_json_native(lines: DataFrame, line_col: str = "line") -> DataFrame:
-    """One OTLP/JSON metrics export request per row -> gauge/sum rows in the
-    metrics-union layout (ingest.METRICS_UNION_SCHEMA columns)."""
+    """One OTLP/JSON metrics export request per row -> gauge/sum/histogram/
+    exponential-histogram rows in the metrics-union layout
+    (ingest.METRICS_UNION_SCHEMA columns)."""
     from otlp2parquet_spark.otel import ingest as ing
 
     parsed = lines.select(
@@ -744,19 +847,31 @@ def decode_metrics_json_native(lines: DataFrame, line_col: str = "line") -> Data
         F.explode("sm.metrics").alias("m"),
     )
     sm = sm.withColumn("svc", _attr_lookup(F.col("rattrs"), "service.name"))
-    rows = _number_rows(sm, "gauge").unionAll(_number_rows(sm, "sum"))
-    # project to the union schema (absent type-specific columns -> NULL)
-    cols = []
-    have = set(rows.columns)
-    for f in ing.METRICS_UNION_SCHEMA.fields:
-        if f.name in have:
-            c = F.col(f.name)
-            from pyspark.sql.types import ArrayType as _AT
 
-            cols.append((c if isinstance(f.dataType, _AT) else c.cast(f.dataType)).alias(f.name))
-        else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return rows.select(*cols)
+    def to_union(rows: DataFrame) -> DataFrame:
+        # project to the union schema (absent type-specific columns -> NULL)
+        cols = []
+        have = set(rows.columns)
+        for f in ing.METRICS_UNION_SCHEMA.fields:
+            if f.name in have:
+                c = F.col(f.name)
+                cols.append(
+                    (c if isinstance(f.dataType, ArrayType) else c.cast(f.dataType)).alias(f.name)
+                )
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return rows.select(*cols)
+
+    parts = [
+        to_union(_number_rows(sm, "gauge")),
+        to_union(_number_rows(sm, "sum")),
+        to_union(_histogram_rows(sm)),
+        to_union(_exp_histogram_rows(sm)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def decode_metrics_json_auto(lines: DataFrame, line_col: str = "line") -> DataFrame:

@@ -342,7 +342,15 @@ def test_property_native_logs_equals_python(spark, trees):
 
 
 @pytest.mark.parametrize(
-    "fixture", ["metrics_gauge", "metrics_sum", "metrics_mixed", "metrics_histogram", "metrics_summary"]
+    "fixture",
+    [
+        "metrics_gauge",
+        "metrics_sum",
+        "metrics_mixed",
+        "metrics_histogram",
+        "metrics_exponential_histogram",
+        "metrics_summary",
+    ],
 )
 def test_metrics_native_matches_python(spark, fixture):
     lines = (
@@ -366,8 +374,14 @@ def test_metrics_native_matches_python(spark, fixture):
 
 
 def test_metrics_native_pure_lane_counts(spark):
-    """Gauge/sum-only payloads stay fully on the native lane."""
-    for fixture, expect_fb in [("metrics_gauge", 0), ("metrics_summary", 1)]:
+    """Gauge/sum/histogram/exp-histogram payloads stay fully on the native
+    lane; only summaries (Python skip counters) route to the general codec."""
+    for fixture, expect_fb in [
+        ("metrics_gauge", 0),
+        ("metrics_histogram", 0),
+        ("metrics_exponential_histogram", 0),
+        ("metrics_summary", 1),
+    ]:
         lines = (
             spark.read.text(f"{TD}/{fixture}.jsonl")
             .filter(F.length(F.trim("value")) > 0)
