@@ -8,6 +8,8 @@ import shutil
 import duckdb
 import pytest
 
+from pyspark.sql import functions as F
+
 from otlp2parquet_spark.otel import ingest, writer
 from otlp2parquet_spark.queries import otel as oq
 
@@ -142,3 +144,33 @@ def test_q11_partition_pruning_native(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "service" in plan
     assert pruned.count() > 0
+
+
+def test_q12_data_filter_pushdown_and_projection(spark, tmp_path):
+    """Q12 (docs/querying.md:166-184): data filters reach the parquet scan
+    (PushedFilters) and the projection prunes columns (ReadSchema), for both
+    a severity predicate and a timestamp range."""
+    import shutil as sh
+
+    landing = tmp_path / "l12"
+    landing.mkdir()
+    sh.copy(f"{TD}/logs.pb", landing / "logs.pb")
+    p, _ = ingest.read_landing(spark, str(landing))
+    root = str(tmp_path / "native12")
+    writer.write_native(ingest.decode_logs(p), "otel_logs", root)
+    back = writer.read_table(spark, root, "otel_logs", layout="native")
+
+    q = back.filter(F.col("SeverityText") == "ERROR").select("ServiceName", "Timestamp", "Body")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "SeverityText" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("ServiceName", "Timestamp", "Body", "SeverityText"):
+        assert col in read_schema
+    assert "LogAttributes" not in read_schema  # untouched wide column pruned
+
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    q2 = back.filter(F.col("Timestamp") >= ts).select("Timestamp")
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan2 and "Timestamp" in plan2.split("PushedFilters")[1][:200]
