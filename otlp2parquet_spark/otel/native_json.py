@@ -569,9 +569,12 @@ def decode_traces_json_auto(lines: DataFrame, line_col: str = "line") -> DataFra
 
 
 # ---------------------------------------------------------------------------
-# Metrics fast path: gauge + sum number points (the dominant metric volume —
-# counters and gauges). Histogram / exponential-histogram / summary payloads
-# route to the general codec: their array-heavy oneofs are rare in JSON form.
+# Metrics fast path: all five metric shapes (gauge/sum number points,
+# histogram, exponential histogram, summary) decode pure-Catalyst, including
+# the skipped.{summaries,missing_values,nan_values,infinity_values} counters,
+# which ride the same union frame as `MetricType='skipped'` rows. Only
+# payloads with complex attribute values / escape-sensitive text / snake_case
+# keys / literal NaN-Infinity tokens route to the general Python codec.
 
 _NUMBER_DP = StructType(
     [
@@ -612,6 +615,18 @@ _EXP_HIST_DP = StructType(
         StructField("max", DoubleType()),
     ]
 )
+_QUANTILE = StructType(
+    [StructField("quantile", DoubleType()), StructField("value", DoubleType())]
+)
+_SUMMARY_DP = StructType(
+    [
+        StructField("timeUnixNano", StringType()),
+        StructField("attributes", ArrayType(_KV)),
+        StructField("count", StringType()),
+        StructField("sum", DoubleType()),
+        StructField("quantileValues", ArrayType(_QUANTILE)),
+    ]
+)
 _METRIC = StructType(
     [
         StructField("name", StringType()),
@@ -633,6 +648,7 @@ _METRIC = StructType(
             "exponentialHistogram",
             StructType([StructField("dataPoints", ArrayType(_EXP_HIST_DP))]),
         ),
+        StructField("summary", StructType([StructField("dataPoints", ArrayType(_SUMMARY_DP))])),
     ]
 )
 METRICS_REQUEST_SCHEMA = StructType(
@@ -669,13 +685,12 @@ METRICS_FALLBACK_MARKERS = (
     "\\U00",
     '"arrayValue"',
     '"kvlistValue"',
+    # NOTE: no NaN/Infinity markers — Jackson parses the literal tokens
+    # (allowNonNumericNumbers) exactly like Python's json, and _number_rows'
+    # native skip lane counts nan/infinity/missing values; a NaN inside an
+    # attribute double still routes via the "doubleValue" marker below
     '"bytesValue"',
     '"doubleValue"',
-    # summary points need the Python skip counters (skipped.summaries)
-    '"summary"',
-    # NaN/Inf values need the Python skip counters
-    "NaN",
-    "Infinity",
     # snake_case payloads
     "resource_metrics",
     "scope_metrics",
@@ -720,10 +735,17 @@ def _number_rows(sm_df, kind: str):
         ),
         F.explode(F.col(f"m.{kind}.dataPoints")).alias("dp"),
     )
-    # as_double wins the oneof when both appear; as_int coerced to double;
-    # neither present -> the general codec counts it, but this shape can't
-    # reach here textually without asInt/asDouble — drop defensively
+    # as_double wins the oneof when both appear; as_int coerced to double
     val = F.coalesce(F.col("dp.asDouble"), F.col("dp.asInt").cast("double"))
+    # flatten._number_points parity (flatten.py:326-339): a valueless /
+    # NaN / infinite point becomes a skipped.* counter row instead of a
+    # data row — same frame, so the payload is still parsed exactly once
+    skip_reason = (
+        F.when(val.isNull(), F.lit("missing_values"))
+        .when(F.isnan(val), F.lit("nan_values"))
+        .when(F.abs(val) == F.lit(float("inf")), F.lit("infinity_values"))
+    )
+    keep = lambda c: F.when(skip_reason.isNull(), c)  # noqa: E731
     temp_num = F.when(F.col("temp_raw").rlike("^[0-9]+$"), F.col("temp_raw").cast("int"))
     temp_named = F.try_element_at(
         F.create_map(*[F.lit(x) for kv in _TEMPORALITY.items() for x in kv]), F.col("temp_raw")
@@ -739,44 +761,53 @@ def _number_rows(sm_df, kind: str):
     temp_checked = F.assert_true(
         temp_ok, F.concat(F.lit("invalid aggregation temporality: "), F.col("temp_raw"))
     )
-    return dp.filter(val.isNotNull()).select(
-        F.expr("CAST(coalesce(CAST(dp.timeUnixNano AS LONG), 0L) div 1000 AS LONG)").alias(
-            "Timestamp"
-        ),
-        F.coalesce(F.col("svc"), F.lit("")).alias("ServiceName"),
+    return dp.select(
+        keep(
+            F.expr("CAST(coalesce(CAST(dp.timeUnixNano AS LONG), 0L) div 1000 AS LONG)")
+        ).alias("Timestamp"),
+        keep(F.coalesce(F.col("svc"), F.lit(""))).alias("ServiceName"),
         # metrics KEEP service.* inside ResourceAttributes (§1.3.6)
-        _attrs_to_json(F.col("rattrs")).alias("ResourceAttributes"),
-        F.nullif(F.col("scope.name"), F.lit("")).alias("ScopeName"),
-        F.nullif(F.col("scope.version"), F.lit("")).alias("ScopeVersion"),
-        F.coalesce(F.col("mname"), F.lit("")).alias("MetricName"),
-        F.nullif(F.col("mdesc"), F.lit("")).alias("MetricDescription"),
-        F.nullif(F.col("munit"), F.lit("")).alias("MetricUnit"),
-        _attrs_to_json(F.col("dp.attributes")).alias("Attributes"),
-        val.alias("Value"),
-        F.when(temp_checked.isNull(), F.coalesce(temp_num, temp_named, F.lit(0))).alias(
-            "AggregationTemporality"
-        ),
-        F.col("IsMonotonic"),
-        F.lit(kind).alias("MetricType"),
+        keep(_attrs_to_json(F.col("rattrs"))).alias("ResourceAttributes"),
+        keep(F.nullif(F.col("scope.name"), F.lit(""))).alias("ScopeName"),
+        keep(F.nullif(F.col("scope.version"), F.lit(""))).alias("ScopeVersion"),
+        keep(F.coalesce(F.col("mname"), F.lit(""))).alias("MetricName"),
+        keep(F.nullif(F.col("mdesc"), F.lit(""))).alias("MetricDescription"),
+        keep(F.nullif(F.col("munit"), F.lit(""))).alias("MetricUnit"),
+        keep(_attrs_to_json(F.col("dp.attributes"))).alias("Attributes"),
+        keep(val).alias("Value"),
+        # the temporality assert rides every row (skip rows included, hence
+        # temp_checked as the left AND operand — codegen evaluates it first):
+        # the general codec parses the metric's temporality before looking
+        # at any data point, so an invalid enum hard-errors on both lanes
+        F.when(
+            temp_checked.isNull() & skip_reason.isNull(),
+            F.coalesce(temp_num, temp_named, F.lit(0)),
+        ).alias("AggregationTemporality"),
+        keep(F.col("IsMonotonic")).alias("IsMonotonic"),
+        F.when(skip_reason.isNull(), F.lit(kind)).otherwise(F.lit("skipped")).alias("MetricType"),
+        skip_reason.alias("SkipReason"),
+        F.when(skip_reason.isNotNull(), F.lit(1).cast("long")).alias("SkipCount"),
     )
 
 
-def _metric_prefix_cols(kind: str):
+def _metric_prefix_cols(kind: str, wrap=None):
     """The shared 9-column metrics prefix (§1.3.6: service.* stays in
-    ResourceAttributes) + MetricType tag."""
+    ResourceAttributes) + MetricType tag. `wrap` (Column -> Column) lets a
+    caller null the prefix out on rows it repurposes as skip counters."""
+    w = wrap or (lambda c: c)
     return [
-        F.expr("CAST(coalesce(CAST(dp.timeUnixNano AS LONG), 0L) div 1000 AS LONG)").alias(
-            "Timestamp"
-        ),
-        F.coalesce(F.col("svc"), F.lit("")).alias("ServiceName"),
-        _attrs_to_json(F.col("rattrs")).alias("ResourceAttributes"),
-        F.nullif(F.col("scope.name"), F.lit("")).alias("ScopeName"),
-        F.nullif(F.col("scope.version"), F.lit("")).alias("ScopeVersion"),
-        F.coalesce(F.col("m.name"), F.lit("")).alias("MetricName"),
-        F.nullif(F.col("m.description"), F.lit("")).alias("MetricDescription"),
-        F.nullif(F.col("m.unit"), F.lit("")).alias("MetricUnit"),
-        _attrs_to_json(F.col("dp.attributes")).alias("Attributes"),
-        F.lit(kind).alias("MetricType"),
+        w(
+            F.expr("CAST(coalesce(CAST(dp.timeUnixNano AS LONG), 0L) div 1000 AS LONG)")
+        ).alias("Timestamp"),
+        w(F.coalesce(F.col("svc"), F.lit(""))).alias("ServiceName"),
+        w(_attrs_to_json(F.col("rattrs"))).alias("ResourceAttributes"),
+        w(F.nullif(F.col("scope.name"), F.lit(""))).alias("ScopeName"),
+        w(F.nullif(F.col("scope.version"), F.lit(""))).alias("ScopeVersion"),
+        w(F.coalesce(F.col("m.name"), F.lit(""))).alias("MetricName"),
+        w(F.nullif(F.col("m.description"), F.lit(""))).alias("MetricDescription"),
+        w(F.nullif(F.col("m.unit"), F.lit(""))).alias("MetricUnit"),
+        w(_attrs_to_json(F.col("dp.attributes"))).alias("Attributes"),
+        w(F.lit(kind)).alias("MetricType"),
     ]
 
 
@@ -828,6 +859,35 @@ def _exp_histogram_rows(sm_df):
     )
 
 
+def _summary_rows(sm_df):
+    """Explode summary metrics to union-frame rows (flatten.py:294-307
+    parity): each data point yields its decoded summary row AND one
+    `skipped.summaries` counter row — summaries are decoded but not
+    persisted by the default 4-table pipeline, and the skip accounting
+    rides the same frame so the payload is still parsed exactly once."""
+    m = sm_df.filter(F.col("m.summary").isNotNull())
+    dp = m.select(
+        "rattrs", "svc", "scope", "m", F.explode("m.summary.dataPoints").alias("dp")
+    ).select("*", F.explode(F.array(F.lit(False), F.lit(True))).alias("is_skip"))
+    keep = lambda c: F.when(~F.col("is_skip"), c)  # noqa: E731
+    qv = F.coalesce(F.col("dp.quantileValues"), F.array().cast(_SUMMARY_DP["quantileValues"].dataType))
+    return dp.select(
+        *_metric_prefix_cols("summary", wrap=keep)[:-1],
+        F.when(F.col("is_skip"), F.lit("skipped")).otherwise(F.lit("summary")).alias("MetricType"),
+        F.when(F.col("is_skip"), F.lit("summaries")).alias("SkipReason"),
+        F.when(F.col("is_skip"), F.lit(1).cast("long")).alias("SkipCount"),
+        keep(F.coalesce(F.col("dp.count").cast("long"), F.lit(0))).alias("Count"),
+        keep(F.coalesce(F.col("dp.sum"), F.lit(0.0))).alias("Sum"),
+        # absent per-quantile fields default to 0.0 (float(q.get(..., 0.0)))
+        keep(F.transform(qv, lambda q: F.coalesce(q["value"], F.lit(0.0)))).alias(
+            "QuantileValues"
+        ),
+        keep(F.transform(qv, lambda q: F.coalesce(q["quantile"], F.lit(0.0)))).alias(
+            "QuantileQuantiles"
+        ),
+    )
+
+
 def decode_metrics_json_native(lines: DataFrame, line_col: str = "line") -> DataFrame:
     """One OTLP/JSON metrics export request per row -> gauge/sum/histogram/
     exponential-histogram rows in the metrics-union layout
@@ -867,6 +927,7 @@ def decode_metrics_json_native(lines: DataFrame, line_col: str = "line") -> Data
         to_union(_number_rows(sm, "sum")),
         to_union(_histogram_rows(sm)),
         to_union(_exp_histogram_rows(sm)),
+        to_union(_summary_rows(sm)),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -374,13 +374,13 @@ def test_metrics_native_matches_python(spark, fixture):
 
 
 def test_metrics_native_pure_lane_counts(spark):
-    """Gauge/sum/histogram/exp-histogram payloads stay fully on the native
-    lane; only summaries (Python skip counters) route to the general codec."""
+    """All five metric shapes (summary included, with its native skip
+    counters) stay fully on the native lane."""
     for fixture, expect_fb in [
         ("metrics_gauge", 0),
         ("metrics_histogram", 0),
         ("metrics_exponential_histogram", 0),
-        ("metrics_summary", 1),
+        ("metrics_summary", 0),
     ]:
         lines = (
             spark.read.text(f"{TD}/{fixture}.jsonl")
@@ -440,6 +440,81 @@ def _sum_metric_req(temporality):
             ]
         }
     )
+
+
+def test_metrics_native_skip_counters_match_python(spark):
+    """The native lane's skipped.* counter rows (missing / literal-NaN /
+    literal-Infinity / numeric-overflow values, summary points) aggregate
+    identically to the general codec's — and none of these shapes routes to
+    the Python lane anymore."""
+    line = json.dumps(
+        {
+            "resourceMetrics": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "service.name", "value": {"stringValue": "s"}}
+                        ]
+                    },
+                    "scopeMetrics": [
+                        {
+                            "metrics": [
+                                {
+                                    "name": "g",
+                                    "gauge": {
+                                        "dataPoints": [
+                                            {"timeUnixNano": "1000"},
+                                            {"timeUnixNano": "2000", "asDouble": 1.5},
+                                        ]
+                                    },
+                                },
+                                {
+                                    "name": "s",
+                                    "summary": {
+                                        "dataPoints": [
+                                            {
+                                                "timeUnixNano": "3000",
+                                                "count": "4",
+                                                "sum": 10.0,
+                                                "quantileValues": [
+                                                    {"value": 1.0},
+                                                    {"quantile": 0.5, "value": 2.0},
+                                                ],
+                                            }
+                                        ]
+                                    },
+                                },
+                            ]
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    # literal NaN / Infinity / 1e400 are valid for both json.loads and Jackson
+    line = line.replace('"asDouble": 1.5', '"asDouble": 1.5}, {"asDouble": NaN}, '
+                        '{"asDouble": -Infinity}, {"asDouble": 1e400', 1)
+    df = _lines_df(spark, [line])
+    assert df.filter(native_json.needs_fallback_metrics(F.col("line"))).count() == 0
+    union_native = native_json.decode_metrics_json_auto(df)
+    payloads = df.select(
+        F.lit("").alias("path"),
+        F.encode("line", "UTF-8").alias("content"),
+        F.lit("json").alias("fmt"),
+    )
+    union_py = ingest.decode_metrics_union(payloads)
+    sk_n = {r.reason: r["count"] for r in ingest.skipped_metrics(union_native).collect()}
+    sk_p = {r.reason: r["count"] for r in ingest.skipped_metrics(union_py).collect()}
+    assert sk_n == sk_p == {
+        "missing_values": 1,
+        "nan_values": 1,
+        "infinity_values": 2,
+        "summaries": 1,
+    }
+    for mt in ("gauge", "summary"):
+        a = sorted(map(tuple, ingest.metrics_table(union_native, mt).collect()), key=repr)
+        b = sorted(map(tuple, ingest.metrics_table(union_py, mt).collect()), key=repr)
+        assert a == b, mt
 
 
 def test_metrics_native_invalid_temporality_hard_errors(spark):
