@@ -328,22 +328,23 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """doc_id -> array<long> of K minhashes over word-trigram shingles.
 
     Hash family: xxhash64(seed, gram) — deterministic and JVM-vectorized
-    (~20x cheaper than md5-hex), computed entirely with higher-order
-    functions (no Python UDF): for each seed, min over the gram array.
-
-    Staged as tokenize -> grams -> signature with materialization boundaries
-    between, so the K seed-lambdas scan a stored gram array instead of
-    re-deriving it K times (lambda bodies defeat subexpression elimination).
-    """
+    (~20x cheaper than md5-hex). Shape: explode distinct grams, then K
+    plain column hashes + groupBy(doc_id).agg(min...) — every expression
+    stays inside whole-stage codegen (a K-seed HOF lambda over the gram
+    array evaluates interpreted), and the shuffle moves only map-side
+    partial minima (K longs per doc per mapper), so signature cost scales
+    with corpus token volume, not K x interpreted-lambda overhead.
+    Docs with zero grams (<3 tokens) carry no signature and thus never
+    pair — identical to the null-signature behavior of an array_min over
+    an empty gram array."""
     tok_df = with_tokens(docs)
     gram_df = tok_df.select(
-        "doc_id", F.array_distinct(gram3_expr(F.col("toks"))).alias("grams")
-    ).repartition("doc_id")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda seed: F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(seed, g))),
+        "doc_id", F.explode(F.array_distinct(gram3_expr(F.col("toks")))).alias("gram")
     )
-    return gram_df.select("doc_id", sig.alias("sig"))
+    sig = gram_df.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(s), F.col("gram"))).alias(f"h{s}") for s in range(k)]
+    )
+    return sig.select("doc_id", F.array(*[f"h{s}" for s in range(k)]).alias("sig"))
 
 
 @query(
@@ -358,10 +359,9 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tolerance-checked against exact Jaccard in tests (not hash-matched —
     SURVEY §2.3 determinism rules exclude approx ops from the oracle)."""
     d = spread(T(spark, sf_dir, "documents"))
-    # repartition = materialization boundary: without it Catalyst inlines the
-    # whole 16-seed minhash expression into every downstream reference and
-    # the oversized codegen falls back to slow interpreted evaluation
-    sigs = minhash_signatures(d).repartition("doc_id")
+    # the signature agg's groupBy already leaves sigs hash-partitioned by
+    # doc_id and materialized behind a shuffle — no extra boundary needed
+    sigs = minhash_signatures(d)
     rows_per_band = MINHASH_K // LSH_BANDS
     banded = sigs.select(
         "doc_id",
@@ -405,10 +405,11 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(ROUND(CAST(
-             list_sum(list_zip(a.embedding, b.embedding)
-                      .list_transform(p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.nrm * b.nrm)
-             AS DECIMAL(38,10)), 4) AS DOUBLE) AS cos_sim
+           -- integer-math 4-dp quantization: identical IEEE ops in both
+           -- engines, immune to the double->DECIMAL repr divergence
+           FLOOR(list_sum(list_zip(a.embedding, b.embedding)
+                          .list_transform(p -> CAST(p[1] AS DOUBLE) * p[2]))
+                 / (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS cos_sim
     FROM norm a JOIN norm b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_sum(list_zip(a.embedding, b.embedding)
                    .list_transform(p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.nrm * b.nrm) >= 0.3
@@ -420,34 +421,62 @@ def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label.
 
     The block key (here the coarse `label`; at corpus scale an IVF/LSH bucket
-    id from similarity.ivf_assign) turns the O(n²) all-pairs cosine into an
-    equi-join + per-block pairs — the same shuffle profile as the n-gram
-    blocking in x2_ngram_jaccard. Dot products and norms run as JVM
-    higher-order functions (zip_with/aggregate), never a Python UDF."""
+    id from similarity.ivf_assign) turns the O(n²) all-pairs cosine into a
+    single shuffle on the block key + per-block dense pairs. Each block's
+    cosine matrix is one vectorized Arrow-batched gemm (applyInPandas) —
+    the pairwise kernel is the one place a Pandas UDF beats built-ins,
+    because Catalyst HOF dots are interpreted per element."""
+    import numpy as np
+    import pandas as pd
+
     e = spread(T(spark, sf_dir, "embeddings"))
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x))
-    n = e.select("vec_id", "label", dbl.alias("emb"), norm.alias("nrm")).repartition("label")
-    a = n.alias("a")
-    b = n.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("raw_cos"),
+
+    def _seq_dot(a, b) -> float:
+        # strict left-to-right float64 accumulation — the sum order DuckDB's
+        # list_sum and Catalyst's aggregate() use; BLAS/np.sum pairwise order
+        # drifts ~1e-16, enough to flip a DECIMAL 4-dp rounding boundary
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one dense gemm per block: O(n_b^2 * d) in BLAS beats a pair-join
+        # whose per-element interpreted HOF dot costs ~300ns; the Arrow
+        # transfer is n_b vectors, not n_b^2 pairs
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
         )
-        .filter(F.col("raw_cos") >= 0.3)
-        .select(
+        nrm = np.array([np.sqrt(_seq_dot(row, row)) for row in m])
+        # gemm screens candidates; the few survivors (result-sized, not
+        # pair-sized) are recomputed in sequential order for exact parity
+        sim = (m @ m.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cand = sim[iu, ju] >= 0.3 - 1e-9
+        ii, jj = iu[cand], ju[cand]
+        vals = np.array(
+            [_seq_dot(m[i], m[j]) / (nrm[i] * nrm[j]) for i, j in zip(ii, jj)]
+        )
+        keep = vals >= 0.3
+        return pd.DataFrame(
+            {"id_a": ids[ii][keep], "id_b": ids[jj][keep], "raw_cos": vals[keep]}
+        )
+
+    pairs = e.groupBy("label").applyInPandas(
+        block_pairs, "id_a long, id_b long, raw_cos double"
+    )
+    # 4-dp quantization via integer math (FLOOR(x*1e4+0.5)/1e4): plain IEEE
+    # double ops that both engines execute bit-identically, unlike
+    # double->DECIMAL casts whose repr rules differ (Java shortest-string vs
+    # DuckDB binary-value) and flip x.xxxx5 boundaries
+    return (
+        pairs.select(
             "id_a",
             "id_b",
-            F.round(F.col("raw_cos").cast(DEC), 4).cast("double").alias("cos_sim"),
+            (F.floor(F.col("raw_cos") * 10000.0 + 0.5) / 10000.0).alias("cos_sim"),
         )
         .orderBy("id_a", "id_b")
     )

@@ -247,9 +247,11 @@ def sample_frames(media: DataFrame, every: int = 8) -> DataFrame:
                 {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame_sha": shas}
             )
 
+    # filter BEFORE the decode stage: Catalyst cannot push a predicate
+    # through a mapInPandas eval barrier, so the selection must be staged by
+    # hand or every non-video payload pays the Arrow transfer + decode
     return (
-        decode_features(media)
-        .filter(F.col("media_type") == "video/mp4")
+        decode_features(media.filter(F.col("media_type") == "video/mp4"))
         .select("media_id", "n_frames", "feature_hash")
         .mapInPandas(kernel, schema=FRAME_SCHEMA)
     )

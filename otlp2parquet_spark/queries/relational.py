@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.session import spread
 
 # ---------------------------------------------------------------------------
 # helpers: exact-decimal accumulation for floating aggregates
@@ -61,8 +62,11 @@ def sql_davg(expr: str, alias: str) -> str:
     "p1_project_compute",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)), 4) AS DOUBLE) AS revenue,
-           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6)), 4) AS DOUBLE) AS charge
+           -- per-row (not aggregated) rounding: integer-math 4-dp
+           -- quantization is order-independent AND identical IEEE ops in
+           -- both engines, so no DECIMAL detour is needed
+           FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) / 10000.0 AS revenue,
+           FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0 + 0.5) / 10000.0 AS charge
     FROM lineitem
     ORDER BY l_orderkey, l_linenumber
     """,
@@ -73,11 +77,13 @@ def p1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = rev * (1 + F.col("l_tax"))
+    # per-row quantization via FLOOR(x*1e4+0.5)/1e4 (values positive by TPC-H
+    # construction): pure codegen double ops, no per-row BigDecimal
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(rev.cast(DEC), 4).cast("double").alias("revenue"),
-        F.round(charge.cast(DEC), 4).cast("double").alias("charge"),
+        (F.floor(rev * 10000.0 + 0.5) / 10000.0).alias("revenue"),
+        (F.floor(charge * 10000.0 + 0.5) / 10000.0).alias("charge"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -527,6 +533,17 @@ def a1_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     li = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
+    )
+    # DECIMAL accumulation is ~5x a double sum per row, so the partial agg is
+    # the compute-bound stage: project to the 6 needed columns, then spread()
+    # — a no-op whenever the scan is already at cluster parallelism (any real
+    # multi-row-group input), but vital when a single-row-group file pins the
+    # whole pipeline to one core
+    li = spread(
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
     )
     price = F.col("l_extendedprice")
     disc_price = price * (1 - F.col("l_discount"))
