@@ -1,0 +1,276 @@
+"""Training-data pipeline operators beyond the reference's own surface:
+deterministic sampling, TF-IDF keyword extraction, benchmark-contamination
+detection, and pretraining sequence packing.
+
+These are the "large-scale training-data pipeline" operator family — each is
+a first-class `queries()` entry with a DuckDB oracle over the synthetic
+`documents` table, and each is written for the 100 TB shape of the problem
+(map-only where possible, two-phase aggregation, broadcast-able small sides,
+integer/quantized outputs for cross-engine determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.extensions.dedup import (
+    SQL_NORM,
+    gram3_expr,
+    normalized_text,
+    with_tokens,
+)
+from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.session import spread
+
+# 4-dp quantization via integer math: bit-identical IEEE ops in Spark and
+# DuckDB (double->DECIMAL casts diverge on repr rules; see dedup.py)
+_Q4 = "FLOOR({x} * 10000.0 + 0.5) / 10000.0"
+
+
+def _q4(col):
+    return F.floor(col * 10000.0 + 0.5) / 10000.0
+
+
+# ---------------------------------------------------------------------------
+# x6_hash_sample — deterministic stratified sampling
+
+
+@query(
+    "x6_hash_sample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+             AS bucket
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    ORDER BY doc_id
+    """,
+    tags=("X6", "P2", "F6"),
+)
+def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via content-addressed bucketing.
+
+    `sample()`/`rand()` are seed- and partitioning-dependent; hashing the
+    key (md5 — the only hash both engines share bit-for-bit) into 100
+    buckets gives a sample that is reproducible across engines, runs, and
+    cluster layouts, and composes with incremental ingest (a doc's bucket
+    never changes). Map-only: no shuffle, predicate stays next to the scan,
+    so at 100 TB this is a single pass that reads only (doc_id, source)."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 10)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x6_tfidf_topk — per-document keyword extraction
+
+
+@query(
+    "x6_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({SQL_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok WHERE length(term) > 0
+      GROUP BY doc_id, term
+    ), docfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             {_Q4.format(x='tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)')} AS tfidf
+      FROM tf JOIN docfreq df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tfidf
+    FROM ranked WHERE rnk <= 5
+    ORDER BY doc_id, rnk
+    """,
+    tags=("X6", "X4", "A1", "W1"),
+)
+def x6_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (keyword extraction).
+
+    Shape for scale: explode -> two-phase (doc,term) count (map-side combine
+    absorbs the token explosion), vocabulary-sized df aggregate, corpus size
+    as a broadcast 1-row frame (no driver action), term-keyed join (AQE
+    picks broadcast when the vocab fits), then a doc-partitioned window for
+    the top-k — every group-limit is local to its doc partition, no global
+    sort until the final output ORDER BY. Ranking happens on the QUANTIZED
+    score so both engines rank identical values; ties break on term."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tf = (
+        with_tokens(d)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            _q4(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "term", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x6_contamination — benchmark n-gram overlap
+
+
+@query(
+    "x6_contamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT * FROM grams WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hits
+      FROM corpus c JOIN bench b USING (gram)
+      GROUP BY c.doc_id
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams, COALESCE(h.n_hits, 0) AS n_hits,
+           {_Q4.format(x='CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_grams')}
+             AS contamination,
+           COALESCE(h.n_hits, 0) >= 5 AS contaminated
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("X6", "X2", "J2", "A1"),
+)
+def x6_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: word-trigram overlap of every corpus
+    document against a held-out eval set (here the doc_id % 97 == 0 slice).
+
+    Scale shape: the eval set's distinct grams are SMALL by construction
+    (benchmarks are thousands of items, not billions) — broadcast them, so
+    the corpus side streams map-only with no shuffle until the per-doc
+    count; overlap counting is a two-phase agg on doc_id. The same plan at
+    100 TB reads the corpus once."""
+    d = spread(T(spark, sf_dir, "documents"))
+    grams = (
+        with_tokens(d)
+        .select("doc_id", F.explode(gram3_expr(F.col("toks"))).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_hits.alias("n_hits"),
+            _q4(n_hits.cast("double") / F.col("n_grams")).alias("contamination"),
+            (n_hits >= 5).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x6_seq_pack — pretraining stream packing
+
+
+@query(
+    "x6_seq_pack",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                             t -> length(t) > 0)) AS n_tok
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM tok WHERE n_tok > 0
+    )
+    SELECT doc_id, source, n_tok,
+           CAST((cum_tok - n_tok) // 512 AS BIGINT) AS chunk_first,
+           CAST((cum_tok - 1) // 512 AS BIGINT) AS chunk_last,
+           CAST((cum_tok - n_tok) % 512 AS BIGINT) AS chunk_offset
+    FROM cum
+    ORDER BY source, doc_id
+    """,
+    tags=("X6", "W3", "F2"),
+)
+def x6_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: concatenate each source's token stream
+    in doc_id order and slice it into fixed 512-token windows; each doc
+    learns which chunk(s) it lands in and at what offset (GPT-style
+    concat-then-chunk packing — docs may straddle chunk boundaries).
+
+    Pure integer outputs (no float nondeterminism), one window per source.
+    The running sum is the inherently sequential part of packing; at 100 TB
+    the partition key becomes (source, shard) with per-shard chunk id
+    offsets composed downstream — the per-shard plan is exactly this one."""
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = F.split(normalized_text(F.col("text")), " ")
+    n_tok = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    sized = d.select("doc_id", "source", n_tok.alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr("(cum_tok - n_tok) div 512").alias("chunk_first"),
+        F.expr("(cum_tok - 1) div 512").alias("chunk_last"),
+        ((F.col("cum_tok") - F.col("n_tok")) % 512).alias("chunk_offset"),
+    ).orderBy("source", "doc_id")

@@ -60,7 +60,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from otlp2parquet_spark.queries import relational  # noqa: F401
     from otlp2parquet_spark.queries import otel_surface  # noqa: F401
     from otlp2parquet_spark.queries import udf_surface  # noqa: F401
-    from otlp2parquet_spark.extensions import dedup, similarity, text, multimodal  # noqa: F401
+    from otlp2parquet_spark.extensions import dedup, multimodal, pipeline, similarity, text  # noqa: F401
     from otlp2parquet_spark.streaming import batch_twins  # noqa: F401
 
     return dict(REGISTRY)
