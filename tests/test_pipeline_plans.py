@@ -1,0 +1,55 @@
+"""Physical-plan shape assertions for the X6 training-pipeline operators:
+the properties that make them survive a 100 TB input (broadcast small sides,
+map-only sampling, partial aggregation before shuffles) must be visible in
+the executed plan, not just hoped for."""
+
+from __future__ import annotations
+
+from otlp2parquet_spark.queries.registry import all_specs
+from tests.conftest import SF_ORACLE
+
+SPECS = all_specs()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].build(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_sample_is_map_only(spark):
+    """x6_hash_sample must not shuffle for the sampling itself: the only
+    exchange allowed is the final presentation ORDER BY (rangepartitioning).
+    ReadSchema must carry only (doc_id, source) — the text column never
+    leaves the scan."""
+    plan = _plan(spark, "x6_hash_sample")
+    assert "Exchange hashpartitioning" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    """x6_contamination joins the corpus grams against the (small by
+    construction) benchmark gram set — that side must be broadcast, never
+    shuffled across the corpus."""
+    plan = _plan(spark, "x6_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_partial_aggregates(spark):
+    """x6_tfidf_topk: the (doc,term) count must run as a two-phase hash
+    aggregate (map-side partial combine absorbs the token explosion before
+    the shuffle), and the corpus size must arrive via broadcast."""
+    plan = _plan(spark, "x6_tfidf_topk")
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_seq_pack_single_window_shuffle(spark):
+    """x6_seq_pack: exactly one hash exchange (the per-source window); the
+    running sum itself adds no further shuffles."""
+    plan = _plan(spark, "x6_seq_pack")
+    # one hashpartitioning exchange for the window's partitionBy(source);
+    # spread()'s round-robin and the final sort are the only other moves
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
