@@ -30,7 +30,7 @@ from datetime import datetime, timezone
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -193,14 +193,19 @@ def write_partitioned(
 
     bucketed = df.withColumn("__bucket", F.date_trunc(trunc, F.col("Timestamp")))
     # Memory bound: applyInPandas materializes a whole group per task, so a
-    # hot (service, bucket) with 100M rows would OOM an executor. Pre-count
-    # group sizes (cheap partial-agg shuffle on the same keys) and salt any
+    # hot (service, bucket) with 100M rows would OOM an executor. Salt any
     # group beyond max_rows_per_file into ceil(n/max) sub-groups — each task
     # then holds at most one file's worth of rows. The reference has the
-    # same invariant via its flush thresholds (D17).
-    sizes = bucketed.groupBy("ServiceName", "__bucket").agg(F.count("*").alias("__n"))
+    # same invariant via its flush thresholds (D17). The group size comes
+    # from a COUNT window over (service, bucket) rather than a pre-count
+    # aggregate + join: an aggregate would re-evaluate the upstream frame —
+    # for the ingest path that means running the whole Python decode twice —
+    # while the window computes the salt in the same single pass (WindowExec
+    # spills oversized partitions to disk; only the post-salt applyInPandas
+    # groups must fit in memory, and those are bounded by construction).
+    wspec = Window.partitionBy("ServiceName", "__bucket")
     bucketed = (
-        bucketed.join(F.broadcast(sizes), ["ServiceName", "__bucket"], "left")
+        bucketed.withColumn("__n", F.count("*").over(wspec))
         .withColumn(
             "__chunk",
             F.when(
