@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from otlp2parquet_spark.extensions.dedup import SQL_NORM, normalized_text
+from otlp2parquet_spark.extensions.dedup import (
+    SQL_NORM,
+    gram3_expr,
+    normalized_text,
+    with_tokens,
+)
 from otlp2parquet_spark.queries.registry import T, query
 from otlp2parquet_spark.session import spread
 
@@ -28,11 +33,11 @@ BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
 def _marker_hits(tokens, words) -> F.Column:
-    hits = None
-    for wrd in words:
-        h = F.size(F.filter(tokens, lambda t: t == F.lit(wrd)))
-        hits = h if hits is None else hits + h
-    return hits
+    """One-pass marker count (the oracle's list_contains form): markers are
+    distinct, so a single isin filter equals the per-word count sum — and
+    `tokens` must be a MATERIALIZED column, never an inline tokenize
+    expression (lambda bodies defeat subexpression elimination)."""
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
 
 @query(
@@ -141,8 +146,8 @@ def x4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language stopword-marker hit counts with a
     deterministic argmax (ties resolve en>de>fr>es; zero hits -> 'und')."""
     d = spread(T(spark, sf_dir, "documents"))
-    toks = F.split(normalized_text(F.col("text")), " ")
-    scores = d.select(
+    toks = F.col("toks")
+    scores = with_tokens(d, ("doc_id", "lang")).select(
         "doc_id",
         F.col("lang").alias("lang_label"),
         _marker_hits(toks, LANG_MARKERS["en"]).alias("s_en"),
@@ -225,12 +230,22 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash over rolling word trigrams (winnowing
     with window = whole doc) — a single stable 128-bit id per document that
-    survives token reordering-free edits."""
+    survives token reordering-free edits.
+
+    Shape: materialized tokens -> explode grams -> codegen md5 -> two-phase
+    MIN agg. The earlier HOF form (array_min over a transform referencing an
+    inline token expression) re-ran the full tokenize chain for every
+    getItem inside the lambda — Spark disables common-subexpression
+    elimination in lambda bodies — costing ~60s at sf0.1 vs ~1s for this
+    plan."""
     d = spread(T(spark, sf_dir, "documents"))
-    toks = F.split(normalized_text(F.col("text")), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(" ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)),
+    grams = (
+        with_tokens(d)
+        .select("doc_id", F.explode(gram3_expr(F.col("toks"))).alias("gram"))
+        .filter(F.length("gram") > 0)
     )
-    fp = F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return (
+        grams.groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("gram").cast("binary"))).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
