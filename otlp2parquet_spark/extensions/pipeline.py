@@ -193,28 +193,29 @@ def x6_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("gram") > 0)
         .distinct()
     )
+    # the doc_id slice predicates push below the tokenize+explode, so each
+    # branch tokenizes only its own slice; hit and total counts come from
+    # ONE pass over the corpus grams (left-join against the broadcast eval
+    # set, count non-null markers) instead of separate hits/totals aggs
     bench = (
-        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     corpus = grams.filter(F.col("doc_id") % 97 != 0)
-    hits = (
-        corpus.join(F.broadcast(bench), "gram")
+    per_doc = (
+        corpus.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count("*").alias("n_grams"), F.count("__hit").alias("n_hits"))
     )
-    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            n_hits.alias("n_hits"),
-            _q4(n_hits.cast("double") / F.col("n_grams")).alias("contamination"),
-            (n_hits >= 5).alias("contaminated"),
-        )
-        .orderBy("doc_id")
-    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        _q4(F.col("n_hits").cast("double") / F.col("n_grams")).alias("contamination"),
+        (F.col("n_hits") >= 5).alias("contaminated"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
