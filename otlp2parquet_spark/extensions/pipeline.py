@@ -275,3 +275,85 @@ def x6_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cum_tok - 1) div 512").alias("chunk_last"),
         ((F.col("cum_tok") - F.col("n_tok")) % 512).alias("chunk_offset"),
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x6_seq_pack_sharded — the 100 TB-shaped variant of the same packing
+
+SEQ_PACK_SHARD_SPAN = 256  # doc_ids per shard; ~10^3-10^4 docs/shard at scale
+
+
+@query(
+    "x6_seq_pack_sharded",
+    # identical output contract to x6_seq_pack — same oracle by construction
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                             t -> length(t) > 0)) AS n_tok
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM tok WHERE n_tok > 0
+    )
+    SELECT doc_id, source, n_tok,
+           CAST((cum_tok - n_tok) // 512 AS BIGINT) AS chunk_first,
+           CAST((cum_tok - 1) // 512 AS BIGINT) AS chunk_last,
+           CAST((cum_tok - n_tok) % 512 AS BIGINT) AS chunk_offset
+    FROM cum
+    ORDER BY source, doc_id
+    """,
+    tags=("X6", "W3", "F2", "J5"),
+)
+def x6_seq_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sequence packing: byte-identical output to `x6_seq_pack`,
+    but NO per-source serialization — the scale path for a giant source.
+
+    Level 1: shard each source on doc_id ranges (`doc_id div SPAN` — shard
+    is monotone in doc_id, so shard-local order composes to source order)
+    and run the running sum per (source, shard) window: parallelism =
+    number of shards, each a bounded-size task.
+    Level 2: per-shard token totals are a tiny frame (one row per shard);
+    a prefix sum over shards within each source — a second window over
+    ~n_shards rows, not data rows — yields each shard's global base offset,
+    broadcast-joined back. cum_tok = shard_base + shard-local running sum,
+    exactly the single-window value. No window in the plan is partitioned
+    on raw `source` over data-sized input."""
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = F.split(normalized_text(F.col("text")), " ")
+    n_tok = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    sized = (
+        d.select("doc_id", "source", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("shard", F.expr(f"doc_id div {SEQ_PACK_SHARD_SPAN}"))
+    )
+    w_local = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn("cum_in_shard", F.sum("n_tok").over(w_local))
+    totals = sized.groupBy("source", "shard").agg(F.sum("n_tok").alias("shard_tok"))
+    w_prev = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.select(
+        "source",
+        "shard",
+        F.coalesce(F.sum("shard_tok").over(w_prev), F.lit(0)).alias("shard_base"),
+    )
+    cum = local.join(F.broadcast(bases), ["source", "shard"]).withColumn(
+        "cum_tok", F.col("shard_base") + F.col("cum_in_shard")
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr("(cum_tok - n_tok) div 512").alias("chunk_first"),
+        F.expr("(cum_tok - 1) div 512").alias("chunk_last"),
+        ((F.col("cum_tok") - F.col("n_tok")) % 512).alias("chunk_offset"),
+    ).orderBy("source", "doc_id")

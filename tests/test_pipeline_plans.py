@@ -53,3 +53,32 @@ def test_seq_pack_single_window_shuffle(spark):
     # spread()'s round-robin and the final sort are the only other moves
     assert plan.count("Exchange hashpartitioning") == 1
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_seq_pack_sharded_no_per_source_data_window(spark):
+    """x6_seq_pack_sharded: the data-sized running sum must be keyed on
+    (source, shard) — never on raw source alone. The only window allowed to
+    partition on bare source is the shard-base prefix sum, which runs above
+    the per-shard HashAggregate (one row per shard, not per doc)."""
+    plan = _plan(spark, "x6_seq_pack_sharded")
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "expected window nodes in the plan"
+    data_windows = [s for s in specs if "shard" in s and "doc_id" in s]
+    assert data_windows, f"no (source, shard)-keyed data window found: {specs}"
+    for s in specs:
+        if "doc_id" in s:  # the data-sized running sum
+            assert "shard" in s, f"data window keyed on raw source: {s}"
+    # shard-base offsets arrive via broadcast, not a corpus-wide shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seq_pack_sharded_identical_output(spark):
+    """The sharded plan must reproduce x6_seq_pack's output exactly."""
+    base = SPECS["x6_seq_pack"].build(spark, SF_ORACLE)
+    sharded = SPECS["x6_seq_pack_sharded"].build(spark, SF_ORACLE)
+    assert base.schema == sharded.schema
+    assert base.exceptAll(sharded).count() == 0
+    assert sharded.exceptAll(base).count() == 0
