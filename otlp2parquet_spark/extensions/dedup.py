@@ -37,6 +37,16 @@ def normalized_text(col):
 
 SQL_NORM = "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+# Per-source document-frequency cap on grams entering the exact-Jaccard
+# self-join. A gram shared by d docs produces O(d^2) join rows — one
+# boilerplate trigram in 10^6 docs of a source is 10^12 rows. Grams above
+# the cap carry no discriminative signal (they are corpus boilerplate), so
+# dropping them bounds every gram bucket's pair fan-out at CAP^2 while
+# leaving real near-dup pairs intact. Applied identically in the DuckDB
+# twins so the operators stay oracle-matched. x2_minhash_lsh remains the
+# declared scale path; this makes the exact operator skew-safe too.
+GRAM_DF_CAP = 500
+
 
 def with_tokens(docs: DataFrame, cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Project normalized tokens as a MATERIALIZED column (repartition =
@@ -53,11 +63,20 @@ def with_tokens(docs: DataFrame, cols: tuple[str, ...] = ("doc_id",)) -> DataFra
 
 
 def gram3_expr(toks) -> "F.Column":
-    """Word-trigram array from a materialized token-array column."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)),
-    )
+    """Word-trigram array from a materialized token-array column.
+
+    Docs with <3 tokens yield an EMPTY array (not a partial gram) — the
+    DuckDB twins' `range(1, len(toks) - 1)` emits no rows for such docs, so
+    both engines must agree that short docs carry no grams."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @query(
@@ -118,11 +137,17 @@ def x2_neardup_normhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, source,
              toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
       FROM norm, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), gk AS (
+      SELECT doc_id, source, gram FROM (
+        SELECT doc_id, source, gram,
+               COUNT(*) OVER (PARTITION BY source, gram) AS df
+        FROM grams
+      ) WHERE df <= {GRAM_DF_CAP}
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_grams FROM gk GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM grams a JOIN grams b
+      FROM gk a JOIN gk b
         ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY doc_a, doc_b
     )
@@ -140,41 +165,12 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs (blocked by `source` so the
     candidate space stays bounded; at corpus scale the block key would be an
     LSH bucket — see x2_minhash_lsh). Explode -> equi-join on gram -> count:
-    all shuffles are on gram / doc ids, never a cross join."""
-    d = spread(T(spark, sf_dir, "documents"))
-    tok_df = with_tokens(d, ("doc_id", "source"))
-    grams = (
-        tok_df.select(
-            "doc_id",
-            "source",
-            F.explode(gram3_expr(F.col("toks"))).alias("gram"),
-        )
-        .filter(F.length("gram") > 0)
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")
-    )
+    all shuffles are on gram / doc ids, never a cross join. Grams above
+    GRAM_DF_CAP per-source document frequency never enter the self-join."""
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        _jaccard_scored(spark, sf_dir)
+        .filter(F.col("jac") >= 0.2)
+        .select("doc_a", "doc_b", F.round(F.col("jac"), 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -183,12 +179,29 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFra
     """(doc_a, doc_b) word-trigram Jaccard pairs >= threshold, source-blocked
     (the candidate-edge generator shared by x2_ngram_jaccard and the
     connected-components clustering)."""
+    return (
+        _jaccard_scored(spark, sf_dir)
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _jaccard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jac) word-trigram Jaccard scores over df-capped grams —
+    the skew-safe pair generator behind x2_ngram_jaccard / jaccard_pairs."""
     d = spread(T(spark, sf_dir, "documents"))
     tok_df = with_tokens(d, ("doc_id", "source"))
     grams = (
         tok_df.select("doc_id", "source", F.explode(gram3_expr(F.col("toks"))).alias("gram"))
         .filter(F.length("gram") > 0)
         .distinct()
+    )
+    # hot-gram cap: one window count keyed on (source, gram) — the same key
+    # the self-join shuffles on, so the exchange is reused, not added
+    grams = (
+        grams.withColumn("df", F.count("*").over(Window.partitionBy("source", "gram")))
+        .filter(F.col("df") <= GRAM_DF_CAP)
+        .drop("df")
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
@@ -209,8 +222,7 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFra
     return (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
     )
 
 
@@ -227,11 +239,17 @@ _CLUSTER_EDGE_THRESHOLD = 0.02  # low bar so fixture chains span >1 hop
       SELECT DISTINCT doc_id, source,
              toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
       FROM norm, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), gk AS (
+      SELECT doc_id, source, gram FROM (
+        SELECT doc_id, source, gram,
+               COUNT(*) OVER (PARTITION BY source, gram) AS df
+        FROM grams
+      ) WHERE df <= {GRAM_DF_CAP}
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_grams FROM gk GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM grams a JOIN grams b
+      FROM gk a JOIN gk b
         ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY doc_a, doc_b
     ), edges AS (
