@@ -293,7 +293,7 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("hi"), F.least("doc_a", "doc_b").alias("lo")
         )
         .distinct()
-        .localCheckpoint()  # reused every round: cut off the gram pipeline
+        .localCheckpoint(eager=False)  # reused every round: cut the gram lineage
     )
     prev_sig = None
     for _ in range(15):  # log^2 bound; fixture graphs settle in ~3
@@ -316,7 +316,11 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
         )
         his = mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
-        E = lows.union(his).distinct().localCheckpoint()
+        # lazy checkpoint + the signature aggregate = ONE job per round: the
+        # agg action materializes the checkpoint as a side effect, and later
+        # rounds read the checkpointed partitions, so convergence detection
+        # costs no extra driver round-trip beyond the round's own work
+        E = lows.union(his).distinct().localCheckpoint(eager=False)
         # converged when the edge set is stable: (count, order-free checksum)
         sig = E.agg(
             F.count("*").alias("n"),
