@@ -16,9 +16,15 @@ Parity notes:
   .json, application/jsonl / x-ndjson -> .jsonl; OTLP's wire default
   (protobuf) when absent/unknown.
 - gzip request bodies are decompressed at the edge (reference
-  RequestDecompressionLayer, src/lib.rs:227) BEFORE the size guard, so the
-  413 limit applies to the decompressed payload exactly like the reference.
-- oversize -> 413 {"error": ...}; bad gzip -> 400; unknown route -> 404
+  RequestDecompressionLayer, src/lib.rs:227) and the 413 limit applies to
+  the decompressed payload exactly like the reference. Decompression is
+  *incremental* (zlib.decompressobj with max_length) and aborts with 413 as
+  soon as expanded output crosses the limit, so a small gzip bomb cannot
+  exhaust receiver memory; similarly a huge declared Content-Length is
+  rejected before any body bytes are read.
+- oversize -> 413 {"error": ...}; bad gzip -> 400; missing/zero
+  Content-Length -> 411 (chunked bodies are not supported — a 0-length
+  read would silently land an empty payload); unknown route -> 404
   (reference AppError::into_response shape, src/lib.rs:80-91).
 - landing writes are atomic: body lands under a dot-prefixed temp name
   (ignored by Spark file sources) and is renamed into place, so a
@@ -27,11 +33,11 @@ Parity notes:
 
 from __future__ import annotations
 
-import gzip
 import json
 import os
 import threading
 import uuid
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from otlp2parquet_spark.otel.ingest import DEFAULT_MAX_PAYLOAD_BYTES
@@ -72,6 +78,14 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _drain(self, n: int) -> None:
+        """Read and discard n body bytes in fixed-size chunks (bounded memory)."""
+        while n > 0:
+            chunk = self.rfile.read(min(n, 65536))
+            if not chunk:
+                break
+            n -= len(chunk)
+
     def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
         if self.path == "/health":
             self._json(200, {"status": "healthy"})
@@ -86,19 +100,55 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"not found: {self.path}"})
             return
         signal = parts[1]
+        limit = self.server.max_payload_bytes
         try:
             length = int(self.headers.get("Content-Length", "0"))
         except ValueError:
             self._json(400, {"error": "bad Content-Length"})
             return
+        if length <= 0:
+            # Chunked / length-less bodies would read as 0 bytes and land an
+            # empty payload with a 200 — silent data loss. Refuse instead.
+            self._json(411, {"error": "Content-Length required"})
+            return
+        if length > limit:
+            # Reject before buffering: a hostile declared length must never
+            # size an allocation. Discard a bounded amount so a well-behaved
+            # client blocked in send() can finish and read the 413 (beyond
+            # the cap the connection just closes).
+            self._drain(min(length, max(limit, 8 * 1024 * 1024)))
+            self.close_connection = True
+            self._json(413, {"error": f"payload {length} exceeds limit {limit}"})
+            return
         body = self.rfile.read(length)
         if self.headers.get("Content-Encoding", "").lower() == "gzip":
+            # Incremental inflate, capped: never materialize more than
+            # limit+1 decompressed bytes no matter the compression ratio.
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip wrapper
+            out: list[bytes] = []
+            produced = 0
             try:
-                body = gzip.decompress(body)
-            except (OSError, EOFError) as e:
+                chunk = d.decompress(body, limit + 1 - produced)
+                out.append(chunk)
+                produced += len(chunk)
+                while d.unconsumed_tail and produced <= limit:
+                    chunk = d.decompress(d.unconsumed_tail, limit + 1 - produced)
+                    out.append(chunk)
+                    produced += len(chunk)
+                if produced <= limit:
+                    tail = d.flush()
+                    out.append(tail)
+                    produced += len(tail)
+            except zlib.error as e:
                 self._json(400, {"error": f"bad gzip body: {e}"})
                 return
-        limit = self.server.max_payload_bytes
+            if produced > limit:
+                self._json(413, {"error": f"payload exceeds limit {limit} after decompression"})
+                return
+            if not d.eof:
+                self._json(400, {"error": "bad gzip body: truncated stream"})
+                return
+            body = b"".join(out)
         if len(body) > limit:
             self._json(413, {"error": f"payload {len(body)} exceeds limit {limit}"})
             return
