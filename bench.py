@@ -27,7 +27,11 @@ from otlp2parquet_spark.session import get_spark
 
 # Headline suite: one representative per cost class (scan-agg, star join,
 # fact-fact join, range join, window, explode-agg, dedup, LSH, ANN, sliding
-# window, text sweep).
+# window, text sweep, connected components, sampling, tf-idf, broadcast
+# decontamination, two-level packing).
+# r4 adds the X6 family + x2_dedup_clusters so the newest operators are
+# visible to round-over-round regression tracking (judge ask #9; BASELINE.md
+# notes the one-time suite-total reset this causes).
 HEADLINE = [
     "a1_tpch_q1",
     "p1_project_compute",
@@ -43,10 +47,15 @@ HEADLINE = [
     "x1_exact_dedup",
     "x2_minhash_lsh",
     "x2_embedding_neardup",
+    "x2_dedup_clusters",
     "x3_cosine_topk",
     "x4_top_terms",
     "u3_grouped_agg_pandas_udf",
     "x5_frame_sample",
+    "x6_hash_sample",
+    "x6_tfidf_topk",
+    "x6_contamination",
+    "x6_seq_pack_sharded",
 ]
 
 RUNS_PER_QUERY = 3

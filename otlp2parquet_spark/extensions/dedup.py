@@ -166,7 +166,11 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate space stays bounded; at corpus scale the block key would be an
     LSH bucket — see x2_minhash_lsh). Explode -> equi-join on gram -> count:
     all shuffles are on gram / doc ids, never a cross join. Grams above
-    GRAM_DF_CAP per-source document frequency never enter the self-join."""
+    GRAM_DF_CAP (default 500, a `jaccard_pairs` parameter) per-source
+    document frequency are dropped as corpus boilerplate before the
+    self-join, so pairs whose ONLY overlap is boilerplate do not surface —
+    the deliberate semantic cut that bounds fan-out at scale (mirrored in
+    the DuckDB oracle, so the operator stays oracle-matched)."""
     return (
         _jaccard_scored(spark, sf_dir)
         .filter(F.col("jac") >= 0.2)
@@ -175,18 +179,29 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+def jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float, gram_df_cap: int = GRAM_DF_CAP
+) -> DataFrame:
     """(doc_a, doc_b) word-trigram Jaccard pairs >= threshold, source-blocked
     (the candidate-edge generator shared by x2_ngram_jaccard and the
-    connected-components clustering)."""
+    connected-components clustering).
+
+    `gram_df_cap` bounds each gram's per-source document frequency before
+    the self-join: grams seen in more than `gram_df_cap` docs of one source
+    are treated as corpus boilerplate and DROPPED, so doc pairs whose only
+    overlap is boilerplate never surface. This is the knob that keeps the
+    pair fan-out <= cap^2/2 per gram at 100 TB; raise it for small curated
+    corpora where boilerplate overlap is meaningful."""
     return (
-        _jaccard_scored(spark, sf_dir)
+        _jaccard_scored(spark, sf_dir, gram_df_cap)
         .filter(F.col("jac") >= threshold)
         .select("doc_a", "doc_b")
     )
 
 
-def _jaccard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_scored(
+    spark: SparkSession, sf_dir: str, gram_df_cap: int = GRAM_DF_CAP
+) -> DataFrame:
     """(doc_a, doc_b, jac) word-trigram Jaccard scores over df-capped grams —
     the skew-safe pair generator behind x2_ngram_jaccard / jaccard_pairs."""
     d = spread(T(spark, sf_dir, "documents"))
@@ -200,7 +215,7 @@ def _jaccard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join shuffles on, so the exchange is reused, not added
     grams = (
         grams.withColumn("df", F.count("*").over(Window.partitionBy("source", "gram")))
-        .filter(F.col("df") <= GRAM_DF_CAP)
+        .filter(F.col("df") <= gram_df_cap)
         .drop("df")
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))

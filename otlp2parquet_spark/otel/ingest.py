@@ -104,11 +104,17 @@ def _write_quarantine(qdir: str, path: str, content: bytes, err: OtlpDecodeError
 
     File names derive deterministically from the source path (content hash
     when the path is empty, e.g. line-split scans), so a retried or
-    speculative task overwrites its first attempt instead of duplicating."""
+    speculative task overwrites its first attempt instead of duplicating.
+    The name is basename + a short hash of the FULL path: two bad payloads
+    named `a/x.pb` and `b/x.pb` must not clobber each other (ADVICE r2)."""
     import hashlib
     import json as _json
 
-    base = os.path.basename(path) or hashlib.sha256(content).hexdigest()[:16]
+    if path:
+        suffix = hashlib.sha256(path.encode()).hexdigest()[:8]
+        base = f"{os.path.basename(path)}.{suffix}"
+    else:
+        base = hashlib.sha256(content).hexdigest()[:16]
     os.makedirs(qdir, exist_ok=True)
     with open(os.path.join(qdir, base), "wb") as f:
         f.write(content)

@@ -708,8 +708,19 @@ _TEMPORALITY = {
 }
 
 
+# uint64 histogram/exp-histogram count, zeroCount, and bucketCounts entries
+# with >=19 digits may exceed int64: the fast path's long cast would null
+# them while the general Python codec keeps the arbitrary-precision value —
+# lane-dependent output for the same payload (ADVICE r3). Route such lines
+# to the general codec, mirroring _BIG_INT_RE for attribute intValue.
+_BIG_COUNT_RE = (
+    '"(count|zeroCount)"\\s*:\\s*"?[0-9]{19}'
+    '|"bucketCounts"\\s*:\\s*\\[[^\\]]*[0-9]{19}'
+)
+
+
 def needs_fallback_metrics(line: Column) -> Column:
-    cond = _risky_int(line)
+    cond = _risky_int(line) | line.rlike(_BIG_COUNT_RE)
     for marker in METRICS_FALLBACK_MARKERS:
         cond = cond | line.contains(marker)
     return cond

@@ -22,10 +22,16 @@ Parity notes:
   soon as expanded output crosses the limit, so a small gzip bomb cannot
   exhaust receiver memory; similarly a huge declared Content-Length is
   rejected before any body bytes are read.
-- oversize -> 413 {"error": ...}; bad gzip -> 400; missing/zero
+- oversize -> 413 {"error": ...}; bad gzip -> 400; missing
   Content-Length -> 411 (chunked bodies are not supported — a 0-length
-  read would silently land an empty payload); unknown route -> 404
+  read would silently land an empty payload), but an explicit
+  `Content-Length: 0` is a valid empty OTLP export and lands a 200 like
+  the reference; negative/invalid lengths -> 400; unknown route -> 404
   (reference AppError::into_response shape, src/lib.rs:80-91).
+- multi-member (concatenated) gzip bodies decode all members like the
+  reference's tower-http decoder; trailing non-gzip garbage -> 400.
+- a per-connection socket timeout bounds how long a stalled client can
+  pin a ThreadingHTTPServer thread.
 - landing writes are atomic: body lands under a dot-prefixed temp name
   (ignored by Spark file sources) and is renamed into place, so a
   concurrent binaryFile scan never reads a partial payload.
@@ -62,9 +68,58 @@ def format_from_content_type(content_type: str | None) -> str:
     return _CONTENT_TYPES.get(base, "pb")
 
 
+class _PayloadTooLarge(Exception):
+    pass
+
+
+class _TruncatedGzip(Exception):
+    pass
+
+
+def inflate_capped(body: bytes, limit: int) -> bytes:
+    """Incremental gzip inflate, capped: never materializes more than
+    limit+1 decompressed bytes no matter the compression ratio, and decodes
+    every member of a multi-member (concatenated) stream — the reference's
+    tower-http RequestDecompressionLayer (src/lib.rs:227) and plain
+    gzip.decompress both do, so stopping at member 1 would silently land
+    truncated data. Trailing non-gzip garbage raises zlib.error (-> 400).
+    """
+    out: list[bytes] = []
+    produced = 0
+    data = body
+    while True:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip wrapper
+        while True:
+            chunk = d.decompress(data, limit + 1 - produced)
+            out.append(chunk)
+            produced += len(chunk)
+            if produced > limit:
+                raise _PayloadTooLarge
+            if not d.unconsumed_tail:
+                break
+            data = d.unconsumed_tail
+        if not d.eof:
+            raise _TruncatedGzip
+        data = d.unused_data
+        if not data:
+            return b"".join(out)
+
+
 class _Handler(BaseHTTPRequestHandler):
     # set by make_server(): landing_root, max_payload_bytes, quiet
     server_version = "otlp2parquet-spark-receiver/1.0"
+    # Per-connection socket timeout: a client that declares a body but stalls
+    # without sending it would otherwise pin a ThreadingHTTPServer thread
+    # forever (every rfile.read blocks with no deadline). StreamRequestHandler
+    # applies this in setup(); a timed-out read raises and drops the
+    # connection (handle_one_request logs "Request timed out").
+    timeout = 30.0
+
+    def setup(self) -> None:
+        override = getattr(self.server, "request_timeout", None)
+        if override is not None:
+            self.timeout = override
+        super().setup()
 
     def log_message(self, fmt, *args):  # stdlib logs to stderr per request
         if not getattr(self.server, "quiet", True):
@@ -101,54 +156,49 @@ class _Handler(BaseHTTPRequestHandler):
             return
         signal = parts[1]
         limit = self.server.max_payload_bytes
-        try:
-            length = int(self.headers.get("Content-Length", "0"))
-        except ValueError:
-            self._json(400, {"error": "bad Content-Length"})
-            return
-        if length <= 0:
+        raw_length = self.headers.get("Content-Length")
+        if raw_length is None:
             # Chunked / length-less bodies would read as 0 bytes and land an
             # empty payload with a 200 — silent data loss. Refuse instead.
             self._json(411, {"error": "Content-Length required"})
             return
-        if length > limit:
-            # Reject before buffering: a hostile declared length must never
-            # size an allocation. Discard a bounded amount so a well-behaved
-            # client blocked in send() can finish and read the 413 (beyond
-            # the cap the connection just closes).
+        try:
+            length = int(raw_length)
+        except ValueError:
+            self._json(400, {"error": "bad Content-Length"})
+            return
+        if length < 0:
+            self._json(400, {"error": "bad Content-Length"})
+            return
+        # length == 0 is a valid empty OTLP export (reference lands it 200).
+        gzipped = self.headers.get("Content-Encoding", "").lower() == "gzip"
+        # Pre-read wire-size gate: a hostile declared length must never size
+        # an allocation. For gzip bodies the limit governs the DECOMPRESSED
+        # payload (reference semantics), so allow the wire bytes a small
+        # incompressibility slack (gzip worst case ~0.03% + constant header);
+        # the capped inflate below makes the real 413 decision.
+        wire_limit = limit + limit // 200 + 1024 if gzipped else limit
+        if length > wire_limit:
+            # Discard a bounded amount so a well-behaved client blocked in
+            # send() can finish and read the 413 (beyond the cap the
+            # connection just closes).
             self._drain(min(length, max(limit, 8 * 1024 * 1024)))
             self.close_connection = True
             self._json(413, {"error": f"payload {length} exceeds limit {limit}"})
             return
         body = self.rfile.read(length)
-        if self.headers.get("Content-Encoding", "").lower() == "gzip":
-            # Incremental inflate, capped: never materialize more than
-            # limit+1 decompressed bytes no matter the compression ratio.
-            d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip wrapper
-            out: list[bytes] = []
-            produced = 0
+        if gzipped:
             try:
-                chunk = d.decompress(body, limit + 1 - produced)
-                out.append(chunk)
-                produced += len(chunk)
-                while d.unconsumed_tail and produced <= limit:
-                    chunk = d.decompress(d.unconsumed_tail, limit + 1 - produced)
-                    out.append(chunk)
-                    produced += len(chunk)
-                if produced <= limit:
-                    tail = d.flush()
-                    out.append(tail)
-                    produced += len(tail)
+                body = inflate_capped(body, limit)
+            except _PayloadTooLarge:
+                self._json(413, {"error": f"payload exceeds limit {limit} after decompression"})
+                return
+            except _TruncatedGzip:
+                self._json(400, {"error": "bad gzip body: truncated stream"})
+                return
             except zlib.error as e:
                 self._json(400, {"error": f"bad gzip body: {e}"})
                 return
-            if produced > limit:
-                self._json(413, {"error": f"payload exceeds limit {limit} after decompression"})
-                return
-            if not d.eof:
-                self._json(400, {"error": "bad gzip body: truncated stream"})
-                return
-            body = b"".join(out)
         if len(body) > limit:
             self._json(413, {"error": f"payload {len(body)} exceeds limit {limit}"})
             return
@@ -170,13 +220,16 @@ def make_server(
     *,
     max_payload_bytes: int = DEFAULT_MAX_PAYLOAD_BYTES,
     quiet: bool = True,
+    request_timeout: float | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the receiver; port=0 binds an ephemeral port.
-    `server.server_address[1]` is the bound port."""
+    `server.server_address[1]` is the bound port. `request_timeout`
+    overrides the per-connection socket deadline (default 30 s)."""
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.landing_root = landing_root
     srv.max_payload_bytes = max_payload_bytes
     srv.quiet = quiet
+    srv.request_timeout = request_timeout
     return srv
 
 

@@ -2,7 +2,14 @@
 oracle exactly the way the grading harness does (vanilla SparkSession,
 tests/oracle_util.compare), and report failures.
 
+Also writes CORRECTNESS_full_r{N}.json (compact {query: "ok"|"ok-rows-only"|
+error} for the FIRST sf_dir) so the full surface is on record each round —
+the driver's own CORRECTNESS file truncates at ~8 KiB, hiding everything
+alphabetically after ~50 of the declared queries.
+
 Usage: python scripts/gate_sim.py [sf_dir ...]   (default /root/testdata/sf0.01)
+Round number for the artifact name comes from $ROUND (default: highest
+existing BENCH_r*.json + 1, falling back to "X").
 """
 
 from __future__ import annotations
@@ -15,6 +22,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _round_tag() -> str:
+    env = os.environ.get("ROUND")
+    if env:
+        return env
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return f"{max(rounds) + 1:02d}" if rounds else "X"
 
 
 def main() -> int:
@@ -37,21 +61,47 @@ def main() -> int:
             )
         rows_only = 0
         t0 = time.perf_counter()
+        record: dict[str, str] = {}
         for name, fn in sorted(qs.items()):
             try:
                 if name in osql:
                     diff = compare(fn(spark, sf_dir), con, osql[name])
                     if diff:
                         fails.append((sf_dir, name, str(diff)[:160]))
+                        record[name] = str(diff)[:80]
+                    else:
+                        record[name] = "ok"
                 else:
                     rows_only += 1
                     assert fn(spark, sf_dir).count() >= 0
+                    record[name] = "ok-rows-only"
             except Exception as e:  # noqa: BLE001 - gate report, not control flow
                 fails.append((sf_dir, name, f"{type(e).__name__}: {e}"[:160]))
+                record[name] = f"{type(e).__name__}: {e}"[:80]
         print(
             f"{sf_dir}: {len(qs)} queries ({len(qs) - rows_only} oracle-matched, "
             f"{rows_only} rows-only) in {time.perf_counter() - t0:.0f}s"
         )
+        if sf_dir == sf_dirs[0]:
+            import json
+
+            out = os.path.join(REPO, f"CORRECTNESS_full_r{_round_tag()}.json")
+            with open(out, "w") as f:
+                json.dump(
+                    {
+                        "sf_dir": sf_dir,
+                        "queries": len(qs),
+                        "oracle_matched_ok": sum(v == "ok" for v in record.values()),
+                        "rows_only_ok": sum(v == "ok-rows-only" for v in record.values()),
+                        "failures": sum(
+                            not v.startswith("ok") for v in record.values()
+                        ),
+                        "detail": record,
+                    },
+                    f,
+                    indent=0,
+                )
+            print(f"wrote {out}")
     print("FAILURES:", fails if fails else "none")
     return 1 if fails else 0
 

@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions for the X1-X5 extension operators
+(pattern proven on X6 in test_pipeline_plans.py): the properties that make
+them survive a 100 TB corpus — broadcast small sides, map-side partial
+aggregation before every shuffle, equi-join-shaped candidate generation
+with NO cartesian expansion — must be visible in the executed plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from otlp2parquet_spark.queries.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].build(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """x3_cosine_topk: the (tiny) query set must be broadcast so the corpus
+    streams through map-side — a shuffle join here would move the whole
+    embedding corpus for a 5-row probe table."""
+    plan = _plan(spark, "x3_cosine_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_partial_aggregation(spark):
+    """x2_minhash_lsh: the per-(doc, band) signature min must run two-phase
+    (partial_min before the exchange) so the gram explosion is absorbed
+    map-side instead of crossing the shuffle row-per-gram."""
+    plan = _plan(spark, "x2_minhash_lsh")
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fingerprint_partial_aggregation(spark):
+    """x4_fingerprint: rolling-hash gram aggregation must partial-combine
+    before its exchange."""
+    plan = _plan(spark, "x4_fingerprint")
+    assert "partial_" in plan  # partial_min/partial_count per variant
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """x1_exact_dedup: the sha256 groupBy must partial-combine — at 100 TB
+    the map-side combine is what makes the single shuffle carry one row per
+    distinct hash per partition, not one per document."""
+    plan = _plan(spark, "x1_exact_dedup")
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "Exchange hashpartitioning" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n
+        for n in sorted(SPECS)
+        if n.startswith("x") and n != "x2_dedup_clusters"
+    ],
+)
+def test_no_cartesian_product_in_extensions(spark, name):
+    """No extension operator may plan a CartesianProduct: every candidate
+    generator (gram bucket, LSH band, label block, IVF list, broadcast
+    probe) must stay equi-join shaped. (x2_dedup_clusters is excluded only
+    because building it executes the iterative CC loop eagerly; its edge
+    generator is jaccard_pairs, covered via x2_ngram_jaccard.)"""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_embedding_neardup_blocked_not_allpairs(spark):
+    """x2_embedding_neardup: candidate generation must be label-blocked —
+    the plan must hash-partition on the block key, with no cartesian or
+    nested-loop join anywhere (all-pairs would be O(n^2) at corpus scale)."""
+    plan = _plan(spark, "x2_embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_ann_no_full_corpus_join(spark):
+    """x3_ivf_ann: probes join the corpus through the IVF list assignment
+    (equi-join on the bucket id), never all-pairs."""
+    plan = _plan(spark, "x3_ivf_ann")
+    assert "CartesianProduct" not in plan

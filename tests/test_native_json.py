@@ -517,6 +517,75 @@ def test_metrics_native_skip_counters_match_python(spark):
         assert a == b, mt
 
 
+def _histogram_req(count, bucket_counts, zero=None):
+    dp = {
+        "timeUnixNano": "1700000000000000000",
+        "count": str(count),
+        "sum": 1.5,
+        "bucketCounts": [str(c) for c in bucket_counts],
+        "explicitBounds": [1.0],
+    }
+    metric = {"name": "h", "histogram": {"aggregationTemporality": 2, "dataPoints": [dp]}}
+    if zero is not None:
+        metric = {
+            "name": "eh",
+            "exponentialHistogram": {
+                "aggregationTemporality": 2,
+                "dataPoints": [
+                    {
+                        "timeUnixNano": "1700000000000000000",
+                        "count": str(count),
+                        "zeroCount": str(zero),
+                        "scale": 0,
+                        "positive": {"offset": 0, "bucketCounts": [str(c) for c in bucket_counts]},
+                    }
+                ],
+            },
+        }
+    return json.dumps(
+        {
+            "resourceMetrics": [
+                {
+                    "resource": {"attributes": []},
+                    "scopeMetrics": [{"scope": {"name": "s"}, "metrics": [metric]}],
+                }
+            ]
+        }
+    )
+
+
+def test_big_counts_route_to_fallback(spark):
+    """ADVICE r3: uint64 count/zeroCount/bucketCounts with >=19 digits would
+    null out under the fast lane's long cast while the general codec keeps
+    the value — such lines must take the general codec so both lanes agree."""
+    in_range_19 = 1234567890123456789  # 19 digits, fits int64
+    for line in (
+        _histogram_req(in_range_19, [1, 2]),
+        _histogram_req(1, [in_range_19, 2]),
+        _histogram_req(1, [1], zero=in_range_19),
+    ):
+        df = _lines_df(spark, [line])
+        assert df.filter(native_json.needs_fallback_metrics(F.col("line"))).count() == 1
+        union_native = native_json.decode_metrics_json_auto(df)
+        payloads = df.select(
+            F.lit("").alias("path"),
+            F.encode("line", "UTF-8").alias("content"),
+            F.lit("json").alias("fmt"),
+        )
+        union_py = ingest.decode_metrics_union(payloads)
+        found = False
+        for mt in ("histogram", "exponential_histogram"):
+            a = sorted(map(tuple, ingest.metrics_table(union_native, mt).collect()), key=repr)
+            b = sorted(map(tuple, ingest.metrics_table(union_py, mt).collect()), key=repr)
+            assert a == b, mt
+            found = found or str(in_range_19) in repr(a)
+        # the 19-digit value itself survives end-to-end (not nulled)
+        assert found
+    # 18-digit counts stay on the pure native lane
+    small = _lines_df(spark, [_histogram_req(123456789012345678, [1])])
+    assert small.filter(native_json.needs_fallback_metrics(F.col("line"))).count() == 0
+
+
 def test_metrics_native_invalid_temporality_hard_errors(spark):
     """ADVICE r1: numeric temporality outside {0,1,2} must hard-error on the
     fast lane exactly like the general codec — not be silently persisted."""

@@ -425,11 +425,34 @@ def test_quarantine_invalid_corpus(spark, tmp_path):
         q = {r.path.split("/")[-1]: r.code for r in ingest.read_quarantine(spark, qdir).collect()}
         assert q == bad, sig
         # payload copy + sidecar both present, deterministically named
+        # (basename + 8-hex path hash, so same-named files in different
+        # source dirs never clobber each other)
         for f in bad:
-            assert (tmp_path / f"quarantine_{sig}" / f).exists()
-            assert (tmp_path / f"quarantine_{sig}" / (f + ".error.json")).exists()
+            copies = glob.glob(str(tmp_path / f"quarantine_{sig}" / (f + ".*")))
+            names = {os.path.basename(c) for c in copies}
+            payload = [n for n in names if not n.endswith(".error.json")]
+            assert len(payload) == 1 and len(payload[0]) == len(f) + 9
+            assert payload[0] + ".error.json" in names
         if "_union" in out:
             out["_union"].unpersist()
+
+
+def test_quarantine_same_basename_no_clobber(tmp_path):
+    """ADVICE r2: two bad payloads with the same basename in different
+    source subdirectories must land as distinct quarantine files."""
+    err = wire.OtlpDecodeError("boom")
+    qdir = str(tmp_path / "q")
+    ingest._write_quarantine(qdir, "a/x.pb", b"payload-a", err)
+    ingest._write_quarantine(qdir, "b/x.pb", b"payload-b", err)
+    payloads = sorted(
+        p for p in os.listdir(qdir) if not p.endswith(".error.json")
+    )
+    assert len(payloads) == 2
+    contents = {open(os.path.join(qdir, p), "rb").read() for p in payloads}
+    assert contents == {b"payload-a", b"payload-b"}
+    # retried/speculative task with the SAME full path still overwrites
+    ingest._write_quarantine(qdir, "a/x.pb", b"payload-a", err)
+    assert len([p for p in os.listdir(qdir) if not p.endswith(".error.json")]) == 2
 
 
 def test_quarantine_requires_dir():

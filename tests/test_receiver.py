@@ -121,6 +121,179 @@ def test_receiver_bad_gzip(server):
     assert st == 400 and "gzip" in resp["error"]
 
 
+def _raw_request(port: int, head: str, body: bytes = b"", *, shutdown_wr: bool = False,
+                 timeout: float = 10.0) -> bytes:
+    """Send a hand-built HTTP request over a raw socket (urllib always sets
+    Content-Length, so the malformed/missing-header cases need this)."""
+    import socket
+
+    with socket.create_connection(("127.0.0.1", port), timeout=timeout) as s:
+        s.sendall(head.encode() + b"\r\n" + body)
+        if shutdown_wr:
+            s.shutdown(socket.SHUT_WR)
+        chunks = []
+        try:
+            while True:
+                c = s.recv(65536)
+                if not c:
+                    break
+                chunks.append(c)
+        except TimeoutError:
+            pass
+        return b"".join(chunks)
+
+
+def test_missing_content_length_411(server):
+    """POST with no Content-Length: refuse (411) rather than land an empty
+    payload with 200 — silent data loss for chunked/length-less clients."""
+    srv, landing = server
+    port = srv.server_address[1]
+    resp = _raw_request(port, "POST /v1/logs HTTP/1.1\r\nHost: x\r\nConnection: close\r\n")
+    assert b" 411 " in resp.split(b"\r\n", 1)[0]
+    assert not (landing / "logs").exists() or not list((landing / "logs").iterdir())
+
+
+def test_zero_content_length_is_valid_empty_export(server):
+    """Content-Length: 0 is a legitimate empty OTLP export: the reference
+    accepts it with 200 (ADVICE parity fix — was 411)."""
+    srv, landing = server
+    port = srv.server_address[1]
+    resp = _raw_request(
+        port,
+        "POST /v1/logs HTTP/1.1\r\nHost: x\r\nContent-Length: 0\r\nConnection: close\r\n",
+    )
+    assert b" 200 " in resp.split(b"\r\n", 1)[0]
+    files = list((landing / "logs").iterdir())
+    assert len(files) == 1 and files[0].stat().st_size == 0
+
+
+def test_negative_content_length_400(server):
+    srv, _ = server
+    port = srv.server_address[1]
+    resp = _raw_request(
+        port,
+        "POST /v1/logs HTTP/1.1\r\nHost: x\r\nContent-Length: -5\r\nConnection: close\r\n",
+    )
+    assert b" 400 " in resp.split(b"\r\n", 1)[0]
+
+
+def test_hostile_declared_length_413_without_buffering(server):
+    """A 10 GiB declared Content-Length must be rejected pre-read: the 413
+    arrives even though the body is never sent, and process RSS must not
+    grow anywhere near the declared size (no allocation sized by the
+    attacker's header)."""
+    import resource
+
+    srv, landing = server
+    port = srv.server_address[1]
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on Linux
+    declared = 10 * 1024 * 1024 * 1024
+    resp = _raw_request(
+        port,
+        f"POST /v1/logs HTTP/1.1\r\nHost: x\r\nContent-Length: {declared}\r\n"
+        "Connection: close\r\n",
+        b"tiny",
+        shutdown_wr=True,  # EOF ends the bounded drain immediately
+    )
+    assert b" 413 " in resp.split(b"\r\n", 1)[0]
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert (rss_after - rss_before) < 512 * 1024  # << 10 GiB; KiB units
+    assert not (landing / "logs").exists() or not list((landing / "logs").iterdir())
+
+
+def test_gzip_bomb_capped_413(server):
+    """High-ratio bomb (64 MiB of zeros -> ~64 KiB wire): the incremental
+    inflate stops at limit+1 produced bytes and answers 413 — it never
+    materializes the expanded payload."""
+    import resource
+
+    srv, _ = server
+    bomb = gzip.compress(b"\0" * (64 * 1024 * 1024))
+    assert len(bomb) < 1024 * 1024
+    # the 64 MiB plaintext above was built client-side in this same process
+    # (in-thread server), so snapshot RSS only after it is freed
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    st, resp = _post(srv, "/v1/logs", bomb, {"Content-Encoding": "gzip"})
+    assert st == 413 and "after decompression" in resp["error"]
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert (rss_after - rss_before) < 32 * 1024  # far below the 64 MiB expansion
+
+
+def test_truncated_gzip_400(server):
+    srv, landing = server
+    full = gzip.compress(b"x" * 4096)
+    st, resp = _post(srv, "/v1/logs", full[: len(full) // 2], {"Content-Encoding": "gzip"})
+    assert st == 400 and "truncated" in resp["error"]
+    assert not (landing / "logs").exists() or not list((landing / "logs").iterdir())
+
+
+def test_multi_member_gzip_decodes_all_members(server):
+    """Concatenated gzip members are all decoded (reference tower-http /
+    gzip.decompress semantics) — landing only member 1 would be silent
+    data loss (ADVICE fix)."""
+    srv, landing = server
+    m1, m2, m3 = b'{"a":1}', b'{"b":2}', b'{"c":3}'
+    body = gzip.compress(m1) + gzip.compress(m2) + gzip.compress(m3)
+    st, resp = _post(
+        srv, "/v1/logs", body,
+        {"Content-Type": "application/json", "Content-Encoding": "gzip"},
+    )
+    assert st == 200 and resp["bytes"] == len(m1 + m2 + m3)
+    files = list((landing / "logs").iterdir())
+    assert len(files) == 1 and files[0].read_bytes() == m1 + m2 + m3
+
+
+def test_gzip_trailing_garbage_400(server):
+    srv, _ = server
+    body = gzip.compress(b"ok") + b"this is not a gzip member"
+    st, resp = _post(srv, "/v1/logs", body, {"Content-Encoding": "gzip"})
+    assert st == 400 and "gzip" in resp["error"]
+
+
+def test_incompressible_gzip_at_limit_accepted(server):
+    """An incompressible payload exactly at the limit whose gzip encoding
+    slightly exceeds the limit on the wire must still be accepted: the
+    limit governs the decompressed size (ADVICE slack fix)."""
+    import os as _os
+
+    srv, _ = server
+    limit = srv.max_payload_bytes
+    payload = _os.urandom(limit)  # incompressible -> gzip grows it
+    wire = gzip.compress(payload, compresslevel=0)
+    assert len(wire) > limit  # the old strict pre-check would 413 this
+    st, resp = _post(srv, "/v1/logs", wire, {"Content-Encoding": "gzip"})
+    assert st == 200 and resp["bytes"] == limit
+
+
+def test_stalled_oversize_client_dropped_by_timeout(tmp_path):
+    """A client that declares an oversize body and then stalls must be
+    dropped by the per-connection socket timeout instead of pinning a
+    server thread forever (ADVICE fix)."""
+    import socket
+    import time
+
+    srv = receiver.make_server(
+        str(tmp_path / "landing"), max_payload_bytes=1024, request_timeout=0.5
+    )
+    receiver.serve_background(srv)
+    try:
+        port = srv.server_address[1]
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall(
+                b"POST /v1/logs HTTP/1.1\r\nHost: x\r\nContent-Length: 999999999\r\n\r\n"
+            )
+            # send nothing further; the server's bounded drain blocks until
+            # the 0.5 s socket timeout fires and the connection is dropped
+            s.settimeout(5)
+            t0 = time.monotonic()
+            data = s.recv(65536)
+            assert data == b""  # closed without response
+            assert time.monotonic() - t0 < 4
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_no_partial_files_visible(server):
     """Atomic landing: no .tmp leftovers, every visible file is complete."""
     srv, landing = server
