@@ -12,6 +12,25 @@ from otlp2parquet_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
+# In-process S3 endpoint (tests/s3stub.py), bound and exported at conftest
+# import — i.e. BEFORE any SparkSession exists. Executor Python workers
+# inherit the JVM's environment, which is frozen from this process at JVM
+# launch, so pyarrow's S3FileSystem only sees AWS_ENDPOINT_URL inside
+# applyInPandas tasks if it is set before the first getOrCreate(). The
+# stub thread is idle unless an s3:// test talks to it.
+from s3stub import S3Stub  # noqa: E402 (needs sys.path above)
+
+_S3_STUB = S3Stub().__enter__()
+os.environ.update(_S3_STUB.env)
+
+
+@pytest.fixture()
+def s3stub():
+    """The session S3 endpoint, with a clean bucket per test."""
+    for bucket in list(_S3_STUB.server.store):
+        _S3_STUB.server.store[bucket] = {}
+    yield _S3_STUB
+
 
 @pytest.fixture(scope="session")
 def spark():
