@@ -218,6 +218,14 @@ def _jaccard_scored(
         .filter(F.col("df") <= gram_df_cap)
         .drop("df")
     )
+    # materialize ONCE: grams feeds four plan branches (both self-join
+    # sides + both size lookups) and Spark does no CSE across join inputs —
+    # without this the scan+tokenize+explode+distinct+window pipeline
+    # executes 4x per query (plan-verified: 4 parquet scans, 0
+    # ReusedExchange). The lazy localCheckpoint materializes on first use
+    # (MEMORY_AND_DISK, spills at scale) and truncates lineage; at 100 TB
+    # this is the "write the gram table once" step of a dedup pipeline.
+    grams = grams.localCheckpoint(eager=False)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     pairs = (
@@ -418,6 +426,11 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.band_sig")
+    # materialize once: banded feeds BOTH self-join sides and Spark does no
+    # CSE across join inputs — without this the tokenize + 16-hash
+    # signature aggregation runs twice per query. 4 small rows per doc, so
+    # the checkpoint is tiny relative to the work it saves.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -107,12 +107,16 @@ def x6_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (keyword extraction).
 
     Shape for scale: explode -> two-phase (doc,term) count (map-side combine
-    absorbs the token explosion), vocabulary-sized df aggregate, corpus size
-    as a broadcast 1-row frame (no driver action), term-keyed join (AQE
-    picks broadcast when the vocab fits), then a doc-partitioned window for
-    the top-k — every group-limit is local to its doc partition, no global
-    sort until the final output ORDER BY. Ranking happens on the QUANTIZED
-    score so both engines rank identical values; ties break on term."""
+    absorbs the token explosion), then document frequency as a COUNT window
+    over term — tf has exactly one row per (doc, term), so the window count
+    IS df, computed in the same shuffle a groupBy+join-back would need but
+    WITHOUT re-evaluating the tokenize+explode subtree for a second join
+    branch (Spark does no CSE across join inputs — the join formulation
+    tokenized the corpus twice). Corpus size arrives as a broadcast 1-row frame (no driver
+    action), then a doc-partitioned window takes the top-k — every
+    group-limit is local to its doc partition, no global sort until the
+    final output ORDER BY. Ranking happens on the QUANTIZED score so both
+    engines rank identical values; ties break on term."""
     d = spread(T(spark, sf_dir, "documents"))
     tf = (
         with_tokens(d)
@@ -121,10 +125,9 @@ def x6_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(docfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -18,9 +18,13 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 # launch, so pyarrow's S3FileSystem only sees AWS_ENDPOINT_URL inside
 # applyInPandas tasks if it is set before the first getOrCreate(). The
 # stub thread is idle unless an s3:// test talks to it.
-from s3stub import S3Stub  # noqa: E402 (needs sys.path above)
+# global_stub() (NOT a module-level S3Stub()) because this conftest module
+# is imported twice — as `conftest` by pytest and as `tests.conftest` by
+# test modules — and two stubs on two ports silently split the fixture's
+# view from the executors' endpoint (see s3stub.global_stub docstring).
+from s3stub import global_stub  # noqa: E402 (needs sys.path above)
 
-_S3_STUB = S3Stub().__enter__()
+_S3_STUB = global_stub()
 os.environ.update(_S3_STUB.env)
 
 

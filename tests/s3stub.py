@@ -346,3 +346,25 @@ class S3Stub:
     def __exit__(self, *exc) -> None:
         self.server.shutdown()
         self.server.server_close()
+
+
+_GLOBAL: S3Stub | None = None
+
+
+def global_stub() -> S3Stub:
+    """Process-wide singleton for the test session.
+
+    MUST be used instead of a conftest module global: pytest imports
+    tests/conftest.py as `conftest`, while test modules that do
+    `from tests.conftest import ...` import it a SECOND time as
+    `tests.conftest` — module-level state there exists twice. A stub
+    created per conftest instance yields two servers on two ports, the
+    fixture reading one while os.environ (and therefore the JVM and every
+    executor worker) points at the other — executor writes then land on a
+    stub no assertion ever looks at. This module is imported exactly once
+    (plain `s3stub` both times), so the singleton lives here.
+    """
+    global _GLOBAL
+    if _GLOBAL is None:
+        _GLOBAL = S3Stub().__enter__()
+    return _GLOBAL

@@ -30,12 +30,21 @@ def test_cosine_topk_broadcasts_queries(spark):
 
 
 def test_minhash_partial_aggregation(spark):
-    """x2_minhash_lsh: the per-(doc, band) signature min must run two-phase
+    """x2_minhash_lsh: the per-doc signature min must run two-phase
     (partial_min before the exchange) so the gram explosion is absorbed
-    map-side instead of crossing the shuffle row-per-gram."""
-    plan = _plan(spark, "x2_minhash_lsh")
+    map-side instead of crossing the shuffle row-per-gram. Asserted on the
+    signature builder's own plan — the full query localCheckpoints the
+    banded signatures (they feed both self-join sides), which truncates
+    the visible executed plan at the checkpoint."""
+    from otlp2parquet_spark.extensions.dedup import minhash_signatures
+    from otlp2parquet_spark.queries.registry import T
+    from otlp2parquet_spark.session import spread
+
+    sig = minhash_signatures(spread(T(spark, SF_SMOKE, "documents")))
+    plan = sig._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
-    assert "CartesianProduct" not in plan
+    full = _plan(spark, "x2_minhash_lsh")
+    assert "CartesianProduct" not in full
 
 
 def test_fingerprint_partial_aggregation(spark):

@@ -78,6 +78,7 @@ def test_parity_write_s3_retry_overwrites(spark, s3stub, tmp_path):
         df, "otel_logs", "s3://test-bucket/retry", run_tag="fixed-tag"
     ).collect()
     first = set(k for k in s3stub.objects("test-bucket") if k.endswith(".parquet"))
+    assert first  # guard: an empty set would make every assert below vacuous
     writer.write_partitioned(
         df, "otel_logs", "s3://test-bucket/retry", run_tag="fixed-tag"
     ).collect()
