@@ -67,13 +67,18 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame, *, keep_payload: bool = False) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads.
 
     The per-batch kernel is where PIL/ffmpeg/torchaudio would run; here it is
     a deterministic stub deriving fake dimensions from the payload hash. The
     mapInPandas plumbing (schema contract, batch shape, memory profile) is the
     production dataflow.
+
+    `keep_payload=True` flows the binary payload THROUGH the kernel so a
+    downstream transform stage (resize, re-encode) composes as one narrow
+    pipeline — joining the payload back by media_id would re-scan the media
+    source and shuffle every payload byte on the join key.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,10 +100,17 @@ def decode_features(media: DataFrame) -> DataFrame:
                 out["height"].append(64 + h[1] % 192)
                 out["n_frames"].append(1 + h[2] % 32)
                 out["feature_hash"].append(h.hex()[:16])
+            if keep_payload:
+                out["payload"] = pdf["payload"]
             yield pd.DataFrame(out)
 
     cols = ["media_id", "media_type", "payload"]
-    return media.select(*cols).mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    schema = FEATURE_SCHEMA
+    if keep_payload:
+        schema = StructType(
+            FEATURE_SCHEMA.fields + [StructField("payload", BinaryType(), True)]
+        )
+    return media.select(*cols).mapInPandas(kernel, schema=schema)
 
 
 @query(
@@ -180,9 +192,13 @@ def resize_media(media: DataFrame, max_side: int = 128) -> DataFrame:
                 out["resized_payload"].append(body)
             yield pd.DataFrame(out)
 
-    joined = decode_features(media).join(media.select("media_id", "payload"), "media_id")
-    return joined.select("media_id", "width", "height", "payload").mapInPandas(
-        kernel, schema=RESIZE_SCHEMA
+    # payload flows through the decode kernel (keep_payload) so decode ->
+    # resize is ONE narrow pipeline: no second scan of the media source, no
+    # shuffle of payload bytes on media_id (the old join-back shape did both)
+    return (
+        decode_features(media, keep_payload=True)
+        .select("media_id", "width", "height", "payload")
+        .mapInPandas(kernel, schema=RESIZE_SCHEMA)
     )
 
 

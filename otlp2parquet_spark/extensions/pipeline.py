@@ -332,6 +332,11 @@ def x6_seq_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tok") > 0)
         .withColumn("shard", F.expr(f"doc_id div {SEQ_PACK_SHARD_SPAN}"))
     )
+    # materialize once: sized feeds BOTH the shard-local window and the
+    # per-shard totals aggregate, and Spark re-executes the scan+tokenize
+    # subtree per branch. Four small columns per doc — the "token-count
+    # table" a production packer would persist anyway.
+    sized = sized.localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("source", "shard")
         .orderBy("doc_id")

@@ -113,7 +113,12 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> tuple[DataFrame, 
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "label", F.col("cent_id").alias("cluster_id"))
     )
-    return assign, cents
+    # materialize both outputs once: the caller probes `assign` from several
+    # plan branches (query selection, candidate join) and `cents` twice, and
+    # Spark re-executes the whole scan+score+window per branch (audited: 5
+    # parquet scans for x3_ivf_ann before this). The assignment table IS the
+    # IVF index — at 100 TB you build it once and every query probes it.
+    return assign.localCheckpoint(eager=False), cents.localCheckpoint(eager=False)
 
 
 @query(
