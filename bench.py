@@ -56,6 +56,7 @@ HEADLINE = [
     "x6_tfidf_topk",
     "x6_contamination",
     "x6_seq_pack_sharded",
+    "x6_data_mix",
 ]
 
 RUNS_PER_QUERY = 3

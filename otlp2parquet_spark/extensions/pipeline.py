@@ -70,6 +70,89 @@ def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x6_data_mix — quality-gated, per-source-quota training mix
+
+# per-source sampling rate: sources are banded by their numeric suffix
+# (testdata convention srcN). Band 0 = curated (keep all) ... band 3 =
+# low-trust bulk (keep 10%). A production pipeline reads this from a mix
+# config; the banding here keeps the op deterministic and oracle-matched.
+_MIX_RATES = (1.0, 0.5, 0.25, 0.1)
+_MIX_MIN_TOKENS = 30
+
+
+@query(
+    "x6_data_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                             t -> length(t) > 0)) AS n_tok
+      FROM documents
+    ), rated AS (
+      SELECT doc_id, source, n_tok,
+             [{", ".join(str(r) for r in _MIX_RATES)}]
+               [1 + CAST(substr(source, 4) AS INT) % {len(_MIX_RATES)}] AS mix_rate,
+             CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000 AS bucket
+      FROM tok WHERE n_tok >= {_MIX_MIN_TOKENS}
+    )
+    SELECT doc_id, source, n_tok, mix_rate,
+           {_Q4.format(x='1.0 / mix_rate')} AS weight
+    FROM rated
+    WHERE bucket < mix_rate * 1000
+    ORDER BY doc_id
+    """,
+    tags=("X6", "P2", "F6", "X4"),
+)
+def x6_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: quality gate + per-source sampling quota.
+
+    The data-mixing step of a pretraining pipeline: (1) drop documents
+    below a minimum token count (quality gate), (2) sample each source at
+    its configured rate via content-addressed md5 bucketing (deterministic
+    across engines/runs/cluster layouts, composes with incremental ingest —
+    a doc's keep/drop decision never changes), (3) emit an importance
+    weight 1/rate so downstream loss weighting can undo the subsampling.
+
+    Scale shape: entirely map-only — the rate lookup is a literal
+    expression on the source suffix, the sample predicate sits next to the
+    scan, no shuffle until the presentation ORDER BY. At 100 TB this is
+    one pass that never moves a row between executors."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), " ")
+    n_tok = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    band = F.substring("source", 4, 10).cast("int") % len(_MIX_RATES)
+    rate = F.element_at(F.array(*[F.lit(r) for r in _MIX_RATES]), band + 1)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") >= _MIX_MIN_TOKENS)
+        .withColumn("mix_rate", rate)
+        .withColumn("__bucket", bucket)
+        .filter(F.col("__bucket") < F.col("mix_rate") * 1000)
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "mix_rate",
+            _q4(F.lit(1.0) / F.col("mix_rate")).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # x6_tfidf_topk — per-document keyword extraction
 
 

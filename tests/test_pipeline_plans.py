@@ -28,6 +28,15 @@ def test_hash_sample_is_map_only(spark):
     assert "text" not in read_schema
 
 
+def test_data_mix_is_map_only(spark):
+    """x6_data_mix: quality gate + quota sample + weight are all literal
+    expressions next to the scan — the only exchange allowed is the final
+    presentation ORDER BY (rangepartitioning). One pass, no row movement."""
+    plan = _plan(spark, "x6_data_mix")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
 def test_contamination_broadcasts_eval_set(spark):
     """x6_contamination joins the corpus grams against the (small by
     construction) benchmark gram set — that side must be broadcast, never
