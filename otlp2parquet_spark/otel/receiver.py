@@ -108,6 +108,11 @@ def inflate_capped(body: bytes, limit: int) -> bytes:
 class _Handler(BaseHTTPRequestHandler):
     # set by make_server(): landing_root, max_payload_bytes, quiet
     server_version = "otlp2parquet-spark-receiver/1.0"
+    # HTTP/1.1 so exporters reuse connections between POSTs (the reference's
+    # axum server is keep-alive; stdlib defaults to 1.0 = close-per-request,
+    # which triples the TCP cost for the steady OTLP export cadence). Every
+    # response sets Content-Length, which 1.1 keep-alive requires.
+    protocol_version = "HTTP/1.1"
     # Per-connection socket timeout: a client that declares a body but stalls
     # without sending it would otherwise pin a ThreadingHTTPServer thread
     # forever (every rfile.read blocks with no deadline). StreamRequestHandler
@@ -152,6 +157,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802
         parts = self.path.strip("/").split("/")
         if len(parts) != 2 or parts[0] != "v1" or parts[1] not in _SIGNALS:
+            # the request body is never read on this path — under HTTP/1.1
+            # keep-alive the unread bytes would be parsed as the next
+            # request line (protocol desync), so drop the connection
+            self.close_connection = True
             self._json(404, {"error": f"not found: {self.path}"})
             return
         signal = parts[1]
@@ -160,14 +169,18 @@ class _Handler(BaseHTTPRequestHandler):
         if raw_length is None:
             # Chunked / length-less bodies would read as 0 bytes and land an
             # empty payload with a 200 — silent data loss. Refuse instead.
+            # (Body unread and unreadable without a length: close, as above.)
+            self.close_connection = True
             self._json(411, {"error": "Content-Length required"})
             return
         try:
             length = int(raw_length)
         except ValueError:
+            self.close_connection = True  # body length unknown: desync risk
             self._json(400, {"error": "bad Content-Length"})
             return
         if length < 0:
+            self.close_connection = True  # body length unknown: desync risk
             self._json(400, {"error": "bad Content-Length"})
             return
         # length == 0 is a valid empty OTLP export (reference lands it 200).

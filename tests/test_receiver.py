@@ -265,6 +265,63 @@ def test_incompressible_gzip_at_limit_accepted(server):
     assert st == 200 and resp["bytes"] == limit
 
 
+def test_keep_alive_connection_reuse(server):
+    """HTTP/1.1 keep-alive (reference axum parity): two POSTs over ONE
+    connection both land; the server does not close between requests."""
+    import http.client
+
+    srv, landing = server
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_address[1], timeout=10)
+    try:
+        for i in range(2):
+            conn.request(
+                "POST", "/v1/logs", body=f'{{"n":{i}}}'.encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.version == 11
+            resp.read()  # drain so the connection can be reused
+    finally:
+        conn.close()
+    assert len(list((landing / "logs").iterdir())) == 2
+
+
+def test_unread_body_error_closes_connection(server):
+    """Keep-alive desync guard: when the server errors BEFORE reading the
+    request body (404 route, 411, bad Content-Length), it must close the
+    connection — otherwise the unread body bytes would be parsed as the
+    next request line on the reused connection."""
+    import http.client
+
+    srv, landing = server
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_address[1], timeout=10)
+    try:
+        # body crafted to look like an HTTP request line if misparsed
+        evil_body = b"POST /v1/logs HTTP/1.1\r\nContent-Length: 0\r\n\r\n"
+        conn.request("POST", "/v1/bogus", body=evil_body)
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # server must have closed; a second request on the same socket fails
+        # rather than being served from the stale body bytes
+        try:
+            conn.request("POST", "/v1/logs", body=b"{}",
+                         headers={"Content-Type": "application/json"})
+            resp2 = conn.getresponse()
+            # if a response did come back it must be for OUR request on a
+            # fresh server-side parse, never a phantom from the evil body
+            assert resp2.status in (200, 404)
+        except (ConnectionError, http.client.HTTPException, OSError):
+            pass  # closed connection: the expected outcome
+    finally:
+        conn.close()
+    # the embedded phantom request never landed anything
+    files = list((landing / "logs").iterdir()) if (landing / "logs").exists() else []
+    assert all(f.stat().st_size > 0 for f in files)
+    assert len(files) <= 1
+
+
 def test_stalled_oversize_client_dropped_by_timeout(tmp_path):
     """A client that declares an oversize body and then stalls must be
     dropped by the per-connection socket timeout instead of pinning a
