@@ -49,6 +49,7 @@ HEADLINE = [
     "x2_embedding_neardup",
     "x2_dedup_clusters",
     "x3_cosine_topk",
+    "x3_knn_join",
     "x4_top_terms",
     "u3_grouped_agg_pandas_udf",
     "x5_frame_sample",

@@ -158,3 +158,61 @@ def x3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
         .orderBy("q_id", "rank")
     )
+
+
+@query(
+    "x3_knn_join",
+    oracle="""
+    WITH scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               AS cos_raw
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT src_id, neighbor_id, ROUND(cos_raw, 4) AS cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY src_id, rnk
+    """,
+    tags=("X3", "J1", "W6"),
+)
+def x3_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN join: EVERY vector's top-3 neighbors within its
+    block — the all-pairs companion to the probe-style x3 queries (used for
+    embedding clustering, near-dup sweeps, retrieval-graph construction).
+
+    Blocked exact search: the self-join key is the block id (`label` here;
+    at 100 TB the IVF list id from ivf_assign, exactly like
+    x2_embedding_neardup) — an equi-join, so cost is sum of block sizes
+    squared, never corpus n². The per-source top-k is a window group-limit
+    local to each src partition. One shuffle on the block key, one on
+    src_id for the ranking window."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    a = e.select("vec_id", "label", "embedding")
+    b = (
+        e.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("n_label"),
+            F.col("embedding").alias("n_emb"),
+        )
+    )
+    scored = (
+        a.join(b, (F.col("label") == F.col("n_label")) & (F.col("vec_id") != F.col("n_id")))
+        .select(
+            F.col("vec_id").alias("src_id"),
+            F.col("n_id").alias("neighbor_id"),
+            cosine_expr(F.col("embedding"), F.col("n_emb")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("src_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rnk")
+        .orderBy("src_id", "rnk")
+    )
