@@ -51,6 +51,7 @@ HEADLINE = [
     "x3_cosine_topk",
     "x3_knn_join",
     "x4_top_terms",
+    "x4_ngram_lm_score",
     "u3_grouped_agg_pandas_udf",
     "x5_frame_sample",
     "x6_hash_sample",

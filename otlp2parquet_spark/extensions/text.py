@@ -249,3 +249,103 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.md5(F.col("gram").cast("binary"))).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x4_ngram_lm_score — bigram language-model quality scoring
+
+_LM_Q4 = "FLOOR({x} * 10000.0 + 0.5) / 10000.0"
+
+
+@query(
+    "x4_ngram_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                         t -> length(t) > 0) AS toks
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, source, toks[g.i] AS w1, toks[g.i] || ' ' || toks[g.i + 1] AS bg
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+      WHERE len(toks) >= 2
+    ), bg_counts AS (
+      SELECT source, bg, COUNT(*) AS c_bg FROM bi GROUP BY source, bg
+    ), w1_counts AS (
+      SELECT source, w1, COUNT(*) AS c_w1 FROM bi GROUP BY source, w1
+    ), vocab AS (
+      SELECT source, COUNT(DISTINCT w1) AS v FROM bi GROUP BY source
+    ), scored AS (
+      SELECT b.doc_id, b.source,
+             ln(CAST(c.c_bg + 1 AS DOUBLE) / (u.c_w1 + v.v)) AS lp
+      FROM bi b
+      JOIN bg_counts c ON c.source = b.source AND c.bg = b.bg
+      JOIN w1_counts u ON u.source = b.source AND u.w1 = b.w1
+      JOIN vocab v ON v.source = b.source
+    )
+    SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {_LM_Q4.format(x='CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)')}
+             AS avg_logprob
+    FROM scored
+    GROUP BY doc_id, source
+    ORDER BY doc_id
+    """,
+    tags=("X4", "A1", "J1", "F3"),
+)
+def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring: each document's average log-probability
+    under an add-one-smoothed bigram model of its OWN source — the
+    KenLM-style perplexity filter of a training-data pipeline (docs far
+    below their source's typical score are boilerplate/garbled).
+
+    Scale shape: explode bigrams once -> two count aggregates + a vocab
+    aggregate (each a two-phase groupBy on (source, key)) -> equi-joins
+    back on the same keys -> per-doc aggregate. The exploded bigram frame
+    is materialized once (lazy localCheckpoint) because it feeds four plan
+    branches. Determinism across engines: ln() inputs are identical
+    rationals, and the per-doc sum runs in DECIMAL(38,18) — exact integer
+    arithmetic, so accumulation order cannot change the result."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok_df = with_tokens(d, ("doc_id", "source"))
+    n = F.size("toks")
+    bi = (
+        tok_df.filter(n >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.col("toks").getItem(i).alias("w1"),
+                        F.concat_ws(
+                            " ", F.col("toks").getItem(i), F.col("toks").getItem(i + 1)
+                        ).alias("bg"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", F.col("g.w1").alias("w1"), F.col("g.bg").alias("bg"))
+        .localCheckpoint(eager=False)
+    )
+    bg_counts = bi.groupBy("source", "bg").agg(F.count("*").alias("c_bg"))
+    w1_counts = bi.groupBy("source", "w1").agg(F.count("*").alias("c_w1"))
+    vocab = bi.groupBy("source").agg(F.countDistinct("w1").alias("v"))
+    lp = F.log((F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v")))
+    scored = (
+        bi.join(bg_counts, ["source", "bg"])
+        .join(w1_counts, ["source", "w1"])
+        .join(F.broadcast(vocab), "source")
+        .select("doc_id", "source", lp.alias("lp"))
+    )
+    avg_lp = (
+        F.sum(F.col("lp").cast("decimal(38,18)")).cast("double") / F.count("*")
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.floor(avg_lp * 10000.0 + 0.5) / 10000.0).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
