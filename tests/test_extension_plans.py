@@ -96,3 +96,47 @@ def test_ivf_ann_no_full_corpus_join(spark):
     (equi-join on the bucket id), never all-pairs."""
     plan = _plan(spark, "x3_ivf_ann")
     assert "CartesianProduct" not in plan
+
+
+# Queries where scanning the same table from more than one plan branch is
+# the intended shape (self-joins on different predicates, disjoint slices,
+# count-only side scans) — with WHY. Anything NOT listed here that scans a
+# table twice is an unintended re-execution of an expensive subtree
+# (Spark does no CSE across join inputs) and fails the audit below.
+_DUPLICATE_SCAN_ALLOWLIST = {
+    "j7_range_join": "events self-join: banded range join needs both sides",
+    "j8_cross_join": "deliberate 5x5 cartesian demonstration",
+    "o3_union": "UNION ALL of two filtered slices, each with pushed filters",
+    "o3_union_distinct": "UNION of two filtered slices",
+    "o4_intersect_except": "set ops over two branch filters per table",
+    "q02_time_filter": "scalar max-ts subquery (printed per reuse site)",
+    "q04_errors_recent": "scalar max-ts subquery (printed per reuse site)",
+    "x3_cosine_topk": "query slice vs corpus: two roles of embeddings",
+    "x3_knn_join": "blocked exact self-join: both sides required",
+    "x6_contamination": "bench slice (1/97) vs corpus slice: disjoint",
+    "x6_tfidf_topk": "count-only n_docs side scan (zero data columns)",
+}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(SPECS) if n != "x2_dedup_clusters"]
+)
+def test_no_unintended_duplicate_scans(spark, name):
+    """Regression guard for the r4 plan audit: no query may scan the same
+    source table from multiple plan branches unless the duplication is a
+    declared, justified shape. Catches reintroduced subtree re-execution
+    (the bug class fixed in tfidf/jaccard/minhash/ivf/resize/seq-pack).
+    x2_dedup_clusters is excluded: building it runs the CC loop eagerly."""
+    import collections
+    import re
+
+    df = SPECS[name].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    tables = re.findall(r"sf0\.001/(\w+)\.parquet", plan)
+    dup = {t: n for t, n in collections.Counter(tables).items() if n > 1}
+    if dup and name not in _DUPLICATE_SCAN_ALLOWLIST:
+        raise AssertionError(
+            f"{name} scans {dup} times with no allowlist justification — "
+            "likely an expensive subtree re-executed across join branches; "
+            "materialize it once (lazy localCheckpoint) or justify here"
+        )

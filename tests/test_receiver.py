@@ -265,6 +265,38 @@ def test_incompressible_gzip_at_limit_accepted(server):
     assert st == 200 and resp["bytes"] == limit
 
 
+def test_concurrent_posts_all_land(server):
+    """D1 scalability evidence: N threads posting concurrently (mixed
+    signals, gzip and plain) — every payload lands exactly once with
+    correct content; uuid landing names never collide."""
+    import concurrent.futures
+
+    srv, landing = server
+
+    def post_one(i: int):
+        sig = ("logs", "traces", "metrics")[i % 3]
+        body = f'{{"payload": {i}}}'.encode()
+        if i % 2:
+            st, resp = _post(
+                srv, f"/v1/{sig}", gzip.compress(body),
+                {"Content-Type": "application/json", "Content-Encoding": "gzip"},
+            )
+        else:
+            st, resp = _post(srv, f"/v1/{sig}", body, {"Content-Type": "application/json"})
+        return st, sig, body
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=16) as ex:
+        results = list(ex.map(post_one, range(60)))
+    assert all(st == 200 for st, _, _ in results)
+    landed = {
+        sig: sorted(f.read_bytes() for f in (landing / sig).iterdir())
+        for sig in ("logs", "traces", "metrics")
+    }
+    for sig in landed:
+        want = sorted(b for st, s, b in results if s == sig)
+        assert landed[sig] == want, sig
+
+
 def test_keep_alive_connection_reuse(server):
     """HTTP/1.1 keep-alive (reference axum parity): two POSTs over ONE
     connection both land; the server does not close between requests."""
