@@ -568,3 +568,113 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
     return votes.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "x1_incremental_dedup",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, sha256(text) AS h FROM documents
+    ), corpus AS (
+      SELECT h, MIN(doc_id) AS keeper FROM hashed WHERE doc_id % 10 <> 0 GROUP BY h
+    ), batch AS (
+      SELECT doc_id, h FROM hashed WHERE doc_id % 10 = 0
+    )
+    SELECT b.doc_id, b.h AS content_hash,
+           c.keeper IS NOT NULL AS is_duplicate, c.keeper AS dup_of
+    FROM batch b LEFT JOIN corpus c ON c.h = b.h
+    ORDER BY b.doc_id
+    """,
+    tags=("X1", "J2", "F6"),
+)
+def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a NEW ingest batch (here the doc_id % 10
+    slice) checked against the historical corpus's content-hash index —
+    the steady-state form of dedup in a continuously-ingesting pipeline
+    (full-corpus re-dedup per increment would be O(corpus) every batch).
+
+    Scale shape: the corpus side reduces to one (hash, keeper) row per
+    distinct hash — the persisted dedup index; the batch left-joins it on
+    the hash (equi-join). At 100 TB the index lives bucketed BY the hash
+    column, so each increment shuffles only its own rows and the join is
+    co-located with zero corpus movement."""
+    d = spread(T(spark, sf_dir, "documents"))
+    hashed = d.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h")
+    )
+    corpus = (
+        hashed.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    batch = hashed.filter(F.col("doc_id") % 10 == 0)
+    return (
+        batch.join(corpus, "h", "left")
+        .select(
+            "doc_id",
+            F.col("h").alias("content_hash"),
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x4_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+      WHERE len(toks) >= 3
+    ), counts AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           FLOOR((1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 10000.0 + 0.5)
+             / 10000.0 AS rep_ratio,
+           CAST(MAX(c) AS BIGINT) AS max_gram_freq
+    FROM counts GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("X4", "A1", "F1"),
+)
+def x4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (the Gopher/Dolma-style repetition
+    filter): fraction of word-trigram occurrences that are repeats of an
+    earlier trigram in the SAME document, plus the hottest trigram's
+    frequency — high values flag boilerplate loops and degenerate text.
+
+    Scale shape: explode grams (NOT distinct — occurrences matter) ->
+    two-phase (doc, gram) count with map-side combine absorbing the
+    explosion -> per-doc aggregate on the already-doc-partitioned counts.
+    Docs with <3 tokens carry no grams and emit no row (same as the
+    oracle's empty LATERAL)."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok_df = with_tokens(d)
+    grams = tok_df.select(
+        "doc_id", F.explode(gram3_expr(F.col("toks"))).alias("gram")
+    ).filter(F.length("gram") > 0)
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    rep = (
+        F.floor(
+            (F.lit(1.0) - F.count("*").cast("double") / F.sum("c")) * 10000.0 + 0.5
+        )
+        / 10000.0
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            rep.alias("rep_ratio"),
+            F.max("c").alias("max_gram_freq"),
+        )
+        .orderBy("doc_id")
+    )

@@ -111,6 +111,7 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "o4_intersect_except": "set ops over two branch filters per table",
     "q02_time_filter": "scalar max-ts subquery (printed per reuse site)",
     "q04_errors_recent": "scalar max-ts subquery (printed per reuse site)",
+    "x1_incremental_dedup": "corpus slice vs batch slice: disjoint %10 predicates",
     "x3_cosine_topk": "query slice vs corpus: two roles of embeddings",
     "x3_knn_join": "blocked exact self-join: both sides required",
     "x6_contamination": "bench slice (1/97) vs corpus slice: disjoint",
