@@ -45,6 +45,7 @@ HEADLINE = [
     "q08_histogram_p95",
     "t2_sliding_window",
     "x1_exact_dedup",
+    "x1_incremental_dedup",
     "x2_minhash_lsh",
     "x2_embedding_neardup",
     "x2_dedup_clusters",
@@ -52,6 +53,7 @@ HEADLINE = [
     "x3_knn_join",
     "x4_top_terms",
     "x4_ngram_lm_score",
+    "x4_repetition",
     "u3_grouped_agg_pandas_udf",
     "x5_frame_sample",
     "x6_hash_sample",
