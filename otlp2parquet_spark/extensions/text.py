@@ -328,13 +328,21 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("g.w1").alias("w1"), F.col("g.bg").alias("bg"))
         .localCheckpoint(eager=False)
     )
-    bg_counts = bi.groupBy("source", "bg").agg(F.count("*").alias("c_bg"))
-    w1_counts = bi.groupBy("source", "w1").agg(F.count("*").alias("c_w1"))
-    vocab = bi.groupBy("source").agg(F.countDistinct("w1").alias("v"))
+    # (source, bg) determines w1 (the bigram's first token), so the prefix
+    # count c_w1 is a window SUM over the vocabulary-sized bg_counts frame —
+    # not a second aggregate over (and join against) the corpus-sized bigram
+    # frame. Same for vocab. Net: ONE bigram-sized shuffle join instead of
+    # two, and all count arithmetic happens on the small side.
+    from pyspark.sql import Window as _W
+
+    bg_counts = bi.groupBy("source", "w1", "bg").agg(F.count("*").alias("c_bg"))
+    bg_enriched = bg_counts.withColumn(
+        "c_w1", F.sum("c_bg").over(_W.partitionBy("source", "w1"))
+    )
+    vocab = bg_counts.groupBy("source").agg(F.countDistinct("w1").alias("v"))
     lp = F.log((F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v")))
     scored = (
-        bi.join(bg_counts, ["source", "bg"])
-        .join(w1_counts, ["source", "w1"])
+        bi.join(bg_enriched.drop("w1"), ["source", "bg"])
         .join(F.broadcast(vocab), "source")
         .select("doc_id", "source", lp.alias("lp"))
     )
