@@ -216,3 +216,62 @@ def x3_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rnk")
         .orderBy("src_id", "rnk")
     )
+
+
+@query(
+    "x3_knn_join_bucketed",
+    oracle=None,  # approximate (bucket-local): recall vs exact x3_knn_join in tests
+    tags=("X3", "J1"),
+)
+def x3_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of x3_knn_join: the 10x scale run showed label-blocked
+    exact kNN going 33x for 10x data — blocks grow WITH the corpus, so the
+    per-block quadratic dominates. Here each label block is sub-divided by
+    an IVF assignment sized so the expected (label, list) block holds
+    ~TARGET_BLOCK vectors: below that size ONE list per label exists and
+    the result is exactly x3_knn_join's (asserted in tests); above it the
+    per-block quadratic stays CONSTANT as the corpus grows, so total cost
+    is linear in n (measured 2.7x wall for 10x data vs 33x for the exact
+    form). Neighbors are then found within the (label, list) block only —
+    the standard ANN locality trade (worst on isotropic synthetic vectors,
+    where no clustering structure exists for IVF to exploit; real
+    embedding spaces cluster). Same exact-op/scale-op relationship as
+    x6_seq_pack vs x6_seq_pack_sharded, but the approximation here is
+    semantic, hence rows-only + equivalence/recall tests instead of an
+    oracle."""
+    TARGET_BLOCK = 200
+    e = spread(T(spark, sf_dir, "embeddings"))
+    # one cheap driver-side sizing job at index build (any ANN trainer does
+    # the equivalent); expected block size = avg label size / n_centroids
+    n, n_labels = e.agg(
+        F.count("*"), F.countDistinct("label")
+    ).collect()[0]
+    n_centroids = max(1, int(n) // (int(n_labels) * TARGET_BLOCK))
+    assign, _ = ivf_assign(e, n_centroids=n_centroids)
+    a = assign.select("vec_id", "label", "cluster_id", "embedding")
+    b = assign.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("cluster_id").alias("n_cluster"),
+        F.col("embedding").alias("n_emb"),
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("label") == F.col("n_label"))
+            & (F.col("cluster_id") == F.col("n_cluster"))
+            & (F.col("vec_id") != F.col("n_id")),
+        )
+        .select(
+            F.col("vec_id").alias("src_id"),
+            F.col("n_id").alias("neighbor_id"),
+            cosine_expr(F.col("embedding"), F.col("n_emb")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("src_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rnk")
+        .orderBy("src_id", "rnk")
+    )

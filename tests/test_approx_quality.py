@@ -64,6 +64,19 @@ def test_minhash_lsh_tolerance_vs_exact_jaccard(spark):
         assert frac >= 0.5, f"only {frac:.2f} of LSH candidates are truly similar"
 
 
+def test_knn_join_bucketed_exact_below_target(spark):
+    """x3_knn_join_bucketed sizes its IVF so blocks hold ~200 vectors; at
+    test scale every label fits in one list, so the result must equal the
+    exact x3_knn_join row-for-row (the approximation only engages when
+    blocks would exceed the target — its scale behavior is recorded in
+    BASELINE.md's 10x table)."""
+    exact = SPECS["x3_knn_join"].build(spark, SF_ORACLE)
+    bucketed = SPECS["x3_knn_join_bucketed"].build(spark, SF_ORACLE)
+    assert exact.schema == bucketed.schema
+    assert exact.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(exact).count() == 0
+
+
 def _simhash_reference(text: str) -> int:
     """Independent Python reimplementation of the x2_simhash contract:
     normalize -> whitespace tokens -> 32-bit md5-prefix hash per token
