@@ -226,6 +226,13 @@ class _Handler(BaseHTTPRequestHandler):
         self._json(200, {"status": "ok", "landed": f"{signal}/{name}", "bytes": len(body)})
 
 
+class _ReceiverServer(ThreadingHTTPServer):
+    # stdlib default listen backlog is 5: a burst of concurrent exporters
+    # overflows the SYN queue and gets connection resets under load. 128
+    # matches common server defaults.
+    request_queue_size = 128
+
+
 def make_server(
     landing_root: str,
     host: str = "127.0.0.1",
@@ -238,7 +245,7 @@ def make_server(
     """Build (not start) the receiver; port=0 binds an ephemeral port.
     `server.server_address[1]` is the bound port. `request_timeout`
     overrides the per-connection socket deadline (default 30 s)."""
-    srv = ThreadingHTTPServer((host, port), _Handler)
+    srv = _ReceiverServer((host, port), _Handler)
     srv.landing_root = landing_root
     srv.max_payload_bytes = max_payload_bytes
     srv.quiet = quiet
