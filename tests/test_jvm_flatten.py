@@ -1,0 +1,248 @@
+"""Local verification of the JVM protobuf lane's FLATTEN logic without the
+spark-protobuf jar: the Catalyst struct spark-protobuf would produce is
+reconstructed via from_json (same snake_case field names/types — binary as
+base64, enums as ints per the lane's `enums.as.ints` option), fed through
+jvm_codec.flatten_simple_logs, and compared cell-for-cell against the
+Python wire codec on the reference fixtures. Only the from_protobuf call
+itself remains jar-gated (tests/test_pb_descriptor.py); everything
+downstream of it is exercised here.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from otlp2parquet_spark.otel import ingest, jvm_codec, otlp_json, wire
+
+TD = "/root/reference/testdata"
+
+
+def _any_value(depth: int) -> StructType:
+    fields = [
+        StructField("string_value", StringType()),
+        StructField("bool_value", BooleanType()),
+        StructField("int_value", LongType()),
+        StructField("double_value", DoubleType()),
+        StructField("bytes_value", BinaryType()),
+    ]
+    if depth > 0:
+        inner = _any_value(depth - 1)
+        fields += [
+            StructField(
+                "array_value",
+                StructType([StructField("values", ArrayType(inner))]),
+            ),
+            StructField(
+                "kvlist_value",
+                StructType([StructField("values", ArrayType(_kv(inner)))]),
+            ),
+        ]
+    return StructType(fields)
+
+
+def _kv(value_type: StructType) -> StructType:
+    return StructType(
+        [StructField("key", StringType()), StructField("value", value_type)]
+    )
+
+
+def _req_schema() -> StructType:
+    """The Catalyst schema spark-protobuf derives from the OTLP logs request
+    descriptor (enums as ints; AnyValue recursion capped at depth 2 — deep
+    nesting routes to the Python codec before the flatten ever reads it)."""
+    any2 = _any_value(2)
+    kv = _kv(any2)
+    scope = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("version", StringType()),
+            StructField("attributes", ArrayType(kv)),
+            StructField("dropped_attributes_count", LongType()),
+        ]
+    )
+    record = StructType(
+        [
+            StructField("time_unix_nano", LongType()),
+            StructField("observed_time_unix_nano", LongType()),
+            StructField("severity_number", IntegerType()),
+            StructField("severity_text", StringType()),
+            StructField("body", any2),
+            StructField("attributes", ArrayType(kv)),
+            StructField("dropped_attributes_count", LongType()),
+            StructField("flags", LongType()),
+            StructField("trace_id", BinaryType()),
+            StructField("span_id", BinaryType()),
+            StructField("event_name", StringType()),
+        ]
+    )
+    scope_logs = StructType(
+        [
+            StructField("scope", scope),
+            StructField("log_records", ArrayType(record)),
+            StructField("schema_url", StringType()),
+        ]
+    )
+    resource = StructType(
+        [
+            StructField("attributes", ArrayType(kv)),
+            StructField("dropped_attributes_count", LongType()),
+        ]
+    )
+    resource_logs = StructType(
+        [
+            StructField("resource", resource),
+            StructField("scope_logs", ArrayType(scope_logs)),
+            StructField("schema_url", StringType()),
+        ]
+    )
+    return StructType([StructField("resource_logs", ArrayType(resource_logs))])
+
+
+def _b64ify(obj):
+    """wire.py's canonical dicts carry raw bytes; from_json reads BinaryType
+    from base64 strings (the standard JSON binary encoding)."""
+    if isinstance(obj, bytes):
+        return base64.b64encode(obj).decode()
+    if isinstance(obj, dict):
+        return {k: _b64ify(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_b64ify(v) for v in obj]
+    return obj
+
+
+def _fixture_requests():
+    reqs = [("logs.pb", wire.parse_request_pb(open(f"{TD}/logs.pb", "rb").read(), "logs"))]
+    reqs.append(
+        ("log.json", otlp_json.parse_request_json(open(f"{TD}/log.json", "rb").read(), "logs"))
+    )
+    for i, line in enumerate(
+        open(f"{TD}/logs.jsonl", "rb").read().strip().splitlines()
+    ):
+        reqs.append((f"logs.jsonl[{i}]", otlp_json.parse_request_json(line, "logs")))
+    return reqs
+
+
+def _struct_df(spark, req_dicts):
+    rows = [(json.dumps(_b64ify(d)),) for d in req_dicts]
+    return spark.createDataFrame(rows, "line string").select(
+        F.from_json("line", _req_schema(), {"mode": "FAILFAST"}).alias("req")
+    )
+
+
+def test_flatten_matches_python_codec_on_fixtures(spark, tmp_path):
+    """For every reference logs fixture payload that the complex-detector
+    leaves on the fast lane, flatten_simple_logs over the reconstructed
+    struct must produce cell-identical rows to the Python codec."""
+    reqs = _fixture_requests()
+    struct_df = _struct_df(spark, [d for _, d in reqs])
+    flags = [
+        bool(r[0])
+        for r in struct_df.select(
+            F.coalesce(jvm_codec.payload_complex_expr(F.col("req")), F.lit(False))
+        ).collect()
+    ]
+    simple = [d for (_, d), fl in zip(reqs, flags) if not fl]
+    assert simple, "expected at least one simple fixture payload"
+
+    got = ingest.finalize(
+        jvm_codec.flatten_simple_logs(_struct_df(spark, simple)), "otel_logs"
+    )
+
+    # Python-codec reference rows for the same simple payloads: re-encode
+    # each canonical dict to wire bytes (the property suite's encoder, the
+    # inverse of wire.py) and decode through the standard protobuf lane
+    from tests.test_wire_property import encode_message
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    for i, req in enumerate(simple):
+        (d / f"{i}.pb").write_bytes(encode_message(req, "ExportLogsServiceRequest"))
+    payloads, _ = ingest.read_landing(spark, str(d))
+    want = ingest.decode_logs(payloads)
+
+    a = sorted(map(tuple, got.collect()), key=repr)
+    b = sorted(map(tuple, want.collect()), key=repr)
+    assert a == b and a
+
+
+def test_complex_detector_flags_nested_payloads(spark):
+    """Payloads with nested/bytes/double attribute or body values must be
+    flagged for Python-codec routing; scalar-only payloads must not."""
+    nested = {
+        "resource_logs": [
+            {
+                "resource": {"attributes": []},
+                "scope_logs": [
+                    {
+                        "scope": {"name": "s"},
+                        "log_records": [
+                            {
+                                "time_unix_nano": 1,
+                                "attributes": [
+                                    {
+                                        "key": "arr",
+                                        "value": {
+                                            "array_value": {
+                                                "values": [{"int_value": 1}]
+                                            }
+                                        },
+                                    }
+                                ],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    double_attr = {
+        "resource_logs": [
+            {
+                "resource": {
+                    "attributes": [{"key": "d", "value": {"double_value": 1.5}}]
+                },
+                "scope_logs": [
+                    {"scope": {"name": "s"}, "log_records": [{"time_unix_nano": 1}]}
+                ],
+            }
+        ]
+    }
+    scalar = {
+        "resource_logs": [
+            {
+                "resource": {
+                    "attributes": [{"key": "k", "value": {"string_value": "v"}}]
+                },
+                "scope_logs": [
+                    {
+                        "scope": {"name": "s"},
+                        "log_records": [
+                            {"time_unix_nano": 1, "body": {"string_value": "x"}}
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    flags = [
+        bool(r[0])
+        for r in _struct_df(spark, [nested, double_attr, scalar])
+        .select(F.coalesce(jvm_codec.payload_complex_expr(F.col("req")), F.lit(False)))
+        .collect()
+    ]
+    assert flags == [True, True, False]
