@@ -180,6 +180,136 @@ def test_flatten_matches_python_codec_on_fixtures(spark, tmp_path):
     assert a == b and a
 
 
+def _traces_req_schema() -> StructType:
+    any2 = _any_value(2)
+    kv = _kv(any2)
+    scope = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("version", StringType()),
+            StructField("attributes", ArrayType(kv)),
+            StructField("dropped_attributes_count", LongType()),
+        ]
+    )
+    event = StructType(
+        [
+            StructField("time_unix_nano", LongType()),
+            StructField("name", StringType()),
+            StructField("attributes", ArrayType(kv)),
+            StructField("dropped_attributes_count", LongType()),
+        ]
+    )
+    link = StructType(
+        [
+            StructField("trace_id", BinaryType()),
+            StructField("span_id", BinaryType()),
+            StructField("trace_state", StringType()),
+            StructField("attributes", ArrayType(kv)),
+            StructField("dropped_attributes_count", LongType()),
+            StructField("flags", LongType()),
+        ]
+    )
+    status = StructType(
+        [StructField("message", StringType()), StructField("code", IntegerType())]
+    )
+    span = StructType(
+        [
+            StructField("trace_id", BinaryType()),
+            StructField("span_id", BinaryType()),
+            StructField("trace_state", StringType()),
+            StructField("parent_span_id", BinaryType()),
+            StructField("name", StringType()),
+            StructField("kind", IntegerType()),
+            StructField("start_time_unix_nano", LongType()),
+            StructField("end_time_unix_nano", LongType()),
+            StructField("attributes", ArrayType(kv)),
+            StructField("dropped_attributes_count", LongType()),
+            StructField("events", ArrayType(event)),
+            StructField("dropped_events_count", LongType()),
+            StructField("links", ArrayType(link)),
+            StructField("dropped_links_count", LongType()),
+            StructField("status", status),
+            StructField("flags", LongType()),
+        ]
+    )
+    scope_spans = StructType(
+        [
+            StructField("scope", scope),
+            StructField("spans", ArrayType(span)),
+            StructField("schema_url", StringType()),
+        ]
+    )
+    resource = StructType(
+        [
+            StructField("attributes", ArrayType(kv)),
+            StructField("dropped_attributes_count", LongType()),
+        ]
+    )
+    resource_spans = StructType(
+        [
+            StructField("resource", resource),
+            StructField("scope_spans", ArrayType(scope_spans)),
+            StructField("schema_url", StringType()),
+        ]
+    )
+    return StructType([StructField("resource_spans", ArrayType(resource_spans))])
+
+
+def _traces_fixture_requests():
+    reqs = [
+        ("traces.pb", wire.parse_request_pb(open(f"{TD}/traces.pb", "rb").read(), "traces")),
+        ("trace.pb", wire.parse_request_pb(open(f"{TD}/trace.pb", "rb").read(), "traces")),
+        ("trace.json", otlp_json.parse_request_json(open(f"{TD}/trace.json", "rb").read(), "traces")),
+    ]
+    for i, line in enumerate(
+        open(f"{TD}/traces.jsonl", "rb").read().strip().splitlines()
+    ):
+        reqs.append((f"traces.jsonl[{i}]", otlp_json.parse_request_json(line, "traces")))
+    return reqs
+
+
+def _traces_struct_df(spark, req_dicts):
+    rows = [(json.dumps(_b64ify(d)),) for d in req_dicts]
+    return spark.createDataFrame(rows, "line string").select(
+        F.from_json("line", _traces_req_schema(), {"mode": "FAILFAST"}).alias("req")
+    )
+
+
+def test_traces_flatten_matches_python_codec_on_fixtures(spark, tmp_path):
+    """Traces twin: flatten_simple_traces over reconstructed structs must be
+    cell-identical to the Python codec for every simple fixture payload."""
+    reqs = _traces_fixture_requests()
+    struct_df = _traces_struct_df(spark, [d for _, d in reqs])
+    flags = [
+        bool(r[0])
+        for r in struct_df.select(
+            F.coalesce(
+                jvm_codec.payload_complex_expr_traces(F.col("req")), F.lit(False)
+            )
+        ).collect()
+    ]
+    simple = [d for (_, d), fl in zip(reqs, flags) if not fl]
+    assert simple, "expected at least one simple traces fixture payload"
+
+    got = ingest.finalize(
+        jvm_codec.flatten_simple_traces(_traces_struct_df(spark, simple)),
+        "otel_traces",
+    )
+
+    from tests.test_wire_property import encode_message
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    for i, req in enumerate(simple):
+        (d / f"{i}.pb").write_bytes(encode_message(req, "ExportTraceServiceRequest"))
+    payloads, _ = ingest.read_landing(spark, str(d))
+    want = ingest.decode_traces(payloads)
+
+    a = sorted(map(tuple, got.collect()), key=repr)
+    b = sorted(map(tuple, want.collect()), key=repr)
+    assert a == b and a
+
+
 def test_complex_detector_flags_nested_payloads(spark):
     """Payloads with nested/bytes/double attribute or body values must be
     flagged for Python-codec routing; scalar-only payloads must not."""
