@@ -903,11 +903,19 @@ def decode_metrics_json_native(lines: DataFrame, line_col: str = "line") -> Data
     """One OTLP/JSON metrics export request per row -> gauge/sum/histogram/
     exponential-histogram rows in the metrics-union layout
     (ingest.METRICS_UNION_SCHEMA columns)."""
-    from otlp2parquet_spark.otel import ingest as ing
-
     parsed = lines.select(
         F.from_json(F.col(line_col), METRICS_REQUEST_SCHEMA, {"mode": "FAILFAST"}).alias("req")
     )
+    return metrics_union_from_req(parsed)
+
+
+def metrics_union_from_req(parsed: DataFrame) -> DataFrame:
+    """camelCase metrics request struct (column `req`, METRICS_REQUEST_SCHEMA
+    shape — from_json here, or the JVM protobuf lane's snake->camel adapter
+    in jvm_codec) -> metrics-union rows. Source-agnostic so the protobuf
+    lane reuses the entire native pipeline."""
+    from otlp2parquet_spark.otel import ingest as ing
+
     rm = parsed.select(F.explode("req.resourceMetrics").alias("rm"))
     sm = rm.select(
         F.col("rm.resource.attributes").alias("rattrs"),

@@ -310,6 +310,229 @@ def test_traces_flatten_matches_python_codec_on_fixtures(spark, tmp_path):
     assert a == b and a
 
 
+def _metrics_req_schema() -> StructType:
+    any2 = _any_value(2)
+    kv = _kv(any2)
+    scope = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("version", StringType()),
+            StructField("attributes", ArrayType(kv)),
+        ]
+    )
+    number_dp = StructType(
+        [
+            StructField("start_time_unix_nano", LongType()),
+            StructField("time_unix_nano", LongType()),
+            StructField("as_double", DoubleType()),
+            StructField("as_int", LongType()),
+            StructField("attributes", ArrayType(kv)),
+            StructField("flags", LongType()),
+        ]
+    )
+    hist_dp = StructType(
+        [
+            StructField("start_time_unix_nano", LongType()),
+            StructField("time_unix_nano", LongType()),
+            StructField("count", LongType()),
+            StructField("sum", DoubleType()),
+            StructField("bucket_counts", ArrayType(LongType())),
+            StructField("explicit_bounds", ArrayType(DoubleType())),
+            StructField("attributes", ArrayType(kv)),
+            StructField("flags", LongType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+        ]
+    )
+    buckets = StructType(
+        [
+            StructField("offset", IntegerType()),
+            StructField("bucket_counts", ArrayType(LongType())),
+        ]
+    )
+    exp_dp = StructType(
+        [
+            StructField("attributes", ArrayType(kv)),
+            StructField("start_time_unix_nano", LongType()),
+            StructField("time_unix_nano", LongType()),
+            StructField("count", LongType()),
+            StructField("sum", DoubleType()),
+            StructField("scale", IntegerType()),
+            StructField("zero_count", LongType()),
+            StructField("positive", buckets),
+            StructField("negative", buckets),
+            StructField("flags", LongType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+        ]
+    )
+    quantile = StructType(
+        [StructField("quantile", DoubleType()), StructField("value", DoubleType())]
+    )
+    summary_dp = StructType(
+        [
+            StructField("start_time_unix_nano", LongType()),
+            StructField("time_unix_nano", LongType()),
+            StructField("count", LongType()),
+            StructField("sum", DoubleType()),
+            StructField("quantile_values", ArrayType(quantile)),
+            StructField("attributes", ArrayType(kv)),
+            StructField("flags", LongType()),
+        ]
+    )
+    metric = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("description", StringType()),
+            StructField("unit", StringType()),
+            StructField(
+                "gauge",
+                StructType([StructField("data_points", ArrayType(number_dp))]),
+            ),
+            StructField(
+                "sum",
+                StructType(
+                    [
+                        StructField("data_points", ArrayType(number_dp)),
+                        StructField("aggregation_temporality", IntegerType()),
+                        StructField("is_monotonic", BooleanType()),
+                    ]
+                ),
+            ),
+            StructField(
+                "histogram",
+                StructType(
+                    [
+                        StructField("data_points", ArrayType(hist_dp)),
+                        StructField("aggregation_temporality", IntegerType()),
+                    ]
+                ),
+            ),
+            StructField(
+                "exponential_histogram",
+                StructType(
+                    [
+                        StructField("data_points", ArrayType(exp_dp)),
+                        StructField("aggregation_temporality", IntegerType()),
+                    ]
+                ),
+            ),
+            StructField(
+                "summary",
+                StructType([StructField("data_points", ArrayType(summary_dp))]),
+            ),
+        ]
+    )
+    scope_metrics = StructType(
+        [
+            StructField("scope", scope),
+            StructField("metrics", ArrayType(metric)),
+            StructField("schema_url", StringType()),
+        ]
+    )
+    resource = StructType([StructField("attributes", ArrayType(kv))])
+    resource_metrics = StructType(
+        [
+            StructField("resource", resource),
+            StructField("scope_metrics", ArrayType(scope_metrics)),
+            StructField("schema_url", StringType()),
+        ]
+    )
+    return StructType([StructField("resource_metrics", ArrayType(resource_metrics))])
+
+
+_METRICS_FIXTURES = (
+    "metrics_gauge",
+    "metrics_sum",
+    "metrics_mixed",
+    "metrics_histogram",
+    "metrics_exponential_histogram",
+    "metrics_summary",
+)
+
+
+def _metrics_struct_df(spark, req_dicts):
+    rows = [(json.dumps(_b64ify(d)),) for d in req_dicts]
+    return spark.createDataFrame(rows, "line string").select(
+        F.from_json("line", _metrics_req_schema(), {"mode": "FAILFAST"}).alias("req")
+    )
+
+
+@pytest.mark.parametrize("fixture", _METRICS_FIXTURES)
+def test_metrics_adapter_matches_python_codec(spark, fixture):
+    """Metrics twin: the snake->camel adapter + reused native pipeline over
+    reconstructed structs must match the Python codec table-for-table
+    (including the summary skip counters) on every metrics fixture."""
+    from otlp2parquet_spark.otel.jvm_codec import camel_metrics_req
+    from otlp2parquet_spark.otel.native_json import metrics_union_from_req
+
+    req = wire.parse_request_pb(open(f"{TD}/{fixture}.pb", "rb").read(), "metrics")
+    struct_df = _metrics_struct_df(spark, [req])
+    flagged = struct_df.select(
+        F.coalesce(jvm_codec.payload_complex_expr_metrics(F.col("req")), F.lit(False))
+    ).collect()[0][0]
+    assert not flagged, "reference metrics fixtures are scalar-attribute-only"
+
+    union_fast = metrics_union_from_req(
+        struct_df.select(camel_metrics_req(F.col("req")).alias("req"))
+    )
+    payloads = spark.createDataFrame(
+        [("", bytearray(open(f"{TD}/{fixture}.pb", "rb").read()), "pb")],
+        "path string, content binary, fmt string",
+    )
+    union_py = ingest.decode_metrics_union(payloads)
+    for mt in ("gauge", "sum", "histogram", "exponential_histogram"):
+        a = sorted(map(tuple, ingest.metrics_table(union_fast, mt).collect()), key=repr)
+        b = sorted(map(tuple, ingest.metrics_table(union_py, mt).collect()), key=repr)
+        assert a == b, mt
+    sk_a = {r.reason: r["count"] for r in ingest.skipped_metrics(union_fast).collect()}
+    sk_b = {r.reason: r["count"] for r in ingest.skipped_metrics(union_py).collect()}
+    assert sk_a == sk_b
+
+
+def test_metrics_complex_detector_negative_counts(spark):
+    """uint64 counts beyond int64 surface as NEGATIVE longs after the JVM
+    reinterpretation — such payloads must route to the Python codec (which
+    hard-errors) rather than silently landing negative counts."""
+    bad = {
+        "resource_metrics": [
+            {
+                "resource": {"attributes": []},
+                "scope_metrics": [
+                    {
+                        "scope": {"name": "s"},
+                        "metrics": [
+                            {
+                                "name": "h",
+                                "histogram": {
+                                    "aggregation_temporality": 2,
+                                    "data_points": [
+                                        {
+                                            "time_unix_nano": 1,
+                                            "count": -5,  # 2^64-5 reinterpreted
+                                            "bucket_counts": [1, 2],
+                                        }
+                                    ],
+                                },
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    flag = (
+        _metrics_struct_df(spark, [bad])
+        .select(
+            F.coalesce(
+                jvm_codec.payload_complex_expr_metrics(F.col("req")), F.lit(False)
+            )
+        )
+        .collect()[0][0]
+    )
+    assert flag is True
+
+
 def test_complex_detector_flags_nested_payloads(spark):
     """Payloads with nested/bytes/double attribute or body values must be
     flagged for Python-codec routing; scalar-only payloads must not."""
