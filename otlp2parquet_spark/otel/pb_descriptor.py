@@ -18,10 +18,13 @@ descriptor against wire.DESCRIPTORS field-by-field.
 
 Known, deliberate divergences from the official files (wire-compatible —
 the binary encoding of every message is identical):
-- `optional` (proto3 synthetic-oneof presence) on HistogramDataPoint
-  sum/min/max etc. is declared as plain singular; the flatten layer
-  coalesces absent values exactly like the JSON lanes.
 - gRPC service declarations are omitted (data plane only).
+
+Presence semantics: Histogram/ExponentialHistogramDataPoint sum/min/max
+are declared `proto3_optional` with the official synthetic oneofs
+(_sum/_min/_max), so the JVM lane distinguishes an absent min/max from an
+explicitly-sent 0.0 exactly like the presence-exact Python wire codec
+(wire.py keeps None for absent; flatten passes Min/Max through as null).
 """
 
 from __future__ import annotations
@@ -88,9 +91,13 @@ def _field(
     *,
     repeated: bool = False,
     oneof: int | None = None,
+    proto3_optional: bool = False,
 ) -> bytes:
     """FieldDescriptorProto: name=1, number=3, label=4, type=5, type_name=6,
-    oneof_index=9. `kind` is a scalar type or 'msg:.fq.Name' / 'enum:.fq.Name'."""
+    oneof_index=9, proto3_optional=17. `kind` is a scalar type or
+    'msg:.fq.Name' / 'enum:.fq.Name'. proto3_optional fields must also set
+    `oneof` to their synthetic single-member oneof (declared after all real
+    oneofs, per the official descriptor contract)."""
     if kind.startswith("msg:"):
         t, type_name = _TYPE["message"], kind[4:]
     elif kind.startswith("enum:"):
@@ -104,6 +111,8 @@ def _field(
         out += _s(6, type_name)
     if oneof is not None:
         out += _vi(9, oneof)
+    if proto3_optional:
+        out += _vi(17, 1)
     return out
 
 
@@ -429,14 +438,15 @@ def _metrics_file() -> bytes:
             _field("start_time_unix_nano", 2, "fixed64"),
             _field("time_unix_nano", 3, "fixed64"),
             _field("count", 4, "fixed64"),
-            _field("sum", 5, "double"),
+            _field("sum", 5, "double", oneof=0, proto3_optional=True),
             _field("bucket_counts", 6, "fixed64", repeated=True),
             _field("explicit_bounds", 7, "double", repeated=True),
             _field("exemplars", 8, f"msg:.{_METRICS}.Exemplar", repeated=True),
             _field("flags", 10, "uint32"),
-            _field("min", 11, "double"),
-            _field("max", 12, "double"),
+            _field("min", 11, "double", oneof=1, proto3_optional=True),
+            _field("max", 12, "double", oneof=2, proto3_optional=True),
         ],
+        oneofs=["_sum", "_min", "_max"],
     )
     buckets = _message(
         "Buckets",
@@ -452,7 +462,7 @@ def _metrics_file() -> bytes:
             _field("start_time_unix_nano", 2, "fixed64"),
             _field("time_unix_nano", 3, "fixed64"),
             _field("count", 4, "fixed64"),
-            _field("sum", 5, "double"),
+            _field("sum", 5, "double", oneof=0, proto3_optional=True),
             _field("scale", 6, "sint32"),
             _field("zero_count", 7, "fixed64"),
             _field(
@@ -467,11 +477,12 @@ def _metrics_file() -> bytes:
             ),
             _field("flags", 10, "uint32"),
             _field("exemplars", 11, f"msg:.{_METRICS}.Exemplar", repeated=True),
-            _field("min", 12, "double"),
-            _field("max", 13, "double"),
+            _field("min", 12, "double", oneof=1, proto3_optional=True),
+            _field("max", 13, "double", oneof=2, proto3_optional=True),
             _field("zero_threshold", 14, "double"),
         ],
         nested=[buckets],
+        oneofs=["_sum", "_min", "_max"],
     )
     value_at_quantile = _message(
         "ValueAtQuantile",
@@ -617,10 +628,17 @@ def _collector_file(signal: str, item_field: str, item_type: str) -> bytes:
         f"Export{cap}ServiceRequest",
         [_field(item_field, 1, item_type, repeated=True)],
     )
+    # official partial-success rejected-count names per signal (the proto
+    # names the rejected unit, not the top-level request field)
+    rejected = {
+        "logs": "rejected_log_records",
+        "trace": "rejected_spans",
+        "metrics": "rejected_data_points",
+    }[signal]
     partial = _message(
         f"Export{cap}PartialSuccess",
         [
-            _field(f"rejected_{item_field.replace('resource_', '')}", 1, "int64"),
+            _field(rejected, 1, "int64"),
             _field("error_message", 2, "string"),
         ],
     )

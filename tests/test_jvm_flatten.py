@@ -533,6 +533,121 @@ def test_metrics_complex_detector_negative_counts(spark):
     assert flag is True
 
 
+def test_complex_detector_negative_timestamps(spark):
+    """uint64 timestamps above 2^63-1 reinterpret as negative JVM longs —
+    such payloads must route to the Python codec (which keeps the unsigned
+    value) on every signal, mirroring the negative-count rule."""
+    neg_log = {
+        "resource_logs": [
+            {
+                "resource": {"attributes": []},
+                "scope_logs": [
+                    {"scope": {"name": "s"}, "log_records": [{"time_unix_nano": -7}]}
+                ],
+            }
+        ]
+    }
+    ok_log = {
+        "resource_logs": [
+            {
+                "resource": {"attributes": []},
+                "scope_logs": [
+                    {"scope": {"name": "s"}, "log_records": [{"time_unix_nano": 7}]}
+                ],
+            }
+        ]
+    }
+    flags = [
+        bool(r[0])
+        for r in _struct_df(spark, [neg_log, ok_log])
+        .select(F.coalesce(jvm_codec.payload_complex_expr(F.col("req")), F.lit(False)))
+        .collect()
+    ]
+    assert flags == [True, False]
+
+    neg_span = {
+        "resource_spans": [
+            {
+                "resource": {"attributes": []},
+                "scope_spans": [
+                    {
+                        "scope": {"name": "s"},
+                        "spans": [
+                            {
+                                "trace_id": b"\x01" * 16,
+                                "span_id": b"\x02" * 8,
+                                "start_time_unix_nano": 1,
+                                "end_time_unix_nano": -1,
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    neg_event = {
+        "resource_spans": [
+            {
+                "resource": {"attributes": []},
+                "scope_spans": [
+                    {
+                        "scope": {"name": "s"},
+                        "spans": [
+                            {
+                                "trace_id": b"\x01" * 16,
+                                "span_id": b"\x02" * 8,
+                                "events": [{"time_unix_nano": -3, "name": "e"}],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    tflags = [
+        bool(r[0])
+        for r in _traces_struct_df(spark, [neg_span, neg_event])
+        .select(
+            F.coalesce(jvm_codec.payload_complex_expr_traces(F.col("req")), F.lit(False))
+        )
+        .collect()
+    ]
+    assert tflags == [True, True]
+
+    neg_metric = {
+        "resource_metrics": [
+            {
+                "resource": {"attributes": []},
+                "scope_metrics": [
+                    {
+                        "scope": {"name": "s"},
+                        "metrics": [
+                            {
+                                "name": "g",
+                                "gauge": {
+                                    "data_points": [
+                                        {"time_unix_nano": -9, "as_double": 1.0}
+                                    ]
+                                },
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    mflag = (
+        _metrics_struct_df(spark, [neg_metric])
+        .select(
+            F.coalesce(
+                jvm_codec.payload_complex_expr_metrics(F.col("req")), F.lit(False)
+            )
+        )
+        .collect()[0][0]
+    )
+    assert mflag is True
+
+
 def test_complex_detector_flags_nested_payloads(spark):
     """Payloads with nested/bytes/double attribute or body values must be
     flagged for Python-codec routing; scalar-only payloads must not."""

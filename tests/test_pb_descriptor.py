@@ -61,11 +61,15 @@ def _parse_field(buf: bytes) -> dict:
             f["type"] = val
         elif no == 6:
             f["type_name"] = val.decode()
+        elif no == 9:
+            f["oneof_index"] = val
+        elif no == 17:
+            f["proto3_optional"] = bool(val)
     return f
 
 
 def _parse_message(buf: bytes, prefix: str) -> dict:
-    name, fields, nested, enums = None, [], {}, []
+    name, fields, nested, enums, oneofs = None, [], {}, [], []
     for no, val in _walk(buf):
         if no == 1:
             name = val.decode()
@@ -75,8 +79,10 @@ def _parse_message(buf: bytes, prefix: str) -> dict:
             nested.update(_parse_message(val, ""))
         elif no == 4:
             enums.append(val)
+        elif no == 8:  # OneofDescriptorProto: name=1
+            oneofs.append(next(v for n, v in _walk(val) if n == 1).decode())
     full = f"{prefix}{name}"
-    out = {full: {"fields": fields, "enums": enums}}
+    out = {full: {"fields": fields, "enums": enums, "oneofs": oneofs}}
     for sub, meta in nested.items():
         out[f"{full}.{sub}"] = meta
     return out
@@ -176,6 +182,54 @@ def test_descriptor_agrees_with_wire_tables():
                 assert df["type"] in _KIND_TO_TYPES[kind], (fq, fname, df["type"])
 
 
+def test_histogram_min_max_presence():
+    """Histogram/ExponentialHistogramDataPoint sum/min/max must be declared
+    proto3_optional with the official synthetic oneofs (_sum/_min/_max) —
+    otherwise the JVM lane reads an absent min/max as 0.0 while the
+    presence-exact Python wire codec keeps None (lane-divergent output)."""
+    messages = _parse_set(pb_descriptor.build_descriptor_set())
+    m = "opentelemetry.proto.metrics.v1"
+    for msg, (sum_no, min_no, max_no) in {
+        f"{m}.HistogramDataPoint": (5, 11, 12),
+        f"{m}.ExponentialHistogramDataPoint": (5, 12, 13),
+    }.items():
+        meta = messages[msg]
+        assert meta["oneofs"] == ["_sum", "_min", "_max"], msg
+        by_number = {f["number"]: f for f in meta["fields"]}
+        for name, number, idx in (
+            ("sum", sum_no, 0),
+            ("min", min_no, 1),
+            ("max", max_no, 2),
+        ):
+            f = by_number[number]
+            assert f["name"] == name, (msg, number)
+            assert f.get("proto3_optional") is True, (msg, name)
+            assert f.get("oneof_index") == idx, (msg, name)
+    # every synthetic oneof holds exactly one field (descriptor contract)
+    for msg in (f"{m}.HistogramDataPoint", f"{m}.ExponentialHistogramDataPoint"):
+        counts = {}
+        for f in messages[msg]["fields"]:
+            if "oneof_index" in f:
+                counts[f["oneof_index"]] = counts.get(f["oneof_index"], 0) + 1
+        assert counts == {0: 1, 1: 1, 2: 1}, msg
+
+
+def test_partial_success_official_field_names():
+    """Collector Export*PartialSuccess rejected-count fields must carry the
+    official proto names (rejected_log_records / rejected_spans /
+    rejected_data_points), not request-field-derived ones."""
+    messages = _parse_set(pb_descriptor.build_descriptor_set())
+    want = {
+        "opentelemetry.proto.collector.logs.v1.ExportLogsPartialSuccess": "rejected_log_records",
+        "opentelemetry.proto.collector.trace.v1.ExportTracePartialSuccess": "rejected_spans",
+        "opentelemetry.proto.collector.metrics.v1.ExportMetricsPartialSuccess": "rejected_data_points",
+    }
+    for msg, fname in want.items():
+        fields = {f["number"]: f["name"] for f in messages[msg]["fields"]}
+        assert fields[1] == fname, msg
+        assert fields[2] == "error_message", msg
+
+
 def test_descriptor_artifact_is_current():
     """The checked-in otlp.desc must byte-match the generator (regenerate
     with `python -m otlp2parquet_spark.otel.pb_descriptor`)."""
@@ -240,3 +294,76 @@ def test_jvm_lane_parity_with_wire(spark, tmp_path):
     assert sorted(map(tuple, got.collect()), key=repr) == sorted(
         map(tuple, want.collect()), key=repr
     )
+
+
+def _minmax_metrics_payload() -> bytes:
+    """A histogram request covering the min/max presence matrix: explicitly-
+    sent 0.0, explicitly-sent nonzero, and absent. The JVM lane must
+    distinguish 0.0-sent from absent exactly like the wire codec (the
+    proto3_optional descriptor declaration carries the presence bit)."""
+    from tests.test_wire_property import encode_message
+
+    def dp(extra):
+        return {
+            "time_unix_nano": 1_700_000_000_000_000_000,
+            "count": 4,
+            "bucket_counts": [1, 3],
+            "explicit_bounds": [5.0],
+            **extra,
+        }
+
+    req = {
+        "resource_metrics": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"string_value": "m"}}
+                    ]
+                },
+                "scope_metrics": [
+                    {
+                        "scope": {"name": "s"},
+                        "metrics": [
+                            {
+                                "name": "h",
+                                "histogram": {
+                                    "aggregation_temporality": 2,
+                                    "data_points": [
+                                        dp({"min": 0.0, "max": 0.0}),
+                                        dp({"min": 1.5, "max": 9.5}),
+                                        dp({}),  # min/max absent -> null
+                                        dp({"sum": 12.5, "min": 0.0}),
+                                    ],
+                                },
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    return encode_message(req, "ExportMetricsServiceRequest")
+
+
+def test_jvm_metrics_minmax_parity_with_wire(spark):
+    """Gated parity (needs the spark-protobuf jar): the JVM metrics lane
+    must reproduce the wire codec's presence-exact Min/Max — null for
+    absent, 0.0 for explicitly-sent zero."""
+    from otlp2parquet_spark.otel import ingest
+
+    if not jvm_codec.jvm_protobuf_available(spark):
+        pytest.skip("spark-protobuf jar not on the JVM classpath")
+    payloads = spark.createDataFrame(
+        [("", bytearray(_minmax_metrics_payload()), "pb")],
+        "path string, content binary, fmt string",
+    )
+    got = ingest.metrics_table(
+        jvm_codec.decode_metrics_pb_jvm(spark, payloads), "histogram"
+    )
+    want = ingest.metrics_table(ingest.decode_metrics_union(payloads), "histogram")
+    a = sorted(map(tuple, got.collect()), key=repr)
+    b = sorted(map(tuple, want.collect()), key=repr)
+    assert a == b and len(a) == 4
+    # the presence matrix itself: one (null,null) row, one (0.0,0.0) row
+    mins = sorted(repr(r["Min"]) for r in want.collect())
+    assert mins == ["0.0", "0.0", "1.5", "None"]
