@@ -15,7 +15,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from otlp2parquet_spark.queries.registry import T, query
@@ -203,39 +203,62 @@ def _jaccard_scored(
     spark: SparkSession, sf_dir: str, gram_df_cap: int = GRAM_DF_CAP
 ) -> DataFrame:
     """(doc_a, doc_b, jac) word-trigram Jaccard scores over df-capped grams —
-    the skew-safe pair generator behind x2_ngram_jaccard / jaccard_pairs."""
+    the skew-safe pair generator behind x2_ngram_jaccard / jaccard_pairs.
+
+    Shape (one gram-table shuffle, no gram self-join): per-doc gram dedup is
+    map-side `array_distinct` (grams from one doc live in one row's array, so
+    no distinct shuffle), then ONE groupBy(source, gram) builds the inverted
+    doc list per gram. The df cap filters that list (`size(docs) <= cap`),
+    and the candidate pairs explode map-side from each capped list — the
+    d*(d-1)/2 fan-out per gram is bounded by cap^2/2 exactly like the old
+    equi-self-join, but the gram table is shuffled once (the groupBy)
+    instead of three times (distinct + both sorted join sides)."""
     d = spread(T(spark, sf_dir, "documents"))
     tok_df = with_tokens(d, ("doc_id", "source"))
-    grams = (
-        tok_df.select("doc_id", "source", F.explode(gram3_expr(F.col("toks"))).alias("gram"))
-        .filter(F.length("gram") > 0)
-        .distinct()
+    grams = tok_df.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(F.filter(gram3_expr(F.col("toks")), lambda g: F.length(g) > 0))
+        ).alias("gram"),
     )
-    # hot-gram cap: one window count keyed on (source, gram) — the same key
-    # the self-join shuffles on, so the exchange is reused, not added
-    grams = (
-        grams.withColumn("df", F.count("*").over(Window.partitionBy("source", "gram")))
-        .filter(F.col("df") <= gram_df_cap)
-        .drop("df")
+    # inverted index: gram -> sorted doc list, df-capped (boilerplate grams
+    # above the cap are dropped entirely, from pairs AND sizes — the skew
+    # bound: one gram row never fans out beyond cap^2/2 pairs)
+    gram_docs = (
+        grams.groupBy("source", "gram")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= gram_df_cap)
+        .select(F.array_sort("docs").alias("docs"))
     )
-    # materialize ONCE: grams feeds four plan branches (both self-join
-    # sides + both size lookups) and Spark does no CSE across join inputs —
-    # without this the scan+tokenize+explode+distinct+window pipeline
-    # executes 4x per query (plan-verified: 4 parquet scans, 0
-    # ReusedExchange). The lazy localCheckpoint materializes on first use
-    # (MEMORY_AND_DISK, spills at scale) and truncates lineage; at 100 TB
-    # this is the "write the gram table once" step of a dedup pipeline.
-    grams = grams.localCheckpoint(eager=False)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+    # materialize ONCE: gram_docs feeds the pair fan-out AND the per-doc
+    # size count, and Spark does no CSE across plan branches — without this
+    # the scan+tokenize+explode+groupBy pipeline executes twice. The lazy
+    # localCheckpoint materializes on first use (MEMORY_AND_DISK, spills at
+    # scale) and truncates lineage; at 100 TB this is the "write the
+    # inverted gram index once" step of a dedup pipeline.
+    gram_docs = gram_docs.localCheckpoint(eager=False)
+    sizes = (
+        gram_docs.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    # docs is sorted ascending and per-gram unique -> doc_a < doc_b by
+    # construction; the combination explode stays on the map side of the
+    # (doc_a, doc_b) shuffle
     pairs = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        gram_docs.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(docs, (x, i) -> "
+                        "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                        "y -> struct(x AS doc_a, y AS doc_b)))"
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
@@ -250,6 +273,34 @@ def _jaccard_scored(
 
 
 _CLUSTER_EDGE_THRESHOLD = 0.02  # low bar so fixture chains span >1 hop
+
+# Hybrid CC finisher: once the (contracted) edge set fits comfortably on the
+# driver, one bounded collect + union-find replaces the remaining O(log^2 n)
+# star rounds — the standard small-remainder endgame of distributed CC
+# (GraphX/GraphFrames expose the same local-finish switch). 1M edges ~= 16 MB
+# collected; above it the star rounds keep contracting distributively.
+_LOCAL_CC_EDGE_THRESHOLD = 1 << 20
+
+
+def _local_cc_min_labels(edges) -> list[tuple[int, int]]:
+    """Union-find with min-root union + path halving over a bounded edge
+    list: (node, component-min) for every node that appears in an edge."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for hi, lo in edges:
+        parent.setdefault(hi, hi)
+        parent.setdefault(lo, lo)
+        ra, rb = find(hi), find(lo)
+        if ra != rb:
+            # attach the larger root under the smaller: roots stay minima
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(x, find(x)) for x in parent]
 
 
 @query(
@@ -306,8 +357,12 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation, whose giant-component chains make it the
     scale-killer at corpus size. No per-node label table is carried
     between rounds, so skew concentrates only on true hub nodes and AQE
-    splits those shuffle partitions. Non-SQL-expressible (iterative); the
-    DuckDB twin is a recursive reachability CTE."""
+    splits those shuffle partitions. Once the (contracted) edge set drops
+    under _LOCAL_CC_EDGE_THRESHOLD the remaining rounds are replaced by one
+    bounded collect + exact union-find — the small-remainder endgame every
+    distributed CC engine uses (each avoided round is a multi-stage job
+    whose data no longer justifies cluster scheduling). Non-SQL-expressible
+    (iterative); the DuckDB twin is a recursive reachability CTE."""
     d = T(spark, sf_dir, "documents")
     # star edges always point (hi -> lo); seed by canonicalizing the pairs
     E = (
@@ -318,18 +373,39 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)  # reused every round: cut the gram lineage
     )
-    prev_sig = None
-    for _ in range(15):  # log^2 bound; fixture graphs settle in ~3
+    prev_sig, mapping = None, None
+    for _ in range(16):  # log^2 bound; fixture graphs settle in ~3
+        # the signature aggregate materializes the lazy checkpoint as a side
+        # effect, so convergence/size detection costs no extra job beyond
+        # the round's own work: (count, order-free checksum)
+        sig = E.agg(
+            F.count("*").alias("n"),
+            # decimal accumulation: a long sum of xxhash64 overflows ANSI
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig[0] <= _LOCAL_CC_EDGE_THRESHOLD:
+            # small-remainder endgame: the (contracted) edge set is bounded,
+            # finish exactly with one collect + union-find instead of the
+            # remaining star rounds (each a multi-stage distributed job)
+            mapping = _local_cc_min_labels(
+                [(r["hi"], r["lo"]) for r in E.collect()]
+            )
+            break
+        if sig == prev_sig:
+            break
+        prev_sig = sig
         # large-star: every neighbor v > u links to m = min(N(u) u {u})
         bidir = E.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             E.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
         mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        # no intermediate distinct: small-star's min-agg is duplicate-proof
+        # and the round-final distinct dedups `lows` — one less shuffle/round
         E = (
             bidir.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-            .distinct()
         )
         # small-star: u and its smaller neighbors all link to their min
         mins2 = E.groupBy(F.col("hi").alias("u")).agg(F.min("lo").alias("m"))
@@ -339,21 +415,21 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
         )
         his = mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
-        # lazy checkpoint + the signature aggregate = ONE job per round: the
-        # agg action materializes the checkpoint as a side effect, and later
-        # rounds read the checkpointed partitions, so convergence detection
-        # costs no extra driver round-trip beyond the round's own work
         E = lows.union(his).distinct().localCheckpoint(eager=False)
-        # converged when the edge set is stable: (count, order-free checksum)
-        sig = E.agg(
-            F.count("*").alias("n"),
-            # decimal accumulation: a long sum of xxhash64 overflows ANSI
-            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    if mapping is not None:
+        # bounded node -> component-min table, broadcast against the corpus
+        map_df = spark.createDataFrame(
+            mapping, schema="doc_id long, cluster_min long"
+        )
+        return (
+            d.select("doc_id")
+            .join(F.broadcast(map_df), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cluster_min"), F.col("doc_id")).alias("cluster_id"),
+            )
+            .orderBy("doc_id")
+        )
     # star forest: hi -> component min; isolated docs label themselves
     return (
         d.select("doc_id")

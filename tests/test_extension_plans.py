@@ -141,3 +141,23 @@ def test_no_unintended_duplicate_scans(spark, name):
             "likely an expensive subtree re-executed across join branches; "
             "materialize it once (lazy localCheckpoint) or justify here"
         )
+
+
+def test_dedup_clusters_local_and_distributed_paths_agree(spark):
+    """The hybrid CC finisher (bounded collect + union-find once the
+    contracted edge set fits the driver) must produce exactly the
+    star-round result: run x2_dedup_clusters with the local threshold at
+    its default (local endgame fires) and forced to 0 (pure distributed
+    star rounds) and require identical (doc_id, cluster_id) assignments."""
+    from otlp2parquet_spark.extensions import dedup
+
+    hybrid = sorted(map(tuple, SPECS["x2_dedup_clusters"].build(spark, SF_SMOKE).collect()))
+    old = dedup._LOCAL_CC_EDGE_THRESHOLD
+    dedup._LOCAL_CC_EDGE_THRESHOLD = 0
+    try:
+        distributed = sorted(
+            map(tuple, SPECS["x2_dedup_clusters"].build(spark, SF_SMOKE).collect())
+        )
+    finally:
+        dedup._LOCAL_CC_EDGE_THRESHOLD = old
+    assert hybrid == distributed and hybrid
