@@ -160,3 +160,176 @@ def t5_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "minute_bucket")
     )
+
+
+@query(
+    "t4_watermark_late_drop",
+    oracle="""
+    WITH wm AS (
+      SELECT ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max
+      FROM events
+    )
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           SUM(CASE WHEN prior_max IS NOT NULL
+                     AND ts < prior_max - INTERVAL 10 SECOND
+                    THEN 1 ELSE 0 END) AS n_late,
+           SUM(CASE WHEN prior_max IS NULL
+                     OR ts >= prior_max - INTERVAL 10 SECOND
+                    THEN 1 ELSE 0 END) AS n_on_time
+    FROM wm
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    tags=("T4", "W3", "F2"),
+)
+def t4_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 batch twin: the exact watermark model of withWatermark("ts", "10s")
+    under arrival order = event_id (the same model the live property suite
+    checks the stream against). An event is late-dropped when its ts is
+    older than (max ts seen strictly before it) - delay; the twin counts
+    on-time vs late events per 1-minute window.
+
+    Scale shape: the arrival-order running max is computed TWO-PHASE — a
+    per-bucket prior-row max (window partitioned by event_id div 1000, so
+    it parallelizes) combined with a broadcast prefix max over the tiny
+    per-bucket frame — never a single-partition global window over the
+    event stream. Reference semantics shadowed: max_age flush horizon
+    (src/batch/buffered_batch.rs:55-59)."""
+    e = T(spark, sf_dir, "events")
+    b = e.select("event_id", "ts").withColumn("bucket", F.expr("event_id div 1000"))
+    in_bucket = Window.partitionBy("bucket").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = b.withColumn("in_bucket_prior", F.max("ts").over(in_bucket))
+    bucket_prefix = (
+        b.groupBy("bucket")
+        .agg(F.max("ts").alias("bmax"))
+        .withColumn(
+            "prior_bucket_max",
+            F.max("bmax").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("bucket", "prior_bucket_max")
+    )
+    # F.greatest skips nulls (first row of first bucket has neither)
+    flagged = b.join(F.broadcast(bucket_prefix), "bucket").withColumn(
+        "prior_max", F.greatest("in_bucket_prior", "prior_bucket_max")
+    )
+    late = F.col("prior_max").isNotNull() & (
+        F.col("ts") < F.col("prior_max") - F.expr("INTERVAL 10 SECONDS")
+    )
+    return (
+        flagged.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.sum(F.when(late, 0).otherwise(1)).alias("n_on_time"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_late", "n_on_time")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "t6_running_count",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))) OVER w, 4) AS DOUBLE)
+             AS total_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("T6", "W3"),
+)
+def t6_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 batch twin: the per-event refinement of running_count's update
+    stream (streaming/pipeline.py:95, applyInPandasWithState) — after each
+    event, the user's cumulative (n_events, total_value). Update-mode
+    emission granularity is micro-batch-dependent and thus not oracle-able;
+    the per-event running totals are its deterministic closure (the live
+    suite checks the stream's final state against these maxima). DECIMAL
+    accumulation keeps the running float sum reproducible across partial
+    orders. Reference semantics shadowed: per-key BatchState accumulation
+    (src/batch/mod.rs:143-165)."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")).over(w), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "t7_flush_accounting",
+    oracle="""
+    SELECT 'events/' || regexp_replace(COALESCE(NULLIF(event_type, ''), 'unknown-service'),
+                                       '[/\\ :*?"<>|]', '_', 'g')
+             || '/year=' || strftime(MIN(ts), '%Y')
+             || '/month=' || strftime(MIN(ts), '%m')
+             || '/day=' || strftime(MIN(ts), '%d')
+             || '/hour=' || strftime(MIN(ts), '%H') AS path,
+           epoch_us(MIN(ts)) AS file_stem_us,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL '1 minute', ts)
+    ORDER BY path, file_stem_us
+    """,
+    tags=("T7", "D21", "D22", "F2"),
+)
+def t7_flush_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 batch twin: the flush/writer accounting of foreachBatch —
+    one row per (service-key, minute) batch the partitioned sink would
+    flush, with the D21 partition path derived from the batch's min
+    timestamp, the `{ts_us}` file-name stem, and the D27 record count.
+    The same accounting streaming/ingest.py's foreachBatch sink produces
+    (its layout is asserted against the writer in test_streaming_ingest),
+    recomputed deterministically over the closed input. Reference
+    semantics shadowed: path generation
+    + batch metadata (src/writer/write.rs:93-130, src/batch/mod.rs:24-44);
+    sanitization D22 (src/writer/write.rs:132-148)."""
+    e = T(spark, sf_dir, "events")
+    svc = F.regexp_replace(
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("")), F.lit("unknown-service")),
+        '[/\\\\ :*?"<>|]',
+        "_",
+    )
+    g = e.groupBy("event_type", F.window("ts", "1 minute").alias("w")).agg(
+        F.min("ts").alias("min_ts"), F.count("*").alias("n_rows")
+    )
+    path = F.concat(
+        F.lit("events/"),
+        svc,
+        F.lit("/year="),
+        F.date_format("min_ts", "yyyy"),
+        F.lit("/month="),
+        F.date_format("min_ts", "MM"),
+        F.lit("/day="),
+        F.date_format("min_ts", "dd"),
+        F.lit("/hour="),
+        F.date_format("min_ts", "HH"),
+    )
+    return (
+        g.select(
+            path.alias("path"),
+            F.unix_micros(F.col("min_ts").cast("timestamp")).alias("file_stem_us"),
+            "n_rows",
+        )
+        .orderBy("path", "file_stem_us")
+    )
