@@ -2,9 +2,11 @@
 opaque binary columns with typed metadata, plus the decode/feature-extract
 plumbing as Arrow-batched mapInPandas stages.
 
-The container ships no image/audio codecs, so the decode kernel is a
-clearly-marked deterministic stub (STUB_DECODER) — the Spark-side contract
+The container ships no image/video codecs, so those decode kernels are
+clearly-marked deterministic stubs (STUB_DECODER) — the Spark-side contract
 (schemas, partitioning, batch iteration, UDF signatures) is real and tested.
+The AUDIO lane has a REAL decoder: x5_wav_meta parses genuine RIFF/WAVE
+containers with the stdlib `wave` reader and is DuckDB-oracle-matched.
 """
 
 from __future__ import annotations
@@ -296,3 +298,139 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_idx", "frame_ts_ms")
         .orderBy("media_id", "frame_idx")
     )
+
+
+# --- real decode: WAV modality ---------------------------------------------
+# The container ships no image/video codecs, but WAV is parseable with the
+# stdlib `wave` module — so the audio lane gets a REAL decode kernel: the
+# fixture synthesizes genuine RIFF/WAVE containers (not hash-derived fakes),
+# the decode kernel reads the header/frame fields back out of the bytes, and
+# the DuckDB oracle independently predicts them from the synthesis formula.
+# A wrong parser (endianness, header offsets, frame math) fails the oracle.
+
+WAV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+WAV_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_width", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fixture: one real PCM WAV container per audio-typed media row
+    (doc_id % 3 == 1, the media_table type assignment), synthesized
+    deterministically from doc_id — rate/channels/length are doc_id
+    arithmetic so the oracle can predict them without parsing binaries."""
+    import io
+    import wave
+
+    d = spread(T(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 1)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = _WAV_RATES[doc_id % 4]
+                channels = 1 + doc_id % 2
+                n_samples = 100 + doc_id % 900
+                pcm = hashlib.sha256(str(doc_id).encode()).digest()
+                body = (pcm * (n_samples * channels * 2 // len(pcm) + 1))[
+                    : n_samples * channels * 2
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(channels)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(body)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return d.select("doc_id").mapInPandas(synth, schema=WAV_SCHEMA)
+
+
+def decode_wav_meta(media: DataFrame) -> DataFrame:
+    """REAL decode kernel: parse each RIFF/WAVE payload with the stdlib
+    `wave` reader and emit its header/frame metadata; malformed payloads
+    yield null metadata instead of failing the batch (the D25 quarantine
+    posture, column edition). Same Arrow-batched mapInPandas contract as
+    decode_features — this is the production dataflow with a real codec."""
+    import io
+    import wave
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "sample_rate": [],
+                "n_channels": [],
+                "sample_width": [],
+                "n_samples": [],
+                "duration_ms": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    with wave.open(io.BytesIO(bytes(payload or b"")), "rb") as w:
+                        rate, ch = w.getframerate(), w.getnchannels()
+                        width, n = w.getsampwidth(), w.getnframes()
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(ch)
+                    out["sample_width"].append(width)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(n * 1000 // rate)
+                except (wave.Error, EOFError):
+                    for k in (
+                        "sample_rate",
+                        "n_channels",
+                        "sample_width",
+                        "n_samples",
+                        "duration_ms",
+                    ):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=WAV_META_SCHEMA)
+
+
+@query(
+    "x5_wav_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END AS INT)
+             AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(2 AS INT) AS sample_width,
+           CAST(100 + doc_id % 900 AS BIGINT) AS n_samples,
+           CAST((100 + doc_id % 900) * 1000 //
+                (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                 WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT)
+             AS duration_ms
+    FROM documents
+    WHERE doc_id % 3 = 1
+    ORDER BY media_id
+    """,
+    tags=("X5", "U4"),
+)
+def x5_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction with a REAL WAV decode kernel: genuine
+    RIFF/WAVE containers are parsed by the stdlib `wave` reader inside
+    mapInPandas; the oracle predicts rate/channels/frames/duration from the
+    fixture's synthesis formula, so any header/frame-math parsing error
+    breaks the hash match. (Replaces the rows-only stub posture for one
+    modality; image/video decode remains stubbed — no codecs in-env.)"""
+    return decode_wav_meta(wav_media_table(spark, sf_dir)).orderBy("media_id")

@@ -119,3 +119,28 @@ def test_decode_features_deterministic_and_stable(spark):
         | (F.col("height") < 64) | (F.col("height") > 255)
     ).count()
     assert bad == 0
+
+
+def test_wav_decode_is_real_and_null_safe(spark):
+    """x5_wav_meta's kernel must actually parse WAV bytes: corrupting the
+    payload header must flip the row's metadata to nulls (a hash-derived
+    stub would be payload-agnostic), and a valid container round-trips the
+    synthesis parameters exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.extensions.multimodal import (
+        decode_wav_meta,
+        wav_media_table,
+    )
+
+    media = wav_media_table(spark, SF_ORACLE)
+    ok = decode_wav_meta(media).orderBy("media_id").limit(3).collect()
+    assert ok and all(r["sample_rate"] in (8000, 16000, 22050, 44100) for r in ok)
+    assert all(r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"] for r in ok)
+
+    corrupted = media.withColumn(
+        "payload", F.concat(F.lit(b"XXXX"), F.expr("substring(payload, 5)"))
+    )
+    bad = decode_wav_meta(corrupted).limit(3).collect()
+    assert bad and all(r["sample_rate"] is None and r["n_samples"] is None for r in bad)

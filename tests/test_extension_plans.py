@@ -111,6 +111,11 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "o4_intersect_except": "set ops over two branch filters per table",
     "q02_time_filter": "scalar max-ts subquery (printed per reuse site)",
     "q04_errors_recent": "scalar max-ts subquery (printed per reuse site)",
+    "t4_watermark_late_drop": (
+        "bucket-max side scan is column-pruned to (event_id, ts) and "
+        "aggregates immediately: cheaper than materializing the windowed "
+        "event frame just to avoid a 2-column second pass"
+    ),
     "x1_incremental_dedup": "corpus slice vs batch slice: disjoint %10 predicates",
     "x3_cosine_topk": "query slice vs corpus: two roles of embeddings",
     "x3_knn_join": "blocked exact self-join: both sides required",
