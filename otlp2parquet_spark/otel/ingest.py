@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from otlp2parquet_spark.otel import flatten, otlp_json, schemas, wire
+from otlp2parquet_spark.otel import fast_flatten, flatten, otlp_json, schemas, wire
 from otlp2parquet_spark.otel.wire import OtlpDecodeError
 
 DEFAULT_MAX_PAYLOAD_BYTES = 8 * 1024 * 1024  # reference src/config/platform.rs:19
@@ -197,17 +197,30 @@ def read_landing_lines(spark: SparkSession, path: str) -> DataFrame:
 # Logs / traces decode
 
 
+def _flatten_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]]:
+    """payload bytes -> flat rows. JSON/JSONL logs+traces take the fused
+    single-pass walker (otel/fast_flatten.py, ~3x the two-step lane —
+    differentially verified against it in tests/test_fast_flatten.py); pb
+    keeps the wire codec + flatten pair."""
+    if content[:2] == b"\x1f\x8b":  # gzip magic (D2)
+        content = gzip.decompress(content)
+    if fmt == "pb":
+        flat = flatten.flatten_logs if signal == "logs" else flatten.flatten_traces
+        return flat(wire.parse_request_pb(content, signal))
+    if fmt == "json":
+        return fast_flatten.flatten_request_json(content, signal)
+    return fast_flatten.flatten_request_jsonl(content, signal)
+
+
 def _decode_simple(signal: str, table: str, on_error: str, quarantine_dir: str | None = None):
     raw_cols = [f.name for f in schemas.raw_spark_schema(table).fields]
-    flat = flatten.flatten_logs if signal == "logs" else flatten.flatten_traces
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict[str, Any]] = []
             for path, content, fmt in zip(pdf["path"], pdf["content"], pdf["fmt"]):
                 try:
-                    for req in _parse_payload(bytes(content), fmt, signal):
-                        rows.extend(flat(req))
+                    rows.extend(_flatten_payload(bytes(content), fmt, signal))
                 except OtlpDecodeError as e:
                     _handle_decode_error(e, on_error, quarantine_dir, path, bytes(content))
             # object dtype on the empty frame: default float64 columns break

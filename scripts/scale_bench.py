@@ -1,0 +1,138 @@
+"""Scale-sweep harness: measures wall-factor of named queries at Fx replicated
+data (BASELINE.md "10x scale sanity" tables — formalizing the ad-hoc r3/r4
+/tmp-replica methodology so the sweep is reproducible every round).
+
+Replica construction (documented so factors stay comparable across rounds):
+- documents: F copies, doc_id offset by k*ID_SPAN per replica, text UNCHANGED
+  (plain replication: a 10x corpus where every doc gains 10 exact/near copies
+  — the worst case for dedup ops, whose edge graphs densify ~F^2; matches the
+  r3 methodology behind the x2_dedup_clusters 2.8x row).
+- embeddings: F copies, vec_id offset, vectors/labels unchanged (each ANN
+  block densifies Fx — worst case for blocked kNN).
+- events: F copies, event_id AND user_id offset — more users at constant
+  per-user density, the realistic growth mode for the per-user windows.
+
+Timing protocol = bench.py: best-of-N noop-format writes (full column
+materialization, no driver transfer), after one warmup action. Load average
+recorded; factors are only comparable at similar ambient load.
+
+Usage:
+  python scripts/scale_bench.py --ops x6_contamination,x6_seq_pack_sharded \
+      [--factor 10] [--runs 2] [--base /root/testdata/sf0.1] [--keep]
+Prints one JSON line per op: {"op", "base_s", "scaled_s", "factor", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ID_SPAN = 10_000_000
+
+TABLES = ("documents", "embeddings", "events")
+# columns to offset per replica so replicated rows stay distinct entities
+OFFSET_COLS = {
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id", "user_id"),
+}
+
+
+def build_replica(base: str, out: str, factor: int) -> None:
+    """Write an Fx replica of the x-op tables into `out`; other tables are
+    symlinked unchanged (the TPC-H side has its own sf ladder already)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    for fn in os.listdir(base):
+        if not fn.endswith(".parquet"):
+            continue
+        name = fn[: -len(".parquet")]
+        dst = os.path.join(out, fn)
+        if name not in TABLES:
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(base, fn), dst)
+            continue
+        t = pq.read_table(os.path.join(base, fn))
+        parts = []
+        for k in range(factor):
+            cols = []
+            for col in t.schema.names:
+                arr = t.column(col)
+                if col in OFFSET_COLS[name] and k > 0:
+                    import pyarrow.compute as pc
+
+                    arr = pc.add(arr, k * ID_SPAN)
+                cols.append(arr)
+            parts.append(pa.table(dict(zip(t.schema.names, cols))))
+        pq.write_table(pa.concat_tables(parts), dst)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ops", required=True, help="comma-separated query names")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--keep", action="store_true", help="keep the replica dir")
+    ap.add_argument("--replica-dir", default=None)
+    args = ap.parse_args()
+
+    from otlp2parquet_spark.queries.registry import all_specs
+    from otlp2parquet_spark.session import get_spark
+
+    ops = [o.strip() for o in args.ops.split(",") if o.strip()]
+    specs = all_specs()
+    unknown = [o for o in ops if o not in specs]
+    if unknown:
+        raise SystemExit(f"unknown ops: {unknown}")
+
+    replica = args.replica_dir or tempfile.mkdtemp(prefix=f"scale{args.factor}x_")
+    build_replica(args.base, replica, args.factor)
+
+    spark = get_spark(app_name="otlp2parquet-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs["o5_distinct"].build(spark, args.base).count()  # JVM warmup
+
+    def timed(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            specs[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    try:
+        for name in ops:
+            base_s = timed(name, args.base)
+            scaled_s = timed(name, replica)
+            print(
+                json.dumps(
+                    {
+                        "op": name,
+                        "factor_data": args.factor,
+                        "base_s": round(base_s, 2),
+                        "scaled_s": round(scaled_s, 2),
+                        "factor_wall": round(scaled_s / base_s, 2),
+                        "load_1m": round(os.getloadavg()[0], 2),
+                    }
+                ),
+                flush=True,
+            )
+    finally:
+        if not args.keep and args.replica_dir is None:
+            shutil.rmtree(replica, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
