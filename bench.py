@@ -128,13 +128,53 @@ def _ingest_metrics(spark) -> dict[str, float]:
             decoded.write.format("noop").mode("overwrite").save()
             native_rate = max(native_rate, n / (time.perf_counter() - t0))
         shutil.rmtree(native_landing, ignore_errors=True)
-        return {
+        out = {
             "ingest_decode_write_rows_per_s": round(decode_write),
             "ingest_native_decode_rows_per_s": round(native_rate),
         }
+        out.update(_jvm_pb_metrics(spark))
+        return out
     finally:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _jvm_pb_metrics(spark) -> dict[str, float]:
+    """JVM from_protobuf lane throughput — auto-activates when the
+    spark-protobuf jar is on the classpath (pip pyspark does not bundle it;
+    see otel/jvm_codec.py). Absent jar -> records the lane as unavailable so
+    round-over-round bench JSON shows WHY the number is missing.
+
+    Payload construction exploits protobuf message concatenation: serialized
+    `ExportLogsServiceRequest` bytes repeated K times parse as ONE request
+    with K-times-replicated resource_logs, so the fixture scales to a
+    decode-bound size without an encoder."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from otlp2parquet_spark.otel import ingest, jvm_codec
+
+    if not jvm_codec.jvm_protobuf_available(spark):
+        return {"ingest_jvm_pb_lane": "jar-absent"}
+    raw = open("/root/reference/testdata/logs.pb", "rb").read()
+    payload = raw * 200  # ~1.6k rows per payload file
+    landing = tempfile.mkdtemp(prefix="bench_jvmpb_")
+    try:
+        for i in range(32):
+            with open(f"{landing}/p{i}.pb", "wb") as f:
+                f.write(payload)
+        payloads, _ = ingest.read_landing(spark, landing)
+        decoded = jvm_codec.decode_logs_pb(spark, payloads)
+        n = decoded.count()  # warm + row count
+        rate = 0.0
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            decoded.write.format("noop").mode("overwrite").save()
+            rate = max(rate, n / (_time.perf_counter() - t0))
+        return {"ingest_jvm_pb_rows_per_s": round(rate)}
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
 
 
 def main() -> None:

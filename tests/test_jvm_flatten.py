@@ -320,12 +320,26 @@ def _metrics_req_schema() -> StructType:
             StructField("attributes", ArrayType(kv)),
         ]
     )
+    # from_protobuf materializes exemplars (pb_descriptor.py declares them);
+    # the adapter must IGNORE them — they ride along here so the local
+    # reconstruction has the same surplus members the real struct has
+    exemplar = StructType(
+        [
+            StructField("filtered_attributes", ArrayType(kv)),
+            StructField("time_unix_nano", LongType()),
+            StructField("as_double", DoubleType()),
+            StructField("as_int", LongType()),
+            StructField("span_id", BinaryType()),
+            StructField("trace_id", BinaryType()),
+        ]
+    )
     number_dp = StructType(
         [
             StructField("start_time_unix_nano", LongType()),
             StructField("time_unix_nano", LongType()),
             StructField("as_double", DoubleType()),
             StructField("as_int", LongType()),
+            StructField("exemplars", ArrayType(exemplar)),
             StructField("attributes", ArrayType(kv)),
             StructField("flags", LongType()),
         ]
@@ -338,6 +352,7 @@ def _metrics_req_schema() -> StructType:
             StructField("sum", DoubleType()),
             StructField("bucket_counts", ArrayType(LongType())),
             StructField("explicit_bounds", ArrayType(DoubleType())),
+            StructField("exemplars", ArrayType(exemplar)),
             StructField("attributes", ArrayType(kv)),
             StructField("flags", LongType()),
             StructField("min", DoubleType()),
@@ -362,6 +377,7 @@ def _metrics_req_schema() -> StructType:
             StructField("positive", buckets),
             StructField("negative", buckets),
             StructField("flags", LongType()),
+            StructField("exemplars", ArrayType(exemplar)),
             StructField("min", DoubleType()),
             StructField("max", DoubleType()),
         ]
