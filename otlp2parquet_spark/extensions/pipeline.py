@@ -18,6 +18,7 @@ from otlp2parquet_spark.extensions.dedup import (
     SQL_NORM,
     gram3_expr,
     normalized_text,
+    token_count_expr,
     with_tokens,
 )
 from otlp2parquet_spark.queries.registry import T, query
@@ -65,7 +66,7 @@ def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "source", bucket.alias("bucket"))
         .filter(F.col("bucket") < 10)
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -116,11 +117,14 @@ def x6_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: entirely map-only — the rate lookup is a literal
     expression on the source suffix, the sample predicate sits next to the
-    scan, no shuffle until the presentation ORDER BY. At 100 TB this is
-    one pass that never moves a row between executors."""
+    scan, and the presentation sort is WITHIN partitions only: a global
+    ORDER BY here would (a) be an all-to-all shuffle of the whole mix at
+    100 TB and (b) double-execute the tokenize+md5 map, because range
+    partitioning samples its narrow child (measured: 10x-scale wall
+    dropped 4.5x -> ~1x removing it). The driver's oracle hash is
+    row-order-insensitive, so the global order was presentation-only."""
     d = T(spark, sf_dir, "documents")
-    toks = F.split(normalized_text(F.col("text")), " ")
-    n_tok = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    n_tok = token_count_expr(F.col("text"))
     band = F.substring("source", 4, 10).cast("int") % len(_MIX_RATES)
     rate = F.element_at(F.array(*[F.lit(r) for r in _MIX_RATES]), band + 1)
     bucket = (
@@ -148,7 +152,7 @@ def x6_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_rate",
             _q4(F.lit(1.0) / F.col("mix_rate")).alias("weight"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -342,8 +346,7 @@ def x6_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition key becomes (source, shard) with per-shard chunk id
     offsets composed downstream — the per-shard plan is exactly this one."""
     d = spread(T(spark, sf_dir, "documents"))
-    toks = F.split(normalized_text(F.col("text")), " ")
-    n_tok = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    n_tok = token_count_expr(F.col("text"))
     sized = d.select("doc_id", "source", n_tok.alias("n_tok")).filter(
         F.col("n_tok") > 0
     )
@@ -408,8 +411,7 @@ def x6_seq_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the single-window value. No window in the plan is partitioned
     on raw `source` over data-sized input."""
     d = spread(T(spark, sf_dir, "documents"))
-    toks = F.split(normalized_text(F.col("text")), " ")
-    n_tok = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    n_tok = token_count_expr(F.col("text"))
     sized = (
         d.select("doc_id", "source", n_tok.alias("n_tok"))
         .filter(F.col("n_tok") > 0)

@@ -61,8 +61,14 @@ def build_replica(base: str, out: str, factor: int) -> None:
             if not os.path.exists(dst):
                 os.symlink(os.path.join(base, fn), dst)
             continue
+        # one part file per replica (a `documents.parquet/` DIRECTORY, which
+        # spark.read.parquet accepts): Fx data must come with Fx scan
+        # splits, as it does in production — a single small file would cap
+        # the scan at one task and the "scale factor" would mostly measure
+        # single-core throughput, not the plan (observed: map-only
+        # x6_data_mix at 6.3x wall for 10x data purely from the 1-split scan)
         t = pq.read_table(os.path.join(base, fn))
-        parts = []
+        os.makedirs(dst, exist_ok=True)
         for k in range(factor):
             cols = []
             for col in t.schema.names:
@@ -72,8 +78,10 @@ def build_replica(base: str, out: str, factor: int) -> None:
 
                     arr = pc.add(arr, k * ID_SPAN)
                 cols.append(arr)
-            parts.append(pa.table(dict(zip(t.schema.names, cols))))
-        pq.write_table(pa.concat_tables(parts), dst)
+            pq.write_table(
+                pa.table(dict(zip(t.schema.names, cols))),
+                os.path.join(dst, f"part-{k:03d}.parquet"),
+            )
 
 
 def main() -> None:
