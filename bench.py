@@ -50,6 +50,7 @@ HEADLINE = [
     "x2_embedding_neardup",
     "x2_dedup_clusters",
     "x3_cosine_topk",
+    "x3_kmeans",
     "x3_knn_join",
     "x4_top_terms",
     "x4_ngram_lm_score",

@@ -434,3 +434,163 @@ def x5_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash match. (Replaces the rows-only stub posture for one
     modality; image/video decode remains stubbed — no codecs in-env.)"""
     return decode_wav_meta(wav_media_table(spark, sf_dir)).orderBy("media_id")
+
+
+# --- real decode: PNG modality ---------------------------------------------
+# Same posture as the WAV lane: no image libs ship in-container, but PNG is
+# a fully-specified stdlib-parseable container (struct for the chunk layout,
+# zlib for the pixel stream). The fixture synthesizes genuine spec-valid
+# PNGs (signature, IHDR, zlib IDAT, CRCs); the kernel walks the chunk
+# stream, validates CRCs, inflates the IDAT and checks the scanline math —
+# a real image-container decode, not a stub. Only lossy codecs (JPEG/H.264)
+# remain out of reach in this environment.
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+PNG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("raw_bytes", LongType(), True),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image fixture: one spec-valid PNG per image-typed media row
+    (doc_id % 3 == 0), dimensions/color type derived from doc_id so the
+    oracle predicts them without parsing binaries."""
+    import struct
+    import zlib
+
+    d = spread(T(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 0)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                width = 16 + doc_id % 48
+                height = 16 + doc_id % 37
+                color_type = 0 if doc_id % 2 == 0 else 2  # gray / RGB
+                channels = 1 if color_type == 0 else 3
+                ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+                stream = hashlib.sha256(str(doc_id).encode()).digest()
+                row_len = width * channels
+                pix = (stream * (row_len // len(stream) + 1))[:row_len]
+                raw = (b"\x00" + pix) * height  # filter 0 per scanline
+                payloads.append(
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(raw))
+                    + _png_chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return d.select("doc_id").mapInPandas(synth, schema=PNG_SCHEMA)
+
+
+def decode_png_meta(media: DataFrame) -> DataFrame:
+    """REAL decode kernel: walk the chunk stream (lengths + CRC32 checks),
+    read IHDR geometry, inflate the concatenated IDATs and verify the
+    filter-prefixed scanline length. Malformed payloads yield null metadata
+    instead of failing the batch (D25 posture, column edition)."""
+    import struct
+    import zlib
+
+    def parse(payload: bytes):
+        if payload[: len(_PNG_SIG)] != _PNG_SIG:
+            raise ValueError("bad signature")
+        pos = len(_PNG_SIG)
+        width = height = bit_depth = color_type = None
+        idat = b""
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError("bad crc")
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type = struct.unpack(
+                    ">IIBB", data[:10]
+                )
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if width is None:
+            raise ValueError("no IHDR")
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        raw = zlib.decompress(idat)
+        if len(raw) != height * (1 + width * channels * bit_depth // 8):
+            raise ValueError("scanline length mismatch")
+        return width, height, bit_depth, channels, width * height, len(raw)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "bit_depth", "n_channels", "n_pixels", "raw_bytes")
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], **{c: [] for c in cols}}
+            for payload in pdf["payload"]:
+                try:
+                    vals = parse(bytes(payload or b""))
+                except (ValueError, KeyError, zlib.error, struct.error):
+                    vals = (None,) * 6
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=PNG_META_SCHEMA)
+
+
+@query(
+    "x5_png_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + doc_id % 37 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
+           CAST((16 + doc_id % 48) * (16 + doc_id % 37) AS BIGINT) AS n_pixels,
+           CAST((16 + doc_id % 37) *
+                (1 + (16 + doc_id % 48) * CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)
+                AS BIGINT) AS raw_bytes
+    FROM documents
+    WHERE doc_id % 3 = 0
+    ORDER BY media_id
+    """,
+    tags=("X5", "U4"),
+)
+def x5_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata extraction with a REAL PNG decode kernel: spec-valid
+    PNG containers (chunk CRCs, zlib IDAT) are parsed back by a stdlib
+    chunk-walker that inflates the pixel stream and checks scanline math;
+    the oracle predicts geometry from the fixture's synthesis formula, so
+    any chunk/CRC/inflate/filter-math error breaks the hash match. With
+    x5_wav_meta this makes two modalities real; only lossy codecs remain
+    env-stubbed."""
+    return decode_png_meta(png_media_table(spark, sf_dir)).orderBy("media_id")

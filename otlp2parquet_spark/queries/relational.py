@@ -1115,6 +1115,57 @@ def o5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_returnflag", "l_linestatus").distinct().orderBy("l_returnflag", "l_linestatus")
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE_COLS = ",\n           ".join(
+    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t},\n           "
+    f"COALESCE(SUM(CASE WHEN event_type = '{t}' "
+    f"THEN CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) END), 0) / 10000.0 AS v_{t}"
+    for t in _PIVOT_TYPES
+)
+
+
+@query(
+    "o6_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {_PIVOT_ORACLE_COLS}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("O6", "A5", "P1"),
+)
+def o6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot of the event stream: one row per user, one (count, sum)
+    column pair per event type — the classic OLAP reshape
+    (`groupBy().pivot()` with an EXPLICIT value list; an implicit list
+    would add a whole extra distinct-scan job and make the output schema
+    data-dependent, which breaks at 100 TB where the type domain must be
+    a contract, not a discovery).
+
+    Spark executes this as ONE hash aggregate whose buffer holds all 2·K
+    pivot cells (same two-phase shuffle as any groupBy — pivoting adds
+    zero extra passes). Sums ride the 1e-4 integer grid (BIGINT, order-free
+    and exact — the x3_kmeans trick) so accumulation order cannot move the
+    4-dp output; double->DECIMAL casts are avoided per the dedup.py
+    determinism rule."""
+    e = T(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 10000.0 + 0.5).cast("long")
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(qv).alias("v"))
+    )
+    cols = [F.col("user_id")]
+    for t in _PIVOT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}"))
+        cols.append(
+            (F.coalesce(F.col(f"{t}_v"), F.lit(0)) / 10000.0).alias(f"v_{t}")
+        )
+    return piv.select(*cols).orderBy("user_id")
+
+
 # ===========================================================================
 # F group — scalar function families
 # ===========================================================================

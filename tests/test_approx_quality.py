@@ -220,3 +220,34 @@ def test_ivf_ann_recall_on_clustered_fixture(spark, tmp_path):
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall@5 = {recall:.2f} < 0.8"
+
+
+def test_png_decode_is_real_and_null_safe(spark):
+    """x5_png_meta's kernel must actually decode PNG containers: a single
+    flipped bit inside the IDAT must fail the CRC check and null the row
+    (proving the chunk CRCs are verified, not skipped), and a valid
+    container round-trips the synthesis geometry exactly."""
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.extensions.multimodal import (
+        decode_png_meta,
+        png_media_table,
+    )
+
+    media = png_media_table(spark, SF_ORACLE)
+    ok = decode_png_meta(media).orderBy("media_id").limit(3).collect()
+    assert ok and all(r["n_pixels"] == r["width"] * r["height"] for r in ok)
+    assert all(r["bit_depth"] == 8 for r in ok)
+
+    # flip one bit deep inside the payload (lands in IDAT data for these
+    # fixtures: signature 8 + IHDR chunk 25 bytes < offset 40 < IEND)
+    corrupted = media.withColumn(
+        "payload",
+        F.concat(
+            F.expr("substring(payload, 1, 40)"),
+            F.expr("substring(sha2(payload, 256), 1, 1)").cast("binary"),
+            F.expr("substring(payload, 42)"),
+        ),
+    )
+    bad = decode_png_meta(corrupted).limit(3).collect()
+    assert bad and all(r["width"] is None and r["n_pixels"] is None for r in bad)

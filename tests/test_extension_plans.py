@@ -121,6 +121,9 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "x3_knn_join": "blocked exact self-join: both sides required",
     "x6_contamination": "bench slice (1/97) vs corpus slice: disjoint",
     "x6_tfidf_topk": "count-only n_docs side scan (zero data columns)",
+    "x3_kmeans": "two Lloyd assignment passes each stream the corpus once "
+    "(inherent to the iteration) + a LIMIT-8 seed scan; re-scanning parquet "
+    "beats materializing the corpus for a fixed 2-pass round",
 }
 
 
