@@ -1,0 +1,449 @@
+"""Fused OTLP/protobuf -> flat rows for the logs signal.
+
+Companion to fast_flatten.py (the JSON edition of the same idea): the
+two-step lane (wire.decode_message -> canonical dict -> flatten) spends
+most of its time building and tearing down per-attribute KeyValue/AnyValue
+dicts — ~12k rows/s/core on the replicated logs.pb fixture. This walker
+decodes the wire bytes straight into flat rows: offsets into the original
+buffer, no intermediate tree, canonical-JSON attrs built from plain Python
+values in one pass.
+
+Semantic authority stays with the slow pair; parity is enforced by the
+differential Hypothesis suite in tests/test_fast_wire.py, including
+wire-order permutations (fields of a message may arrive in any order) and
+slow-lane quirks kept bug-for-bug:
+
+- unknown fields AND known fields on a mismatched wire type are skipped
+  (dispatch is on the full tag, exactly like wire._COMPILED);
+- re-occurring scalar/message fields: last occurrence wins outright (the
+  slow lane does not do proto3 message-merge);
+- a multi-member AnyValue resolves by member PRIORITY (string > bool >
+  int > double > array > kvlist > bytes — flatten.anyvalue_to_py's key
+  check order), not wire order.
+
+Reference wire semantics: src/codec.rs:34-75 (prost decode), golden
+fixtures testdata/*.pb.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+from typing import Any
+
+from otlp2parquet_spark.otel.fast_flatten import _canon
+from otlp2parquet_spark.otel.wire import OtlpDecodeError
+
+_unpack_from = struct.unpack_from
+
+_EMPTY = object()  # AnyValue with no known member (encodes as NULL/None)
+
+_ZERO16 = b"\x00" * 16
+_ZERO8 = b"\x00" * 8
+
+
+def _varint(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= end:
+            raise OtlpDecodeError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise OtlpDecodeError("varint too long")
+
+
+def _skip(buf: bytes, pos: int, end: int, wire: int) -> int:
+    if wire == 0:
+        if pos >= end:
+            raise OtlpDecodeError("truncated varint")
+        if buf[pos] < 0x80:
+            return pos + 1
+        _, pos = _varint(buf, pos, end)
+        return pos
+    if wire == 2:
+        length, pos = _varint(buf, pos, end)
+        pos += length
+        if pos > end:
+            raise OtlpDecodeError("truncated length-delimited field")
+        return pos
+    if wire == 1 or wire == 5:
+        pos += 8 if wire == 1 else 4
+        if pos > end:
+            raise OtlpDecodeError("truncated fixed field")
+        return pos
+    raise OtlpDecodeError(f"unsupported wire type {wire}")
+
+
+def _len_prefixed(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    """-> (start, end_of_field); caller resumes at end_of_field."""
+    if pos >= end:
+        raise OtlpDecodeError("truncated varint")
+    b = buf[pos]
+    if b < 0x80:
+        length = b
+        pos += 1
+    else:
+        length, pos = _varint(buf, pos, end)
+    npos = pos + length
+    if npos > end:
+        raise OtlpDecodeError("truncated length-delimited field")
+    return pos, npos
+
+
+def _utf8(buf: bytes, pos: int, end: int, label: str) -> str:
+    try:
+        return buf[pos:end].decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise OtlpDecodeError(f"invalid utf-8 in {label}") from e
+
+
+def _anyvalue(buf: bytes, pos: int, end: int) -> Any:
+    """AnyValue message bytes -> plain Python value, or _EMPTY when no
+    known member is present. Member priority mirrors anyvalue_to_py."""
+    s = b = i = d = arr = kvl = by = _EMPTY
+    while pos < end:
+        tag = buf[pos]
+        if tag < 0x80:
+            pos += 1
+        else:
+            tag, pos = _varint(buf, pos, end)
+        if tag == 0x0A:  # string_value
+            p, npos = _len_prefixed(buf, pos, end)
+            s = _utf8(buf, p, npos, "AnyValue.string_value")
+            pos = npos
+        elif tag == 0x10:  # bool_value varint
+            v, pos = _varint(buf, pos, end)
+            b = v != 0
+        elif tag == 0x18:  # int_value varint (signed-64 normalize)
+            v, pos = _varint(buf, pos, end)
+            i = v - 0x10000000000000000 if v >= 0x8000000000000000 else v
+        elif tag == 0x21:  # double_value fixed64
+            if pos + 8 > end:
+                raise OtlpDecodeError("truncated fixed field")
+            d = _unpack_from("<d", buf, pos)[0]
+            pos += 8
+        elif tag == 0x2A:  # array_value msg
+            p, npos = _len_prefixed(buf, pos, end)
+            vals = []
+            while p < npos:
+                t2 = buf[p]
+                if t2 < 0x80:
+                    p += 1
+                else:
+                    t2, p = _varint(buf, p, npos)
+                if t2 == 0x0A:  # values
+                    q, nq = _len_prefixed(buf, p, npos)
+                    v = _anyvalue(buf, q, nq)
+                    vals.append(None if v is _EMPTY else v)
+                    p = nq
+                else:
+                    p = _skip(buf, p, npos, t2 & 7)
+            arr = vals
+            pos = npos
+        elif tag == 0x32:  # kvlist_value msg
+            p, npos = _len_prefixed(buf, pos, end)
+            m: dict[str, Any] = {}
+            while p < npos:
+                t2 = buf[p]
+                if t2 < 0x80:
+                    p += 1
+                else:
+                    t2, p = _varint(buf, p, npos)
+                if t2 == 0x0A:  # values (KeyValue)
+                    q, nq = _len_prefixed(buf, p, npos)
+                    k, v = _keyvalue(buf, q, nq)
+                    m[k] = v
+                    p = nq
+                else:
+                    p = _skip(buf, p, npos, t2 & 7)
+            kvl = m
+            pos = npos
+        elif tag == 0x3A:  # bytes_value
+            p, npos = _len_prefixed(buf, pos, end)
+            by = base64.b64encode(buf[p:npos]).decode("ascii")
+            pos = npos
+        else:
+            pos = _skip(buf, pos, end, tag & 7)
+    if s is not _EMPTY:
+        return s
+    if b is not _EMPTY:
+        return b
+    if i is not _EMPTY:
+        return i
+    if d is not _EMPTY:
+        return d
+    if arr is not _EMPTY:
+        return arr
+    if kvl is not _EMPTY:
+        return kvl
+    if by is not _EMPTY:
+        return by
+    return _EMPTY
+
+
+def _keyvalue(buf: bytes, pos: int, end: int) -> tuple[str, Any]:
+    key = ""
+    vrange = None
+    while pos < end:
+        tag = buf[pos]
+        if tag < 0x80:
+            pos += 1
+        else:
+            tag, pos = _varint(buf, pos, end)
+        if tag == 0x0A:  # key
+            p, npos = _len_prefixed(buf, pos, end)
+            key = _utf8(buf, p, npos, "KeyValue.key")
+            pos = npos
+        elif tag == 0x12:  # value (last occurrence wins)
+            vrange = _len_prefixed(buf, pos, end)
+            pos = vrange[1]
+        else:
+            pos = _skip(buf, pos, end, tag & 7)
+    if vrange is None:
+        return key, None
+    v = _anyvalue(buf, vrange[0], vrange[1])
+    return key, (None if v is _EMPTY else v)
+
+
+def _attrs(buf: bytes, ranges: list[tuple[int, int]]) -> dict[str, Any]:
+    m: dict[str, Any] = {}
+    for p, e in ranges:
+        k, v = _keyvalue(buf, p, e)
+        m[k] = v
+    return m
+
+
+def _scope_fields(buf: bytes, pos: int, end: int) -> tuple[str, str | None, str]:
+    """InstrumentationScope -> (name, version-or-None, attrs_json)."""
+    name = ""
+    version: str | None = None
+    attr_ranges: list[tuple[int, int]] = []
+    while pos < end:
+        tag = buf[pos]
+        if tag < 0x80:
+            pos += 1
+        else:
+            tag, pos = _varint(buf, pos, end)
+        if tag == 0x0A:
+            p, npos = _len_prefixed(buf, pos, end)
+            name = _utf8(buf, p, npos, "InstrumentationScope.name")
+            pos = npos
+        elif tag == 0x12:
+            p, npos = _len_prefixed(buf, pos, end)
+            version = _utf8(buf, p, npos, "InstrumentationScope.version") or None
+            pos = npos
+        elif tag == 0x1A:
+            r = _len_prefixed(buf, pos, end)
+            attr_ranges.append(r)
+            pos = r[1]
+        else:
+            pos = _skip(buf, pos, end, tag & 7)
+    attrs_json = _canon(_attrs(buf, attr_ranges)) if attr_ranges else "{}"
+    return name, version, attrs_json
+
+
+def _check_id(raw: bytes, want: int, what: str, zero: bytes) -> bytes:
+    if raw and len(raw) != want:
+        raise OtlpDecodeError(f"invalid {what} length {len(raw)} (want {want})")
+    return raw if raw else zero
+
+
+def flatten_logs_pb(body: bytes) -> list[dict[str, Any]]:
+    """One ExportLogsServiceRequest protobuf -> flat rows (== slow pair)."""
+    try:
+        return _flatten_logs_pb(body)
+    except OtlpDecodeError:
+        raise
+    except Exception as e:  # struct errors etc. — parse_request_pb parity
+        raise OtlpDecodeError(f"malformed protobuf: {e}") from e
+
+
+def _flatten_logs_pb(body: bytes) -> list[dict[str, Any]]:
+    rows: list[dict[str, Any]] = []
+    end0 = len(body)
+    pos0 = 0
+    while pos0 < end0:
+        tag = body[pos0]
+        if tag < 0x80:
+            pos0 += 1
+        else:
+            tag, pos0 = _varint(body, pos0, end0)
+        if tag != 0x0A:  # not resource_logs
+            pos0 = _skip(body, pos0, end0, tag & 7)
+            continue
+        rl_start, rl_end = _len_prefixed(body, pos0, end0)
+        pos0 = rl_end
+
+        # --- ResourceLogs: buffer sub-ranges first (wire order is free) ---
+        res_range = None
+        rl_schema: str | None = None
+        sl_ranges: list[tuple[int, int]] = []
+        p = rl_start
+        while p < rl_end:
+            t = body[p]
+            if t < 0x80:
+                p += 1
+            else:
+                t, p = _varint(body, p, rl_end)
+            if t == 0x0A:  # resource (last wins)
+                res_range = _len_prefixed(body, p, rl_end)
+                p = res_range[1]
+            elif t == 0x12:  # scope_logs
+                r = _len_prefixed(body, p, rl_end)
+                sl_ranges.append(r)
+                p = r[1]
+            elif t == 0x1A:  # schema_url (last wins)
+                q, nq = _len_prefixed(body, p, rl_end)
+                rl_schema = _utf8(body, q, nq, "ResourceLogs.schema_url") or None
+                p = nq
+            else:
+                p = _skip(body, p, rl_end, t & 7)
+
+        rattrs: dict[str, Any] = {}
+        if res_range is not None:
+            p, e = res_range
+            attr_ranges: list[tuple[int, int]] = []
+            while p < e:
+                t = body[p]
+                if t < 0x80:
+                    p += 1
+                else:
+                    t, p = _varint(body, p, e)
+                if t == 0x0A:
+                    r = _len_prefixed(body, p, e)
+                    attr_ranges.append(r)
+                    p = r[1]
+                else:
+                    p = _skip(body, p, e, t & 7)
+            rattrs = _attrs(body, attr_ranges)
+        service_name = rattrs.pop("service.name", None)
+        service_ns = rattrs.pop("service.namespace", None)
+        service_iid = rattrs.pop("service.instance.id", None)
+        res_attrs_json = _canon(rattrs) if rattrs else "{}"
+        svc = service_name if service_name is not None else ""
+
+        for sl_start, sl_end in sl_ranges:
+            scope_range = None
+            sl_schema: str | None = None
+            rec_ranges: list[tuple[int, int]] = []
+            p = sl_start
+            while p < sl_end:
+                t = body[p]
+                if t < 0x80:
+                    p += 1
+                else:
+                    t, p = _varint(body, p, sl_end)
+                if t == 0x0A:  # scope (last wins)
+                    scope_range = _len_prefixed(body, p, sl_end)
+                    p = scope_range[1]
+                elif t == 0x12:  # log_records
+                    r = _len_prefixed(body, p, sl_end)
+                    rec_ranges.append(r)
+                    p = r[1]
+                elif t == 0x1A:  # schema_url
+                    q, nq = _len_prefixed(body, p, sl_end)
+                    sl_schema = _utf8(body, q, nq, "ScopeLogs.schema_url") or None
+                    p = nq
+                else:
+                    p = _skip(body, p, sl_end, t & 7)
+            if scope_range is not None:
+                scope_name, scope_version, scope_attrs = _scope_fields(
+                    body, scope_range[0], scope_range[1]
+                )
+            else:
+                scope_name, scope_version, scope_attrs = "", None, "{}"
+
+            for r_start, r_end in rec_ranges:
+                ts_ns = 0
+                obs_ns = 0
+                sev_no = 0
+                sev_text = ""
+                body_range = None
+                attr_ranges = []
+                flags = 0
+                trace_id = b""
+                span_id = b""
+                p = r_start
+                while p < r_end:
+                    t = body[p]
+                    if t < 0x80:
+                        p += 1
+                    else:
+                        t, p = _varint(body, p, r_end)
+                    if t == 0x09:  # time_unix_nano fixed64
+                        if p + 8 > r_end:
+                            raise OtlpDecodeError("truncated fixed field")
+                        ts_ns = _unpack_from("<Q", body, p)[0]
+                        p += 8
+                    elif t == 0x10:  # severity_number enum varint
+                        v, p = _varint(body, p, r_end)
+                        sev_no = v - 0x10000000000000000 if v >= 0x8000000000000000 else v
+                    elif t == 0x1A:  # severity_text
+                        q, nq = _len_prefixed(body, p, r_end)
+                        sev_text = _utf8(body, q, nq, "LogRecord.severity_text")
+                        p = nq
+                    elif t == 0x2A:  # body (last wins)
+                        body_range = _len_prefixed(body, p, r_end)
+                        p = body_range[1]
+                    elif t == 0x32:  # attributes
+                        r = _len_prefixed(body, p, r_end)
+                        attr_ranges.append(r)
+                        p = r[1]
+                    elif t == 0x45:  # flags fixed32
+                        if p + 4 > r_end:
+                            raise OtlpDecodeError("truncated fixed field")
+                        flags = _unpack_from("<I", body, p)[0]
+                        p += 4
+                    elif t == 0x4A:  # trace_id bytes
+                        q, nq = _len_prefixed(body, p, r_end)
+                        trace_id = body[q:nq]
+                        p = nq
+                    elif t == 0x52:  # span_id bytes
+                        q, nq = _len_prefixed(body, p, r_end)
+                        span_id = body[q:nq]
+                        p = nq
+                    elif t == 0x59:  # observed_time_unix_nano fixed64
+                        if p + 8 > r_end:
+                            raise OtlpDecodeError("truncated fixed field")
+                        obs_ns = _unpack_from("<Q", body, p)[0]
+                        p += 8
+                    else:
+                        p = _skip(body, p, r_end, t & 7)
+                if body_range is not None:
+                    bv = _anyvalue(body, body_range[0], body_range[1])
+                    body_out = None if bv is _EMPTY else _canon(bv)
+                else:
+                    body_out = None
+                ts_us = ts_ns // 1000 if ts_ns else 0
+                rows.append(
+                    {
+                        "Timestamp": ts_us,
+                        "TraceId": _check_id(trace_id, 16, "trace id", _ZERO16),
+                        "SpanId": _check_id(span_id, 8, "span id", _ZERO8),
+                        "ServiceName": svc,
+                        "ServiceNamespace": service_ns,
+                        "ServiceInstanceId": service_iid,
+                        "ResourceAttributes": res_attrs_json,
+                        "ResourceSchemaUrl": rl_schema,
+                        "ScopeName": scope_name,
+                        "ScopeVersion": scope_version,
+                        "ScopeAttributes": scope_attrs,
+                        "ScopeSchemaUrl": sl_schema,
+                        "TimestampTime": ts_us,
+                        "ObservedTimestamp": obs_ns // 1000 if obs_ns else 0,
+                        "TraceFlags": flags,
+                        "SeverityText": sev_text,
+                        "SeverityNumber": sev_no,
+                        "Body": body_out,
+                        "LogAttributes": _canon(_attrs(body, attr_ranges))
+                        if attr_ranges
+                        else "{}",
+                    }
+                )
+    return rows

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from otlp2parquet_spark.otel import fast_flatten, flatten, otlp_json, schemas, wire
+from otlp2parquet_spark.otel import fast_flatten, fast_wire, flatten, otlp_json, schemas, wire
 from otlp2parquet_spark.otel.wire import OtlpDecodeError
 
 DEFAULT_MAX_PAYLOAD_BYTES = 8 * 1024 * 1024  # reference src/config/platform.rs:19
@@ -199,14 +199,16 @@ def read_landing_lines(spark: SparkSession, path: str) -> DataFrame:
 
 def _flatten_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]]:
     """payload bytes -> flat rows. JSON/JSONL logs+traces take the fused
-    single-pass walker (otel/fast_flatten.py, ~3x the two-step lane —
-    differentially verified against it in tests/test_fast_flatten.py); pb
-    keeps the wire codec + flatten pair."""
+    single-pass walker (otel/fast_flatten.py, ~3x the two-step lane); pb
+    logs take the fused wire walker (otel/fast_wire.py, ~2.4x). Both are
+    differentially verified against the slow pairs (test_fast_flatten.py /
+    test_fast_wire.py); pb traces keep the wire codec + flatten pair."""
     if content[:2] == b"\x1f\x8b":  # gzip magic (D2)
         content = gzip.decompress(content)
     if fmt == "pb":
-        flat = flatten.flatten_logs if signal == "logs" else flatten.flatten_traces
-        return flat(wire.parse_request_pb(content, signal))
+        if signal == "logs":
+            return fast_wire.flatten_logs_pb(content)
+        return flatten.flatten_traces(wire.parse_request_pb(content, signal))
     if fmt == "json":
         return fast_flatten.flatten_request_json(content, signal)
     return fast_flatten.flatten_request_jsonl(content, signal)

@@ -1,0 +1,142 @@
+"""Differential verification of the fused protobuf walker
+(otel/fast_wire.py) against the semantic authority — wire.parse_request_pb
++ flatten.flatten_logs — over Hypothesis-generated requests, BOTH field
+orders (protobuf fields may arrive in any order), reference fixtures, and
+slow-lane quirk cases (duplicate fields, multi-member AnyValue,
+wrong-wire-type skips)."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import given, settings
+
+from otlp2parquet_spark.otel import fast_wire, flatten, wire
+
+from test_wire_property import _enc_varint, _logs_request, encode_message
+
+
+def encode_message_reversed(obj: dict, msg: str) -> bytes:
+    """Same encoding, fields emitted in REVERSE declaration order — the
+    slow lane is order-insensitive, so the fused lane must be too."""
+    desc = wire.DESCRIPTORS[msg]
+    by_name = {name: (no, kind, rep) for no, (name, kind, rep) in desc.items()}
+    out = bytearray()
+    for name in reversed(list(obj)):
+        val = obj[name]
+        no, kind, rep = by_name[name]
+        vals = val if rep else [val]
+        for v in reversed(vals) if rep else vals:
+            if kind.startswith("msg:"):
+                bodyb = encode_message_reversed(v, kind[4:])
+                out += _enc_varint(no << 3 | 2) + _enc_varint(len(bodyb)) + bodyb
+            elif kind == "string":
+                b = v.encode("utf-8")
+                out += _enc_varint(no << 3 | 2) + _enc_varint(len(b)) + b
+            elif kind == "bytes":
+                out += _enc_varint(no << 3 | 2) + _enc_varint(len(v)) + v
+            elif kind == "double":
+                out += _enc_varint(no << 3 | 1) + struct.pack("<d", v)
+            elif kind == "fixed64":
+                out += _enc_varint(no << 3 | 1) + struct.pack("<Q", v)
+            elif kind == "fixed32":
+                out += _enc_varint(no << 3 | 5) + struct.pack("<I", v)
+            elif kind == "bool":
+                out += _enc_varint(no << 3 | 0) + _enc_varint(1 if v else 0)
+            else:  # varint int64/uint64/int32/uint32/enum/sint handled upstream
+                out += _enc_varint(no << 3 | 0) + _enc_varint(v & 0xFFFFFFFFFFFFFFFF)
+    return bytes(out)
+
+
+def _slow(pb: bytes):
+    return flatten.flatten_logs(wire.parse_request_pb(pb, "logs"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_logs_request)
+def test_fused_pb_matches_slow(tree):
+    pb = encode_message(tree, "ExportLogsServiceRequest")
+    assert fast_wire.flatten_logs_pb(pb) == _slow(pb)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_logs_request)
+def test_fused_pb_matches_slow_reversed_order(tree):
+    pb = encode_message_reversed(tree, "ExportLogsServiceRequest")
+    assert fast_wire.flatten_logs_pb(pb) == _slow(pb)
+
+
+def test_reference_fixture_parity():
+    pb = open("/root/reference/testdata/logs.pb", "rb").read()
+    assert fast_wire.flatten_logs_pb(pb) == _slow(pb)
+    # concatenated payloads parse as one request with repeated resource_logs
+    assert fast_wire.flatten_logs_pb(pb * 3) == _slow(pb * 3)
+
+
+def test_duplicate_scalar_and_message_fields_last_wins():
+    # two resource submessages on one ResourceLogs: slow lane keeps ONLY
+    # the last (no proto3 merge)
+    res1 = encode_message(
+        {"attributes": [{"key": "a", "value": {"string_value": "one"}}]}, "Resource"
+    )
+    res2 = encode_message(
+        {"attributes": [{"key": "b", "value": {"string_value": "two"}}]}, "Resource"
+    )
+    rec = encode_message({"severity_text": "x"}, "LogRecord")
+    sl = _enc_varint(0x12) + _enc_varint(len(rec)) + rec
+    rl_body = (
+        _enc_varint(0x0A) + _enc_varint(len(res1)) + res1
+        + _enc_varint(0x0A) + _enc_varint(len(res2)) + res2
+        + _enc_varint(0x12) + _enc_varint(len(sl)) + sl
+    )
+    pb = _enc_varint(0x0A) + _enc_varint(len(rl_body)) + rl_body
+    slow = _slow(pb)
+    fast = fast_wire.flatten_logs_pb(pb)
+    assert fast == slow
+    assert slow[0]["ResourceAttributes"] == '{"b":"two"}'
+
+
+def test_multi_member_anyvalue_priority():
+    # body carrying int AND string members: string wins regardless of order
+    val = (
+        _enc_varint(0x18) + _enc_varint(7)                      # int_value 7
+        + _enc_varint(0x0A) + _enc_varint(2) + b"hi"            # string_value
+    )
+    rec_body = _enc_varint(0x2A) + _enc_varint(len(val)) + val  # body
+    rec = rec_body
+    sl = _enc_varint(0x12) + _enc_varint(len(rec)) + rec
+    rl_body = _enc_varint(0x12) + _enc_varint(len(sl)) + sl
+    pb = _enc_varint(0x0A) + _enc_varint(len(rl_body)) + rl_body
+    slow = _slow(pb)
+    fast = fast_wire.flatten_logs_pb(pb)
+    assert fast == slow
+    assert slow[0]["Body"] == '"hi"'
+
+
+def test_wrong_wire_type_field_skipped():
+    # time_unix_nano (field 1, fixed64) sent as varint -> both lanes skip it
+    rec = _enc_varint(0x08) + _enc_varint(123)  # field 1, wire 0
+    sl = _enc_varint(0x12) + _enc_varint(len(rec)) + rec
+    rl_body = _enc_varint(0x12) + _enc_varint(len(sl)) + sl
+    pb = _enc_varint(0x0A) + _enc_varint(len(rl_body)) + rl_body
+    slow = _slow(pb)
+    fast = fast_wire.flatten_logs_pb(pb)
+    assert fast == slow
+    assert slow[0]["Timestamp"] == 0
+
+
+def test_truncated_payload_rejected_by_both():
+    import pytest
+
+    pb = open("/root/reference/testdata/logs.pb", "rb").read()
+    for cut in (pb[: len(pb) // 2], pb[:-1], b"\x0a\xff\xff\xff\xff\x7f"):
+        slow_err = fast_err = None
+        try:
+            _slow(cut)
+        except wire.OtlpDecodeError as e:
+            slow_err = e
+        try:
+            fast_wire.flatten_logs_pb(cut)
+        except wire.OtlpDecodeError as e:
+            fast_err = e
+        assert (slow_err is None) == (fast_err is None), cut[:20]
