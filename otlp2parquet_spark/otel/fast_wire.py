@@ -447,3 +447,306 @@ def _flatten_logs_pb(body: bytes) -> list[dict[str, Any]]:
                     }
                 )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Traces
+
+
+def flatten_traces_pb(body: bytes) -> list[dict[str, Any]]:
+    """One ExportTraceServiceRequest protobuf -> flat rows (== slow pair)."""
+    try:
+        return _flatten_traces_pb(body)
+    except OtlpDecodeError:
+        raise
+    except Exception as e:  # struct errors etc. — parse_request_pb parity
+        raise OtlpDecodeError(f"malformed protobuf: {e}") from e
+
+
+def _event_fields(buf: bytes, pos: int, end: int) -> tuple[int, str, str]:
+    ts = 0
+    name = ""
+    attr_ranges: list[tuple[int, int]] = []
+    while pos < end:
+        t = buf[pos]
+        if t < 0x80:
+            pos += 1
+        else:
+            t, pos = _varint(buf, pos, end)
+        if t == 0x09:  # time_unix_nano fixed64
+            if pos + 8 > end:
+                raise OtlpDecodeError("truncated fixed field")
+            ts = _unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif t == 0x12:  # name
+            q, nq = _len_prefixed(buf, pos, end)
+            name = _utf8(buf, q, nq, "SpanEvent.name")
+            pos = nq
+        elif t == 0x1A:  # attributes
+            r = _len_prefixed(buf, pos, end)
+            attr_ranges.append(r)
+            pos = r[1]
+        else:
+            pos = _skip(buf, pos, end, t & 7)
+    attrs = _canon(_attrs(buf, attr_ranges)) if attr_ranges else "{}"
+    return (ts // 1000 if ts else 0), name, attrs
+
+
+def _link_fields(buf: bytes, pos: int, end: int) -> tuple[str, str, str | None, str]:
+    trace_id = b""
+    span_id = b""
+    state: str | None = None
+    attr_ranges: list[tuple[int, int]] = []
+    while pos < end:
+        t = buf[pos]
+        if t < 0x80:
+            pos += 1
+        else:
+            t, pos = _varint(buf, pos, end)
+        if t == 0x0A:  # trace_id
+            q, nq = _len_prefixed(buf, pos, end)
+            trace_id = buf[q:nq]
+            pos = nq
+        elif t == 0x12:  # span_id
+            q, nq = _len_prefixed(buf, pos, end)
+            span_id = buf[q:nq]
+            pos = nq
+        elif t == 0x1A:  # trace_state
+            q, nq = _len_prefixed(buf, pos, end)
+            state = _utf8(buf, q, nq, "SpanLink.trace_state") or None
+            pos = nq
+        elif t == 0x22:  # attributes
+            r = _len_prefixed(buf, pos, end)
+            attr_ranges.append(r)
+            pos = r[1]
+        else:
+            pos = _skip(buf, pos, end, t & 7)
+    attrs = _canon(_attrs(buf, attr_ranges)) if attr_ranges else "{}"
+    return (
+        _check_id(trace_id, 16, "link trace id", _ZERO16).hex(),
+        _check_id(span_id, 8, "link span id", _ZERO8).hex(),
+        state,
+        attrs,
+    )
+
+
+def _flatten_traces_pb(body: bytes) -> list[dict[str, Any]]:
+    from otlp2parquet_spark.otel.flatten import _SPAN_KIND_NAME, _STATUS_CODE_NAME
+
+    rows: list[dict[str, Any]] = []
+    end0 = len(body)
+    pos0 = 0
+    while pos0 < end0:
+        tag = body[pos0]
+        if tag < 0x80:
+            pos0 += 1
+        else:
+            tag, pos0 = _varint(body, pos0, end0)
+        if tag != 0x0A:  # not resource_spans
+            pos0 = _skip(body, pos0, end0, tag & 7)
+            continue
+        rs_start, rs_end = _len_prefixed(body, pos0, end0)
+        pos0 = rs_end
+
+        res_range = None
+        ss_ranges: list[tuple[int, int]] = []
+        p = rs_start
+        while p < rs_end:
+            t = body[p]
+            if t < 0x80:
+                p += 1
+            else:
+                t, p = _varint(body, p, rs_end)
+            if t == 0x0A:
+                res_range = _len_prefixed(body, p, rs_end)
+                p = res_range[1]
+            elif t == 0x12:
+                r = _len_prefixed(body, p, rs_end)
+                ss_ranges.append(r)
+                p = r[1]
+            else:
+                p = _skip(body, p, rs_end, t & 7)
+
+        rattrs: dict[str, Any] = {}
+        if res_range is not None:
+            p, e = res_range
+            attr_ranges: list[tuple[int, int]] = []
+            while p < e:
+                t = body[p]
+                if t < 0x80:
+                    p += 1
+                else:
+                    t, p = _varint(body, p, e)
+                if t == 0x0A:
+                    r = _len_prefixed(body, p, e)
+                    attr_ranges.append(r)
+                    p = r[1]
+                else:
+                    p = _skip(body, p, e, t & 7)
+            rattrs = _attrs(body, attr_ranges)
+        service_name = rattrs.pop("service.name", None)
+        rattrs.pop("service.namespace", None)
+        rattrs.pop("service.instance.id", None)
+        res_attrs_json = _canon(rattrs) if rattrs else "{}"
+
+        for ss_start, ss_end in ss_ranges:
+            scope_range = None
+            span_ranges: list[tuple[int, int]] = []
+            p = ss_start
+            while p < ss_end:
+                t = body[p]
+                if t < 0x80:
+                    p += 1
+                else:
+                    t, p = _varint(body, p, ss_end)
+                if t == 0x0A:
+                    scope_range = _len_prefixed(body, p, ss_end)
+                    p = scope_range[1]
+                elif t == 0x12:
+                    r = _len_prefixed(body, p, ss_end)
+                    span_ranges.append(r)
+                    p = r[1]
+                else:
+                    p = _skip(body, p, ss_end, t & 7)
+            if scope_range is not None:
+                sname, sversion, _sattrs = _scope_fields(
+                    body, scope_range[0], scope_range[1]
+                )
+                scope_name = sname or None  # traces use _opt on name
+                scope_version = sversion
+            else:
+                scope_name, scope_version = None, None
+
+            for sp_start, sp_end in span_ranges:
+                trace_id = b""
+                span_id = b""
+                parent_id = b""
+                trace_state: str | None = None
+                name = ""
+                kind = 0
+                start_ns = 0
+                end_ns = 0
+                attr_ranges = []
+                ev_ranges: list[tuple[int, int]] = []
+                ln_ranges: list[tuple[int, int]] = []
+                status_range = None
+                p = sp_start
+                while p < sp_end:
+                    t = body[p]
+                    if t < 0x80:
+                        p += 1
+                    else:
+                        t, p = _varint(body, p, sp_end)
+                    if t == 0x0A:
+                        q, nq = _len_prefixed(body, p, sp_end)
+                        trace_id = body[q:nq]
+                        p = nq
+                    elif t == 0x12:
+                        q, nq = _len_prefixed(body, p, sp_end)
+                        span_id = body[q:nq]
+                        p = nq
+                    elif t == 0x1A:
+                        q, nq = _len_prefixed(body, p, sp_end)
+                        trace_state = _utf8(body, q, nq, "Span.trace_state") or None
+                        p = nq
+                    elif t == 0x22:
+                        q, nq = _len_prefixed(body, p, sp_end)
+                        parent_id = body[q:nq]
+                        p = nq
+                    elif t == 0x2A:
+                        q, nq = _len_prefixed(body, p, sp_end)
+                        name = _utf8(body, q, nq, "Span.name")
+                        p = nq
+                    elif t == 0x30:  # kind enum varint
+                        v, p = _varint(body, p, sp_end)
+                        kind = v - 0x10000000000000000 if v >= 0x8000000000000000 else v
+                    elif t == 0x39:  # start fixed64
+                        if p + 8 > sp_end:
+                            raise OtlpDecodeError("truncated fixed field")
+                        start_ns = _unpack_from("<Q", body, p)[0]
+                        p += 8
+                    elif t == 0x41:  # end fixed64
+                        if p + 8 > sp_end:
+                            raise OtlpDecodeError("truncated fixed field")
+                        end_ns = _unpack_from("<Q", body, p)[0]
+                        p += 8
+                    elif t == 0x4A:  # attributes
+                        r = _len_prefixed(body, p, sp_end)
+                        attr_ranges.append(r)
+                        p = r[1]
+                    elif t == 0x5A:  # events
+                        r = _len_prefixed(body, p, sp_end)
+                        ev_ranges.append(r)
+                        p = r[1]
+                    elif t == 0x6A:  # links
+                        r = _len_prefixed(body, p, sp_end)
+                        ln_ranges.append(r)
+                        p = r[1]
+                    elif t == 0x7A:  # status (last wins)
+                        status_range = _len_prefixed(body, p, sp_end)
+                        p = status_range[1]
+                    else:
+                        p = _skip(body, p, sp_end, t & 7)
+
+                kind_name = _SPAN_KIND_NAME.get(kind)
+                if kind_name is None:
+                    raise OtlpDecodeError(f"invalid span kind: {kind}")
+                status_msg: str | None = None
+                code = 0
+                if status_range is not None:
+                    p, e = status_range
+                    while p < e:
+                        t = body[p]
+                        if t < 0x80:
+                            p += 1
+                        else:
+                            t, p = _varint(body, p, e)
+                        if t == 0x12:  # message
+                            q, nq = _len_prefixed(body, p, e)
+                            status_msg = _utf8(body, q, nq, "Status.message") or None
+                            p = nq
+                        elif t == 0x18:  # code enum
+                            v, p = _varint(body, p, e)
+                            code = (
+                                v - 0x10000000000000000
+                                if v >= 0x8000000000000000
+                                else v
+                            )
+                        else:
+                            p = _skip(body, p, e, t & 7)
+                code_name = _STATUS_CODE_NAME.get(code)
+                if code_name is None:
+                    raise OtlpDecodeError(f"invalid status code: {code}")
+
+                events = [_event_fields(body, r[0], r[1]) for r in ev_ranges]
+                links = [_link_fields(body, r[0], r[1]) for r in ln_ranges]
+                parent = _check_id(parent_id, 8, "parent span id", _ZERO8)
+                rows.append(
+                    {
+                        "Timestamp": start_ns // 1000,
+                        "TraceId": _check_id(trace_id, 16, "trace id", _ZERO16).hex(),
+                        "SpanId": _check_id(span_id, 8, "span id", _ZERO8).hex(),
+                        "ServiceName": service_name,
+                        "ResourceAttributes": res_attrs_json,
+                        "ScopeName": scope_name,
+                        "ScopeVersion": scope_version,
+                        "ParentSpanId": parent.hex() if parent.strip(b"\x00") else None,
+                        "TraceState": trace_state,
+                        "SpanName": name,
+                        "SpanKind": kind_name,
+                        "SpanAttributes": _canon(_attrs(body, attr_ranges))
+                        if attr_ranges
+                        else "{}",
+                        "Duration": end_ns - start_ns,
+                        "StatusCode": code_name,
+                        "StatusMessage": status_msg,
+                        "EventsTimestamp": [e[0] for e in events],
+                        "EventsName": [e[1] for e in events],
+                        "EventsAttributes": [e[2] for e in events],
+                        "LinksTraceId": [ln[0] for ln in links],
+                        "LinksSpanId": [ln[1] for ln in links],
+                        "LinksTraceState": [ln[2] for ln in links],
+                        "LinksAttributes": [ln[3] for ln in links],
+                    }
+                )
+    return rows

@@ -200,15 +200,16 @@ def read_landing_lines(spark: SparkSession, path: str) -> DataFrame:
 def _flatten_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]]:
     """payload bytes -> flat rows. JSON/JSONL logs+traces take the fused
     single-pass walker (otel/fast_flatten.py, ~3x the two-step lane); pb
-    logs take the fused wire walker (otel/fast_wire.py, ~2.4x). Both are
-    differentially verified against the slow pairs (test_fast_flatten.py /
-    test_fast_wire.py); pb traces keep the wire codec + flatten pair."""
+    logs+traces take the fused wire walker (otel/fast_wire.py, ~2.4x).
+    Both are differentially verified against the slow pairs
+    (test_fast_flatten.py / test_fast_wire.py); pb metrics keep the
+    wire codec + flatten pair."""
     if content[:2] == b"\x1f\x8b":  # gzip magic (D2)
         content = gzip.decompress(content)
     if fmt == "pb":
         if signal == "logs":
             return fast_wire.flatten_logs_pb(content)
-        return flatten.flatten_traces(wire.parse_request_pb(content, signal))
+        return fast_wire.flatten_traces_pb(content)
     if fmt == "json":
         return fast_flatten.flatten_request_json(content, signal)
     return fast_flatten.flatten_request_jsonl(content, signal)

@@ -140,3 +140,31 @@ def test_truncated_payload_rejected_by_both():
         except wire.OtlpDecodeError as e:
             fast_err = e
         assert (slow_err is None) == (fast_err is None), cut[:20]
+
+
+from test_wire_property import _traces_request  # noqa: E402
+
+
+def _slow_traces(pb: bytes):
+    return flatten.flatten_traces(wire.parse_request_pb(pb, "traces"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_traces_request)
+def test_fused_traces_pb_matches_slow(tree):
+    pb = encode_message(tree, "ExportTraceServiceRequest")
+    assert fast_wire.flatten_traces_pb(pb) == _slow_traces(pb)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_traces_request)
+def test_fused_traces_pb_matches_slow_reversed_order(tree):
+    pb = encode_message_reversed(tree, "ExportTraceServiceRequest")
+    assert fast_wire.flatten_traces_pb(pb) == _slow_traces(pb)
+
+
+def test_traces_fixture_parity():
+    for fx in ("traces.pb", "trace.pb"):
+        pb = open(f"/root/reference/testdata/{fx}", "rb").read()
+        assert fast_wire.flatten_traces_pb(pb) == _slow_traces(pb)
+        assert fast_wire.flatten_traces_pb(pb * 2) == _slow_traces(pb * 2)
