@@ -333,3 +333,68 @@ def t7_flush_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("path", "file_stem_us")
     )
+
+
+@query(
+    "t8_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS delay_s
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTES
+    ORDER BY user_id, view_id, purchase_id
+    """,
+    tags=("T8", "J7", "F2"),
+)
+def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 batch twin: view->purchase attribution pairs per user within a
+    10-minute window — the deterministic closure of the live stream-stream
+    interval join (streaming/pipeline.attribution_join), which buffers both
+    unbounded sides in watermark-bounded state.
+
+    Banded like j7_range_join: purchases carry a 10-minute bucket, views
+    probe (bucket, bucket+1) as an extra equi-key, so the per-user residual
+    is per-bucket density, never O(views x purchases). delay_s is exact
+    integer microsecond arithmetic (never double division)."""
+    e = T(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket = F.floor(us / (600 * 1000 * 1000))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "probe_bucket", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1))
+        )
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            "probe_bucket",
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        bucket.alias("p_bucket"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("probe_bucket") == F.col("p_bucket"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        v.join(p, cond, "inner")
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000").alias(
+                "delay_s"
+            ),
+        )
+        .orderBy("user_id", "view_id", "purchase_id")
+    )

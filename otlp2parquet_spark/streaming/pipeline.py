@@ -13,6 +13,7 @@ availableNow must reproduce the batch twin's results exactly).
 | T5 | streaming dedup by key            | dedup_events                   |
 | T6 | stateful running count per key    | running_count (applyInPandasWithState) |
 | T7 | foreachBatch partitioned flush    | streaming/ingest.py            |
+| T8 | stream-stream interval join       | attribution_join               |
 """
 
 from __future__ import annotations
@@ -131,3 +132,46 @@ def run_to_memory(
     )
     q.awaitTermination(timeout)
     q.stop()
+
+
+def attribution_join(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """T8: stream-stream interval self-join — view->purchase attribution.
+
+    The canonical hard case of Structured Streaming: BOTH sides are
+    unbounded, so each must carry a watermark and the join condition must
+    bound event time on both ends; Spark then sizes the join state buffer
+    from (watermark + interval) and evicts rows whose match window has
+    sealed. Inner joins emit in append mode only. Batch twin (oracle-
+    matched): streaming/batch_twins.t8_stream_stream_join."""
+    v = (
+        stream.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 10 minutes"
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000").alias("delay_s"),
+    )

@@ -111,3 +111,47 @@ def test_t6_stateful_running_count(spark, events_dir):
         .collect()
     }
     assert live == batch and len(live) > 10
+
+
+def test_t8_stream_stream_join_live(spark, events_dir):
+    """T8 live: the stream-stream interval join over a closed input must
+    reproduce the batch twin's pair set exactly (inner join in append mode
+    emits every sealed match; a generous watermark on a finite drain seals
+    everything that can pair)."""
+    stream = P.events_stream(spark, events_dir)
+    P.run_to_memory(P.attribution_join(stream), "t8_live", output_mode="append")
+    live = {
+        (r.user_id, r.view_id, r.purchase_id, r.delay_s)
+        for r in spark.sql("SELECT * FROM t8_live").collect()
+    }
+    e = _batch_events(spark, events_dir)
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = {
+        (r.v_user, r.view_id, r.purchase_id, r.delay_s)
+        for r in v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts "
+                "AND p_ts <= v_ts + interval 10 minutes"
+            ),
+        )
+        .select(
+            "v_user",
+            "view_id",
+            "purchase_id",
+            F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000").alias(
+                "delay_s"
+            ),
+        )
+        .collect()
+    }
+    assert live == batch and live
