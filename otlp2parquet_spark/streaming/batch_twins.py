@@ -344,7 +344,7 @@ def t7_flush_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON v.user_id = p.user_id
      AND v.event_type = 'view' AND p.event_type = 'purchase'
      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTES
-    ORDER BY user_id, view_id, purchase_id
+    ORDER BY v.user_id, view_id, purchase_id
     """,
     tags=("T8", "J7", "F2"),
 )
@@ -370,14 +370,14 @@ def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("user_id").alias("v_user"),
             F.col("event_id").alias("view_id"),
-            F.col("ts").alias("v_ts"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
             "probe_bucket",
         )
     )
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
         bucket.alias("p_bucket"),
     )
     cond = (
