@@ -124,6 +124,9 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "x3_kmeans": "two Lloyd assignment passes each stream the corpus once "
     "(inherent to the iteration) + a LIMIT-8 seed scan; re-scanning parquet "
     "beats materializing the corpus for a fixed 2-pass round",
+    "t8_stream_stream_join": "view slice vs purchase slice: disjoint "
+    "event_type filters, two genuine join roles (the live form reads two "
+    "stream branches the same way)",
 }
 
 
