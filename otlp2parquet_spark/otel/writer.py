@@ -7,8 +7,9 @@ Two modes, per SURVEY.md §7 hard-part 4:
   including Snappy compression, schema-version footer metadata, field_ids and
   the uint32 TraceFlags column. Spark's `partitionBy` can produce neither the
   bare `{service}` dir level nor custom file names, so each (service, hour)
-  group is written by `applyInPandas` with pyarrow — the write itself runs ON
-  THE EXECUTORS (one task per group, no driver collect), so it scales with
+  group is written by `applyInArrow` with pyarrow (Arrow-native: no pandas
+  round-trip between the Spark batch and the parquet writer) — the write
+  itself runs ON THE EXECUTORS (one task per group, no driver collect), so it scales with
   the number of (service, hour) groups. Group sizes are bounded by
   `max_rows_per_file` (reference batch.max_rows default 200k, D17).
 
@@ -110,7 +111,8 @@ def _resolve_fs(path: str):
 
 def _to_golden_arrow(pdf: pd.DataFrame, table: str) -> pa.Table:
     """pandas group (Spark types) -> pyarrow table with the golden schema
-    (incl. uint32 cast + field_ids + footer metadata)."""
+    (incl. uint32 cast + field_ids + footer metadata). Kept for tests and
+    ad-hoc callers; the hot write path is the zero-copy Arrow variant."""
     target = schemas.arrow_schema(table)
     arrays = []
     for f in target:
@@ -122,6 +124,19 @@ def _to_golden_arrow(pdf: pd.DataFrame, table: str) -> pa.Table:
         else:
             arr = pa.array(col.tolist(), type=f.type)
         arrays.append(arr)
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
+def _arrow_to_golden(tbl: pa.Table, table: str) -> pa.Table:
+    """Spark-Arrow group -> golden schema via column casts only — no pandas
+    round-trip, no Python-list materialization."""
+    target = schemas.arrow_schema(table)
+    arrays = []
+    for f in target:
+        col = tbl.column(f.name)
+        if col.type != f.type:
+            col = col.cast(f.type)
+        arrays.append(col.combine_chunks())
     return pa.Table.from_arrays(arrays, schema=target)
 
 
@@ -162,20 +177,34 @@ def write_partitioned(
         ]
     )
 
-    def write_group(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop(columns=["__bucket", "__chunk"], errors="ignore").sort_values(
-            "Timestamp", kind="stable"
-        )
-        service = keys[0]
-        records = []
-        for start in range(0, len(pdf), max_rows_per_file):
-            chunk = pdf.iloc[start : start + max_rows_per_file]
-            min_ts = chunk["Timestamp"].min()
-            min_ts_us = 0 if pd.isna(min_ts) else int(pd.Timestamp(min_ts).value // 1000)
-            import hashlib
+    def write_group(keys: tuple, tbl: pa.Table) -> pa.Table:
+        """Arrow-native group writer (applyInArrow): the Spark-Arrow batch
+        goes straight to the golden parquet via sort + column casts — the
+        pandas round-trip (Arrow->pandas on entry, .tolist()->Arrow on
+        write) was ~half the write-stage CPU at bench scale. Sort keeps
+        null timestamps last (pandas sort_values parity)."""
+        import hashlib
+        import pyarrow.compute as pc
 
-            gh = hashlib.sha256(repr(keys).encode()).hexdigest()[:16]
-            file_id = f"{run_tag}-{gh}-{start // max_rows_per_file}"
+        tbl = tbl.drop_columns(
+            [c for c in ("__bucket", "__chunk") if c in tbl.column_names]
+        )
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("Timestamp", "ascending")], null_placement="at_end"
+        )
+        tbl = tbl.take(idx)
+        # applyInArrow may hand keys as pyarrow scalars — normalize to
+        # Python values so path building and the group hash are stable
+        kp = tuple(k.as_py() if hasattr(k, "as_py") else k for k in keys)
+        service = kp[0]
+        gh = hashlib.sha256(repr(kp).encode()).hexdigest()[:16]
+        paths: list[str] = []
+        nrows: list[int] = []
+        for ci, start in enumerate(range(0, tbl.num_rows, max_rows_per_file)):
+            chunk = tbl.slice(start, max_rows_per_file)
+            min_ts = pc.min(chunk.column("Timestamp"))
+            min_ts_us = min_ts.value if min_ts.is_valid else 0
+            file_id = f"{run_tag}-{gh}-{ci}"
             path = generate_parquet_path(root, table, service, min_ts_us, file_id)
             fs, where = _resolve_fs(path)
             if fs is None:
@@ -183,13 +212,20 @@ def write_partitioned(
             else:
                 fs.create_dir(os.path.dirname(where), recursive=True)
             pq.write_table(
-                _to_golden_arrow(chunk, table),
+                _arrow_to_golden(chunk, table),
                 where,
                 filesystem=fs,
                 compression="snappy",  # reference golden footers, D23
             )
-            records.append({"path": path, "rows": len(chunk), "service": service})
-        return pd.DataFrame(records, columns=["path", "rows", "service"])
+            paths.append(path)
+            nrows.append(chunk.num_rows)
+        return pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "rows": pa.array(nrows, pa.int64()),
+                "service": pa.array([service] * len(paths), pa.string()),
+            }
+        )
 
     bucketed = df.withColumn("__bucket", F.date_trunc(trunc, F.col("Timestamp")))
     # Memory bound: applyInPandas materializes a whole group per task, so a
@@ -215,7 +251,7 @@ def write_partitioned(
         )
         .drop("__n")
     )
-    return bucketed.groupBy("ServiceName", "__bucket", "__chunk").applyInPandas(
+    return bucketed.groupBy("ServiceName", "__bucket", "__chunk").applyInArrow(
         write_group, out_schema
     )
 
