@@ -133,11 +133,43 @@ def _ingest_metrics(spark) -> dict[str, float]:
             "ingest_decode_write_rows_per_s": round(decode_write),
             "ingest_native_decode_rows_per_s": round(native_rate),
         }
+        out.update(_py_pb_metrics(spark))
         out.update(_jvm_pb_metrics(spark))
         return out
     finally:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _py_pb_metrics(spark) -> dict[str, float]:
+    """Pure-Python protobuf lane decode throughput through Spark — the
+    fused wire walker (otel/fast_wire.py) over replicated logs.pb payloads
+    (protobuf message concatenation scales one fixture to a decode-bound
+    request; 32 payload files = one task per core)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from otlp2parquet_spark.otel import ingest
+
+    raw = open("/root/reference/testdata/logs.pb", "rb").read()
+    payload = raw * 200
+    landing = tempfile.mkdtemp(prefix="bench_pypb_")
+    try:
+        for i in range(32):
+            with open(f"{landing}/p{i}.pb", "wb") as f:
+                f.write(payload)
+        payloads, _ = ingest.read_landing(spark, landing)
+        decoded = ingest.decode_logs(payloads)
+        n = decoded.count()  # warm codec workers + row count
+        rate = 0.0
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            decoded.write.format("noop").mode("overwrite").save()
+            rate = max(rate, n / (_time.perf_counter() - t0))
+        return {"ingest_py_pb_decode_rows_per_s": round(rate)}
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
 
 
 def _jvm_pb_metrics(spark) -> dict[str, float]:
