@@ -750,3 +750,515 @@ def _flatten_traces_pb(body: bytes) -> list[dict[str, Any]]:
                     }
                 )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+
+
+def flatten_metrics_pb(body: bytes):
+    """One ExportMetricsServiceRequest protobuf -> ({metric_type: rows},
+    skipped counters) — same contract as flatten.flatten_metrics, fused.
+
+    Slow-pair quirks kept: the Metric data member resolves by PRIORITY
+    (gauge > sum > histogram > exponential_histogram > summary — the
+    `elif` chain in flatten_metrics), not wire order; min/max are
+    presence-tracked (None when absent) while count/sum default to 0/0.0;
+    NaN/Inf/missing number values are dropped and counted."""
+    try:
+        return _flatten_metrics_pb(body)
+    except OtlpDecodeError:
+        raise
+    except Exception as e:  # struct errors etc. — parse_request_pb parity
+        raise OtlpDecodeError(f"malformed protobuf: {e}") from e
+
+
+def _fixed64(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    if pos + 8 > end:
+        raise OtlpDecodeError("truncated fixed field")
+    return _unpack_from("<Q", buf, pos)[0], pos + 8
+
+
+def _double(buf: bytes, pos: int, end: int) -> tuple[float, int]:
+    if pos + 8 > end:
+        raise OtlpDecodeError("truncated fixed field")
+    return _unpack_from("<d", buf, pos)[0], pos + 8
+
+
+def _packed_fixed64(buf: bytes, pos: int, end: int, out: list) -> int:
+    p, npos = _len_prefixed(buf, pos, end)
+    count, rem = divmod(npos - p, 8)
+    if rem:
+        raise OtlpDecodeError("bad packed field length")
+    out.extend(_unpack_from(f"<{count}Q", buf, p))
+    return npos
+
+
+def _packed_double(buf: bytes, pos: int, end: int, out: list) -> int:
+    p, npos = _len_prefixed(buf, pos, end)
+    count, rem = divmod(npos - p, 8)
+    if rem:
+        raise OtlpDecodeError("bad packed field length")
+    out.extend(_unpack_from(f"<{count}d", buf, p))
+    return npos
+
+
+def _packed_varint(buf: bytes, pos: int, end: int, out: list) -> int:
+    p, npos = _len_prefixed(buf, pos, end)
+    while p < npos:
+        v, p = _varint(buf, p, npos)
+        out.append(v)
+    return npos
+
+
+def _eh_buckets(buf: bytes, pos: int, end: int) -> tuple[int, list[int]]:
+    offset = 0
+    counts: list[int] = []
+    while pos < end:
+        t = buf[pos]
+        if t < 0x80:
+            pos += 1
+        else:
+            t, pos = _varint(buf, pos, end)
+        if t == 0x08:  # offset sint32
+            v, pos = _varint(buf, pos, end)
+            offset = (v >> 1) ^ -(v & 1)
+        elif t == 0x12:  # bucket_counts packed uint64
+            pos = _packed_varint(buf, pos, end, counts)
+        elif t == 0x10:  # bucket_counts unpacked
+            v, pos = _varint(buf, pos, end)
+            counts.append(v)
+        else:
+            pos = _skip(buf, pos, end, t & 7)
+    return offset, counts
+
+
+def _dp_base(buf, attr_ranges, ts_ns):
+    return {
+        "Timestamp": ts_ns // 1000 if ts_ns else 0,
+        "Attributes": _canon(_attrs(buf, attr_ranges)) if attr_ranges else "{}",
+    }
+
+
+def _flatten_metrics_pb(body: bytes):
+    out: dict[str, list[dict[str, Any]]] = {
+        "gauge": [],
+        "sum": [],
+        "histogram": [],
+        "exponential_histogram": [],
+        "summary": [],
+    }
+    skipped = {"summaries": 0, "nan_values": 0, "infinity_values": 0, "missing_values": 0}
+    import math
+
+    end0 = len(body)
+    pos0 = 0
+    while pos0 < end0:
+        tag = body[pos0]
+        if tag < 0x80:
+            pos0 += 1
+        else:
+            tag, pos0 = _varint(body, pos0, end0)
+        if tag != 0x0A:  # not resource_metrics
+            pos0 = _skip(body, pos0, end0, tag & 7)
+            continue
+        rm_start, rm_end = _len_prefixed(body, pos0, end0)
+        pos0 = rm_end
+
+        res_range = None
+        sm_ranges: list[tuple[int, int]] = []
+        p = rm_start
+        while p < rm_end:
+            t = body[p]
+            if t < 0x80:
+                p += 1
+            else:
+                t, p = _varint(body, p, rm_end)
+            if t == 0x0A:
+                res_range = _len_prefixed(body, p, rm_end)
+                p = res_range[1]
+            elif t == 0x12:
+                r = _len_prefixed(body, p, rm_end)
+                sm_ranges.append(r)
+                p = r[1]
+            else:
+                p = _skip(body, p, rm_end, t & 7)
+
+        rattrs: dict[str, Any] = {}
+        if res_range is not None:
+            p, e = res_range
+            attr_ranges: list[tuple[int, int]] = []
+            while p < e:
+                t = body[p]
+                if t < 0x80:
+                    p += 1
+                else:
+                    t, p = _varint(body, p, e)
+                if t == 0x0A:
+                    r = _len_prefixed(body, p, e)
+                    attr_ranges.append(r)
+                    p = r[1]
+                else:
+                    p = _skip(body, p, e, t & 7)
+            rattrs = _attrs(body, attr_ranges)
+        # metrics KEEP service.name in the map (§1.3.6)
+        service_name = rattrs.get("service.name", "")
+        res_attrs_json = _canon(rattrs) if rattrs else "{}"
+        svc = service_name if isinstance(service_name, str) else ""
+
+        for sm_start, sm_end in sm_ranges:
+            scope_range = None
+            metric_ranges: list[tuple[int, int]] = []
+            p = sm_start
+            while p < sm_end:
+                t = body[p]
+                if t < 0x80:
+                    p += 1
+                else:
+                    t, p = _varint(body, p, sm_end)
+                if t == 0x0A:
+                    scope_range = _len_prefixed(body, p, sm_end)
+                    p = scope_range[1]
+                elif t == 0x12:
+                    r = _len_prefixed(body, p, sm_end)
+                    metric_ranges.append(r)
+                    p = r[1]
+                else:
+                    p = _skip(body, p, sm_end, t & 7)
+            if scope_range is not None:
+                sname, sversion, _sa = _scope_fields(body, scope_range[0], scope_range[1])
+                scope_name = sname or None
+                scope_version = sversion
+            else:
+                scope_name, scope_version = None, None
+
+            for m_start, m_end in metric_ranges:
+                name = ""
+                desc: str | None = None
+                unit: str | None = None
+                # data members, last occurrence per member; priority applied after
+                ranges = {}
+                p = m_start
+                while p < m_end:
+                    t = body[p]
+                    if t < 0x80:
+                        p += 1
+                    else:
+                        t, p = _varint(body, p, m_end)
+                    if t == 0x0A:
+                        q, nq = _len_prefixed(body, p, m_end)
+                        name = _utf8(body, q, nq, "Metric.name")
+                        p = nq
+                    elif t == 0x12:
+                        q, nq = _len_prefixed(body, p, m_end)
+                        desc = _utf8(body, q, nq, "Metric.description") or None
+                        p = nq
+                    elif t == 0x1A:
+                        q, nq = _len_prefixed(body, p, m_end)
+                        unit = _utf8(body, q, nq, "Metric.unit") or None
+                        p = nq
+                    elif t in (0x2A, 0x3A, 0x4A, 0x52, 0x5A):
+                        r = _len_prefixed(body, p, m_end)
+                        ranges[t] = r
+                        p = r[1]
+                    else:
+                        p = _skip(body, p, m_end, t & 7)
+                base = {
+                    "ServiceName": svc,
+                    "ResourceAttributes": res_attrs_json,
+                    "ScopeName": scope_name,
+                    "ScopeVersion": scope_version,
+                    "MetricName": name,
+                    "MetricDescription": desc,
+                    "MetricUnit": unit,
+                }
+                # member priority == flatten_metrics' elif chain
+                if 0x2A in ranges:  # gauge
+                    _number_points_pb(
+                        body, ranges[0x2A], base, None, out["gauge"], skipped, math
+                    )
+                elif 0x3A in ranges:  # sum
+                    _sum_points_pb(body, ranges[0x3A], base, out["sum"], skipped, math)
+                elif 0x4A in ranges:  # histogram
+                    _hist_points_pb(body, ranges[0x4A], base, out["histogram"])
+                elif 0x52 in ranges:  # exponential_histogram
+                    _exp_points_pb(
+                        body, ranges[0x52], base, out["exponential_histogram"]
+                    )
+                elif 0x5A in ranges:  # summary
+                    _summary_points_pb(body, ranges[0x5A], base, out["summary"], skipped)
+    return out, skipped
+
+
+def _container_dps(buf: bytes, rng) -> tuple[list, int, bool]:
+    """Gauge/Sum/Histogram/... container -> (dp ranges, temporality,
+    is_monotonic). Unused extras are simply not read by the caller."""
+    dps = []
+    temporality = 0
+    monotonic = False
+    p, e = rng
+    while p < e:
+        t = buf[p]
+        if t < 0x80:
+            p += 1
+        else:
+            t, p = _varint(buf, p, e)
+        if t == 0x0A:  # data_points
+            r = _len_prefixed(buf, p, e)
+            dps.append(r)
+            p = r[1]
+        elif t == 0x10:  # aggregation_temporality enum
+            v, p = _varint(buf, p, e)
+            temporality = v - 0x10000000000000000 if v >= 0x8000000000000000 else v
+        elif t == 0x18:  # is_monotonic bool
+            v, p = _varint(buf, p, e)
+            monotonic = v != 0
+        else:
+            p = _skip(buf, p, e, t & 7)
+    return dps, temporality, monotonic
+
+
+def _number_points_pb(buf, rng, base, extra, rows, skipped, math):
+    dps, _, _ = _container_dps(buf, rng)
+    _number_points_from(buf, dps, base, extra, rows, skipped, math)
+
+
+def _sum_points_pb(buf, rng, base, rows, skipped, math):
+    dps, temporality, monotonic = _container_dps(buf, rng)
+    if temporality not in (0, 1, 2):
+        raise OtlpDecodeError(f"invalid aggregation temporality: {temporality}")
+    extra = {"AggregationTemporality": temporality, "IsMonotonic": monotonic}
+    _number_points_from(buf, dps, base, extra, rows, skipped, math)
+
+
+def _number_points_from(buf, dps, base, extra, rows, skipped, math):
+    for d_start, d_end in dps:
+        ts_ns = 0
+        has_double = has_int = False
+        vd = vi = 0
+        attr_ranges: list[tuple[int, int]] = []
+        p = d_start
+        while p < d_end:
+            t = buf[p]
+            if t < 0x80:
+                p += 1
+            else:
+                t, p = _varint(buf, p, d_end)
+            if t == 0x19:  # time_unix_nano
+                ts_ns, p = _fixed64(buf, p, d_end)
+            elif t == 0x21:  # as_double
+                vd, p = _double(buf, p, d_end)
+                has_double = True
+            elif t == 0x31:  # as_int sfixed64
+                if p + 8 > d_end:
+                    raise OtlpDecodeError("truncated fixed field")
+                vi = _unpack_from("<q", buf, p)[0]
+                p += 8
+                has_int = True
+            elif t == 0x3A:  # attributes
+                r = _len_prefixed(buf, p, d_end)
+                attr_ranges.append(r)
+                p = r[1]
+            else:
+                p = _skip(buf, p, d_end, t & 7)
+        # member priority: as_double beats as_int (anyvalue-style), absent -> skip
+        if has_double:
+            val = vd
+        elif has_int:
+            val = float(vi)
+        else:
+            skipped["missing_values"] += 1
+            continue
+        if math.isnan(val):
+            skipped["nan_values"] += 1
+            continue
+        if math.isinf(val):
+            skipped["infinity_values"] += 1
+            continue
+        row = base | _dp_base(buf, attr_ranges, ts_ns) | {"Value": val}
+        if extra:
+            row |= extra
+        rows.append(row)
+
+
+def _hist_points_pb(buf, rng, base, rows):
+    dps, _, _ = _container_dps(buf, rng)
+    for d_start, d_end in dps:
+        ts_ns = 0
+        count = 0
+        total = 0.0
+        bucket_counts: list[int] = []
+        bounds: list[float] = []
+        vmin = vmax = None
+        attr_ranges: list[tuple[int, int]] = []
+        p = d_start
+        while p < d_end:
+            t = buf[p]
+            if t < 0x80:
+                p += 1
+            else:
+                t, p = _varint(buf, p, d_end)
+            if t == 0x19:  # time 3
+                ts_ns, p = _fixed64(buf, p, d_end)
+            elif t == 0x21:  # count 4
+                count, p = _fixed64(buf, p, d_end)
+            elif t == 0x29:  # sum 5
+                total, p = _double(buf, p, d_end)
+            elif t == 0x32:  # bucket_counts packed fixed64
+                p = _packed_fixed64(buf, p, d_end, bucket_counts)
+            elif t == 0x31:  # bucket_counts unpacked
+                v, p = _fixed64(buf, p, d_end)
+                bucket_counts.append(v)
+            elif t == 0x3A:  # explicit_bounds packed double
+                p = _packed_double(buf, p, d_end, bounds)
+            elif t == 0x39:  # explicit_bounds unpacked
+                v, p = _double(buf, p, d_end)
+                bounds.append(v)
+            elif t == 0x4A:  # attributes 9
+                r = _len_prefixed(buf, p, d_end)
+                attr_ranges.append(r)
+                p = r[1]
+            elif t == 0x59:  # min 11
+                vmin, p = _double(buf, p, d_end)
+            elif t == 0x61:  # max 12
+                vmax, p = _double(buf, p, d_end)
+            else:
+                p = _skip(buf, p, d_end, t & 7)
+        rows.append(
+            base
+            | _dp_base(buf, attr_ranges, ts_ns)
+            | {
+                "Count": count,
+                "Sum": total,
+                "BucketCounts": bucket_counts,
+                "ExplicitBounds": bounds,
+                "Min": vmin,
+                "Max": vmax,
+            }
+        )
+
+
+def _exp_points_pb(buf, rng, base, rows):
+    dps, _, _ = _container_dps(buf, rng)
+    for d_start, d_end in dps:
+        ts_ns = 0
+        count = 0
+        total = 0.0
+        scale = 0
+        zero_count = 0
+        pos_b = (0, [])
+        neg_b = (0, [])
+        vmin = vmax = None
+        attr_ranges: list[tuple[int, int]] = []
+        p = d_start
+        while p < d_end:
+            t = buf[p]
+            if t < 0x80:
+                p += 1
+            else:
+                t, p = _varint(buf, p, d_end)
+            if t == 0x0A:  # attributes 1
+                r = _len_prefixed(buf, p, d_end)
+                attr_ranges.append(r)
+                p = r[1]
+            elif t == 0x19:  # time 3
+                ts_ns, p = _fixed64(buf, p, d_end)
+            elif t == 0x21:  # count 4
+                count, p = _fixed64(buf, p, d_end)
+            elif t == 0x29:  # sum 5
+                total, p = _double(buf, p, d_end)
+            elif t == 0x30:  # scale sint32
+                v, p = _varint(buf, p, d_end)
+                scale = (v >> 1) ^ -(v & 1)
+            elif t == 0x39:  # zero_count fixed64
+                zero_count, p = _fixed64(buf, p, d_end)
+            elif t == 0x42:  # positive
+                q, nq = _len_prefixed(buf, p, d_end)
+                pos_b = _eh_buckets(buf, q, nq)
+                p = nq
+            elif t == 0x4A:  # negative
+                q, nq = _len_prefixed(buf, p, d_end)
+                neg_b = _eh_buckets(buf, q, nq)
+                p = nq
+            elif t == 0x61:  # min 12
+                vmin, p = _double(buf, p, d_end)
+            elif t == 0x69:  # max 13
+                vmax, p = _double(buf, p, d_end)
+            else:
+                p = _skip(buf, p, d_end, t & 7)
+        rows.append(
+            base
+            | _dp_base(buf, attr_ranges, ts_ns)
+            | {
+                "Count": count,
+                "Sum": total,
+                "Scale": scale,
+                "ZeroCount": zero_count,
+                "PositiveOffset": pos_b[0],
+                "PositiveBucketCounts": pos_b[1],
+                "NegativeOffset": neg_b[0],
+                "NegativeBucketCounts": neg_b[1],
+                "Min": vmin,
+                "Max": vmax,
+            }
+        )
+
+
+def _summary_points_pb(buf, rng, base, rows, skipped):
+    dps, _, _ = _container_dps(buf, rng)
+    for d_start, d_end in dps:
+        skipped["summaries"] += 1
+        ts_ns = 0
+        count = 0
+        total = 0.0
+        qs: list[float] = []
+        qv: list[float] = []
+        attr_ranges: list[tuple[int, int]] = []
+        p = d_start
+        while p < d_end:
+            t = buf[p]
+            if t < 0x80:
+                p += 1
+            else:
+                t, p = _varint(buf, p, d_end)
+            if t == 0x19:  # time 3
+                ts_ns, p = _fixed64(buf, p, d_end)
+            elif t == 0x21:  # count 4
+                count, p = _fixed64(buf, p, d_end)
+            elif t == 0x29:  # sum 5
+                total, p = _double(buf, p, d_end)
+            elif t == 0x32:  # quantile_values 6
+                q, nq = _len_prefixed(buf, p, d_end)
+                quant = val = 0.0
+                pp = q
+                while pp < nq:
+                    tt = buf[pp]
+                    if tt < 0x80:
+                        pp += 1
+                    else:
+                        tt, pp = _varint(buf, pp, nq)
+                    if tt == 0x09:
+                        quant, pp = _double(buf, pp, nq)
+                    elif tt == 0x11:
+                        val, pp = _double(buf, pp, nq)
+                    else:
+                        pp = _skip(buf, pp, nq, tt & 7)
+                qs.append(quant)
+                qv.append(val)
+                p = nq
+            elif t == 0x3A:  # attributes 7
+                r = _len_prefixed(buf, p, d_end)
+                attr_ranges.append(r)
+                p = r[1]
+            else:
+                p = _skip(buf, p, d_end, t & 7)
+        rows.append(
+            base
+            | _dp_base(buf, attr_ranges, ts_ns)
+            | {
+                "Count": count,
+                "Sum": total,
+                "QuantileValues": qv,
+                "QuantileQuantiles": qs,
+            }
+        )

@@ -299,6 +299,22 @@ def _metrics_union_schema() -> StructType:
 METRICS_UNION_SCHEMA = _metrics_union_schema()
 
 
+def _flatten_metrics_payload(content: bytes, fmt: str):
+    """payload bytes -> [(per_type rows, skipped counters)]. pb takes the
+    fused wire walker (otel/fast_wire.py); JSON formats keep the two-step
+    lane (protobuf-JSON metrics are a low-volume path)."""
+    if content[:2] == b"\x1f\x8b":  # gzip magic (D2)
+        content = gzip.decompress(content)
+    if fmt == "pb":
+        return [fast_wire.flatten_metrics_pb(content)]
+    if fmt == "json":
+        return [flatten.flatten_metrics(otlp_json.parse_request_json(content, "metrics"))]
+    return [
+        flatten.flatten_metrics(r)
+        for r in otlp_json.parse_request_jsonl(content, "metrics")
+    ]
+
+
 def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str | None = None):
     union_cols = [f.name for f in METRICS_UNION_SCHEMA.fields]
 
@@ -309,8 +325,7 @@ def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str |
                 if decode_counter is not None:
                     decode_counter.add(1)
                 try:
-                    for req in _parse_payload(bytes(content), fmt, "metrics"):
-                        per_type, skipped = flatten.flatten_metrics(req)
+                    for per_type, skipped in _flatten_metrics_payload(bytes(content), fmt):
                         for mtype, trows in per_type.items():
                             for r in trows:
                                 r = r | {"MetricType": mtype}

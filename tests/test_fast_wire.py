@@ -168,3 +168,63 @@ def test_traces_fixture_parity():
         pb = open(f"/root/reference/testdata/{fx}", "rb").read()
         assert fast_wire.flatten_traces_pb(pb) == _slow_traces(pb)
         assert fast_wire.flatten_traces_pb(pb * 2) == _slow_traces(pb * 2)
+
+
+from test_wire_property import _metrics_request  # noqa: E402
+
+
+def _slow_metrics(pb: bytes):
+    return flatten.flatten_metrics(wire.parse_request_pb(pb, "metrics"))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_metrics_request)
+def test_fused_metrics_pb_matches_slow(tree):
+    pb = encode_message(tree, "ExportMetricsServiceRequest")
+    assert fast_wire.flatten_metrics_pb(pb) == _slow_metrics(pb)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_metrics_request)
+def test_fused_metrics_pb_matches_slow_reversed_order(tree):
+    pb = encode_message_reversed(tree, "ExportMetricsServiceRequest")
+    assert fast_wire.flatten_metrics_pb(pb) == _slow_metrics(pb)
+
+
+def test_metrics_fixture_and_exotic_parity():
+    import copy
+    import glob
+
+    from test_jvm_metrics_exotic import _encode_request, _gen_tree
+
+    for fx in sorted(glob.glob("/root/reference/testdata/metrics_*.pb")):
+        pb = open(fx, "rb").read()
+        assert fast_wire.flatten_metrics_pb(pb) == _slow_metrics(pb), fx
+        assert fast_wire.flatten_metrics_pb(pb * 3) == _slow_metrics(pb * 3), fx
+    # exotic seeds: exp-histogram geometry, exemplars, min/max presence,
+    # multi-member nesting — the same generator the JVM adapter sweep uses
+    for seed in range(40):
+        pb = _encode_request(copy.deepcopy(_gen_tree(seed)))
+        assert fast_wire.flatten_metrics_pb(pb) == _slow_metrics(pb), seed
+
+
+def test_metrics_data_member_priority():
+    # a Metric carrying BOTH gauge and sum members: flatten's elif chain
+    # picks gauge regardless of wire order — the fused walker must too
+    dp = encode_message({"time_unix_nano": 5, "as_double": 1.5}, "NumberDataPoint")
+    gauge = _enc_varint(0x0A) + _enc_varint(len(dp)) + dp
+    s_body = (
+        _enc_varint(0x0A) + _enc_varint(len(dp)) + dp
+        + _enc_varint(0x10) + _enc_varint(1)  # temporality DELTA
+    )
+    m_body = (
+        _enc_varint(0x3A) + _enc_varint(len(s_body)) + s_body  # sum FIRST on wire
+        + _enc_varint(0x2A) + _enc_varint(len(gauge)) + gauge  # gauge second
+    )
+    sm = _enc_varint(0x12) + _enc_varint(len(m_body)) + m_body
+    rm = _enc_varint(0x12) + _enc_varint(len(sm)) + sm
+    pb = _enc_varint(0x0A) + _enc_varint(len(rm)) + rm
+    slow = _slow_metrics(pb)
+    fast = fast_wire.flatten_metrics_pb(pb)
+    assert fast == slow
+    assert slow[0]["gauge"] and not slow[0]["sum"]
