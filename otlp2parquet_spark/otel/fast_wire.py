@@ -1,4 +1,4 @@
-"""Fused OTLP/protobuf -> flat rows for the logs signal.
+"""Fused OTLP/protobuf -> flat rows for ALL pb signals (logs, traces, metrics).
 
 Companion to fast_flatten.py (the JSON edition of the same idea): the
 two-step lane (wire.decode_message -> canonical dict -> flatten) spends
