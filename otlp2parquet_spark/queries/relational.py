@@ -1413,3 +1413,38 @@ def f7_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("o_orderstatus"), F.lit("O")).isNull().alias("is_open"),
         F.nanvl(nan_price, F.lit(-1.0)).alias("price_nan_guarded"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "w7_distribution_ranks",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           FLOOR(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank,
+           FLOOR(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0 AS cume,
+           ntile(4) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+             AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+    ORDER BY s_nationkey, s_suppkey
+    """,
+    tags=("W7", "W1"),
+)
+def w7_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist (rank-based,
+    so tie-safe under any shuffle order) and ntile with a fully-determined
+    ordering (s_suppkey tiebreak — ntile assigns by ROW order, so an
+    under-specified ORDER BY would be nondeterministic across engines)."""
+    s = T(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    wt = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    q4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            q4(F.percent_rank().over(w)).alias("pct_rank"),
+            q4(F.cume_dist().over(w)).alias("cume"),
+            F.ntile(4).over(wt).alias("quartile"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+    )

@@ -398,3 +398,34 @@ def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "view_id", "purchase_id")
     )
+
+
+@query(
+    "t9_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment, c.c_nationkey AS nation
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+    """,
+    tags=("T9", "J5"),
+)
+def t9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 batch twin: stream-static dimension enrichment — every event
+    joined to the (bounded, slowly-changing) customer dim. The live form
+    (streaming/pipeline.enrich_events) joins the SAME broadcastable static
+    frame to the unbounded stream with no watermark requirement: Spark
+    re-plans the static side per micro-batch, which is exactly the batch
+    broadcast join per epoch. At 100 TB the dim stays broadcast and the
+    event stream never shuffles."""
+    e = T(spark, sf_dir, "events")
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .select("event_id", "user_id", "event_type", "segment", "nation")
+        .orderBy("event_id")
+    )

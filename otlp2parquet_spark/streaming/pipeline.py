@@ -175,3 +175,18 @@ def attribution_join(stream: DataFrame, watermark: str = "10 seconds") -> DataFr
         "purchase_id",
         F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000").alias("delay_s"),
     )
+
+
+def enrich_events(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """T9: stream-static join — unbounded events enriched with a bounded
+    dimension (no watermark needed; the static side is re-planned each
+    micro-batch, i.e. slowly-changing dims are picked up on refresh).
+    Batch twin (oracle-matched): streaming/batch_twins.t9_stream_static_join."""
+    d = dim.select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    return stream.join(F.broadcast(d), stream.user_id == d.c_custkey).select(
+        "event_id", "user_id", "event_type", "segment", "nation"
+    )

@@ -155,3 +155,21 @@ def test_t8_stream_stream_join_live(spark, events_dir):
         .collect()
     }
     assert live == batch and live
+
+
+def test_t9_stream_static_join_live(spark, events_dir):
+    """T9 live: static-dim enrichment of the stream must reproduce the
+    batch join exactly over a closed input."""
+    dim = load_table(spark, SF, "customer")
+    stream = P.events_stream(spark, events_dir)
+    P.run_to_memory(P.enrich_events(stream, dim), "t9_live", output_mode="append")
+    live = {
+        (r.event_id, r.segment, r.nation)
+        for r in spark.sql("SELECT * FROM t9_live").collect()
+    }
+    e = _batch_events(spark, events_dir)
+    batch = {
+        (r.event_id, r.segment, r.nation)
+        for r in P.enrich_events(e, dim).collect()
+    }
+    assert live == batch and live
