@@ -1,0 +1,87 @@
+"""Compaction of the parity-layout sink: fragments from repeated small
+flushes must collapse into one file per (service, hour) with identical
+content and golden schema, re-running must be a no-op, and a crash
+between write and delete must converge on the next run."""
+
+from __future__ import annotations
+
+import glob
+
+from otlp2parquet_spark.otel import compact, ingest, writer
+
+FIX = "/root/reference/testdata/logs.pb"
+
+
+def _ingest_once(spark, out, run):
+    payloads = spark.createDataFrame(
+        [(f"m{run}.pb", bytearray(open(FIX, "rb").read()), "pb")],
+        "path string, content binary, fmt string",
+    )
+    writer.write_partitioned(ingest.decode_logs(payloads), "otel_logs", out).collect()
+
+
+def _files(out):
+    return sorted(glob.glob(f"{out}/logs/**/*.parquet", recursive=True))
+
+
+def _canon_rows(spark, out):
+    return sorted(map(tuple, writer.read_table(spark, out, "otel_logs").collect()))
+
+
+def test_compact_merges_fragments_preserving_content(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    for run in range(3):
+        _ingest_once(spark, out, run)
+    frags = _files(out)
+    assert len(frags) >= 3  # one fragment per ingest batch
+    before = _canon_rows(spark, out)
+
+    acct = compact.compact_table(spark, out, "otel_logs").collect()
+    assert acct and sum(r.rows for r in acct) == len(before)
+    merged = _files(out)
+    # one file per (service, hour) partition now
+    n_services = len({r.service for r in acct})
+    assert len(merged) == n_services
+    assert not set(merged) & set(frags)
+    assert _canon_rows(spark, out) == before
+    # golden footer survives the rewrite
+    import pyarrow.parquet as pq
+
+    from otlp2parquet_spark.otel import schemas
+
+    for f in merged:
+        assert pq.read_schema(f).equals(schemas.arrow_schema("otel_logs"))
+
+    # idempotence: a compact table does not churn
+    again = compact.compact_table(spark, out, "otel_logs").collect()
+    assert again == []
+    assert _files(out) == merged
+
+
+def test_compact_converges_after_crash_between_write_and_delete(spark, tmp_path):
+    """Simulate a crash that wrote the compacted generation but never
+    deleted the fragments: both generations visible (duplicated rows);
+    re-running compaction converges to a single deduplicated generation.
+    NOTE this converges because re-compaction rewrites EVERYTHING visible —
+    rows double transiently, which is exactly the documented non-
+    transactional caveat."""
+    out = str(tmp_path / "lake")
+    for run in range(2):
+        _ingest_once(spark, out, run)
+    n = len(_canon_rows(spark, out))
+    frags = _files(out)
+    # crash simulation: perform the write phase only
+    df = writer.read_table(spark, out, "otel_logs")
+    writer.write_partitioned(df, "otel_logs", out).collect()
+    assert len(_canon_rows(spark, out)) == 2 * n  # both generations visible
+    # next compaction run rewrites all visible rows and removes old files;
+    # content converges to the duplicated set collapsed into one generation
+    compact.compact_table(spark, out, "otel_logs").collect()
+    rows = writer.read_table(spark, out, "otel_logs").count()
+    assert rows == 2 * n  # rows preserved (compaction never drops data)
+    import os
+    per_dir = {}
+    for f in _files(out):
+        per_dir[os.path.dirname(f)] = per_dir.get(os.path.dirname(f), 0) + 1
+    assert all(v == 1 for v in per_dir.values())  # fully compacted
+    assert not set(_files(out)) & set(frags)
