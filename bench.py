@@ -129,13 +129,13 @@ def _ingest_metrics(spark) -> dict[str, float]:
             decoded.write.format("noop").mode("overwrite").save()
             native_rate = max(native_rate, n / (time.perf_counter() - t0))
         shutil.rmtree(native_landing, ignore_errors=True)
-        out = {
+        metrics = {
             "ingest_decode_write_rows_per_s": round(decode_write),
             "ingest_native_decode_rows_per_s": round(native_rate),
         }
-        out.update(_py_pb_metrics(spark))
-        out.update(_jvm_pb_metrics(spark))
-        return out
+        metrics.update(_py_pb_metrics(spark))
+        metrics.update(_jvm_pb_metrics(spark))
+        return metrics
     finally:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)

@@ -325,7 +325,19 @@ def x3_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = pdf["rank"].to_numpy()
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
         nsq = np.einsum("ij,ij->i", m, m)
+        if nsq.size and nsq.min() == 0.0:
+            # cosine is undefined for zero-norm vectors and the exact lane
+            # raises ANSI divide-by-zero on them — same engine behavior
+            # here instead of silently dropping/ranking them differently
+            raise ArithmeticError(
+                f"zero-norm embedding (vec_id={ids[int(nsq.argmin())]}): "
+                "cosine undefined"
+            )
         sim = (m @ m.T) / np.sqrt(np.outer(nsq, nsq))
+        # Spark's descending sort ranks NaN cosines FIRST (NaN > any
+        # double); non-finite embedding VALUES (inf) still yield NaN sims
+        # without a zero divisor, so give NaN the same precedence here
+        sim[np.isnan(sim)] = np.inf
         out_src: list[int] = []
         out_nbr: list[int] = []
         out_cos: list[float] = []
@@ -334,23 +346,25 @@ def x3_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qi in np.nonzero(ranks == 1)[0]:
             row = sim[qi].copy()
             row[ids == ids[qi]] = -np.inf  # self (appears once per block)
-            cand = np.argsort(-row, kind="stable")[: k + 8]
-            cand = [c for c in cand if np.isfinite(row[c])]
+            cand = [
+                c
+                for c in np.argsort(-row, kind="stable")[: k + 8]
+                if row[c] != -np.inf
+            ]
             if not cand:
                 continue
-            exact = [
-                (
-                    -( _seq_dot(m[qi], m[c])
-                       / float(np.sqrt(_seq_dot(m[qi], m[qi]) * _seq_dot(m[c], m[c]))) ),
-                    ids[c],
+            exact = []
+            for c in cand:
+                v = _seq_dot(m[qi], m[c]) / float(
+                    np.sqrt(_seq_dot(m[qi], m[qi]) * _seq_dot(m[c], m[c]))
                 )
-                for c in cand
-            ]
-            exact.sort()
-            for rnk, (neg_cos, nbr) in enumerate(exact[:k], start=1):
+                # NaN sorts first like Spark desc: key 0 beats key 1
+                exact.append((0 if np.isnan(v) else 1, -v if not np.isnan(v) else 0.0, ids[c], v))
+            exact.sort(key=lambda t: (t[0], t[1], t[2]))
+            for rnk, (_, _, nbr, v) in enumerate(exact[:k], start=1):
                 out_src.append(ids[qi])
                 out_nbr.append(nbr)
-                out_cos.append(-neg_cos)
+                out_cos.append(v)
                 out_rnk.append(rnk)
         return pd.DataFrame(
             {

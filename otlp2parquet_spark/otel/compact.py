@@ -56,22 +56,41 @@ def compact_table(
 ) -> DataFrame:
     """Rewrite the table's fragment files into full-size files in place.
 
-    Returns the new accounting frame (path, rows, service). No-op (empty
-    accounting) when no partition holds at least `min_files_per_partition`
-    fragments — compaction must not churn already-compact data."""
+    Returns the new accounting frame (path, rows, service). Only
+    partitions holding at least `min_files_per_partition` fragments are
+    rewritten — already-compact partitions are never read, rewritten or
+    deleted, so the I/O (and the crash-exposure window) is bounded by the
+    fragmented subset, not the table."""
+    if "://" in root:
+        # the writer handles object stores, but this listing/deletion pass
+        # is local-filesystem; silently "finding nothing" on s3:// would
+        # masquerade as a compacted table
+        raise NotImplementedError(
+            "compact_table lists/deletes via the local filesystem; for "
+            "object-store roots use a table format with commit atomicity"
+        )
     old_files = _list_parquet(root, table)
-    by_dir: dict[str, int] = {}
+    by_dir: dict[str, list[str]] = {}
     for f in old_files:
-        by_dir[os.path.dirname(f)] = by_dir.get(os.path.dirname(f), 0) + 1
-    if not any(n >= min_files_per_partition for n in by_dir.values()):
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    frag_files = [
+        f
+        for files in by_dir.values()
+        if len(files) >= min_files_per_partition
+        for f in files
+    ]
+    if not frag_files:
         return spark.createDataFrame(
             [], "path string, rows long, service string"
         )
-    df = writer.read_table(spark, root, table)
+    # read ONLY the fragmented partitions' files; the (service, bucket)
+    # regrouping inside write_partitioned re-derives the same partition
+    # paths, so the rewrite lands exactly where the fragments were
+    df = spark.read.parquet(*frag_files)
     acct = writer.write_partitioned(
         df, table, root, bucket=bucket, max_rows_per_file=max_rows_per_file
     ).collect()
-    _delete(old_files)
+    _delete(frag_files)
     return spark.createDataFrame(acct, "path string, rows long, service string")
 
 

@@ -219,8 +219,14 @@ def _attrs(buf: bytes, ranges: list[tuple[int, int]]) -> dict[str, Any]:
     return m
 
 
-def _scope_fields(buf: bytes, pos: int, end: int) -> tuple[str, str | None, str]:
-    """InstrumentationScope -> (name, version-or-None, attrs_json)."""
+def _scope_fields(
+    buf: bytes, pos: int, end: int, *, with_attrs: bool = True
+) -> tuple[str, str | None, str]:
+    """InstrumentationScope -> (name, version-or-None, attrs_json).
+
+    Traces/metrics rows carry no ScopeAttributes column — those callers
+    pass with_attrs=False so scope attributes are skipped as opaque
+    ranges instead of decoded + canonical-JSON-encoded and thrown away."""
     name = ""
     version: str | None = None
     attr_ranges: list[tuple[int, int]] = []
@@ -238,7 +244,7 @@ def _scope_fields(buf: bytes, pos: int, end: int) -> tuple[str, str | None, str]
             p, npos = _len_prefixed(buf, pos, end)
             version = _utf8(buf, p, npos, "InstrumentationScope.version") or None
             pos = npos
-        elif tag == 0x1A:
+        elif tag == 0x1A and with_attrs:
             r = _len_prefixed(buf, pos, end)
             attr_ranges.append(r)
             pos = r[1]
@@ -610,7 +616,7 @@ def _flatten_traces_pb(body: bytes) -> list[dict[str, Any]]:
                     p = _skip(body, p, ss_end, t & 7)
             if scope_range is not None:
                 sname, sversion, _sattrs = _scope_fields(
-                    body, scope_range[0], scope_range[1]
+                    body, scope_range[0], scope_range[1], with_attrs=False
                 )
                 scope_name = sname or None  # traces use _opt on name
                 scope_version = sversion
@@ -926,7 +932,9 @@ def _flatten_metrics_pb(body: bytes):
                 else:
                     p = _skip(body, p, sm_end, t & 7)
             if scope_range is not None:
-                sname, sversion, _sa = _scope_fields(body, scope_range[0], scope_range[1])
+                sname, sversion, _sa = _scope_fields(
+                    body, scope_range[0], scope_range[1], with_attrs=False
+                )
                 scope_name = sname or None
                 scope_version = sversion
             else:

@@ -280,7 +280,7 @@ def t6_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t7_flush_accounting",
     oracle="""
     SELECT 'events/' || regexp_replace(COALESCE(NULLIF(event_type, ''), 'unknown-service'),
-                                       '[/\\ :*?"<>|]', '_', 'g')
+                                       '[/\\\\ :*?"<>|]', '_', 'g')
              || '/year=' || strftime(MIN(ts), '%Y')
              || '/month=' || strftime(MIN(ts), '%m')
              || '/day=' || strftime(MIN(ts), '%d')
@@ -305,9 +305,11 @@ def t7_flush_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     + batch metadata (src/writer/write.rs:93-130, src/batch/mod.rs:24-44);
     sanitization D22 (src/writer/write.rs:132-148)."""
     e = T(spark, sf_dir, "events")
+    from otlp2parquet_spark.otel.writer import SANITIZE_REGEX
+
     svc = F.regexp_replace(
         F.coalesce(F.nullif(F.col("event_type"), F.lit("")), F.lit("unknown-service")),
-        '[/\\\\ :*?"<>|]',
+        SANITIZE_REGEX,
         "_",
     )
     g = e.groupBy("event_type", F.window("ts", "1 minute").alias("w")).agg(

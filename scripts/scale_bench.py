@@ -68,6 +68,11 @@ def build_replica(base: str, out: str, factor: int) -> None:
         # single-core throughput, not the plan (observed: map-only
         # x6_data_mix at 6.3x wall for 10x data purely from the 1-split scan)
         t = pq.read_table(os.path.join(base, fn))
+        # clear stale part files from a previous (possibly higher-factor)
+        # run into the same replica dir — leftovers would silently inflate
+        # the replica and corrupt the measured factor
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
         os.makedirs(dst, exist_ok=True)
         for k in range(factor):
             cols = []

@@ -254,3 +254,46 @@ def test_png_decode_is_real_and_null_safe(spark):
     )
     bad = decode_png_meta(corrupted).limit(3).collect()
     assert bad and all(r["width"] is None and r["n_pixels"] is None for r in bad)
+
+
+def test_knn_join_bucketed_equivalence_with_zero_norm_vectors(spark, tmp_path):
+    """Degenerate embeddings (zero-norm): cosine is undefined, and the
+    exact lane raises ANSI divide-by-zero — the gemm kernel must refuse
+    the same input rather than silently dropping or mis-ranking it."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n, dim = 60, 8
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    vecs[7] = 0.0  # zero-norm vector inside the block
+    vecs[23] = 0.0
+    sf_dir = str(tmp_path / "degenerate")
+    os.makedirs(sf_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, dtype="int32"), pa.int32()),
+            }
+        ),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    # BOTH lanes must refuse degenerate input the same way: the exact
+    # HOF lane raises Spark's ANSI divide-by-zero, the gemm kernel raises
+    # its own zero-norm guard — neither silently drops or mis-ranks
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    with _pytest.raises((ArithmeticException, Py4JJavaError)):
+        SPECS["x3_knn_join"].build(spark, sf_dir).collect()
+    # the bucketed lane refuses too: ANSI divide-by-zero in the centroid
+    # assignment, or the kernel's explicit zero-norm guard if a degenerate
+    # vector reaches a block
+    with _pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        SPECS["x3_knn_join_bucketed"].build(spark, sf_dir).collect()

@@ -85,3 +85,31 @@ def test_compact_converges_after_crash_between_write_and_delete(spark, tmp_path)
         per_dir[os.path.dirname(f)] = per_dir.get(os.path.dirname(f), 0) + 1
     assert all(v == 1 for v in per_dir.values())  # fully compacted
     assert not set(_files(out)) & set(frags)
+
+
+def test_compact_touches_only_fragmented_partitions(spark, tmp_path):
+    """An already-compact partition must not be read, rewritten or deleted
+    when OTHER partitions compact (bounded I/O contract)."""
+    import os
+    import shutil as _sh
+
+    out = str(tmp_path / "lake")
+    for run in range(2):
+        _ingest_once(spark, out, run)
+    # fabricate a compact single-file partition for a service no ingest
+    # batch will touch
+    donor = _files(out)[0]
+    quiet_dir = donor.replace("/logs/", "/logs/").split("/year=")[0]
+    quiet_dir = os.path.join(os.path.dirname(quiet_dir), "zzz-quiet-svc", "year=2025", "month=01", "day=01", "hour=00")
+    os.makedirs(quiet_dir, exist_ok=True)
+    quiet_file = os.path.join(quiet_dir, "1-donor.parquet")
+    _sh.copy(donor, quiet_file)
+    before_stat = os.stat(quiet_file)
+
+    compact.compact_table(spark, out, "otel_logs").collect()
+    assert os.path.exists(quiet_file)
+    after_stat = os.stat(quiet_file)
+    assert (before_stat.st_mtime_ns, before_stat.st_ino) == (
+        after_stat.st_mtime_ns,
+        after_stat.st_ino,
+    )
