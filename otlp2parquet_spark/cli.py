@@ -53,6 +53,12 @@ def _build_parser() -> argparse.ArgumentParser:
     srv.add_argument("landing_root")
     srv.add_argument("--host", default="0.0.0.0")
 
+    cp = sub.add_parser(
+        "compact", help="merge small flush files per partition (parity layout)"
+    )
+    cp.add_argument("table", help="e.g. otel_logs")
+    cp.add_argument("--min-files", type=int, default=2)
+
     sub.add_parser("validate-config", help="load, validate and print config")
     return p
 
@@ -92,6 +98,29 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "validate-config":
         print(json.dumps(cfg.__dict__, indent=2, default=str))
+        return 0
+
+    if args.command == "compact":
+        from otlp2parquet_spark.otel import compact as compact_mod
+        from otlp2parquet_spark.session import get_spark
+
+        spark = get_spark(app_name="otlp2parquet-compact")
+        acct = compact_mod.compact_table(
+            spark,
+            cfg.output_root(),
+            args.table,
+            max_rows_per_file=cfg.batch["max_rows"],
+            min_files_per_partition=args.min_files,
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "compacted_files": len(acct),
+                    "rows": int(sum(r.rows for r in acct)),
+                    "output": cfg.output_root(),
+                }
+            )
+        )
         return 0
 
     if args.command == "serve":
