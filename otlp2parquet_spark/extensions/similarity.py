@@ -490,3 +490,104 @@ def x3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q4_sim(col: Column) -> Column:
     return F.round(col, 4).alias("cos_sim")
+
+
+def kmeans_iterate(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iters: int = 10,
+    tol: float = 1e-4,
+) -> tuple[DataFrame, list[tuple[int, list[float]]], int]:
+    """Production Lloyd's loop — the multi-round driver of the single
+    oracle-matched round in x3_kmeans (same quantized update, same
+    deterministic seeding).
+
+    Each round is ONE Spark job: broadcast the current centroids, assign
+    every vector (argmax cosine, ties to lower cid), aggregate the
+    1e-4-integer-grid component sums per (cluster, dim) two-phase, and
+    collect only k*dim tiny rows to the driver, where the next centroid
+    set and the movement norm are computed. Convergence = max absolute
+    centroid movement < tol (the standard driver-side criterion — k*dim
+    scalars, no data-sized comparison). The corpus is re-scanned per round
+    exactly like MLlib's kmeans; callers iterating many rounds should
+    .persist() their input.
+
+    Returns (final assignment DataFrame(vec_id, cluster_id, sim),
+    centroids as [(cid, [component,...])], rounds executed)."""
+    seed_rows = (
+        embeddings.orderBy("vec_id")
+        .limit(k)
+        .select("vec_id", _as_double(F.col("embedding")).alias("cent"))
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (int(r.vec_id), list(r.cent)) for r in seed_rows
+    ]
+    spark = embeddings.sparkSession
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        cents_df = spark.createDataFrame(
+            cents, "cid long, cent array<double>"
+        )
+        scored = embeddings.join(F.broadcast(cents_df)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine_expr(F.col("embedding"), F.col("cent")).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", F.col("cid").alias("cluster_id"), "sim")
+        )
+        dims = (
+            assign.select(
+                "cluster_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+            )
+            .select(
+                "cluster_id",
+                "pos",
+                F.floor(F.col("v").cast("double") * 10000.0 + 0.5)
+                .cast("long")
+                .alias("qv"),
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_map: dict[int, dict[int, float]] = {}
+        for r in dims:
+            new_map.setdefault(int(r.cluster_id), {})[int(r.pos)] = r.s / (
+                r.n * 10000.0
+            )
+        new_cents = [
+            (cid, [comps[p] for p in sorted(comps)])
+            for cid, comps in sorted(new_map.items())
+        ]
+        old = dict(cents)
+        move = max(
+            (
+                max(abs(a - b) for a, b in zip(vec, old[cid]))
+                for cid, vec in new_cents
+                if cid in old
+            ),
+            default=0.0,
+        )
+        cents = new_cents
+        if move < tol:
+            break
+    cents_df = spark.createDataFrame(cents, "cid long, cent array<double>")
+    scored = embeddings.join(F.broadcast(cents_df)).select(
+        "vec_id",
+        "cid",
+        cosine_expr(F.col("embedding"), F.col("cent")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    final = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"), "sim")
+    )
+    return final, cents, rounds

@@ -228,3 +228,22 @@ def test_metrics_data_member_priority():
     fast = fast_wire.flatten_metrics_pb(pb)
     assert fast == slow
     assert slow[0]["gauge"] and not slow[0]["sum"]
+
+
+def test_truncated_traces_and_metrics_rejected_by_both():
+    for fx, fn, slow in (
+        ("traces.pb", fast_wire.flatten_traces_pb, _slow_traces),
+        ("metrics_mixed.pb", fast_wire.flatten_metrics_pb, _slow_metrics),
+    ):
+        pb = open(f"/root/reference/testdata/{fx}", "rb").read()
+        for cut in (pb[: len(pb) // 2], pb[:-1], pb[:-7]):
+            slow_err = fast_err = None
+            try:
+                slow(cut)
+            except wire.OtlpDecodeError as e:
+                slow_err = e
+            try:
+                fn(cut)
+            except wire.OtlpDecodeError as e:
+                fast_err = e
+            assert (slow_err is None) == (fast_err is None), (fx, len(cut))
