@@ -450,3 +450,97 @@ def x6_seq_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cum_tok - 1) div 512").alias("chunk_last"),
         ((F.col("cum_tok") - F.col("n_tok")) % 512).alias("chunk_offset"),
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x6_e2e_pipeline — the composed pretraining-data pipeline as ONE plan
+
+
+@query(
+    "x6_e2e_pipeline",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, text,
+             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                             t -> length(t) > 0)) AS n_tok
+      FROM documents
+    ), gated AS (
+      SELECT * FROM tok WHERE n_tok >= {_MIX_MIN_TOKENS}
+    ), deduped AS (
+      SELECT doc_id, source, n_tok
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({SQL_NORM.format(c='text')})
+                                         ORDER BY doc_id) AS rn
+            FROM gated)
+      WHERE rn = 1
+    ), sampled AS (
+      SELECT * FROM deduped
+      WHERE CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 1000 < 500
+    ), packed AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM sampled
+    )
+    SELECT doc_id, source, n_tok,
+           CAST((cum_tok - n_tok) // 512 AS BIGINT) AS chunk_first,
+           CAST((cum_tok - n_tok) % 512 AS BIGINT) AS chunk_offset
+    FROM packed
+    ORDER BY source, doc_id
+    """,
+    tags=("X6", "X1", "X2", "W3", "F6"),
+)
+def x6_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data pipeline — quality gate -> near-dup
+    removal (normalized-content hash, smallest doc_id survives) ->
+    deterministic 50% content-addressed sample -> sequence packing — as
+    ONE Catalyst plan. This is the library's composability contract: each
+    stage is the same expression its standalone operator uses
+    (x6_data_mix's gate+bucket, x2_neardup_normhash's hash,
+    x6_seq_pack's running sum), so the fused pipeline reads the corpus
+    ONCE and shuffles only at the dedup hash and the per-source pack —
+    chaining the standalone ops would re-scan and re-tokenize per stage.
+
+    Scale shape: two shuffles total (dedup groupBy, pack window); the
+    sample predicate and the gate ride the scan. At 100 TB the pack's
+    per-source window becomes the (source, shard) two-level form of
+    x6_seq_pack_sharded — stage composition is unchanged."""
+    d = spread(T(spark, sf_dir, "documents"))
+    n_tok = token_count_expr(F.col("text"))
+    gated = d.select(
+        "doc_id", "source", "text", n_tok.alias("n_tok")
+    ).filter(F.col("n_tok") >= _MIX_MIN_TOKENS)
+    w_dedup = Window.partitionBy(F.md5(normalized_text(F.col("text")))).orderBy(
+        "doc_id"
+    )
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    sampled = deduped.filter(bucket < 500)
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sampled.withColumn("cum_tok", F.sum("n_tok").over(w_pack))
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr("(cum_tok - n_tok) div 512").alias("chunk_first"),
+        ((F.col("cum_tok") - F.col("n_tok")) % 512).alias("chunk_offset"),
+    ).orderBy("source", "doc_id")
