@@ -62,6 +62,7 @@ HEADLINE = [
     "x6_contamination",
     "x6_seq_pack_sharded",
     "x6_data_mix",
+    "x6_e2e_pipeline",
 ]
 
 RUNS_PER_QUERY = 3
