@@ -142,11 +142,10 @@ def _ingest_metrics(spark) -> dict[str, float]:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _py_pb_metrics(spark) -> dict[str, float]:
-    """Pure-Python protobuf lane decode throughput through Spark — the
-    fused wire walker (otel/fast_wire.py) over replicated logs.pb payloads
-    (protobuf message concatenation scales one fixture to a decode-bound
-    request; 32 payload files = one task per core)."""
+def _pb_lane_rate(spark, decode_fn, payload_reps: int) -> float:
+    """Shared pb-lane timing protocol: replicate logs.pb via protobuf
+    message concatenation into 32 payload files (one task per core), warm,
+    best-of-2 noop-write rows/s."""
     import shutil
     import tempfile
     import time as _time
@@ -154,61 +153,48 @@ def _py_pb_metrics(spark) -> dict[str, float]:
     from otlp2parquet_spark.otel import ingest
 
     raw = open("/root/reference/testdata/logs.pb", "rb").read()
-    payload = raw * 200
-    landing = tempfile.mkdtemp(prefix="bench_pypb_")
+    payload = raw * payload_reps
+    landing = tempfile.mkdtemp(prefix="bench_pb_")
     try:
         for i in range(32):
             with open(f"{landing}/p{i}.pb", "wb") as f:
                 f.write(payload)
         payloads, _ = ingest.read_landing(spark, landing)
-        decoded = ingest.decode_logs(payloads)
+        decoded = decode_fn(payloads)
         n = decoded.count()  # warm codec workers + row count
         rate = 0.0
         for _ in range(2):
             t0 = _time.perf_counter()
             decoded.write.format("noop").mode("overwrite").save()
             rate = max(rate, n / (_time.perf_counter() - t0))
-        return {"ingest_py_pb_decode_rows_per_s": round(rate)}
+        return rate
     finally:
         shutil.rmtree(landing, ignore_errors=True)
+
+
+def _py_pb_metrics(spark) -> dict[str, float]:
+    """Pure-Python protobuf lane decode throughput through Spark — the
+    fused wire walker (otel/fast_wire.py)."""
+    from otlp2parquet_spark.otel import ingest
+
+    rate = _pb_lane_rate(spark, ingest.decode_logs, payload_reps=200)
+    return {"ingest_py_pb_decode_rows_per_s": round(rate)}
 
 
 def _jvm_pb_metrics(spark) -> dict[str, float]:
     """JVM from_protobuf lane throughput — auto-activates when the
-    spark-protobuf jar is on the classpath (pip pyspark does not bundle it;
-    see otel/jvm_codec.py). Absent jar -> records the lane as unavailable so
-    round-over-round bench JSON shows WHY the number is missing.
-
-    Payload construction exploits protobuf message concatenation: serialized
-    `ExportLogsServiceRequest` bytes repeated K times parse as ONE request
-    with K-times-replicated resource_logs, so the fixture scales to a
-    decode-bound size without an encoder."""
-    import shutil
-    import tempfile
-    import time as _time
-
-    from otlp2parquet_spark.otel import ingest, jvm_codec
+    spark-protobuf jar is on the classpath (pip pyspark does not bundle
+    it; see otel/jvm_codec.py). Absent jar -> records the lane as
+    unavailable so round-over-round bench JSON shows WHY the number is
+    missing."""
+    from otlp2parquet_spark.otel import jvm_codec
 
     if not jvm_codec.jvm_protobuf_available(spark):
         return {"ingest_jvm_pb_lane": "jar-absent"}
-    raw = open("/root/reference/testdata/logs.pb", "rb").read()
-    payload = raw * 200  # ~1.6k rows per payload file
-    landing = tempfile.mkdtemp(prefix="bench_jvmpb_")
-    try:
-        for i in range(32):
-            with open(f"{landing}/p{i}.pb", "wb") as f:
-                f.write(payload)
-        payloads, _ = ingest.read_landing(spark, landing)
-        decoded = jvm_codec.decode_logs_pb(spark, payloads)
-        n = decoded.count()  # warm + row count
-        rate = 0.0
-        for _ in range(2):
-            t0 = _time.perf_counter()
-            decoded.write.format("noop").mode("overwrite").save()
-            rate = max(rate, n / (_time.perf_counter() - t0))
-        return {"ingest_jvm_pb_rows_per_s": round(rate)}
-    finally:
-        shutil.rmtree(landing, ignore_errors=True)
+    rate = _pb_lane_rate(
+        spark, lambda p: jvm_codec.decode_logs_pb(spark, p), payload_reps=200
+    )
+    return {"ingest_jvm_pb_rows_per_s": round(rate)}
 
 
 def main() -> None:
