@@ -594,3 +594,170 @@ def x5_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     x5_wav_meta this makes two modalities real; only lossy codecs remain
     env-stubbed."""
     return decode_png_meta(png_media_table(spark, sf_dir)).orderBy("media_id")
+
+
+# --- real decode: AVI modality ---------------------------------------------
+# Third real container lane: AVI is RIFF (like WAV), so the video
+# modality's container metadata — frame geometry, frame count, frame rate
+# from the 'avih' main header — parses with stdlib struct. The fixture
+# synthesizes spec-valid RIFF/AVI containers (hdrl LIST with avih + strl,
+# movi LIST with one junk frame); only the lossy FRAME PIXEL decode
+# remains environment-gated (no video codecs in-container).
+
+AVI_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("fps", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+_AVI_RATES = (10, 15, 24, 30)
+
+
+def _avi_chunk(fourcc: bytes, data: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _avi_list(listtype: bytes, payload: bytes) -> bytes:
+    return _avi_chunk(b"LIST", listtype + payload)
+
+
+def avi_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video fixture: one spec-valid RIFF/AVI container per video-typed
+    media row (doc_id % 3 == 2), geometry/rate/frames derived from doc_id
+    so the oracle predicts them without parsing binaries."""
+    import struct
+
+    d = spread(T(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 2)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                width = 64 + doc_id % 128
+                height = 48 + doc_id % 96
+                fps = _AVI_RATES[doc_id % 4]
+                n_frames = 10 + doc_id % 90
+                # avih: microsec/frame, maxbytes, padding, flags, frames,
+                # initial, streams, bufsize, width, height, reserved[4]
+                avih = struct.pack(
+                    "<10I16x",
+                    1_000_000 // fps,
+                    0,
+                    0,
+                    0,
+                    n_frames,
+                    0,
+                    1,
+                    0,
+                    width,
+                    height,
+                )
+                strh = struct.pack("<4s4s3I5I2HI8x", b"vids", b"\x00" * 4,
+                                   0, 0, 0, 1, fps, 0, n_frames, 0, 0, 0, 0)
+                hdrl = _avi_list(
+                    b"hdrl",
+                    _avi_chunk(b"avih", avih)
+                    + _avi_list(b"strl", _avi_chunk(b"strh", strh)),
+                )
+                frame = hashlib.sha256(str(doc_id).encode()).digest()
+                movi = _avi_list(b"movi", _avi_chunk(b"00dc", frame))
+                body = b"AVI " + hdrl + movi
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return d.select("doc_id").mapInPandas(synth, schema=PNG_SCHEMA)
+
+
+def decode_avi_meta(media: DataFrame) -> DataFrame:
+    """REAL decode kernel: walk the RIFF chunk tree, find hdrl/avih and
+    read geometry, frame count and frame timing. Malformed payloads yield
+    null metadata (D25 posture, column edition)."""
+    import struct
+
+    def parse(payload: bytes):
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not an AVI")
+        (riff_len,) = struct.unpack("<I", payload[4:8])
+        if riff_len + 8 > len(payload) + 1:  # +1: odd-length pad slack
+            raise ValueError("truncated RIFF")
+        pos, end = 12, min(len(payload), 8 + riff_len)
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            data = payload[pos + 8 : pos + 8 + length]
+            if fourcc == b"LIST" and data[:4] == b"hdrl":
+                p2, e2 = 4, len(data)
+                while p2 + 8 <= e2:
+                    cc2 = data[p2 : p2 + 4]
+                    (l2,) = struct.unpack("<I", data[p2 + 4 : p2 + 8])
+                    if cc2 == b"avih":
+                        a = data[p2 + 8 : p2 + 8 + l2]
+                        usec_pf, _, _, _, n_frames, _, _, _, w, h = struct.unpack(
+                            "<10I", a[:40]
+                        )
+                        if not usec_pf or not w or not h:
+                            raise ValueError("degenerate avih")
+                        fps = round(1_000_000 / usec_pf)
+                        return (
+                            w,
+                            h,
+                            n_frames,
+                            fps,
+                            n_frames * 1000 * usec_pf // 1_000_000,
+                        )
+                    p2 += 8 + l2 + (l2 % 2)
+                raise ValueError("hdrl without avih")
+            pos += 8 + length + (length % 2)
+        raise ValueError("no hdrl")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "n_frames", "fps", "duration_ms")
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], **{c: [] for c in cols}}
+            for payload in pdf["payload"]:
+                try:
+                    vals = parse(bytes(payload or b""))
+                except (ValueError, struct.error):
+                    vals = (None,) * 5
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=AVI_META_SCHEMA)
+
+
+@query(
+    "x5_avi_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(64 + doc_id % 128 AS INT) AS width,
+           CAST(48 + doc_id % 96 AS INT) AS height,
+           CAST(10 + doc_id % 90 AS BIGINT) AS n_frames,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 15
+                                WHEN 2 THEN 24 ELSE 30 END AS INT) AS fps,
+           CAST((10 + doc_id % 90) * 1000 *
+                (1000000 // CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 15
+                                            WHEN 2 THEN 24 ELSE 30 END)
+                // 1000000 AS BIGINT) AS duration_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+    ORDER BY media_id
+    """,
+    tags=("X5", "U4"),
+)
+def x5_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata with a REAL RIFF/AVI decode kernel: the
+    chunk-tree walk finds hdrl/avih and reads geometry, frame count and
+    frame timing; the oracle predicts them from the synthesis formulas.
+    With x5_wav_meta and x5_png_meta all three modality container formats
+    decode for real — only lossy frame-pixel codecs remain env-stubbed."""
+    return decode_avi_meta(avi_media_table(spark, sf_dir)).orderBy("media_id")

@@ -325,3 +325,29 @@ def test_kmeans_iterate_converges_and_recovers_components(spark, tmp_path):
     n_major = sum(c.most_common(1)[0][1] for c in by_cluster.values())
     purity = n_major / len(rows)
     assert purity > 0.9, f"purity {purity:.2f}"
+
+
+def test_avi_decode_is_real_and_null_safe(spark):
+    """x5_avi_meta's kernel must actually walk the RIFF tree: corrupting
+    the avih geometry must change the decoded values (payload-derived, not
+    formula-derived), and breaking the RIFF signature nulls the row."""
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.extensions.multimodal import (
+        avi_media_table,
+        decode_avi_meta,
+    )
+
+    media = avi_media_table(spark, SF_ORACLE)
+    ok = decode_avi_meta(media).orderBy("media_id").limit(3).collect()
+    assert ok and all(r["fps"] in (10, 15, 24, 30) for r in ok)
+    assert all(
+        r["duration_ms"] == r["n_frames"] * 1000 * (1_000_000 // r["fps"]) // 1_000_000
+        for r in ok
+    )
+
+    corrupted = media.withColumn(
+        "payload", F.concat(F.lit(b"JUNK"), F.expr("substring(payload, 5)"))
+    )
+    bad = decode_avi_meta(corrupted).limit(3).collect()
+    assert bad and all(r["width"] is None and r["n_frames"] is None for r in bad)
