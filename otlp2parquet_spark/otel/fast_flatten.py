@@ -492,3 +492,254 @@ def flatten_request_jsonl(body: str | bytes, signal: str) -> list[dict[str, Any]
             raise OtlpDecodeError(f"malformed JSON: {e}") from e
         rows.extend(fn(obj))
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+
+
+def _enum_int(v: Any, table: dict, label: str) -> int:
+    if isinstance(v, int) and not isinstance(v, bool):
+        return v
+    if isinstance(v, str) and v in table:
+        return table[v]
+    raise OtlpDecodeError(f"unknown enum variant for {label}: {v!r}")
+
+
+def _get2(d: dict, camel: str, snake: str):
+    v = d.get(camel)
+    return d.get(snake) if v is None else v
+
+
+def _num(d: dict, camel: str, snake: str, label: str) -> int:
+    v = _get2(d, camel, snake)
+    return _int(v, label) if v is not None else 0
+
+
+def _fnum(d: dict, camel: str, snake: str) -> float:
+    v = _get2(d, camel, snake)
+    return float(v) if v is not None else 0.0
+
+
+def _dp_common_json(dp: dict) -> dict[str, Any]:
+    t = _get2(dp, "timeUnixNano", "time_unix_nano")
+    ts = _int(t, "time_unix_nano") if t is not None else 0
+    return {
+        "Timestamp": ts // 1000 if ts else 0,
+        "Attributes": _attrs_json(dp.get("attributes"), "DataPoint.attributes"),
+    }
+
+
+def flatten_metrics_json(obj: Any):
+    """One OTLP/JSON metrics export request -> ({metric_type: rows},
+    skipped counters) — fused twin of parse_request_json + flatten_metrics
+    (same member-priority quirks as the pb walker: gauge > sum > histogram
+    > exponential_histogram > summary, as_double > as_int)."""
+    import math
+
+    from otlp2parquet_spark.otel.otlp_json import AGGREGATION_TEMPORALITY
+
+    if not isinstance(obj, dict):
+        raise OtlpDecodeError(
+            f"expected object for ExportMetricsServiceRequest, got {type(obj).__name__}"
+        )
+    out: dict[str, list[dict[str, Any]]] = {
+        "gauge": [],
+        "sum": [],
+        "histogram": [],
+        "exponential_histogram": [],
+        "summary": [],
+    }
+    skipped = {"summaries": 0, "nan_values": 0, "infinity_values": 0, "missing_values": 0}
+
+    def number_points(container, base, extra, rows):
+        for dp in _list(container, "dataPoints", "data_points", "Gauge.data_points"):
+            if not isinstance(dp, dict):
+                raise OtlpDecodeError(
+                    f"expected object for NumberDataPoint, got {type(dp).__name__}"
+                )
+            vd = _get2(dp, "asDouble", "as_double")
+            vi = _get2(dp, "asInt", "as_int")
+            if vd is not None:
+                val = float(vd)
+            elif vi is not None:
+                val = float(_int(vi, "NumberDataPoint.as_int"))
+            else:
+                skipped["missing_values"] += 1
+                continue
+            if math.isnan(val):
+                skipped["nan_values"] += 1
+                continue
+            if math.isinf(val):
+                skipped["infinity_values"] += 1
+                continue
+            row = base | _dp_common_json(dp) | {"Value": val}
+            if extra:
+                row |= extra
+            rows.append(row)
+
+    for rm in _list(obj, "resourceMetrics", "resource_metrics", "ExportMetricsServiceRequest.resource_metrics"):
+        if not isinstance(rm, dict):
+            raise OtlpDecodeError(f"expected object for ResourceMetrics, got {type(rm).__name__}")
+        res = rm.get("resource")
+        if res is not None and not isinstance(res, dict):
+            raise OtlpDecodeError(f"expected object for Resource, got {type(res).__name__}")
+        rattrs = _kvmap(
+            _list(res, "attributes", "attributes", "Resource.attributes") if res else ()
+        )
+        service_name = rattrs.get("service.name", "")
+        res_attrs_json = _canon(rattrs) if rattrs else "{}"
+        svc = service_name if isinstance(service_name, str) else ""
+        for sm in _list(rm, "scopeMetrics", "scope_metrics", "ResourceMetrics.scope_metrics"):
+            if not isinstance(sm, dict):
+                raise OtlpDecodeError(f"expected object for ScopeMetrics, got {type(sm).__name__}")
+            scope = sm.get("scope")
+            if scope is not None and not isinstance(scope, dict):
+                raise OtlpDecodeError(
+                    f"expected object for InstrumentationScope, got {type(scope).__name__}"
+                )
+            scope_name = (
+                _opt_str(scope, "name", "name", "InstrumentationScope.name")
+                if scope
+                else None
+            )
+            scope_version = (
+                _opt_str(scope, "version", "version", "InstrumentationScope.version")
+                if scope
+                else None
+            )
+            for metric in _list(sm, "metrics", "metrics", "ScopeMetrics.metrics"):
+                if not isinstance(metric, dict):
+                    raise OtlpDecodeError(
+                        f"expected object for Metric, got {type(metric).__name__}"
+                    )
+                mname = metric.get("name")
+                base = {
+                    "ServiceName": svc,
+                    "ResourceAttributes": res_attrs_json,
+                    "ScopeName": scope_name,
+                    "ScopeVersion": scope_version,
+                    "MetricName": _str(mname, "Metric.name") if mname is not None else "",
+                    "MetricDescription": _opt_str(
+                        metric, "description", "description", "Metric.description"
+                    ),
+                    "MetricUnit": _opt_str(metric, "unit", "unit", "Metric.unit"),
+                }
+                gauge = _get2(metric, "gauge", "gauge")
+                msum = _get2(metric, "sum", "sum")
+                hist = _get2(metric, "histogram", "histogram")
+                ehist = _get2(metric, "exponentialHistogram", "exponential_histogram")
+                summ = _get2(metric, "summary", "summary")
+                for member in (gauge, msum, hist, ehist, summ):
+                    if member is not None and not isinstance(member, dict):
+                        raise OtlpDecodeError(
+                            f"expected object for Metric data, got {type(member).__name__}"
+                        )
+                if gauge is not None:
+                    number_points(gauge, base, None, out["gauge"])
+                elif msum is not None:
+                    t = _get2(msum, "aggregationTemporality", "aggregation_temporality")
+                    temporality = (
+                        _enum_int(t, AGGREGATION_TEMPORALITY, "Sum.aggregation_temporality")
+                        if t is not None
+                        else 0
+                    )
+                    if temporality not in (0, 1, 2):
+                        raise OtlpDecodeError(
+                            f"invalid aggregation temporality: {temporality}"
+                        )
+                    mono = _get2(msum, "isMonotonic", "is_monotonic")
+                    if mono is not None and not isinstance(mono, bool):
+                        raise OtlpDecodeError(f"bad bool for Sum.is_monotonic: {mono!r}")
+                    extra = {
+                        "AggregationTemporality": temporality,
+                        "IsMonotonic": bool(mono) if mono is not None else False,
+                    }
+                    number_points(msum, base, extra, out["sum"])
+                elif hist is not None:
+                    for dp in _list(hist, "dataPoints", "data_points", "Histogram.data_points"):
+                        if not isinstance(dp, dict):
+                            raise OtlpDecodeError(
+                                f"expected object for HistogramDataPoint, got {type(dp).__name__}"
+                            )
+                        bc = _get2(dp, "bucketCounts", "bucket_counts") or []
+                        eb = _get2(dp, "explicitBounds", "explicit_bounds") or []
+                        if not isinstance(bc, list) or not isinstance(eb, list):
+                            raise OtlpDecodeError("expected array for histogram buckets")
+                        vmin = _get2(dp, "min", "min")
+                        vmax = _get2(dp, "max", "max")
+                        out["histogram"].append(
+                            base
+                            | _dp_common_json(dp)
+                            | {
+                                "Count": _num(dp, "count", "count", "HistogramDataPoint.count"),
+                                "Sum": _fnum(dp, "sum", "sum"),
+                                "BucketCounts": [
+                                    _int(c, "bucket_counts") for c in bc
+                                ],
+                                "ExplicitBounds": [float(b) for b in eb],
+                                "Min": float(vmin) if vmin is not None else None,
+                                "Max": float(vmax) if vmax is not None else None,
+                            }
+                        )
+                elif ehist is not None:
+                    for dp in _list(ehist, "dataPoints", "data_points", "ExponentialHistogram.data_points"):
+                        if not isinstance(dp, dict):
+                            raise OtlpDecodeError(
+                                f"expected object for ExponentialHistogramDataPoint, got {type(dp).__name__}"
+                            )
+                        pos = _get2(dp, "positive", "positive") or {}
+                        neg = _get2(dp, "negative", "negative") or {}
+                        if not isinstance(pos, dict) or not isinstance(neg, dict):
+                            raise OtlpDecodeError("expected object for EHBuckets")
+                        pbc = _get2(pos, "bucketCounts", "bucket_counts") or []
+                        nbc = _get2(neg, "bucketCounts", "bucket_counts") or []
+                        vmin = _get2(dp, "min", "min")
+                        vmax = _get2(dp, "max", "max")
+                        out["exponential_histogram"].append(
+                            base
+                            | _dp_common_json(dp)
+                            | {
+                                "Count": _num(dp, "count", "count", "EHDP.count"),
+                                "Sum": _fnum(dp, "sum", "sum"),
+                                "Scale": _num(dp, "scale", "scale", "EHDP.scale"),
+                                "ZeroCount": _num(
+                                    dp, "zeroCount", "zero_count", "EHDP.zero_count"
+                                ),
+                                "PositiveOffset": _num(pos, "offset", "offset", "EHBuckets.offset"),
+                                "PositiveBucketCounts": [
+                                    _int(c, "bucket_counts") for c in pbc
+                                ],
+                                "NegativeOffset": _num(neg, "offset", "offset", "EHBuckets.offset"),
+                                "NegativeBucketCounts": [
+                                    _int(c, "bucket_counts") for c in nbc
+                                ],
+                                "Min": float(vmin) if vmin is not None else None,
+                                "Max": float(vmax) if vmax is not None else None,
+                            }
+                        )
+                elif summ is not None:
+                    for dp in _list(summ, "dataPoints", "data_points", "Summary.data_points"):
+                        if not isinstance(dp, dict):
+                            raise OtlpDecodeError(
+                                f"expected object for SummaryDataPoint, got {type(dp).__name__}"
+                            )
+                        skipped["summaries"] += 1
+                        qs = _get2(dp, "quantileValues", "quantile_values") or []
+                        if not isinstance(qs, list):
+                            raise OtlpDecodeError("expected array for quantile_values")
+                        out["summary"].append(
+                            base
+                            | _dp_common_json(dp)
+                            | {
+                                "Count": _num(dp, "count", "count", "SummaryDataPoint.count"),
+                                "Sum": _fnum(dp, "sum", "sum"),
+                                "QuantileValues": [
+                                    _fnum(q, "value", "value") for q in qs
+                                ],
+                                "QuantileQuantiles": [
+                                    _fnum(q, "quantile", "quantile") for q in qs
+                                ],
+                            }
+                        )
+    return out, skipped

@@ -301,18 +301,33 @@ METRICS_UNION_SCHEMA = _metrics_union_schema()
 
 def _flatten_metrics_payload(content: bytes, fmt: str):
     """payload bytes -> [(per_type rows, skipped counters)]. pb takes the
-    fused wire walker (otel/fast_wire.py); JSON formats keep the two-step
-    lane (protobuf-JSON metrics are a low-volume path)."""
+    fused wire walker (otel/fast_wire.py), JSON formats the fused JSON
+    walker (otel/fast_flatten.py) — completing the fused decode matrix:
+    every (signal x format) hot path is single-pass, each differentially
+    verified against its two-step authority."""
     if content[:2] == b"\x1f\x8b":  # gzip magic (D2)
         content = gzip.decompress(content)
     if fmt == "pb":
         return [fast_wire.flatten_metrics_pb(content)]
+    import json as _json
+
     if fmt == "json":
-        return [flatten.flatten_metrics(otlp_json.parse_request_json(content, "metrics"))]
-    return [
-        flatten.flatten_metrics(r)
-        for r in otlp_json.parse_request_jsonl(content, "metrics")
-    ]
+        try:
+            obj = _json.loads(content)
+        except _json.JSONDecodeError as e:
+            raise OtlpDecodeError(f"malformed JSON: {e}") from e
+        return [fast_flatten.flatten_metrics_json(obj)]
+    body = content.decode("utf-8")
+    out = []
+    for line in body.splitlines():
+        if not line.strip():
+            continue
+        try:
+            obj = _json.loads(line)
+        except _json.JSONDecodeError as e:
+            raise OtlpDecodeError(f"malformed JSON: {e}") from e
+        out.append(fast_flatten.flatten_metrics_json(obj))
+    return out
 
 
 def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str | None = None):

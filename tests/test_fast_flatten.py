@@ -164,3 +164,50 @@ def test_bytes_value_roundtrip_matches():
 def test_int64_kinds_exported():
     # guard the shared-import surface this module leans on
     assert "fixed64" in _INT64_KINDS
+
+
+from test_wire_property import _metrics_request  # noqa: E402
+
+
+def _slow_metrics_json(doc: str):
+    from otlp2parquet_spark.otel import flatten as _fl
+
+    return _fl.flatten_metrics(otlp_json.parse_request_json(doc, "metrics"))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_metrics_request)
+def test_metrics_fused_matches_slow_camel(tree):
+    doc = json.dumps(render_json(tree, "ExportMetricsServiceRequest"))
+    assert fast_flatten.flatten_metrics_json(json.loads(doc)) == _slow_metrics_json(doc)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_metrics_request)
+def test_metrics_fused_matches_slow_snake(tree):
+    doc = json.dumps(render_json_snake(tree, "ExportMetricsServiceRequest"))
+    assert fast_flatten.flatten_metrics_json(json.loads(doc)) == _slow_metrics_json(doc)
+
+
+def test_metrics_fused_exotic_and_fixture_parity():
+    import copy as _copy
+
+    from test_jvm_metrics_exotic import _gen_tree
+
+    # exotic trees rendered to protobuf-JSON (exemplars stripped — the
+    # canonical strategy shape only; pb-side exemplars are covered in
+    # test_fast_wire)
+    def strip(o):
+        if isinstance(o, dict):
+            return {k: strip(v) for k, v in o.items() if k != "__exemplars__"}
+        if isinstance(o, list):
+            return [strip(v) for v in o]
+        return o
+
+    for seed in range(25):
+        tree = strip(_copy.deepcopy(_gen_tree(seed)))
+        for render in (render_json, render_json_snake):
+            doc = json.dumps(render(tree, "ExportMetricsServiceRequest"))
+            assert fast_flatten.flatten_metrics_json(
+                json.loads(doc)
+            ) == _slow_metrics_json(doc), (seed, render.__name__)
