@@ -513,11 +513,9 @@ def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(synth, schema=PNG_SCHEMA)
 
 
-def decode_png_meta(media: DataFrame) -> DataFrame:
-    """REAL decode kernel: walk the chunk stream (lengths + CRC32 checks),
-    read IHDR geometry, inflate the concatenated IDATs and verify the
-    filter-prefixed scanline length. Malformed payloads yield null metadata
-    instead of failing the batch (D25 posture, column edition)."""
+def parse_png_meta(payload: bytes):
+    """Module-level PNG chunk-walk parser (shared by decode_png_meta and
+    the unified x5_media_meta dispatch kernel)."""
     import struct
     import zlib
 
@@ -550,6 +548,19 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
         if len(raw) != height * (1 + width * channels * bit_depth // 8):
             raise ValueError("scanline length mismatch")
         return width, height, bit_depth, channels, width * height, len(raw)
+
+    return parse(payload)
+
+
+def decode_png_meta(media: DataFrame) -> DataFrame:
+    """REAL decode kernel: walk the chunk stream (lengths + CRC32 checks),
+    read IHDR geometry, inflate the concatenated IDATs and verify the
+    filter-prefixed scanline length. Malformed payloads yield null metadata
+    instead of failing the batch (D25 posture, column edition)."""
+    import struct
+    import zlib
+
+    parse = parse_png_meta
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("width", "height", "bit_depth", "n_channels", "n_pixels", "raw_bytes")
@@ -677,10 +688,9 @@ def avi_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(synth, schema=PNG_SCHEMA)
 
 
-def decode_avi_meta(media: DataFrame) -> DataFrame:
-    """REAL decode kernel: walk the RIFF chunk tree, find hdrl/avih and
-    read geometry, frame count and frame timing. Malformed payloads yield
-    null metadata (D25 posture, column edition)."""
+def parse_avi_meta(payload: bytes):
+    """Module-level RIFF/AVI hdrl/avih parser (shared by decode_avi_meta
+    and the unified x5_media_meta dispatch kernel)."""
     import struct
 
     def parse(payload: bytes):
@@ -718,6 +728,17 @@ def decode_avi_meta(media: DataFrame) -> DataFrame:
                 raise ValueError("hdrl without avih")
             pos += 8 + length + (length % 2)
         raise ValueError("no hdrl")
+
+    return parse(payload)
+
+
+def decode_avi_meta(media: DataFrame) -> DataFrame:
+    """REAL decode kernel: walk the RIFF chunk tree, find hdrl/avih and
+    read geometry, frame count and frame timing. Malformed payloads yield
+    null metadata (D25 posture, column edition)."""
+    import struct
+
+    parse = parse_avi_meta
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("width", "height", "n_frames", "fps", "duration_ms")
@@ -761,3 +782,119 @@ def x5_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     With x5_wav_meta and x5_png_meta all three modality container formats
     decode for real — only lossy frame-pixel codecs remain env-stubbed."""
     return decode_avi_meta(avi_media_table(spark, sf_dir)).orderBy("media_id")
+
+
+# --- unified real-decode dispatch ------------------------------------------
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_units", LongType(), True),
+        StructField("rate", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def media_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality media table with REAL container payloads: the union
+    of the WAV, PNG and AVI synth fixtures, tagged with their type — the
+    shape a production multimodal lake actually has (one binary column,
+    heterogeneous formats, a type column from the sidecar metadata)."""
+    wav = wav_media_table(spark, sf_dir).select(
+        "media_id", "payload", F.lit("audio/wav").alias("media_type")
+    )
+    png = png_media_table(spark, sf_dir).select(
+        "media_id", "payload", F.lit("image/png").alias("media_type")
+    )
+    avi = avi_media_table(spark, sf_dir).select(
+        "media_id", "payload", F.lit("video/avi").alias("media_type")
+    )
+    return wav.unionByName(png).unionByName(avi)
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """ONE Arrow-batched kernel dispatching per row on media_type to the
+    three real container parsers — the production decode_features shape
+    with no stub left in the path. Unknown types / malformed payloads
+    yield null metadata (D25 posture)."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "n_units", "rate", "duration_ms")
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                **{c: [] for c in cols},
+            }
+            for mt, payload in zip(pdf["media_type"], pdf["payload"]):
+                vals = (None,) * 5
+                try:
+                    b = bytes(payload or b"")
+                    if mt == "audio/wav":
+                        with wave.open(io.BytesIO(b), "rb") as wv:
+                            rate, n = wv.getframerate(), wv.getnframes()
+                        vals = (None, None, n, rate, n * 1000 // rate)
+                    elif mt == "image/png":
+                        w, h, _depth, _ch, n_pixels, _raw = parse_png_meta(b)
+                        vals = (w, h, n_pixels, None, None)
+                    elif mt == "video/avi":
+                        w, h, n_frames, fps, dur = parse_avi_meta(b)
+                        vals = (w, h, n_frames, fps, dur)
+                except (ValueError, KeyError, wave.Error, EOFError, zlib.error, struct.error):
+                    vals = (None,) * 5
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=MEDIA_META_SCHEMA)
+
+
+@query(
+    "x5_media_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'audio/wav' AS media_type,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(100 + doc_id % 900 AS BIGINT) AS n_units,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS rate,
+           CAST((100 + doc_id % 900) * 1000 //
+                (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                 WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT)
+             AS duration_ms
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 'image/png',
+           CAST(16 + doc_id % 48 AS INT), CAST(16 + doc_id % 37 AS INT),
+           CAST((16 + doc_id % 48) * (16 + doc_id % 37) AS BIGINT),
+           CAST(NULL AS INT), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'video/avi',
+           CAST(64 + doc_id % 128 AS INT), CAST(48 + doc_id % 96 AS INT),
+           CAST(10 + doc_id % 90 AS BIGINT),
+           CAST(CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 15
+                                WHEN 2 THEN 24 ELSE 30 END AS INT),
+           CAST((10 + doc_id % 90) * 1000 *
+                (1000000 // CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 15
+                                            WHEN 2 THEN 24 ELSE 30 END)
+                // 1000000 AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 2
+    ORDER BY media_id
+    """,
+    tags=("X5", "U4"),
+)
+def x5_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified multimodal metadata extraction: ONE dispatch kernel over a
+    mixed WAV/PNG/AVI corpus, every modality decoded by a REAL parser (no
+    stub anywhere in this path). The oracle predicts all three modalities'
+    metadata from the synthesis formulas, so a wrong parser, a wrong
+    dispatch, or a dropped modality breaks the hash match."""
+    return decode_media_meta(media_meta_table(spark, sf_dir)).orderBy("media_id")

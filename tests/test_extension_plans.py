@@ -127,6 +127,8 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "t8_stream_stream_join": "view slice vs purchase slice: disjoint "
     "event_type filters, two genuine join roles (the live form reads two "
     "stream branches the same way)",
+    "x5_media_meta": "three disjoint doc_id%3 slices, one per modality "
+    "synth fixture (wav/png/avi) unioned into the mixed corpus",
 }
 
 
