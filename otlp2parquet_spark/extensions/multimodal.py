@@ -143,8 +143,13 @@ def x5_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X5", "U4"),
 )
 def x5_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extraction pipeline over binary media columns via
-    Arrow-batched mapInPandas (stubbed kernel, real dataflow)."""
+    """Decode/feature-extraction pipeline over ARBITRARY binary media columns
+    via Arrow-batched mapInPandas — the generic-binary fallback lane. The
+    REAL decode path is x5_media_meta (WAV/PNG/AVI container parsers over
+    spec-valid payloads, oracle-matched); this op keeps the
+    deterministic-stub kernel for payloads with no in-container codec
+    (JPEG/H.264 frame pixels) so the plumbing — schema, batching,
+    partitioning — stays exercised for that case too."""
     return decode_features(media_table(spark, sf_dir)).orderBy("media_id")
 
 
