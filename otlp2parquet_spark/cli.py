@@ -105,13 +105,18 @@ def main(argv: list[str] | None = None) -> int:
         from otlp2parquet_spark.session import get_spark
 
         spark = get_spark(app_name="otlp2parquet-compact")
-        acct = compact_mod.compact_table(
-            spark,
-            cfg.output_root(),
-            args.table,
-            max_rows_per_file=cfg.batch["max_rows"],
-            min_files_per_partition=args.min_files,
-        ).collect()
+        try:
+            acct_df = compact_mod.compact_table(
+                spark,
+                cfg.output_root(),
+                args.table,
+                max_rows_per_file=cfg.batch["max_rows"],
+                min_files_per_partition=args.min_files,
+            )
+        except NotImplementedError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        acct = acct_df.collect()
         print(
             json.dumps(
                 {

@@ -392,12 +392,16 @@ def decode_wav_meta(media: DataFrame) -> DataFrame:
                     with wave.open(io.BytesIO(bytes(payload or b"")), "rb") as w:
                         rate, ch = w.getframerate(), w.getnchannels()
                         width, n = w.getsampwidth(), w.getnframes()
+                    if rate <= 0:
+                        # stdlib wave accepts a 0-rate fmt chunk; D25 says
+                        # null the row, not ZeroDivisionError the task
+                        raise ValueError("non-positive sample rate")
                     out["sample_rate"].append(rate)
                     out["n_channels"].append(ch)
                     out["sample_width"].append(width)
                     out["n_samples"].append(n)
                     out["duration_ms"].append(n * 1000 // rate)
-                except (wave.Error, EOFError):
+                except (wave.Error, EOFError, ValueError):
                     for k in (
                         "sample_rate",
                         "n_channels",
@@ -524,37 +528,34 @@ def parse_png_meta(payload: bytes):
     import struct
     import zlib
 
-    def parse(payload: bytes):
-        if payload[: len(_PNG_SIG)] != _PNG_SIG:
-            raise ValueError("bad signature")
-        pos = len(_PNG_SIG)
-        width = height = bit_depth = color_type = None
-        idat = b""
-        while pos + 8 <= len(payload):
-            (length,) = struct.unpack(">I", payload[pos : pos + 4])
-            ctype = payload[pos + 4 : pos + 8]
-            data = payload[pos + 8 : pos + 8 + length]
-            (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
-            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                raise ValueError("bad crc")
-            if ctype == b"IHDR":
-                width, height, bit_depth, color_type = struct.unpack(
-                    ">IIBB", data[:10]
-                )
-            elif ctype == b"IDAT":
-                idat += data
-            elif ctype == b"IEND":
-                break
-            pos += 12 + length
-        if width is None:
-            raise ValueError("no IHDR")
-        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-        raw = zlib.decompress(idat)
-        if len(raw) != height * (1 + width * channels * bit_depth // 8):
-            raise ValueError("scanline length mismatch")
-        return width, height, bit_depth, channels, width * height, len(raw)
-
-    return parse(payload)
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("bad signature")
+    pos = len(_PNG_SIG)
+    width = height = bit_depth = color_type = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("bad crc")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", data[:10]
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("no IHDR")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    if len(raw) != height * (1 + width * channels * bit_depth // 8):
+        raise ValueError("scanline length mismatch")
+    return width, height, bit_depth, channels, width * height, len(raw)
 
 
 def decode_png_meta(media: DataFrame) -> DataFrame:
@@ -633,6 +634,9 @@ AVI_META_SCHEMA = StructType(
 
 _AVI_RATES = (10, 15, 24, 30)
 
+# (media_id, payload) synth-table schema shared by the PNG and AVI fixtures
+MEDIA_PAYLOAD_SCHEMA = PNG_SCHEMA
+
 
 def _avi_chunk(fourcc: bytes, data: bytes) -> bytes:
     import struct
@@ -698,43 +702,40 @@ def parse_avi_meta(payload: bytes):
     and the unified x5_media_meta dispatch kernel)."""
     import struct
 
-    def parse(payload: bytes):
-        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-            raise ValueError("not an AVI")
-        (riff_len,) = struct.unpack("<I", payload[4:8])
-        if riff_len + 8 > len(payload) + 1:  # +1: odd-length pad slack
-            raise ValueError("truncated RIFF")
-        pos, end = 12, min(len(payload), 8 + riff_len)
-        while pos + 8 <= end:
-            fourcc = payload[pos : pos + 4]
-            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-            data = payload[pos + 8 : pos + 8 + length]
-            if fourcc == b"LIST" and data[:4] == b"hdrl":
-                p2, e2 = 4, len(data)
-                while p2 + 8 <= e2:
-                    cc2 = data[p2 : p2 + 4]
-                    (l2,) = struct.unpack("<I", data[p2 + 4 : p2 + 8])
-                    if cc2 == b"avih":
-                        a = data[p2 + 8 : p2 + 8 + l2]
-                        usec_pf, _, _, _, n_frames, _, _, _, w, h = struct.unpack(
-                            "<10I", a[:40]
-                        )
-                        if not usec_pf or not w or not h:
-                            raise ValueError("degenerate avih")
-                        fps = round(1_000_000 / usec_pf)
-                        return (
-                            w,
-                            h,
-                            n_frames,
-                            fps,
-                            n_frames * 1000 * usec_pf // 1_000_000,
-                        )
-                    p2 += 8 + l2 + (l2 % 2)
-                raise ValueError("hdrl without avih")
-            pos += 8 + length + (length % 2)
-        raise ValueError("no hdrl")
-
-    return parse(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    if riff_len + 8 > len(payload) + 1:  # +1: odd-length pad slack
+        raise ValueError("truncated RIFF")
+    pos, end = 12, min(len(payload), 8 + riff_len)
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if fourcc == b"LIST" and data[:4] == b"hdrl":
+            p2, e2 = 4, len(data)
+            while p2 + 8 <= e2:
+                cc2 = data[p2 : p2 + 4]
+                (l2,) = struct.unpack("<I", data[p2 + 4 : p2 + 8])
+                if cc2 == b"avih":
+                    a = data[p2 + 8 : p2 + 8 + l2]
+                    usec_pf, _, _, _, n_frames, _, _, _, w, h = struct.unpack(
+                        "<10I", a[:40]
+                    )
+                    if not usec_pf or not w or not h:
+                        raise ValueError("degenerate avih")
+                    fps = round(1_000_000 / usec_pf)
+                    return (
+                        w,
+                        h,
+                        n_frames,
+                        fps,
+                        n_frames * 1000 * usec_pf // 1_000_000,
+                    )
+                p2 += 8 + l2 + (l2 % 2)
+            raise ValueError("hdrl without avih")
+        pos += 8 + length + (length % 2)
+    raise ValueError("no hdrl")
 
 
 def decode_avi_meta(media: DataFrame) -> DataFrame:
@@ -846,6 +847,8 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                     if mt == "audio/wav":
                         with wave.open(io.BytesIO(b), "rb") as wv:
                             rate, n = wv.getframerate(), wv.getnframes()
+                        if rate <= 0 or rate > 2**31 - 1:
+                            raise ValueError("sample rate out of range")
                         vals = (None, None, n, rate, n * 1000 // rate)
                     elif mt == "image/png":
                         w, h, _depth, _ch, n_pixels, _raw = parse_png_meta(b)

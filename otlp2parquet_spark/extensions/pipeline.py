@@ -33,6 +33,25 @@ def _q4(col):
     return F.floor(col * 10000.0 + 0.5) / 10000.0
 
 
+def mix_bucket_expr(n_buckets: int = 1000):
+    """Content-addressed (source, doc_id) md5 bucket — THE sampling
+    primitive shared by x6_data_mix and x6_e2e_pipeline (one definition so
+    the fused pipeline provably applies the standalone operator's exact
+    keep/drop decision)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+
+
 # ---------------------------------------------------------------------------
 # x6_hash_sample — deterministic stratified sampling
 
@@ -127,18 +146,7 @@ def x6_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = token_count_expr(F.col("text"))
     band = F.substring("source", 4, 10).cast("int") % len(_MIX_RATES)
     rate = F.element_at(F.array(*[F.lit(r) for r in _MIX_RATES]), band + 1)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1000
-    )
+    bucket = mix_bucket_expr()
     return (
         d.select("doc_id", "source", n_tok.alias("n_tok"))
         .filter(F.col("n_tok") >= _MIX_MIN_TOKENS)
@@ -518,19 +526,7 @@ def x6_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_tok")
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1000
-    )
-    sampled = deduped.filter(bucket < 500)
+    sampled = deduped.filter(mix_bucket_expr() < 500)
     w_pack = (
         Window.partitionBy("source")
         .orderBy("doc_id")

@@ -524,12 +524,9 @@ def kmeans_iterate(
         (int(r.vec_id), list(r.cent)) for r in seed_rows
     ]
     spark = embeddings.sparkSession
-    rounds = 0
-    for _ in range(max_iters):
-        rounds += 1
-        cents_df = spark.createDataFrame(
-            cents, "cid long, cent array<double>"
-        )
+
+    def assign_round(cents_rows):
+        cents_df = spark.createDataFrame(cents_rows, "cid long, cent array<double>")
         scored = embeddings.join(F.broadcast(cents_df)).select(
             "vec_id",
             "embedding",
@@ -537,11 +534,16 @@ def kmeans_iterate(
             cosine_expr(F.col("embedding"), F.col("cent")).alias("sim"),
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-        assign = (
+        return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "embedding", F.col("cid").alias("cluster_id"), "sim")
         )
+
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        assign = assign_round(cents)
         dims = (
             assign.select(
                 "cluster_id", F.posexplode(F.col("embedding")).alias("pos", "v")
@@ -562,32 +564,27 @@ def kmeans_iterate(
             new_map.setdefault(int(r.cluster_id), {})[int(r.pos)] = r.s / (
                 r.n * 10000.0
             )
+        # empty-cluster policy: KEEP the previous centroid (k never shrinks
+        # — MLlib-style; a dropped member would also fake convergence by
+        # vanishing from the movement norm)
         new_cents = [
-            (cid, [comps[p] for p in sorted(comps)])
-            for cid, comps in sorted(new_map.items())
+            (
+                cid,
+                [new_map[cid][p] for p in sorted(new_map[cid])]
+                if cid in new_map
+                else vec,
+            )
+            for cid, vec in cents
         ]
-        old = dict(cents)
         move = max(
             (
-                max(abs(a - b) for a, b in zip(vec, old[cid]))
-                for cid, vec in new_cents
-                if cid in old
+                max(abs(a - b) for a, b in zip(new_vec, old_vec))
+                for (cid, new_vec), (_, old_vec) in zip(new_cents, cents)
             ),
             default=0.0,
         )
         cents = new_cents
         if move < tol:
             break
-    cents_df = spark.createDataFrame(cents, "cid long, cent array<double>")
-    scored = embeddings.join(F.broadcast(cents_df)).select(
-        "vec_id",
-        "cid",
-        cosine_expr(F.col("embedding"), F.col("cent")).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    final = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster_id"), "sim")
-    )
+    final = assign_round(cents).select("vec_id", "cluster_id", "sim")
     return final, cents, rounds

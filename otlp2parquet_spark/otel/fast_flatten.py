@@ -10,9 +10,10 @@ same output, no intermediate tree. The slow pair stays as the semantic
 authority (differential Hypothesis suite: tests/test_fast_flatten.py) and
 keeps serving the pb lane and metrics.
 
-One documented divergence: a payload spelling the SAME field both camelCase
-and snake_case in one object takes the camelCase member here, while the
-generic walker takes whichever appears last in the JSON document. Duplicate
+One documented divergence (applies to the logs, traces AND metrics
+walkers): a payload spelling the SAME field both camelCase and snake_case
+in one object takes the camelCase member here, while the generic walker
+takes whichever appears last in the JSON document. Duplicate
 mixed-spelling members are undefined in protobuf-JSON (the spec requires
 serializers to emit one spelling); no reference fixture exercises this.
 
@@ -728,6 +729,11 @@ def flatten_metrics_json(obj: Any):
                         qs = _get2(dp, "quantileValues", "quantile_values") or []
                         if not isinstance(qs, list):
                             raise OtlpDecodeError("expected array for quantile_values")
+                        for q in qs:
+                            if not isinstance(q, dict):
+                                raise OtlpDecodeError(
+                                    f"expected object for ValueAtQuantile, got {type(q).__name__}"
+                                )
                         out["summary"].append(
                             base
                             | _dp_common_json(dp)
@@ -743,3 +749,29 @@ def flatten_metrics_json(obj: Any):
                             }
                         )
     return out, skipped
+
+
+def flatten_metrics_request_json(body: str | bytes):
+    """One JSON metrics export request body -> (per_type, skipped)."""
+    try:
+        obj = json.loads(body)
+    except json.JSONDecodeError as e:
+        raise OtlpDecodeError(f"malformed JSON: {e}") from e
+    return flatten_metrics_json(obj)
+
+
+def flatten_metrics_request_jsonl(body: str | bytes):
+    """JSONL metrics payload -> [(per_type, skipped)] per non-empty line."""
+    if isinstance(body, bytes):
+        body = body.decode("utf-8")
+    loads = json.loads
+    out = []
+    for line in body.splitlines():
+        if not line.strip():
+            continue
+        try:
+            obj = loads(line)
+        except json.JSONDecodeError as e:
+            raise OtlpDecodeError(f"malformed JSON: {e}") from e
+        out.append(flatten_metrics_json(obj))
+    return out

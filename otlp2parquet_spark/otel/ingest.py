@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from otlp2parquet_spark.otel import fast_flatten, fast_wire, flatten, otlp_json, schemas, wire
+from otlp2parquet_spark.otel import fast_flatten, fast_wire, otlp_json, schemas, wire
 from otlp2parquet_spark.otel.wire import OtlpDecodeError
 
 DEFAULT_MAX_PAYLOAD_BYTES = 8 * 1024 * 1024  # reference src/config/platform.rs:19
@@ -309,25 +309,9 @@ def _flatten_metrics_payload(content: bytes, fmt: str):
         content = gzip.decompress(content)
     if fmt == "pb":
         return [fast_wire.flatten_metrics_pb(content)]
-    import json as _json
-
     if fmt == "json":
-        try:
-            obj = _json.loads(content)
-        except _json.JSONDecodeError as e:
-            raise OtlpDecodeError(f"malformed JSON: {e}") from e
-        return [fast_flatten.flatten_metrics_json(obj)]
-    body = content.decode("utf-8")
-    out = []
-    for line in body.splitlines():
-        if not line.strip():
-            continue
-        try:
-            obj = _json.loads(line)
-        except _json.JSONDecodeError as e:
-            raise OtlpDecodeError(f"malformed JSON: {e}") from e
-        out.append(fast_flatten.flatten_metrics_json(obj))
-    return out
+        return [fast_flatten.flatten_metrics_request_json(content)]
+    return fast_flatten.flatten_metrics_request_jsonl(content)
 
 
 def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str | None = None):

@@ -211,3 +211,21 @@ def test_metrics_fused_exotic_and_fixture_parity():
             assert fast_flatten.flatten_metrics_json(
                 json.loads(doc)
             ) == _slow_metrics_json(doc), (seed, render.__name__)
+
+
+def test_bad_metrics_rejected_not_crashed():
+    """Malformed metrics payloads must raise OtlpDecodeError (the class the
+    ingest quarantine catches), never a bare AttributeError/TypeError that
+    would fail the Spark task (round-5 review finding)."""
+    bad = [
+        '{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"summary":{"dataPoints":[{"quantileValues":[1]}]}}]}]}]}',
+        '{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"gauge":{"dataPoints":[7]}}]}]}]}',
+        '{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"sum":{"aggregationTemporality":"BOGUS"}}]}]}]}',
+        '{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"histogram":{"dataPoints":[{"bucketCounts":7}]}}]}]}]}',
+        '{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"sum":{"isMonotonic":3}}]}]}]}',
+    ]
+    for doc in bad:
+        with pytest.raises(OtlpDecodeError):
+            fast_flatten.flatten_metrics_json(json.loads(doc))
+        with pytest.raises(OtlpDecodeError):
+            _slow_metrics_json(doc)
