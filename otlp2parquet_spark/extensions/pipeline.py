@@ -110,8 +110,11 @@ _MIX_MIN_TOKENS = 30
       FROM documents
     ), rated AS (
       SELECT doc_id, source, n_tok,
-             [{", ".join(str(r) for r in _MIX_RATES)}]
-               [1 + CAST(substr(source, 4) AS INT) % {len(_MIX_RATES)}] AS mix_rate,
+             -- CAST: a bare decimal list literal types mix_rate as DECIMAL,
+             -- which the driver's Arrow-typed hash can never match to
+             -- Spark's double (see tests/test_oracle_registry_lint.py)
+             CAST([{", ".join(str(r) for r in _MIX_RATES)}]
+               [1 + CAST(substr(source, 4) AS INT) % {len(_MIX_RATES)}] AS DOUBLE) AS mix_rate,
              CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
                   AS BIGINT) % 1000 AS bucket
       FROM tok WHERE n_tok >= {_MIX_MIN_TOKENS}

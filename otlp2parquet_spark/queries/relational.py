@@ -1118,7 +1118,10 @@ def o5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 _PIVOT_ORACLE_COLS = ",\n           ".join(
-    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t},\n           "
+    # CAST: DuckDB SUM(int) returns HUGEINT -> Arrow decimal128(38,0), which
+    # hash-mismatches Spark's bigint even when values are identical (the
+    # x4_repetition trap; see tests/test_oracle_registry_lint.py).
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t},\n           "
     f"COALESCE(SUM(CASE WHEN event_type = '{t}' "
     f"THEN CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) END), 0) / 10000.0 AS v_{t}"
     for t in _PIVOT_TYPES

@@ -173,12 +173,12 @@ def t5_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
-           SUM(CASE WHEN prior_max IS NOT NULL
+           CAST(SUM(CASE WHEN prior_max IS NOT NULL
                      AND ts < prior_max - INTERVAL 10 SECOND
-                    THEN 1 ELSE 0 END) AS n_late,
-           SUM(CASE WHEN prior_max IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN prior_max IS NULL
                      OR ts >= prior_max - INTERVAL 10 SECOND
-                    THEN 1 ELSE 0 END) AS n_on_time
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
     FROM wm
     GROUP BY window_start
     ORDER BY window_start
