@@ -104,6 +104,17 @@ def main(argv: list[str] | None = None) -> int:
         from otlp2parquet_spark.otel import compact as compact_mod
         from otlp2parquet_spark.session import get_spark
 
+        # Non-atomic swap (see compact.py docstring): new files land before
+        # fragment deletion, so a racing reader can see duplicated rows for
+        # the duration, and a crash in between leaves both generations until
+        # re-run. Surfacing this here is the operational gate the plain-
+        # parquet layout allows (a table format would give a real commit).
+        print(
+            "warning: compaction swap is non-atomic — do not run while a "
+            "streaming sink or readers are active on this root (racing "
+            "readers may see duplicated rows until the swap completes)",
+            file=sys.stderr,
+        )
         spark = get_spark(app_name="otlp2parquet-compact")
         try:
             acct_df = compact_mod.compact_table(

@@ -76,7 +76,14 @@ def x6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets gives a sample that is reproducible across engines, runs, and
     cluster layouts, and composes with incremental ingest (a doc's bucket
     never changes). Map-only: no shuffle, predicate stays next to the scan,
-    so at 100 TB this is a single pass that reads only (doc_id, source)."""
+    so at 100 TB this is a single pass that reads only (doc_id, source).
+
+    Return contract: rows are ordered by doc_id only WITHIN each partition
+    (sortWithinPartitions), not globally — a global ORDER BY would add an
+    all-to-all range shuffle and re-execute the narrow child for range
+    sampling. Callers needing a total order must sort the (much smaller)
+    sample themselves; the oracle's ORDER BY is presentation-only (the
+    driver's hash is row-order-insensitive)."""
     d = T(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -144,7 +151,11 @@ def x6_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB and (b) double-execute the tokenize+md5 map, because range
     partitioning samples its narrow child (measured: 10x-scale wall
     dropped 4.5x -> ~1x removing it). The driver's oracle hash is
-    row-order-insensitive, so the global order was presentation-only."""
+    row-order-insensitive, so the global order was presentation-only.
+
+    Return contract: ordered by doc_id within partitions only — callers
+    that relied on the pre-round-5 globally sorted output must sort the
+    sampled result themselves."""
     d = T(spark, sf_dir, "documents")
     n_tok = token_count_expr(F.col("text"))
     band = F.substring("source", 4, 10).cast("int") % len(_MIX_RATES)

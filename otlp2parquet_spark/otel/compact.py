@@ -8,27 +8,38 @@ object-store request amplification). `compact_table` rewrites each
 (service, hour) partition's fragments into max_rows_per_file-sized files
 and removes the fragments.
 
-Spark-first: the rewrite IS `writer.write_partitioned` over
-`writer.read_table` — one distributed pass, same golden schema/footers,
-same executor-side pyarrow writes — so compaction scales exactly like the
-original write. Old-file deletion is a driver-side file-op pass over the
-pre-compaction listing (metadata, not data).
+Spark-first: the rewrite IS `writer.write_partitioned` over the fragment
+read — one distributed pass, same golden schema/footers, same
+executor-side pyarrow writes — so compaction scales exactly like the
+original write. Old-file deletion is a driver-side metadata pass over the
+pre-compaction listing (file ops, not data).
+
+Works against BOTH local filesystems and object stores: listing/deletion
+go through the same `writer._resolve_fs` pyarrow FileSystem lane the
+writer uses (so s3://, s3a:// and file:// roots behave identically), and
+on object-store roots the fragment READ is a distributed executor-side
+pyarrow read (`mapInArrow` over the file list) — no hadoop-aws jar
+needed, matching the writer's design of doing all object-store I/O in
+pyarrow. Local roots keep Spark's native parquet reader.
 
 Crash-safety contract (documented, not transactional): new files land
 first (fresh deterministic run-tag names), originals are deleted after.
 A crash in between leaves BOTH generations visible — re-running
 compaction converges (the duplicated rows compact again and the stale
 generation is removed). Readers racing a compaction can observe
-duplicates for its duration; at production scale a table format with
-commit atomicity (Delta/Iceberg) is the right tool — this operator is
-the layout-preserving variant for the reference's plain-parquet layout.
+duplicates for its duration — do NOT run it while a streaming sink or
+reader is active on the same root (the CLI prints this warning); at
+production scale a table format with commit atomicity (Delta/Iceberg) is
+the right tool — this operator is the layout-preserving variant for the
+reference's plain-parquet layout.
 Reference context: src/writer/write.rs flush-per-batch file naming.
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Iterable
+import posixpath
+from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,13 +47,59 @@ from otlp2parquet_spark.otel import schemas, writer
 
 
 def _list_parquet(root: str, table: str) -> list[str]:
-    base = os.path.join(root, schemas.TABLE_PATH_SEGMENT[table])
-    out: list[str] = []
-    for dirpath, _dirs, files in os.walk(base):
-        out.extend(
-            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
-        )
-    return sorted(out)
+    """All parquet data files under the table root.
+
+    Local roots return absolute local paths; object-store roots return
+    fs-relative paths (the form pyarrow's FileSystem APIs consume)."""
+    fs, rel = writer._resolve_fs(root)
+    if fs is None:
+        base = os.path.join(rel, schemas.TABLE_PATH_SEGMENT[table])
+        out: list[str] = []
+        for dirpath, _dirs, files in os.walk(base):
+            out.extend(
+                os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+            )
+        return sorted(out)
+    from pyarrow import fs as pafs
+
+    base = posixpath.join(rel, schemas.TABLE_PATH_SEGMENT[table])
+    sel = pafs.FileSelector(base, recursive=True, allow_not_found=True)
+    return sorted(
+        info.path
+        for info in fs.get_file_info(sel)
+        if info.type == pafs.FileType.File and info.path.endswith(".parquet")
+    )
+
+
+def _read_fragments_object_store(
+    spark: SparkSession, root: str, rel_paths: list[str], table: str
+) -> DataFrame:
+    """Distributed pyarrow read of fragment files on an object store.
+
+    Each executor task resolves the filesystem from the root URI (+ AWS env
+    vars, like the writer does) and streams its files' record batches, cast
+    to the arrow schema Spark expects for the table's Spark schema (the
+    golden files carry uint32 TraceFlags etc. that Spark's type system
+    widens). One task per ~file: the file list is the parallelism unit,
+    exactly like a native scan over small files."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    sschema = schemas.spark_schema(table)
+    target = to_arrow_schema(sschema)
+    paths_df = spark.createDataFrame(
+        [(p,) for p in rel_paths], "path string"
+    ).repartition(min(len(rel_paths), 64))
+
+    def read_files(batches) -> Iterator:
+        from pyarrow import parquet as pq
+
+        fs, _ = writer._resolve_fs(root)
+        for batch in batches:
+            for p in batch.column(0).to_pylist():
+                tbl = pq.read_table(p, filesystem=fs).cast(target)
+                yield from tbl.to_batches()
+
+    return paths_df.mapInArrow(read_files, sschema)
 
 
 def compact_table(
@@ -61,18 +118,11 @@ def compact_table(
     rewritten — already-compact partitions are never read, rewritten or
     deleted, so the I/O (and the crash-exposure window) is bounded by the
     fragmented subset, not the table."""
-    if "://" in root:
-        # the writer handles object stores, but this listing/deletion pass
-        # is local-filesystem; silently "finding nothing" on s3:// would
-        # masquerade as a compacted table
-        raise NotImplementedError(
-            "compact_table lists/deletes via the local filesystem; for "
-            "object-store roots use a table format with commit atomicity"
-        )
+    fs, _rel = writer._resolve_fs(root)
     old_files = _list_parquet(root, table)
     by_dir: dict[str, list[str]] = {}
     for f in old_files:
-        by_dir.setdefault(os.path.dirname(f), []).append(f)
+        by_dir.setdefault(posixpath.dirname(f) if fs else os.path.dirname(f), []).append(f)
     frag_files = [
         f
         for files in by_dir.values()
@@ -86,17 +136,27 @@ def compact_table(
     # read ONLY the fragmented partitions' files; the (service, bucket)
     # regrouping inside write_partitioned re-derives the same partition
     # paths, so the rewrite lands exactly where the fragments were
-    df = spark.read.parquet(*frag_files)
+    if fs is None:
+        df = spark.read.parquet(*frag_files)
+    else:
+        df = _read_fragments_object_store(spark, root, frag_files, table)
     acct = writer.write_partitioned(
         df, table, root, bucket=bucket, max_rows_per_file=max_rows_per_file
     ).collect()
-    _delete(frag_files)
+    _delete(fs, frag_files)
     return spark.createDataFrame(acct, "path string, rows long, service string")
 
 
-def _delete(paths: Iterable[str]) -> None:
+def _delete(fs, paths: Iterable[str]) -> None:
+    if fs is None:
+        for p in paths:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+        return
     for p in paths:
         try:
-            os.remove(p)
+            fs.delete_file(p)
         except FileNotFoundError:
             pass

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import base64
 import binascii
+import functools
 import json
 from typing import Any
 
@@ -41,6 +42,26 @@ _canon = json.JSONEncoder(
 
 _ZERO16 = b"\x00" * 16
 _ZERO8 = b"\x00" * 8
+
+
+def _decode_guard(fn):
+    """Per-request guard matching flatten_logs_pb: any non-OtlpDecodeError
+    escaping the walk (e.g. TypeError from float({}) on {"doubleValue": {}})
+    becomes an OtlpDecodeError, so ingest's on_error=quarantine contract is
+    format-consistent — a malformed payload quarantines one request instead
+    of failing the whole Spark task. Once per request, not per row, so the
+    hot-path cost is nil."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except OtlpDecodeError:
+            raise
+        except Exception as e:
+            raise OtlpDecodeError(f"malformed OTLP/JSON: {e}") from e
+
+    return wrapped
 
 
 def _av(v: Any) -> Any:
@@ -173,6 +194,7 @@ def _opt_str(obj: dict, camel: str, snake: str, label: str) -> str | None:
 # Logs
 
 
+@_decode_guard
 def flatten_logs_json(obj: Any) -> list[dict[str, Any]]:
     """One OTLP/JSON logs export request -> flat rows (== the slow pair)."""
     if not isinstance(obj, dict):
@@ -295,6 +317,7 @@ def flatten_logs_json(obj: Any) -> list[dict[str, Any]]:
 # Traces
 
 
+@_decode_guard
 def flatten_traces_json(obj: Any) -> list[dict[str, Any]]:
     """One OTLP/JSON traces export request -> flat rows (== the slow pair)."""
     if not isinstance(obj, dict):
@@ -531,6 +554,7 @@ def _dp_common_json(dp: dict) -> dict[str, Any]:
     }
 
 
+@_decode_guard
 def flatten_metrics_json(obj: Any):
     """One OTLP/JSON metrics export request -> ({metric_type: rows},
     skipped counters) — fused twin of parse_request_json + flatten_metrics

@@ -274,12 +274,23 @@ def _conv_message(msg: str, obj: Any) -> dict[str, Any]:
 
 
 def parse_request_json(body: str | bytes, signal: str) -> dict[str, Any]:
-    """Parse one OTLP/JSON export request into the canonical dict."""
+    """Parse one OTLP/JSON export request into the canonical dict.
+
+    Any non-OtlpDecodeError escaping the walk (e.g. TypeError from
+    float({}) on {"doubleValue": {}}) is re-raised as OtlpDecodeError so
+    the ingest on_error=quarantine contract holds for JSON exactly as the
+    pb lane's flatten_logs_pb guarantees it for protobuf — a malformed
+    payload quarantines one request, never fails the whole Spark task."""
     try:
         obj = json.loads(body)
     except json.JSONDecodeError as e:
         raise OtlpDecodeError(f"malformed JSON: {e}") from e
-    return _conv_message(_REQUEST_MSG[signal], obj)
+    try:
+        return _conv_message(_REQUEST_MSG[signal], obj)
+    except OtlpDecodeError:
+        raise
+    except Exception as e:
+        raise OtlpDecodeError(f"malformed OTLP/JSON: {e}") from e
 
 
 def parse_request_jsonl(body: str | bytes, signal: str) -> list[dict[str, Any]]:

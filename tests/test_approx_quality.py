@@ -351,3 +351,46 @@ def test_avi_decode_is_real_and_null_safe(spark):
     )
     bad = decode_avi_meta(corrupted).limit(3).collect()
     assert bad and all(r["width"] is None and r["n_frames"] is None for r in bad)
+
+
+def test_knn_join_bucketed_near_tie_band_past_screen_cut(spark, tmp_path):
+    """Adaptive screen margin (round-6 ADVICE): when more candidates than the
+    fixed k+8 screening cut sit in one near-tie band (here 14 exact
+    duplicates of the same direction), the kernel must extend the candidate
+    set past the cut instead of trusting BLAS tie order, and the result must
+    stay pair-identical to the exact label-blocked join."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    n, dim = 40, 16
+    base = rng.normal(size=dim)
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    # ids 1..14: one direction, varying magnitudes -> identical cosine to
+    # everything (a 14-wide tie band, wider than the k+8=11 screen cut)
+    for i in range(1, 15):
+        vecs[i] = (base * (0.5 + 0.25 * i)).astype("float32")
+    sf_dir = str(tmp_path / "tieband")
+    os.makedirs(sf_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, dtype="int32"), pa.int32()),
+            }
+        ),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    exact = {
+        (r.src_id, r.rnk): r.neighbor_id
+        for r in SPECS["x3_knn_join"].build(spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r.src_id, r.rnk): r.neighbor_id
+        for r in SPECS["x3_knn_join_bucketed"].build(spark, sf_dir).collect()
+    }
+    assert exact and bucketed == exact

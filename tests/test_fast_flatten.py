@@ -106,6 +106,9 @@ _BAD_LOGS = [
     '{"resourceLogs": [{"scopeLogs": [{"logRecords": [{"attributes": [{"key": 1}]}]}]}]}',
     '{"resourceLogs": [{"scopeLogs": [{"logRecords": [{"body": {"intValue": "x"}}]}]}]}',
     '{"resourceLogs": [{"resource": {"attributes": [{"value": {"stringValue": 9}}]}}]}',
+    # float({}) used to escape as TypeError and fail the Spark task instead
+    # of quarantining the payload (round-6 ADVICE finding)
+    '{"resourceLogs": [{"scopeLogs": [{"logRecords": [{"body": {"doubleValue": {}}}]}]}]}',
 ]
 
 _BAD_TRACES = [
@@ -223,6 +226,7 @@ def test_bad_metrics_rejected_not_crashed():
         '{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"sum":{"aggregationTemporality":"BOGUS"}}]}]}]}',
         '{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"histogram":{"dataPoints":[{"bucketCounts":7}]}}]}]}]}',
         '{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"sum":{"isMonotonic":3}}]}]}]}',
+        '{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"gauge":{"dataPoints":[{"asDouble":{}}]}}]}]}]}',
     ]
     for doc in bad:
         with pytest.raises(OtlpDecodeError):
