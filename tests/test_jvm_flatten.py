@@ -730,3 +730,165 @@ def test_complex_detector_flags_nested_payloads(spark):
         .collect()
     ]
     assert flags == [True, True, False]
+
+
+def test_metrics_min_max_presence_zero_vs_absent(spark):
+    """proto3_optional presence for Histogram/ExponentialHistogram min/max
+    (round-4 review medium, descriptor fix in pb_descriptor._metrics_file):
+    a data point with min=0.0/max=0.0 EXPLICITLY set must surface 0.0 in
+    the Min/Max columns, while an absent min/max must surface NULL — and
+    the JVM adapter must agree with the Python codec cell-for-cell on
+    both. The from_json reconstruction models exactly what from_protobuf
+    produces with the synthetic _min/_max oneofs: NULL when the field is
+    absent on the wire."""
+    import json as _json
+
+    from otlp2parquet_spark.otel.jvm_codec import camel_metrics_req
+    from otlp2parquet_spark.otel.native_json import metrics_union_from_req
+
+    base_hist = {
+        "time_unix_nano": 1700000000000000000,
+        "count": 3,
+        "sum": 6.0,
+        "bucket_counts": [1, 2],
+        "explicit_bounds": [1.0],
+    }
+    base_exp = {
+        "time_unix_nano": 1700000000000000000,
+        "count": 2,
+        "sum": 0.5,
+        "scale": 1,
+        "zero_count": 0,
+        "positive": {"offset": 0, "bucket_counts": [2]},
+    }
+    req = {
+        "resource_metrics": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"string_value": "svc"}}
+                    ]
+                },
+                "scope_metrics": [
+                    {
+                        "metrics": [
+                            {
+                                "name": "h",
+                                "histogram": {
+                                    "aggregation_temporality": 2,
+                                    "data_points": [
+                                        dict(base_hist),  # min/max absent
+                                        dict(base_hist, min=0.0, max=0.0),
+                                    ],
+                                },
+                            },
+                            {
+                                "name": "eh",
+                                "exponential_histogram": {
+                                    "aggregation_temporality": 2,
+                                    "data_points": [
+                                        dict(base_exp),  # min/max absent
+                                        dict(base_exp, min=0.0, max=0.0),
+                                    ],
+                                },
+                            },
+                        ]
+                    }
+                ],
+            }
+        ]
+    }
+    struct_df = _metrics_struct_df(spark, [req])
+    union_fast = metrics_union_from_req(
+        struct_df.select(camel_metrics_req(F.col("req")).alias("req"))
+    )
+
+    # Python codec via the OTLP/JSON lane (same presence semantics as pb:
+    # absent member == absent field)
+    camel_payload = {
+        "resourceMetrics": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "svc"}}
+                    ]
+                },
+                "scopeMetrics": [
+                    {
+                        "metrics": [
+                            {
+                                "name": "h",
+                                "histogram": {
+                                    "aggregationTemporality": 2,
+                                    "dataPoints": [
+                                        {
+                                            "timeUnixNano": "1700000000000000000",
+                                            "count": "3",
+                                            "sum": 6.0,
+                                            "bucketCounts": ["1", "2"],
+                                            "explicitBounds": [1.0],
+                                        },
+                                        {
+                                            "timeUnixNano": "1700000000000000000",
+                                            "count": "3",
+                                            "sum": 6.0,
+                                            "bucketCounts": ["1", "2"],
+                                            "explicitBounds": [1.0],
+                                            "min": 0.0,
+                                            "max": 0.0,
+                                        },
+                                    ],
+                                },
+                            },
+                            {
+                                "name": "eh",
+                                "exponentialHistogram": {
+                                    "aggregationTemporality": 2,
+                                    "dataPoints": [
+                                        {
+                                            "timeUnixNano": "1700000000000000000",
+                                            "count": "2",
+                                            "sum": 0.5,
+                                            "scale": 1,
+                                            "zeroCount": "0",
+                                            "positive": {
+                                                "offset": 0,
+                                                "bucketCounts": ["2"],
+                                            },
+                                        },
+                                        {
+                                            "timeUnixNano": "1700000000000000000",
+                                            "count": "2",
+                                            "sum": 0.5,
+                                            "scale": 1,
+                                            "zeroCount": "0",
+                                            "positive": {
+                                                "offset": 0,
+                                                "bucketCounts": ["2"],
+                                            },
+                                            "min": 0.0,
+                                            "max": 0.0,
+                                        },
+                                    ],
+                                },
+                            },
+                        ]
+                    }
+                ],
+            }
+        ]
+    }
+    payloads = spark.createDataFrame(
+        [("", bytearray(_json.dumps(camel_payload).encode()), "json")],
+        "path string, content binary, fmt string",
+    )
+    union_py = ingest.decode_metrics_union(payloads)
+
+    for mt in ("histogram", "exponential_histogram"):
+        a = sorted(map(tuple, ingest.metrics_table(union_fast, mt).collect()), key=repr)
+        b = sorted(map(tuple, ingest.metrics_table(union_py, mt).collect()), key=repr)
+        assert a == b, mt
+        mins = sorted((r for r in ingest.metrics_table(union_fast, mt)
+                       .select("Min", "Max").collect()), key=repr)
+        assert [tuple(r) for r in mins] == [(0.0, 0.0), (None, None)] or \
+               [tuple(r) for r in mins] == [(None, None), (0.0, 0.0)], (mt, mins)
