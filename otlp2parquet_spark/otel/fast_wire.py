@@ -219,6 +219,145 @@ def _attrs(buf: bytes, ranges: list[tuple[int, int]]) -> dict[str, Any]:
     return m
 
 
+# --- decode memo ------------------------------------------------------------
+# Telemetry attribute blocks are massively repetitive: every record in a
+# resource block shares ResourceAttributes/Scope, and log/span attribute
+# sets recur across records (the same redundancy OTel-Arrow exploits with
+# dictionary encoding and ClickHouse with LowCardinality). The mappings
+# below are PURE functions of the wire bytes, so a bytes-keyed memo is
+# semantically transparent (differential suites in test_fast_wire.py hold
+# bit-for-bit) and turns the dominant attrs->canonical-JSON decode into a
+# dict hit on repeated blocks. Caches are module-level (they survive across
+# payloads inside one long-lived Spark worker) and bounded: clear-at-cap
+# keeps worst-case memory ~tens of MB and amortizes to O(1) per miss.
+_MEMO_CAP = 1 << 16
+_ATTRS_MEMO: dict[tuple, str] = {}
+_VALUE_MEMO: dict[bytes, str | None] = {}
+
+
+def _attrs_json_memo(buf: bytes, ranges: list[tuple[int, int]]) -> str:
+    """Attribute KeyValue ranges -> canonical JSON, memoized.
+
+    The key is (per-range lengths, concatenated payload bytes): the split
+    sizes disambiguate range boundaries, so two different range lists can
+    never collide on the same key with different decodes."""
+    key = (
+        tuple(e - p for p, e in ranges),
+        b"".join(buf[p:e] for p, e in ranges),
+    )
+    out = _ATTRS_MEMO.get(key)
+    if out is None:
+        out = _canon(_attrs(buf, ranges))
+        if len(_ATTRS_MEMO) >= _MEMO_CAP:
+            _ATTRS_MEMO.clear()
+        _ATTRS_MEMO[key] = out
+    return out
+
+
+def _body_json_memo(buf: bytes, pos: int, end: int) -> str | None:
+    """AnyValue body bytes -> canonical JSON (None for empty), memoized."""
+    key = buf[pos:end]
+    if key in _VALUE_MEMO:
+        return _VALUE_MEMO[key]
+    v = _anyvalue(buf, pos, end)
+    out = None if v is _EMPTY else _canon(v)
+    if len(_VALUE_MEMO) >= _MEMO_CAP:
+        _VALUE_MEMO.clear()
+    _VALUE_MEMO[key] = out
+    return out
+
+
+_SCOPE_MEMO: dict[tuple[bytes, bool], tuple[str, str | None, str]] = {}
+_RESOURCE_MEMO: dict[bytes, tuple] = {}
+
+
+def _scope_fields_memo(
+    buf: bytes, pos: int, end: int, *, with_attrs: bool = True
+) -> tuple[str, str | None, str]:
+    key = (buf[pos:end], with_attrs)
+    out = _SCOPE_MEMO.get(key)
+    if out is None:
+        out = _scope_fields(buf, pos, end, with_attrs=with_attrs)
+        if len(_SCOPE_MEMO) >= _MEMO_CAP:
+            _SCOPE_MEMO.clear()
+        _SCOPE_MEMO[key] = out
+    return out
+
+
+def _resource_fields_memo(
+    buf: bytes, pos: int, end: int
+) -> tuple[str | None, str | None, str | None, str]:
+    """Resource message -> (service.name, service.namespace,
+    service.instance.id, remaining-attrs canonical JSON), memoized on the
+    raw message bytes (one resource serves every record in its block)."""
+    key = buf[pos:end]
+    out = _RESOURCE_MEMO.get(key)
+    if out is None:
+        attr_ranges: list[tuple[int, int]] = []
+        p, e = pos, end
+        while p < e:
+            t = buf[p]
+            if t < 0x80:
+                p += 1
+            else:
+                t, p = _varint(buf, p, e)
+            if t == 0x0A:
+                r = _len_prefixed(buf, p, e)
+                attr_ranges.append(r)
+                p = r[1]
+            else:
+                p = _skip(buf, p, e, t & 7)
+        rattrs = _attrs(buf, attr_ranges)
+        service_name = rattrs.pop("service.name", None)
+        service_ns = rattrs.pop("service.namespace", None)
+        service_iid = rattrs.pop("service.instance.id", None)
+        out = (
+            service_name,
+            service_ns,
+            service_iid,
+            _canon(rattrs) if rattrs else "{}",
+        )
+        if len(_RESOURCE_MEMO) >= _MEMO_CAP:
+            _RESOURCE_MEMO.clear()
+        _RESOURCE_MEMO[key] = out
+    return out
+
+
+_MRES_MEMO: dict[bytes, tuple[str, str]] = {}
+
+
+def _metrics_resource_memo(buf: bytes, pos: int, end: int) -> tuple[str, str]:
+    """Metrics variant: service.name STAYS in the attrs map (§1.3.6);
+    -> (service-or-"", full-attrs canonical JSON), memoized."""
+    key = buf[pos:end]
+    out = _MRES_MEMO.get(key)
+    if out is None:
+        attr_ranges: list[tuple[int, int]] = []
+        p, e = pos, end
+        while p < e:
+            t = buf[p]
+            if t < 0x80:
+                p += 1
+            else:
+                t, p = _varint(buf, p, e)
+            if t == 0x0A:
+                r = _len_prefixed(buf, p, e)
+                attr_ranges.append(r)
+                p = r[1]
+            else:
+                p = _skip(buf, p, e, t & 7)
+        rattrs = _attrs(buf, attr_ranges)
+        service_name = rattrs.get("service.name", "")
+        out = (
+            service_name if isinstance(service_name, str) else "",
+            _canon(rattrs) if rattrs else "{}",
+        )
+        if len(_MRES_MEMO) >= _MEMO_CAP:
+            _MRES_MEMO.clear()
+        _MRES_MEMO[key] = out
+    return out
+
+
 def _scope_fields(
     buf: bytes, pos: int, end: int, *, with_attrs: bool = True
 ) -> tuple[str, str | None, str]:
@@ -311,27 +450,13 @@ def _flatten_logs_pb(body: bytes) -> list[dict[str, Any]]:
             else:
                 p = _skip(body, p, rl_end, t & 7)
 
-        rattrs: dict[str, Any] = {}
         if res_range is not None:
-            p, e = res_range
-            attr_ranges: list[tuple[int, int]] = []
-            while p < e:
-                t = body[p]
-                if t < 0x80:
-                    p += 1
-                else:
-                    t, p = _varint(body, p, e)
-                if t == 0x0A:
-                    r = _len_prefixed(body, p, e)
-                    attr_ranges.append(r)
-                    p = r[1]
-                else:
-                    p = _skip(body, p, e, t & 7)
-            rattrs = _attrs(body, attr_ranges)
-        service_name = rattrs.pop("service.name", None)
-        service_ns = rattrs.pop("service.namespace", None)
-        service_iid = rattrs.pop("service.instance.id", None)
-        res_attrs_json = _canon(rattrs) if rattrs else "{}"
+            service_name, service_ns, service_iid, res_attrs_json = (
+                _resource_fields_memo(body, res_range[0], res_range[1])
+            )
+        else:
+            service_name = service_ns = service_iid = None
+            res_attrs_json = "{}"
         svc = service_name if service_name is not None else ""
 
         for sl_start, sl_end in sl_ranges:
@@ -359,7 +484,7 @@ def _flatten_logs_pb(body: bytes) -> list[dict[str, Any]]:
                 else:
                     p = _skip(body, p, sl_end, t & 7)
             if scope_range is not None:
-                scope_name, scope_version, scope_attrs = _scope_fields(
+                scope_name, scope_version, scope_attrs = _scope_fields_memo(
                     body, scope_range[0], scope_range[1]
                 )
             else:
@@ -422,8 +547,7 @@ def _flatten_logs_pb(body: bytes) -> list[dict[str, Any]]:
                     else:
                         p = _skip(body, p, r_end, t & 7)
                 if body_range is not None:
-                    bv = _anyvalue(body, body_range[0], body_range[1])
-                    body_out = None if bv is _EMPTY else _canon(bv)
+                    body_out = _body_json_memo(body, body_range[0], body_range[1])
                 else:
                     body_out = None
                 ts_us = ts_ns // 1000 if ts_ns else 0
@@ -447,7 +571,7 @@ def _flatten_logs_pb(body: bytes) -> list[dict[str, Any]]:
                         "SeverityText": sev_text,
                         "SeverityNumber": sev_no,
                         "Body": body_out,
-                        "LogAttributes": _canon(_attrs(body, attr_ranges))
+                        "LogAttributes": _attrs_json_memo(body, attr_ranges)
                         if attr_ranges
                         else "{}",
                     }
@@ -494,7 +618,7 @@ def _event_fields(buf: bytes, pos: int, end: int) -> tuple[int, str, str]:
             pos = r[1]
         else:
             pos = _skip(buf, pos, end, t & 7)
-    attrs = _canon(_attrs(buf, attr_ranges)) if attr_ranges else "{}"
+    attrs = _attrs_json_memo(buf, attr_ranges) if attr_ranges else "{}"
     return (ts // 1000 if ts else 0), name, attrs
 
 
@@ -527,7 +651,7 @@ def _link_fields(buf: bytes, pos: int, end: int) -> tuple[str, str, str | None, 
             pos = r[1]
         else:
             pos = _skip(buf, pos, end, t & 7)
-    attrs = _canon(_attrs(buf, attr_ranges)) if attr_ranges else "{}"
+    attrs = _attrs_json_memo(buf, attr_ranges) if attr_ranges else "{}"
     return (
         _check_id(trace_id, 16, "link trace id", _ZERO16).hex(),
         _check_id(span_id, 8, "link span id", _ZERO8).hex(),
@@ -573,27 +697,13 @@ def _flatten_traces_pb(body: bytes) -> list[dict[str, Any]]:
             else:
                 p = _skip(body, p, rs_end, t & 7)
 
-        rattrs: dict[str, Any] = {}
         if res_range is not None:
-            p, e = res_range
-            attr_ranges: list[tuple[int, int]] = []
-            while p < e:
-                t = body[p]
-                if t < 0x80:
-                    p += 1
-                else:
-                    t, p = _varint(body, p, e)
-                if t == 0x0A:
-                    r = _len_prefixed(body, p, e)
-                    attr_ranges.append(r)
-                    p = r[1]
-                else:
-                    p = _skip(body, p, e, t & 7)
-            rattrs = _attrs(body, attr_ranges)
-        service_name = rattrs.pop("service.name", None)
-        rattrs.pop("service.namespace", None)
-        rattrs.pop("service.instance.id", None)
-        res_attrs_json = _canon(rattrs) if rattrs else "{}"
+            service_name, _ns, _iid, res_attrs_json = _resource_fields_memo(
+                body, res_range[0], res_range[1]
+            )
+        else:
+            service_name = None
+            res_attrs_json = "{}"
 
         for ss_start, ss_end in ss_ranges:
             scope_range = None
@@ -615,7 +725,7 @@ def _flatten_traces_pb(body: bytes) -> list[dict[str, Any]]:
                 else:
                     p = _skip(body, p, ss_end, t & 7)
             if scope_range is not None:
-                sname, sversion, _sattrs = _scope_fields(
+                sname, sversion, _sattrs = _scope_fields_memo(
                     body, scope_range[0], scope_range[1], with_attrs=False
                 )
                 scope_name = sname or None  # traces use _opt on name
@@ -740,7 +850,7 @@ def _flatten_traces_pb(body: bytes) -> list[dict[str, Any]]:
                         "TraceState": trace_state,
                         "SpanName": name,
                         "SpanKind": kind_name,
-                        "SpanAttributes": _canon(_attrs(body, attr_ranges))
+                        "SpanAttributes": _attrs_json_memo(body, attr_ranges)
                         if attr_ranges
                         else "{}",
                         "Duration": end_ns - start_ns,
@@ -842,7 +952,7 @@ def _eh_buckets(buf: bytes, pos: int, end: int) -> tuple[int, list[int]]:
 def _dp_base(buf, attr_ranges, ts_ns):
     return {
         "Timestamp": ts_ns // 1000 if ts_ns else 0,
-        "Attributes": _canon(_attrs(buf, attr_ranges)) if attr_ranges else "{}",
+        "Attributes": _attrs_json_memo(buf, attr_ranges) if attr_ranges else "{}",
     }
 
 
@@ -890,27 +1000,13 @@ def _flatten_metrics_pb(body: bytes):
             else:
                 p = _skip(body, p, rm_end, t & 7)
 
-        rattrs: dict[str, Any] = {}
-        if res_range is not None:
-            p, e = res_range
-            attr_ranges: list[tuple[int, int]] = []
-            while p < e:
-                t = body[p]
-                if t < 0x80:
-                    p += 1
-                else:
-                    t, p = _varint(body, p, e)
-                if t == 0x0A:
-                    r = _len_prefixed(body, p, e)
-                    attr_ranges.append(r)
-                    p = r[1]
-                else:
-                    p = _skip(body, p, e, t & 7)
-            rattrs = _attrs(body, attr_ranges)
         # metrics KEEP service.name in the map (§1.3.6)
-        service_name = rattrs.get("service.name", "")
-        res_attrs_json = _canon(rattrs) if rattrs else "{}"
-        svc = service_name if isinstance(service_name, str) else ""
+        if res_range is not None:
+            svc, res_attrs_json = _metrics_resource_memo(
+                body, res_range[0], res_range[1]
+            )
+        else:
+            svc, res_attrs_json = "", "{}"
 
         for sm_start, sm_end in sm_ranges:
             scope_range = None

@@ -10,11 +10,13 @@ Reference dataflow D1-D15 re-expressed Spark-first (SURVEY.md §3.1):
   mirroring content-type dispatch (D3, reference src/handlers.rs:68);
 - payload-size guard (D4, default 8 MiB) filters oversized payloads into a
   rejected side-output instead of HTTP 413;
-- decode (D5-D14) runs in `mapInPandas`: Arrow-batched, one Python worker
+- decode (D5-D14) runs in `mapInArrow`: Arrow-batched, one Python worker
   per input partition — each payload file decodes independently, so the
-  stage scales horizontally with the number of landing files. At 100 TB the
-  landing scan parallelism is `spark.sql.files.maxPartitionBytes`-driven and
-  the codec stays embarrassingly parallel (no shuffle before the write).
+  stage scales horizontally with the number of landing files. The kernels
+  build Arrow batches directly from the walker rows (no pandas detour —
+  measured 2.2x at the boundary). At 100 TB the landing scan parallelism
+  is `spark.sql.files.maxPartitionBytes`-driven and the codec stays
+  embarrassingly parallel (no shuffle before the write).
 
 Decoded output uses raw schemas (epoch-µs longs); `finalize()` converts to
 the golden column types JVM-side via `timestamp_micros` (exact integer µs,
@@ -216,22 +218,37 @@ def _flatten_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, An
 
 
 def _decode_simple(signal: str, table: str, on_error: str, quarantine_dir: str | None = None):
-    raw_cols = [f.name for f in schemas.raw_spark_schema(table).fields]
+    """mapInArrow kernel: payload batches -> raw-row Arrow batches.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    Arrow end-to-end at the Python boundary: the walker's row dicts go
+    straight to `pa.Table.from_pylist` against the exact Arrow schema Spark
+    expects — measured 2.2x the pandas detour (rows -> pd.DataFrame ->
+    RecordBatch.from_pandas), which was ~20% of worker time once the fused
+    walkers got fast (round-6; BASELINE.md fused-lane table)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schemas.raw_spark_schema(table))
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
             rows: list[dict[str, Any]] = []
-            for path, content, fmt in zip(pdf["path"], pdf["content"], pdf["fmt"]):
+            paths = batch.column("path")
+            contents = batch.column("content")
+            fmts = batch.column("fmt")
+            for i in range(batch.num_rows):
+                content = contents[i].as_py()
                 try:
-                    rows.extend(_flatten_payload(bytes(content), fmt, signal))
+                    rows.extend(_flatten_payload(content, fmts[i].as_py(), signal))
                 except OtlpDecodeError as e:
-                    _handle_decode_error(e, on_error, quarantine_dir, path, bytes(content))
-            # object dtype on the empty frame: default float64 columns break
-            # Arrow conversion for array-typed schema fields (hit when every
-            # payload in a partition is skipped/quarantined)
-            yield pd.DataFrame(rows, columns=raw_cols) if rows else pd.DataFrame(
-                {c: pd.Series([], dtype=object) for c in raw_cols}
-            )
+                    _handle_decode_error(
+                        e, on_error, quarantine_dir, paths[i].as_py(), content
+                    )
+            # no yield when every payload in the batch was skipped/
+            # quarantined — mapInArrow's declared schema covers the
+            # empty-partition case
+            if rows:
+                yield from pa.Table.from_pylist(rows, schema=target).to_batches()
 
     return fn
 
@@ -254,7 +271,7 @@ def finalize(raw_df: DataFrame, table: str) -> DataFrame:
 def decode_logs(
     payloads: DataFrame, on_error: str = "raise", quarantine_dir: str | None = None
 ) -> DataFrame:
-    raw = payloads.mapInPandas(
+    raw = payloads.mapInArrow(
         _decode_simple("logs", "otel_logs", on_error, quarantine_dir),
         schemas.raw_spark_schema("otel_logs"),
     )
@@ -264,7 +281,7 @@ def decode_logs(
 def decode_traces(
     payloads: DataFrame, on_error: str = "raise", quarantine_dir: str | None = None
 ) -> DataFrame:
-    raw = payloads.mapInPandas(
+    raw = payloads.mapInArrow(
         _decode_simple("traces", "otel_traces", on_error, quarantine_dir),
         schemas.raw_spark_schema("otel_traces"),
     )
@@ -317,32 +334,36 @@ def _flatten_metrics_payload(content: bytes, fmt: str):
 def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str | None = None):
     union_cols = [f.name for f in METRICS_UNION_SCHEMA.fields]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def fn(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(METRICS_UNION_SCHEMA)
+        for batch in batches:
             rows: list[dict[str, Any]] = []
-            for path, content, fmt in zip(pdf["path"], pdf["content"], pdf["fmt"]):
+            paths = batch.column("path")
+            contents = batch.column("content")
+            fmts = batch.column("fmt")
+            for i in range(batch.num_rows):
+                content = contents[i].as_py()
                 if decode_counter is not None:
                     decode_counter.add(1)
                 try:
-                    for per_type, skipped in _flatten_metrics_payload(bytes(content), fmt):
+                    for per_type, skipped in _flatten_metrics_payload(content, fmts[i].as_py()):
                         for mtype, trows in per_type.items():
                             for r in trows:
                                 r = r | {"MetricType": mtype}
-                                # explicit None (not pandas NaN) for columns
-                                # of other metric types — NaN breaks Arrow
-                                # conversion of array-typed columns
+                                # every union column present (None for the
+                                # other metric types' columns)
                                 rows.append({c: r.get(c) for c in union_cols})
                         for reason, cnt in skipped.items():
                             if cnt:
                                 r = {"MetricType": _SKIP_TAG, "SkipReason": reason, "SkipCount": cnt}
                                 rows.append({c: r.get(c) for c in union_cols})
                 except OtlpDecodeError as e:
-                    _handle_decode_error(e, on_error, quarantine_dir, path, bytes(content))
-            yield (
-                pd.DataFrame(rows, columns=union_cols)
-                if rows
-                else pd.DataFrame({c: pd.Series([], dtype=object) for c in union_cols})
-            )
+                    _handle_decode_error(e, on_error, quarantine_dir, paths[i].as_py(), content)
+            if rows:
+                yield from pa.Table.from_pylist(rows, schema=target).to_batches()
 
     return fn
 
@@ -357,7 +378,7 @@ def decode_metrics_union(
 
     `decode_counter` (a SparkContext accumulator) counts payload decodes —
     used by tests to prove the fan-out runs exactly one decode job."""
-    return payloads.mapInPandas(
+    return payloads.mapInArrow(
         _decode_metrics_fn(on_error, decode_counter, quarantine_dir), METRICS_UNION_SCHEMA
     )
 
