@@ -280,9 +280,18 @@ def _jaccard_scored(
     jac = F.col("n_common").cast("double") / (
         F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")
     )
+    # merge hint: Catalyst STATICALLY underestimates the pair aggregate
+    # (its lineage roots in the checkpoint's ExistingRDD, whose stats don't
+    # scale with the data) and planned BuildLeft broadcast of the PAIRS
+    # side — a 4.8 GiB driver collect at 100x replication, and unboundedly
+    # wrong at 100 TB where both sides are big (found by the round-6 100x
+    # sweep, BASELINE.md). A shuffled join is the scale-safe plan; AQE
+    # still converts it back to broadcast at runtime when a side is
+    # MEASURED small, so sf0.1 performance is unchanged.
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.hint("merge")
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb.hint("merge"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jac"))
     )
 
@@ -417,15 +426,19 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         # no intermediate distinct: small-star's min-agg is duplicate-proof
         # and the round-final distinct dedups `lows` — one less shuffle/round
+        # merge hints (here and below): the node/min tables are O(corpus) —
+        # never statically broadcastable at 100 TB; AQE re-broadcasts at
+        # runtime when actually small (same static-underestimate bug class
+        # as _jaccard_scored's pair join)
         E = (
-            bidir.join(mins, "u")
+            bidir.hint("merge").join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         )
         # small-star: u and its smaller neighbors all link to their min
         mins2 = E.groupBy(F.col("hi").alias("u")).agg(F.min("lo").alias("m"))
         lows = (
-            E.join(mins2, E.hi == F.col("u"))
+            E.hint("merge").join(mins2, E.hi == F.col("u"))
             .filter(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
         )
@@ -448,7 +461,7 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # star forest: hi -> component min; isolated docs label themselves
     return (
         d.select("doc_id")
-        .join(E, d.doc_id == E.hi, "left")
+        .join(E.hint("merge"), d.doc_id == E.hi, "left")
         .select("doc_id", F.coalesce(F.col("lo"), F.col("doc_id")).alias("cluster_id"))
         .orderBy("doc_id")
     )
@@ -524,8 +537,12 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
+    # merge hint: both sides of the bucket self-join are the full banded
+    # signature table (O(corpus)) — the ExistingRDD static-underestimate
+    # bug class would broadcast one side (see _jaccard_scored); AQE still
+    # re-broadcasts at runtime when the table is measured small
     return (
-        a.join(
+        a.hint("merge").join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
@@ -699,8 +716,12 @@ def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("dup_of"))
     )
     batch = hashed.filter(F.col("doc_id") % 10 == 0)
+    # merge hint: the index side is O(corpus) — the docstring's co-located
+    # bucketed join is the scale plan, never a broadcast of the index
+    # (static stats underestimated it and planned BuildRight broadcast;
+    # AQE re-broadcasts at runtime only when measured small)
     return (
-        batch.join(corpus, "h", "left")
+        batch.hint("merge").join(corpus, "h", "left")
         .select(
             "doc_id",
             F.col("h").alias("content_hash"),

@@ -7,6 +7,14 @@ Replica construction (documented so factors stay comparable across rounds):
   (plain replication: a 10x corpus where every doc gains 10 exact/near copies
   — the worst case for dedup ops, whose edge graphs densify ~F^2; matches the
   r3 methodology behind the x2_dedup_clusters 2.8x row).
+- --salt-docs: each replica's text gets a per-replica token salt (every
+  inter-word gap becomes " sNN"), so replicas share ZERO word trigrams.
+  This measures CORPUS GROWTH at the base duplication rate — the realistic
+  100x question — instead of raising the per-doc duplication factor to F.
+  Plain replication at F=100 is a DIFFERENT experiment: every doc becomes a
+  100-clique, so the TRUE pair set grows ~F^2 (10,000x) and no engine that
+  materializes pairs can be linear there; use a small factor for that
+  adversarial regime and salted replicas for the growth question.
 - embeddings: F copies, vec_id offset, vectors/labels unchanged (each ANN
   block densifies Fx — worst case for blocked kNN).
 - events: F copies, event_id AND user_id offset — more users at constant
@@ -45,7 +53,7 @@ OFFSET_COLS = {
 }
 
 
-def build_replica(base: str, out: str, factor: int) -> None:
+def build_replica(base: str, out: str, factor: int, salt_docs: bool = False) -> None:
     """Write an Fx replica of the x-op tables into `out`; other tables are
     symlinked unchanged (the TPC-H side has its own sf ladder already)."""
     import pyarrow as pa
@@ -82,6 +90,10 @@ def build_replica(base: str, out: str, factor: int) -> None:
                     import pyarrow.compute as pc
 
                     arr = pc.add(arr, k * ID_SPAN)
+                if salt_docs and name == "documents" and col == "text" and k > 0:
+                    import pyarrow.compute as pc
+
+                    arr = pc.replace_substring(arr, pattern=" ", replacement=f" s{k:03d} ")
                 cols.append(arr)
             pq.write_table(
                 pa.table(dict(zip(t.schema.names, cols))),
@@ -97,6 +109,12 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", action="store_true", help="keep the replica dir")
     ap.add_argument("--replica-dir", default=None)
+    ap.add_argument(
+        "--salt-docs",
+        action="store_true",
+        help="per-replica text salt: measures corpus growth at the base "
+        "duplication rate instead of F-fold per-doc duplication",
+    )
     args = ap.parse_args()
 
     from otlp2parquet_spark.queries.registry import all_specs
@@ -109,9 +127,15 @@ def main() -> None:
         raise SystemExit(f"unknown ops: {unknown}")
 
     replica = args.replica_dir or tempfile.mkdtemp(prefix=f"scale{args.factor}x_")
-    build_replica(args.base, replica, args.factor)
+    build_replica(args.base, replica, args.factor, salt_docs=args.salt_docs)
 
-    spark = get_spark(app_name="otlp2parquet-scale-bench")
+    # adversarial plain-replication factors make broadcast/collect stages
+    # carry F^2-densified intermediates; don't let the 1g default mask the
+    # measurement with a spurious maxResultSize abort
+    spark = get_spark(
+        app_name="otlp2parquet-scale-bench",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     specs["o5_distinct"].build(spark, args.base).count()  # JVM warmup
 
