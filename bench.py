@@ -142,10 +142,12 @@ def _ingest_metrics(spark) -> dict[str, float]:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _pb_lane_rate(spark, decode_fn, payload_reps: int) -> float:
+def _pb_lane_rate(spark, decode_fn, payload_reps: int, reader=None) -> float:
     """Shared pb-lane timing protocol: replicate logs.pb via protobuf
     message concatenation into 32 payload files (one task per core), warm,
-    best-of-2 noop-write rows/s."""
+    best-of-2 noop-write rows/s. `reader` defaults to the content-shipping
+    read_landing; pass ingest.read_landing_meta for the payload-locality
+    lane (bytes read executor-side, never through the JVM row channel)."""
     import shutil
     import tempfile
     import time as _time
@@ -159,7 +161,7 @@ def _pb_lane_rate(spark, decode_fn, payload_reps: int) -> float:
         for i in range(32):
             with open(f"{landing}/p{i}.pb", "wb") as f:
                 f.write(payload)
-        payloads, _ = ingest.read_landing(spark, landing)
+        payloads, _ = (reader or ingest.read_landing)(spark, landing)
         decoded = decode_fn(payloads)
         n = decoded.count()  # warm codec workers + row count
         rate = 0.0
@@ -178,7 +180,13 @@ def _py_pb_metrics(spark) -> dict[str, float]:
     from otlp2parquet_spark.otel import ingest
 
     rate = _pb_lane_rate(spark, ingest.decode_logs, payload_reps=200)
-    return {"ingest_py_pb_decode_rows_per_s": round(rate)}
+    local = _pb_lane_rate(
+        spark, ingest.decode_logs, payload_reps=200, reader=ingest.read_landing_meta
+    )
+    return {
+        "ingest_py_pb_decode_rows_per_s": round(rate),
+        "ingest_py_pb_localread_rows_per_s": round(local),
+    }
 
 
 def _jvm_pb_metrics(spark) -> dict[str, float]:

@@ -14,6 +14,8 @@ and bit-identical with DuckDB's list_cosine_similarity evaluation order.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -88,6 +90,81 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Above this centroid count the flat n x k scoring goes two-level: flat
+# cost is O(n * k) with k = n / TARGET_BLOCK, i.e. O(n^2 / TARGET_BLOCK) —
+# measured superlinear in the round-6 100x sweep (x3_knn_join_bucketed
+# 1.5x wall at 10x but 44x at 100x). Small k keeps the exact flat pass
+# (and the exact-equivalence-below-target contract).
+_TWO_LEVEL_MIN_K = 16
+
+
+def _score_centroids(embeddings: DataFrame, cents: DataFrame, n_centroids: int) -> DataFrame:
+    """(vec_id, embedding, label, cent_id, sim) candidate scores.
+
+    Flat for small k; two-level (coarse-quantized, the IMI / hierarchical-
+    IVF shape) above _TWO_LEVEL_MIN_K: each vector routes through
+    ceil(sqrt(k)) coarse centers, probing its top-2 coarse cells so a
+    vector near a coarse boundary still reaches its true nearest centroid,
+    then scores only against those cells' centroids — n x ~3*sqrt(k) work
+    instead of n x k. Approximate above the threshold (the true nearest
+    centroid can live outside both probed cells); the recall gates
+    (isotropic + mixture-of-Gaussians fixtures) hold the quality contract."""
+    if n_centroids <= _TWO_LEVEL_MIN_K:
+        return embeddings.join(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "label",
+            "cent_id",
+            cosine_expr(F.col("embedding"), F.col("cent_emb")).alias("sim"),
+        )
+    k1 = int(math.ceil(math.sqrt(n_centroids)))
+    coarse = cents.orderBy("cent_id").limit(k1).select(
+        F.col("cent_id").alias("coarse_id"), F.col("cent_emb").alias("coarse_emb")
+    )
+    cent_groups = (
+        cents.join(F.broadcast(coarse))
+        .select(
+            "cent_id",
+            "cent_emb",
+            "coarse_id",
+            cosine_expr(F.col("cent_emb"), F.col("coarse_emb")).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("cent_id").orderBy(F.desc("csim"), F.asc("coarse_id"))
+            ),
+        )
+        .filter(F.col("crank") == 1)
+        .select("cent_id", "cent_emb", "coarse_id")
+    )
+    vec_coarse = (
+        embeddings.join(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            "coarse_id",
+            cosine_expr(F.col("embedding"), F.col("coarse_emb")).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("coarse_id"))
+            ),
+        )
+        .filter(F.col("crank") <= 2)  # probe top-2 coarse cells
+        .select("vec_id", "embedding", "label", "coarse_id")
+    )
+    return vec_coarse.join(F.broadcast(cent_groups), "coarse_id").select(
+        "vec_id",
+        "embedding",
+        "label",
+        "cent_id",
+        cosine_expr(F.col("embedding"), F.col("cent_emb")).alias("sim"),
+    )
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> tuple[DataFrame, DataFrame]:
     """One k-means-like assignment pass: centroids are seeded deterministically
     from the first `n_centroids` vectors by vec_id (no RNG — resumable and
@@ -100,13 +177,7 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> tuple[DataFrame, 
     cents = embeddings.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    scored = embeddings.join(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "label",
-        "cent_id",
-        cosine_expr(F.col("embedding"), F.col("cent_emb")).alias("sim"),
-    )
+    scored = _score_centroids(embeddings, cents, n_centroids)
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     assign = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -150,13 +221,7 @@ def ivf_assign_spill(
     cents = embeddings.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    scored = embeddings.join(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "label",
-        "cent_id",
-        cosine_expr(F.col("embedding"), F.col("cent_emb")).alias("sim"),
-    )
+    scored = _score_centroids(embeddings, cents, n_centroids)
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     assign = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -503,7 +503,10 @@ def flatten_request_json(body: str | bytes, signal: str) -> list[dict[str, Any]]
 def flatten_request_jsonl(body: str | bytes, signal: str) -> list[dict[str, Any]]:
     """JSONL payload -> flat rows (one export request per non-empty line)."""
     if isinstance(body, bytes):
-        body = body.decode("utf-8")
+        try:
+            body = body.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise OtlpDecodeError(f"invalid utf-8 in JSONL payload: {e}") from e
     fn = flatten_logs_json if signal == "logs" else flatten_traces_json
     loads = json.loads
     rows: list[dict[str, Any]] = []
@@ -787,7 +790,10 @@ def flatten_metrics_request_json(body: str | bytes):
 def flatten_metrics_request_jsonl(body: str | bytes):
     """JSONL metrics payload -> [(per_type, skipped)] per non-empty line."""
     if isinstance(body, bytes):
-        body = body.decode("utf-8")
+        try:
+            body = body.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise OtlpDecodeError(f"invalid utf-8 in JSONL payload: {e}") from e
     loads = json.loads
     out = []
     for line in body.splitlines():

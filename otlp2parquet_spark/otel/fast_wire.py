@@ -228,9 +228,15 @@ def _attrs(buf: bytes, ranges: list[tuple[int, int]]) -> dict[str, Any]:
 # semantically transparent (differential suites in test_fast_wire.py hold
 # bit-for-bit) and turns the dominant attrs->canonical-JSON decode into a
 # dict hit on repeated blocks. Caches are module-level (they survive across
-# payloads inside one long-lived Spark worker) and bounded: clear-at-cap
-# keeps worst-case memory ~tens of MB and amortizes to O(1) per miss.
-_MEMO_CAP = 1 << 16
+# payloads inside one long-lived Spark worker) and bounded TWO ways: entry
+# count (clear-at-cap, amortized O(1) per miss) AND per-entry key size —
+# slices above _MEMO_MAX_KEY bytes are decoded without caching, because
+# large bodies/attr blocks are exactly the ones least likely to repeat and
+# most able to blow up worker memory (16384 entries x ~2 KiB keys + values
+# bounds each memo at ~tens of MB even adversarially; typical telemetry
+# attr blocks are <300 B).
+_MEMO_CAP = 1 << 14
+_MEMO_MAX_KEY = 2048
 _ATTRS_MEMO: dict[tuple, str] = {}
 _VALUE_MEMO: dict[bytes, str | None] = {}
 
@@ -241,10 +247,10 @@ def _attrs_json_memo(buf: bytes, ranges: list[tuple[int, int]]) -> str:
     The key is (per-range lengths, concatenated payload bytes): the split
     sizes disambiguate range boundaries, so two different range lists can
     never collide on the same key with different decodes."""
-    key = (
-        tuple(e - p for p, e in ranges),
-        b"".join(buf[p:e] for p, e in ranges),
-    )
+    sizes = tuple(e - p for p, e in ranges)
+    if sum(sizes) > _MEMO_MAX_KEY:
+        return _canon(_attrs(buf, ranges))
+    key = (sizes, b"".join(buf[p:e] for p, e in ranges))
     out = _ATTRS_MEMO.get(key)
     if out is None:
         out = _canon(_attrs(buf, ranges))
@@ -256,6 +262,9 @@ def _attrs_json_memo(buf: bytes, ranges: list[tuple[int, int]]) -> str:
 
 def _body_json_memo(buf: bytes, pos: int, end: int) -> str | None:
     """AnyValue body bytes -> canonical JSON (None for empty), memoized."""
+    if end - pos > _MEMO_MAX_KEY:
+        v = _anyvalue(buf, pos, end)
+        return None if v is _EMPTY else _canon(v)
     key = buf[pos:end]
     if key in _VALUE_MEMO:
         return _VALUE_MEMO[key]
@@ -274,6 +283,8 @@ _RESOURCE_MEMO: dict[bytes, tuple] = {}
 def _scope_fields_memo(
     buf: bytes, pos: int, end: int, *, with_attrs: bool = True
 ) -> tuple[str, str | None, str]:
+    if end - pos > _MEMO_MAX_KEY:
+        return _scope_fields(buf, pos, end, with_attrs=with_attrs)
     key = (buf[pos:end], with_attrs)
     out = _SCOPE_MEMO.get(key)
     if out is None:
@@ -284,39 +295,49 @@ def _scope_fields_memo(
     return out
 
 
+def _resource_attr_ranges(buf: bytes, pos: int, end: int) -> list[tuple[int, int]]:
+    attr_ranges: list[tuple[int, int]] = []
+    p, e = pos, end
+    while p < e:
+        t = buf[p]
+        if t < 0x80:
+            p += 1
+        else:
+            t, p = _varint(buf, p, e)
+        if t == 0x0A:
+            r = _len_prefixed(buf, p, e)
+            attr_ranges.append(r)
+            p = r[1]
+        else:
+            p = _skip(buf, p, e, t & 7)
+    return attr_ranges
+
+
+def _resource_fields(buf: bytes, pos: int, end: int) -> tuple:
+    rattrs = _attrs(buf, _resource_attr_ranges(buf, pos, end))
+    service_name = rattrs.pop("service.name", None)
+    service_ns = rattrs.pop("service.namespace", None)
+    service_iid = rattrs.pop("service.instance.id", None)
+    return (
+        service_name,
+        service_ns,
+        service_iid,
+        _canon(rattrs) if rattrs else "{}",
+    )
+
+
 def _resource_fields_memo(
     buf: bytes, pos: int, end: int
 ) -> tuple[str | None, str | None, str | None, str]:
     """Resource message -> (service.name, service.namespace,
     service.instance.id, remaining-attrs canonical JSON), memoized on the
     raw message bytes (one resource serves every record in its block)."""
+    if end - pos > _MEMO_MAX_KEY:
+        return _resource_fields(buf, pos, end)
     key = buf[pos:end]
     out = _RESOURCE_MEMO.get(key)
     if out is None:
-        attr_ranges: list[tuple[int, int]] = []
-        p, e = pos, end
-        while p < e:
-            t = buf[p]
-            if t < 0x80:
-                p += 1
-            else:
-                t, p = _varint(buf, p, e)
-            if t == 0x0A:
-                r = _len_prefixed(buf, p, e)
-                attr_ranges.append(r)
-                p = r[1]
-            else:
-                p = _skip(buf, p, e, t & 7)
-        rattrs = _attrs(buf, attr_ranges)
-        service_name = rattrs.pop("service.name", None)
-        service_ns = rattrs.pop("service.namespace", None)
-        service_iid = rattrs.pop("service.instance.id", None)
-        out = (
-            service_name,
-            service_ns,
-            service_iid,
-            _canon(rattrs) if rattrs else "{}",
-        )
+        out = _resource_fields(buf, pos, end)
         if len(_RESOURCE_MEMO) >= _MEMO_CAP:
             _RESOURCE_MEMO.clear()
         _RESOURCE_MEMO[key] = out
@@ -326,32 +347,24 @@ def _resource_fields_memo(
 _MRES_MEMO: dict[bytes, tuple[str, str]] = {}
 
 
+def _metrics_resource(buf: bytes, pos: int, end: int) -> tuple[str, str]:
+    rattrs = _attrs(buf, _resource_attr_ranges(buf, pos, end))
+    service_name = rattrs.get("service.name", "")
+    return (
+        service_name if isinstance(service_name, str) else "",
+        _canon(rattrs) if rattrs else "{}",
+    )
+
+
 def _metrics_resource_memo(buf: bytes, pos: int, end: int) -> tuple[str, str]:
     """Metrics variant: service.name STAYS in the attrs map (§1.3.6);
     -> (service-or-"", full-attrs canonical JSON), memoized."""
+    if end - pos > _MEMO_MAX_KEY:
+        return _metrics_resource(buf, pos, end)
     key = buf[pos:end]
     out = _MRES_MEMO.get(key)
     if out is None:
-        attr_ranges: list[tuple[int, int]] = []
-        p, e = pos, end
-        while p < e:
-            t = buf[p]
-            if t < 0x80:
-                p += 1
-            else:
-                t, p = _varint(buf, p, e)
-            if t == 0x0A:
-                r = _len_prefixed(buf, p, e)
-                attr_ranges.append(r)
-                p = r[1]
-            else:
-                p = _skip(buf, p, e, t & 7)
-        rattrs = _attrs(buf, attr_ranges)
-        service_name = rattrs.get("service.name", "")
-        out = (
-            service_name if isinstance(service_name, str) else "",
-            _canon(rattrs) if rattrs else "{}",
-        )
+        out = _metrics_resource(buf, pos, end)
         if len(_MRES_MEMO) >= _MEMO_CAP:
             _MRES_MEMO.clear()
         _MRES_MEMO[key] = out

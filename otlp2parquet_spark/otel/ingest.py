@@ -52,6 +52,32 @@ def payload_format(path: str) -> str | None:
     return ext if ext in _FORMATS else None
 
 
+def _landing_scan(
+    spark: SparkSession, path: str, max_payload_bytes: int, size_col, select_cols
+) -> tuple[DataFrame, DataFrame]:
+    """Shared landing-scan construction for both lanes: one place owns the
+    binaryFile options, the format dispatch, and the D4/D3 rejection rules,
+    so the content lane and the locality lane can never drift apart
+    (test_locality_lane_matches_content_lane holds by construction)."""
+    fmt_udf = F.udf(payload_format, StringType())
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(*select_cols, fmt_udf(F.col("path")).alias("fmt"))
+    )
+    # binaryFile yields >= 1 scan partition per payload file, so the
+    # CPU-bound decode already parallelizes across files; no repartition
+    # (shuffling raw payload bytes costs more than it buys — measured).
+    ok = (size_col <= F.lit(max_payload_bytes)) & F.col("fmt").isNotNull()
+    reason = (
+        F.when(F.col("fmt").isNull(), F.lit("unknown format"))
+        .when(size_col > F.lit(max_payload_bytes), F.lit("payload too large"))
+    )
+    return df.filter(ok), df.filter(~ok).select("path", reason.alias("reason"))
+
+
 def read_landing(
     spark: SparkSession,
     path: str,
@@ -63,29 +89,78 @@ def read_landing(
     Returns binaryFile rows (path, content, fmt); `rejected` carries
     oversized payloads (D4: HTTP 413 twin) and unknown-extension files.
     """
-    fmt_udf = F.udf(payload_format, StringType())
-    df = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*")
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .select("path", "content", fmt_udf(F.col("path")).alias("fmt"))
+    return _landing_scan(
+        spark, path, max_payload_bytes, F.length("content"), ("path", "content")
     )
-    # binaryFile yields >= 1 scan partition per payload file, so the
-    # CPU-bound decode already parallelizes across files; no repartition
-    # (shuffling raw payload bytes costs more than it buys — measured).
-    ok = (F.length("content") <= F.lit(max_payload_bytes)) & F.col("fmt").isNotNull()
-    reason = (
-        F.when(F.col("fmt").isNull(), F.lit("unknown format"))
-        .when(F.length("content") > F.lit(max_payload_bytes), F.lit("payload too large"))
+
+
+def read_landing_meta(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_payload_bytes: int = DEFAULT_MAX_PAYLOAD_BYTES,
+) -> tuple[DataFrame, DataFrame]:
+    """Metadata-only landing scan: (path, fmt) rows WITHOUT the payload
+    bytes; the decode kernels open each payload executor-side instead.
+
+    Payload-locality variant of `read_landing` (D1/S4): binaryFile prunes
+    the `content` column when it is never selected, so the scan reads only
+    file statuses, and the payload bytes move straight from storage into
+    the Python worker that decodes them — never through the JVM row
+    channel. Measured on the pb bench protocol the JVM->Python transfer of
+    the payload column is the dominant wall cost once decode is fast
+    (BASELINE.md round 6), and at 100 TB it would double the I/O path.
+    This is the writer's executor-side pyarrow I/O lane in reverse; the
+    size guard (D4) uses binaryFile's `length` metadata (same semantics:
+    pre-decompression byte size)."""
+    accepted, rejected = _landing_scan(
+        spark, path, max_payload_bytes, F.col("length"), ("path", "length")
     )
-    return df.filter(ok), df.filter(~ok).select("path", reason.alias("reason"))
+    return accepted.select("path", "fmt"), rejected
+
+
+def _read_payload_bytes(path: str) -> bytes:
+    """Executor-side payload read for the locality lane. Handles the
+    `file:` URIs binaryFile emits, plain paths, and object-store URIs via
+    the writer's FileSystem resolution (one owner for s3a normalization +
+    credential handling). Read failures (file rotated away between the
+    listing scan and the decode task, transient object-store errors)
+    surface as OtlpDecodeError so on_error="quarantine" keeps its
+    one-payload blast radius."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        if path.startswith("file:"):
+            with open(unquote(urlparse(path).path), "rb") as f:
+                return f.read()
+        if "://" in path:
+            from otlp2parquet_spark.otel.writer import _resolve_fs
+
+            fsys, rel = _resolve_fs(path)
+            with fsys.open_input_stream(rel) as f:
+                return f.read()
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError as e:
+        raise OtlpDecodeError(f"payload read failed: {e}") from e
+
+
+
+def _gunzip(content: bytes) -> bytes:
+    """gzip-decompress with the quarantine contract: corrupted/truncated
+    gzip (crashed uploader) raises OtlpDecodeError, never a bare
+    zlib.error/EOFError that would fail the whole Spark task (round-6
+    review finding — the float({}) guard's sibling)."""
+    try:
+        return gzip.decompress(content)
+    except Exception as e:
+        raise OtlpDecodeError(f"corrupted gzip payload: {e}") from e
 
 
 def _parse_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]]:
     """payload bytes -> list of canonical request dicts (D2/D5/D6/D7)."""
     if content[:2] == b"\x1f\x8b":  # gzip magic (D2)
-        content = gzip.decompress(content)
+        content = _gunzip(content)
     if fmt == "pb":
         return [wire.parse_request_pb(content, signal)]
     if fmt == "json":
@@ -207,7 +282,7 @@ def _flatten_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, An
     (test_fast_flatten.py / test_fast_wire.py); pb metrics keep the
     wire codec + flatten pair."""
     if content[:2] == b"\x1f\x8b":  # gzip magic (D2)
-        content = gzip.decompress(content)
+        content = _gunzip(content)
     if fmt == "pb":
         if signal == "logs":
             return fast_wire.flatten_logs_pb(content)
@@ -234,11 +309,20 @@ def _decode_simple(signal: str, table: str, on_error: str, quarantine_dir: str |
         for batch in batches:
             rows: list[dict[str, Any]] = []
             paths = batch.column("path")
-            contents = batch.column("content")
+            # locality lane (read_landing_meta): no content column shipped —
+            # each payload is read executor-side, storage -> this worker
+            contents = (
+                batch.column("content") if "content" in batch.schema.names else None
+            )
             fmts = batch.column("fmt")
             for i in range(batch.num_rows):
-                content = contents[i].as_py()
+                content = b""
                 try:
+                    content = (
+                        contents[i].as_py()
+                        if contents is not None
+                        else _read_payload_bytes(paths[i].as_py())
+                    )
                     rows.extend(_flatten_payload(content, fmts[i].as_py(), signal))
                 except OtlpDecodeError as e:
                     _handle_decode_error(
@@ -323,7 +407,7 @@ def _flatten_metrics_payload(content: bytes, fmt: str):
     every (signal x format) hot path is single-pass, each differentially
     verified against its two-step authority."""
     if content[:2] == b"\x1f\x8b":  # gzip magic (D2)
-        content = gzip.decompress(content)
+        content = _gunzip(content)
     if fmt == "pb":
         return [fast_wire.flatten_metrics_pb(content)]
     if fmt == "json":
@@ -342,13 +426,20 @@ def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str |
         for batch in batches:
             rows: list[dict[str, Any]] = []
             paths = batch.column("path")
-            contents = batch.column("content")
+            contents = (
+                batch.column("content") if "content" in batch.schema.names else None
+            )
             fmts = batch.column("fmt")
             for i in range(batch.num_rows):
-                content = contents[i].as_py()
                 if decode_counter is not None:
                     decode_counter.add(1)
+                content = b""
                 try:
+                    content = (
+                        contents[i].as_py()
+                        if contents is not None
+                        else _read_payload_bytes(paths[i].as_py())
+                    )
                     for per_type, skipped in _flatten_metrics_payload(content, fmts[i].as_py()):
                         for mtype, trows in per_type.items():
                             for r in trows:

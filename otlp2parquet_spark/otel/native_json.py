@@ -2,7 +2,7 @@
 hard-part 7: "consider the JSONL fast path via native from_json … no Python
 needed").
 
-The general codec (otlp_json.py + flatten.py via mapInPandas) handles every
+The general codec (otlp_json.py + flatten.py via mapInArrow) handles every
 OTLP shape at ~14k rows/s/core of Python. This module decodes the HOT shape —
 log records whose attribute/body values are scalars (string/int/double/bool),
 which is the overwhelming share of real log traffic — entirely with Spark
@@ -341,7 +341,7 @@ def decode_logs_json_auto(lines: DataFrame, line_col: str = "line") -> DataFrame
         F.encode(F.col(line_col), "UTF-8").alias("content"),
         F.lit("json").alias("fmt"),
     )
-    py_raw = py_payloads.mapInPandas(
+    py_raw = py_payloads.mapInArrow(
         ingest._decode_simple("logs", "otel_logs", "raise"),
         schemas.raw_spark_schema("otel_logs"),
     )
@@ -561,7 +561,7 @@ def decode_traces_json_auto(lines: DataFrame, line_col: str = "line") -> DataFra
         F.encode(F.col(line_col), "UTF-8").alias("content"),
         F.lit("json").alias("fmt"),
     )
-    py_raw = py_payloads.mapInPandas(
+    py_raw = py_payloads.mapInArrow(
         ingest._decode_simple("traces", "otel_traces", "raise"),
         schemas.raw_spark_schema("otel_traces"),
     )

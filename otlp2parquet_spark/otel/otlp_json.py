@@ -297,5 +297,8 @@ def parse_request_jsonl(body: str | bytes, signal: str) -> list[dict[str, Any]]:
     """Parse a JSONL payload: one export request per non-empty line
     (reference tests/e2e.rs:44-52; line format scripts/generate_testdata.py)."""
     if isinstance(body, bytes):
-        body = body.decode("utf-8")
+        try:
+            body = body.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise OtlpDecodeError(f"invalid utf-8 in JSONL payload: {e}") from e
     return [parse_request_json(line, signal) for line in body.splitlines() if line.strip()]

@@ -460,3 +460,62 @@ def test_quarantine_requires_dir():
         ingest._handle_decode_error(
             wire.OtlpDecodeError("x"), "quarantine", None, "p", b""
         )
+
+
+def test_locality_lane_matches_content_lane(spark, landing):
+    """read_landing_meta (payload-locality: bytes opened executor-side, no
+    content column through the JVM) must reject exactly what read_landing
+    rejects and decode to IDENTICAL rows."""
+    logs_dir = str(landing / "logs")
+    payloads, rejected = ingest.read_landing(spark, logs_dir)
+    meta, meta_rejected = ingest.read_landing_meta(spark, logs_dir)
+    assert "content" not in meta.columns  # nothing shipped
+    assert sorted(map(tuple, rejected.collect())) == sorted(
+        map(tuple, meta_rejected.collect())
+    )
+    a = sorted(map(tuple, ingest.decode_logs(payloads).collect()), key=repr)
+    b = sorted(map(tuple, ingest.decode_logs(meta).collect()), key=repr)
+    assert a == b and a
+
+
+def test_locality_lane_quarantine_parity(spark, landing, tmp_path):
+    """A malformed payload quarantines identically through both lanes."""
+    bad_dir = tmp_path / "bad-landing"
+    bad_dir.mkdir()
+    shutil.copy(f"{TD}/logs.pb", bad_dir / "good.pb")
+    (bad_dir / "bad.pb").write_bytes(b"\x0a\x03xx")  # truncated message
+    for reader, qname in (
+        (ingest.read_landing, "q_content"),
+        (ingest.read_landing_meta, "q_meta"),
+    ):
+        payloads, _ = reader(spark, str(bad_dir))
+        qdir = str(tmp_path / qname)
+        n = ingest.decode_logs(payloads, on_error="quarantine", quarantine_dir=qdir).count()
+        assert n == 81  # the good payload decoded
+        qfiles = sorted(os.path.basename(p) for p in __import__("glob").glob(f"{qdir}/*"))
+        assert any(f.startswith("bad.pb") and f.endswith(".error.json") for f in qfiles), qfiles
+
+
+def test_corrupt_gzip_and_bad_utf8_quarantine_not_crash(spark, tmp_path):
+    """Round-6 review finding: corrupted gzip (zlib.error/EOFError) and
+    non-UTF-8 JSONL (UnicodeDecodeError) must quarantine the one payload,
+    never escape as a bare exception that fails the whole Spark task —
+    the same contract the float({}) guard enforces for walker errors."""
+    bad_dir = tmp_path / "landing"
+    bad_dir.mkdir()
+    shutil.copy(f"{TD}/logs.pb", bad_dir / "good.pb")
+    (bad_dir / "trunc.pb.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 10)  # corrupt gzip
+    (bad_dir / "bad_utf8.jsonl").write_bytes(b'{"resourceLogs": []}\n\xff\xfe{')
+    payloads, _ = ingest.read_landing(spark, str(bad_dir))
+    qdir = str(tmp_path / "quarantine")
+    n = ingest.decode_logs(payloads, on_error="quarantine", quarantine_dir=qdir).count()
+    assert n == 81  # only the good payload's rows
+    import glob as _glob
+
+    sidecars = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(f"{qdir}/*.error.json")
+    )
+    assert len(sidecars) == 2 and any("trunc" in s for s in sidecars) and any(
+        "bad_utf8" in s for s in sidecars
+    ), sidecars
