@@ -790,3 +790,87 @@ def x4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Token-window length for substring-level dedup. Any repeated passage of
+# >= SUBSTR_W tokens necessarily contains a repeated SUBSTR_W-token window,
+# so window-fingerprint matching anchors every long cross-document repeat
+# (the Spark-scalable re-expression of suffix-array substring dedup:
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better" — the suffix array itself is a shared-memory structure that does
+# not distribute; fixed-W rolling fingerprints shuffle on a uniform hash
+# key instead).
+SUBSTR_W = 8
+
+
+@query(
+    "x2_substring_dedup",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), wins AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[w.i : w.i + {SUBSTR_W} - 1], ' ')) AS win_hash
+      FROM norm, LATERAL (SELECT unnest(range(1, len(toks) - {SUBSTR_W} + 2)) AS i) w
+      WHERE len(toks) >= {SUBSTR_W}
+    ), hashes AS (
+      SELECT win_hash, COUNT(*) AS n_docs FROM wins GROUP BY win_hash
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           ROUND(CAST(SUM(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_fraction
+    FROM wins w JOIN hashes h ON w.win_hash = h.win_hash
+    GROUP BY w.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("X2", "F6", "A1", "J1"),
+)
+def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection via SUBSTR_W-token window
+    fingerprints: for each doc, every distinct W-token window is md5-hashed;
+    a window whose hash occurs in >= 2 distinct docs is a duplicated
+    passage anchor. Output: per-doc window count, duplicated-window count,
+    and duplicated fraction — the doc-level signal the Lee et al. substring
+    dedup pipeline cuts on.
+
+    Scale shape (this is why window fingerprints beat pairwise Jaccard for
+    passage dedup): NO pair generation ever happens. Per-doc windows
+    dedupe map-side (array_distinct before the explode), ONE groupBy on the
+    uniform md5 key counts document frequency, and the join back to the
+    (doc, hash) rows is 1:1 per row — fan-out is linear in total windows
+    regardless of how many docs share a passage, so no df-cap is needed
+    (contrast GRAM_DF_CAP, which bounds the d^2 pair fan-out in
+    x2_ngram_jaccard). At 100 TB: shuffle key is a 128-bit uniform hash
+    (no skew), both shuffles are on win_hash (AQE reuses the exchange), and
+    the final per-doc aggregate rides the doc-partitioned window rows."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok_df = with_tokens(d)
+    n = F.size(F.col("toks"))
+    windows = F.transform(
+        F.sequence(F.lit(1), n - SUBSTR_W + 1),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, SUBSTR_W), " ")),
+    )
+    wins = (
+        tok_df.filter(n >= SUBSTR_W)
+        .select("doc_id", F.explode(F.array_distinct(windows)).alias("win_hash"))
+    )
+    # per-doc windows are already distinct, so count(*) per hash == distinct
+    # doc frequency; merge hint for the same static-underestimate reason as
+    # x1_incremental_dedup (the hash index is O(corpus), never broadcast)
+    hashes = wins.groupBy("win_hash").agg(F.count("*").alias("n_docs"))
+    dup = F.sum((F.col("n_docs") >= 2).cast("bigint"))
+    return (
+        wins.hint("merge")
+        .join(hashes, "win_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            dup.alias("n_dup_windows"),
+            F.round(dup.cast("double") / F.count("*"), 4).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

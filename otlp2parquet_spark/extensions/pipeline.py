@@ -554,3 +554,115 @@ def x6_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cum_tok - n_tok) div 512").alias("chunk_first"),
         ((F.col("cum_tok") - F.col("n_tok")) % 512).alias("chunk_offset"),
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x6_filter_funnel — per-stage retention accounting for the curation funnel
+
+
+@query(
+    "x6_filter_funnel",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             length(text) AS nc,
+             len(string_split({SQL_NORM.format(c='text')}, ' ')) AS nt,
+             len(list_distinct(string_split({SQL_NORM.format(c='text')}, ' ')))
+               AS nd,
+             md5({SQL_NORM.format(c='text')}) AS h
+      FROM documents
+    ), gated AS (
+      SELECT *,
+             (nt >= 30 AND nc >= 200) AS g1,
+             (nt >= 30 AND nc >= 200
+              AND CAST(nd AS DOUBLE) / nt >= 0.5) AS g2,
+             (nt >= 30 AND nc >= 200
+              AND CAST(nd AS DOUBLE) / nt >= 0.5 AND lang = 'en') AS g3
+      FROM feat
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY g3 DESC, doc_id) AS rn
+      FROM gated
+    ), c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN g3 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c4
+      FROM ranked
+    )
+    SELECT s.stage_idx, s.stage, s.n_in, s.n_out,
+           ROUND(CAST(s.n_out AS DOUBLE) / s.n_in, 4) AS kept_frac
+    FROM c, LATERAL (
+      SELECT * FROM (VALUES
+        (1, 'min_length',  c.c0, c.c1),
+        (2, 'repetition',  c.c1, c.c2),
+        (3, 'langid_en',   c.c2, c.c3),
+        (4, 'exact_dedup', c.c3, c.c4)
+      ) AS v(stage_idx, stage, n_in, n_out)
+    ) s
+    ORDER BY s.stage_idx
+    """,
+    tags=("X6", "X4", "X1", "A5"),
+)
+def x6_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel accounting: the sequential quality gates every
+    pretraining pipeline runs (length -> repetition -> language -> exact
+    dedup), reported as per-stage (n_in, n_out, kept_frac) — the loss
+    ledger data teams publish next to a corpus release. A doc is counted
+    into stage k only if it survived stages 1..k-1, so the rows compose
+    into a true funnel.
+
+    Scale shape: all three boolean gates are computed in ONE scan pass
+    (no per-stage re-tokenization); the dedup stage ranks survivors
+    first within each content-hash group (ORDER BY pass DESC, doc_id),
+    so the keeper flag needs no second filtered scan. Total cost: one
+    shuffle (the hash window) + a 5-number aggregate; the stage rows are
+    inline-exploded from the single aggregate row, so nothing about the
+    funnel's output shape grows with the corpus."""
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = F.split(normalized_text(F.col("text")), " ")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("nc"),
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.md5(normalized_text(F.col("text"))).alias("h"),
+    )
+    g1 = (F.col("nt") >= 30) & (F.col("nc") >= 200)
+    g2 = g1 & (F.col("nd").cast("double") / F.col("nt") >= 0.5)
+    g3 = g2 & (F.col("lang") == "en")
+    gated = feat.select("doc_id", "h", g1.alias("g1"), g2.alias("g2"), g3.alias("g3"))
+    w = Window.partitionBy("h").orderBy(F.col("g3").desc(), "doc_id")
+    ranked = gated.withColumn("rn", F.row_number().over(w))
+    c = ranked.agg(
+        F.count("*").alias("c0"),
+        F.sum(F.col("g1").cast("bigint")).alias("c1"),
+        F.sum(F.col("g2").cast("bigint")).alias("c2"),
+        F.sum(F.col("g3").cast("bigint")).alias("c3"),
+        F.sum((F.col("g3") & (F.col("rn") == 1)).cast("bigint")).alias("c4"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage_idx"), F.lit("min_length").alias("stage"),
+                 F.col("c0").alias("n_in"), F.col("c1").alias("n_out")),
+        F.struct(F.lit(2).alias("stage_idx"), F.lit("repetition").alias("stage"),
+                 F.col("c1").alias("n_in"), F.col("c2").alias("n_out")),
+        F.struct(F.lit(3).alias("stage_idx"), F.lit("langid_en").alias("stage"),
+                 F.col("c2").alias("n_in"), F.col("c3").alias("n_out")),
+        F.struct(F.lit(4).alias("stage_idx"), F.lit("exact_dedup").alias("stage"),
+                 F.col("c3").alias("n_in"), F.col("c4").alias("n_out")),
+    )
+    return (
+        c.select(F.inline(stages))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_in",
+            "n_out",
+            F.round(F.col("n_out").cast("double") / F.col("n_in"), 4).alias("kept_frac"),
+        )
+        .orderBy("stage_idx")
+    )
