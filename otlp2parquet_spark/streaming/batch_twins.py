@@ -431,3 +431,99 @@ def t9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "segment", "nation")
         .orderBy("event_id")
     )
+
+
+# T10: gap + count-capped sessionization. Built-in session_window closes a
+# session on idle gap only; metering/packing pipelines ALSO close a segment
+# when it reaches a row budget (bounded state / bounded work units). That
+# composite close rule needs custom per-key sequential state — the live form
+# is applyInPandasWithState (streaming/pipeline.py capped_sessions); this
+# batch twin re-derives identical segments with two stacked window passes
+# over ONE per-user sort.
+CAPPED_SESSION_GAP_US = 600 * 1_000_000
+CAPPED_SESSION_MAX_EVENTS = 20
+
+
+@query(
+    "t10_capped_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER w AS rn,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                           > {CAPPED_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+      SELECT *,
+             MAX(CASE WHEN is_new = 1 THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS sess_first_rn
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS seg_start,
+           MAX(ts) AS seg_last,
+           CAST((rn - sess_first_rn) // {CAPPED_SESSION_MAX_EVENTS} AS BIGINT)
+             AS seg_idx,
+           COUNT(*) AS n_events, """
+    + sql_dsum("value", "seg_value")
+    + """
+    FROM marked
+    GROUP BY user_id, sess_first_rn,
+             (rn - sess_first_rn) // 20
+    ORDER BY user_id, seg_start, seg_idx
+    """,
+    tags=("T10", "W3", "U4"),
+)
+def t10_capped_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap (10 min) + count-cap (20 events) sessionization — event-time twin
+    of the custom stateful streaming operator (capped_sessions,
+    applyInPandasWithState): a segment closes on idle gap OR when it hits
+    the event budget, so per-key state stays bounded no matter how long a
+    key stays hot (the reason metering sinks cap segments at all).
+
+    Scale shape: ONE per-user sort carries every window function (the
+    session flag, the global row number, and the running session-first-rn
+    all share the same partition+order), then segments aggregate on the
+    already-partitioned rows — no second shuffle. At 100 TB user_id is the
+    natural uniform shuffle key; the cap bounds segment row counts, so no
+    aggregate group exceeds CAP rows."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ts is TIMESTAMP_NTZ (events.parquet nanos) — interval arithmetic is the
+    # type-agnostic gap check (unix_micros rejects NTZ)
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr(f"INTERVAL {CAPPED_SESSION_GAP_US // 1_000_000} SECONDS"))
+    ).cast("int")
+    marked = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "sess_first_rn",
+            F.max(F.when(F.col("is_new") == 1, F.col("rn"))).over(run),
+        )
+    )
+    seg_idx = ((F.col("rn") - F.col("sess_first_rn")) / CAPPED_SESSION_MAX_EVENTS).cast(
+        "bigint"
+    )
+    return (
+        marked.withColumn("seg_idx", seg_idx)
+        .groupBy("user_id", "sess_first_rn", "seg_idx")
+        .agg(
+            F.min("ts").alias("seg_start"),
+            F.max("ts").alias("seg_last"),
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), "seg_value"),
+        )
+        .select(
+            "user_id", "seg_start", "seg_last", "seg_idx", "n_events", "seg_value"
+        )
+        .orderBy("user_id", "seg_start", "seg_idx")
+    )

@@ -14,6 +14,7 @@ availableNow must reproduce the batch twin's results exactly).
 | T6 | stateful running count per key    | running_count (applyInPandasWithState) |
 | T7 | foreachBatch partitioned flush    | streaming/ingest.py            |
 | T8 | stream-stream interval join       | attribution_join               |
+| T10| gap+count-capped sessions         | capped_sessions (applyInPandasWithState, event-time timeout) |
 """
 
 from __future__ import annotations
@@ -189,4 +190,121 @@ def enrich_events(stream: DataFrame, dim: DataFrame) -> DataFrame:
     )
     return stream.join(F.broadcast(d), stream.user_id == d.c_custkey).select(
         "event_id", "user_id", "event_type", "segment", "nation"
+    )
+
+
+# --- T10: gap + count-capped sessionization (custom composite close rule) ---
+
+CAPPED_SEG_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("seg_start", TimestampType(), False),
+        StructField("seg_last", TimestampType(), False),
+        StructField("seg_idx", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("seg_value", DoubleType(), False),
+    ]
+)
+
+# open segment: (seg_start_us, last_ts_us, seg_idx, n, value_sum)
+_CAPPED_STATE_SCHEMA = StructType(
+    [
+        StructField("seg_start_us", LongType(), False),
+        StructField("last_ts_us", LongType(), False),
+        StructField("seg_idx", LongType(), False),
+        StructField("n", LongType(), False),
+        StructField("value_sum", DoubleType(), False),
+    ]
+)
+
+_CAPPED_GAP_US = 600 * 1_000_000
+_CAPPED_MAX_EVENTS = 20
+
+
+def capped_sessions(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """T10: sessions close on idle gap (10 min) OR on a 20-event budget —
+    the composite close rule the built-in session_window cannot express
+    (it has no per-session row budget), so this is the genuinely-custom
+    stateful path: applyInPandasWithState with event-time timeout.
+
+    Emission contract (append mode): a segment row is emitted when the
+    segment CLOSES — by cap, by an in-stream gap, or by event-time timeout
+    once the watermark passes last_ts + gap. The oracle-matched batch twin
+    over a closed input is t10_capped_session (batch_twins.py); the
+    property suite replays micro-batched streams and asserts the closed
+    segments match the twin row-for-row.
+
+    State is bounded by construction: ONE open segment (5 scalars) per live
+    key, and the cap means at most 20 events ever accumulate into it — the
+    operational reason metering sinks cap segments. At 100 TB state is
+    hash-partitioned by user_id across the cluster's state stores."""
+
+    def close_row(key: int, st: tuple) -> dict:
+        start_us, last_us, seg_idx, n, vsum = st
+        return {
+            "user_id": key,
+            "seg_start": pd.Timestamp(start_us, unit="us"),
+            "seg_last": pd.Timestamp(last_us, unit="us"),
+            "seg_idx": int(seg_idx),
+            "n_events": int(n),
+            "seg_value": float(round(vsum, 4)),
+        }
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        closed: list[dict] = []
+        if state.hasTimedOut:
+            if state.exists and state.get[3] > 0:  # anchors (n==0) expire silently
+                closed.append(close_row(user, state.get))
+            state.remove()
+            if closed:
+                yield pd.DataFrame(closed)
+            return
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                rows.append((int(pd.Timestamp(ts).value // 1000), int(eid), float(val)))
+        rows.sort()
+        # state encodes either an OPEN segment (n > 0) or, after a cap
+        # close, a CONTINUATION ANCHOR (n == 0): the session is still alive
+        # at last_ts_us and the next in-gap event starts seg_idx — so the
+        # gap rule and the seg_idx chain survive the close. Either way the
+        # state is 5 scalars.
+        st = state.get if state.exists else None
+        for ts_us, _eid, val in rows:
+            if st is not None and ts_us - st[1] > _CAPPED_GAP_US:
+                if st[3] > 0:
+                    closed.append(close_row(user, st))
+                st = None  # anchor beyond the gap expires silently
+            if st is None:
+                st = (ts_us, ts_us, 0, 1, val)
+            elif st[3] == 0:  # consume the continuation anchor
+                st = (ts_us, ts_us, st[2], 1, val)
+            else:
+                st = (st[0], ts_us, st[2], st[3] + 1, st[4] + val)
+            if st[3] >= _CAPPED_MAX_EVENTS:
+                closed.append(close_row(user, st))
+                st = (st[1], st[1], st[2] + 1, 0, 0.0)
+        if st is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(st)
+            # flush (or expire the anchor) once event time passes last + gap
+            state.setTimeoutTimestamp((st[1] + _CAPPED_GAP_US) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CAPPED_SEG_SCHEMA,
+            stateStructType=_CAPPED_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

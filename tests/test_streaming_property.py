@@ -231,3 +231,103 @@ def test_t5_cross_batch_duplicates_collapse(spark, stream_root, batches, dup_cou
     ).collect()[0]
     total_unique = sum(len(b) for b in batches)
     assert res.n == res.c == total_unique
+
+
+# --- T10: capped_sessions (gap + count-cap, applyInPandasWithState) --------
+
+_T10_GAP_S = 600
+_T10_CAP = 20
+_T10_SENTINEL_USER = 999
+
+# ordered arrival: capped_sessions folds events in arrival order per key, so
+# the generator emits time-sorted batches (the no-late-data regime; late
+# rows are the watermark tests' concern, not the session fold's)
+_t10_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2400),  # seconds — spans > gap
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _t10_model(rows):
+    """Independent sequential fold of the t10 close rule: per user in
+    (ts, eid) order, close on gap > 600 s or on the 20-event cap (cap close
+    keeps the session alive: next in-gap event continues at seg_idx + 1).
+    Returns the closed+flushed segment multiset."""
+    per_user: dict[int, list] = {}
+    for ts_us, eid, user, val in rows:
+        per_user.setdefault(user, []).append((ts_us, eid, val))
+    out = []
+    for user, evs in per_user.items():
+        evs.sort()
+        st_ = None  # (start, last, seg_idx, n, vsum)
+        for ts_us, _eid, val in evs:
+            if st_ is not None and ts_us - st_[1] > _T10_GAP_S * 1_000_000:
+                if st_[3] > 0:
+                    out.append((user, st_[0], st_[1], st_[2], st_[3], round(st_[4], 4)))
+                st_ = None
+            if st_ is None:
+                st_ = (ts_us, ts_us, 0, 1, float(val))
+            elif st_[3] == 0:
+                st_ = (ts_us, ts_us, st_[2], 1, float(val))
+            else:
+                st_ = (st_[0], ts_us, st_[2], st_[3] + 1, st_[4] + val)
+            if st_[3] >= _T10_CAP:
+                out.append((user, st_[0], st_[1], st_[2], st_[3], round(st_[4], 4)))
+                st_ = (st_[1], st_[1], st_[2] + 1, 0, 0.0)
+        if st_ is not None and st_[3] > 0:  # end-of-stream flush (timeout)
+            out.append((user, st_[0], st_[1], st_[2], st_[3], round(st_[4], 4)))
+    return sorted(out)
+
+
+@given(rows=_t10_rows)
+@settings(max_examples=6, deadline=None)
+def test_t10_capped_sessions_match_sequential_model(spark, stream_root, rows):
+    # arrival order == (ts, eid) order: sort, then assign eids, then chunk
+    rows = sorted((off, user, val) for off, user, val in rows)
+    tagged = [
+        (BASE_US + off * 1_000_000, eid, user, float(val))
+        for eid, (off, user, val) in enumerate(rows)
+    ]
+    chunks = [tagged[i : i + 25] for i in range(0, len(tagged), 25)]
+    # two sentinel batches: the first advances the watermark far past every
+    # real session, the second triggers the (next-batch) timeout sweep
+    far = BASE_US + 10**12
+    for k in range(2):
+        chunks.append([(far + k * 1_000_000, 10**6 + k, _T10_SENTINEL_USER, 0.0)])
+    batches = [
+        [((ts - BASE_US) // 1_000_000, user, val) for ts, _eid, user, val in ch]
+        for ts_chunks in [chunks]
+        for ch in ts_chunks
+    ]
+    d = _write_stream_dir(stream_root, batches)
+    name = "prop_t10_" + os.path.basename(d)[:8]
+    _drain(P.capped_sessions(_stream(spark, d), "10 seconds"), name, "append")
+    # naive datetimes in the session timezone: take deltas from the
+    # same-timezone base (the t4 test's idiom)
+    import datetime as _dt
+
+    base_dt = _dt.datetime.fromtimestamp(
+        BASE_US // 1_000_000, _dt.timezone.utc
+    ).replace(tzinfo=None)
+
+    def _us(dtv) -> int:
+        return BASE_US + int((dtv - base_dt).total_seconds() * 1_000_000)
+
+    got = [
+        (
+            r["user_id"],
+            _us(r["seg_start"]),
+            _us(r["seg_last"]),
+            r["seg_idx"],
+            r["n_events"],
+            round(r["seg_value"], 4),
+        )
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["user_id"] != _T10_SENTINEL_USER
+    ]
+    assert sorted(got) == _t10_model(tagged)
