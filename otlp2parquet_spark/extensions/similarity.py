@@ -664,3 +664,196 @@ def kmeans_iterate(
             break
     final = assign_round(cents).select("vec_id", "cluster_id", "sim")
     return final, cents, rounds
+
+
+# ---------------------------------------------------------------------------
+# x3_pq_ann — product-quantization ANN (ADC shortlist + exact re-rank)
+
+_PQ_DIM = 64  # embeddings table contract (TESTDATA fixed dim)
+_PQ_M = 4  # subspaces
+_PQ_SUB = _PQ_DIM // _PQ_M
+_PQ_K = 16  # codes per subspace -> 4 bytes/vector
+_PQ_SHORTLIST = 100  # = 10x the final top-k, the standard ADC re-rank depth
+# (measured on the driver testdata: recall@10 0.70 at 50, 0.86 at 100)
+_PQ_TOPK = 10
+_PQ_NQ = 5  # query set: vec_id < 5 (the x3 family convention)
+
+
+def _l2_sq(a: Column, b: Column) -> Column:
+    """Sum of squared differences, fixed left-to-right double fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): the corpus reshaped to M subvectors per vector —
+    a map-side explode, no shuffle."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.transform(
+                    F.slice(F.col("embedding"), m * _PQ_SUB + 1, _PQ_SUB),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    return e.select("vec_id", F.explode(parts).alias("p")).select(
+        "vec_id", F.col("p.m").alias("m"), F.col("p.sub").alias("sub")
+    )
+
+
+def _pq_best_code(cents: Column, sub: Column) -> Column:
+    """Map-only argmin over the broadcast codebook: distances for all K
+    codes via a transform HOF, min by (d2, code) struct ordering — no
+    per-code row fan-out, no window shuffle. This is the posture that
+    matters at 100 TB: ENCODE touches every corpus vector, so it must be
+    narrow; the n x K x M blow-up-then-window alternative shuffles 64x
+    the corpus row count."""
+    return F.array_min(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                _l2_sq(c.getField("cent"), sub).alias("d2"),
+                c.getField("code").alias("code"),
+            ),
+        )
+    ).getField("code")
+
+
+def pq_codebook(subs: DataFrame) -> DataFrame:
+    """Per-subspace K-code codebook: init = the first K vectors' subvectors
+    (vec_id order), ONE Lloyd refinement round under L2. The centroid
+    update uses the x3_kmeans integer-grid trick (quantize to 1e-4, sum
+    BIGINTs, one division) so the codebook is bit-deterministic across
+    partial-agg orders — and with it every code, ADC score, and shortlist.
+
+    Returns (m, cents: array<struct<code,cent>>) — M rows, broadcast-sized
+    (M*K*SUB doubles) regardless of corpus size."""
+    init = (
+        subs.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            "m", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("cent")
+        )
+    )
+    cb0 = init.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cent"))).alias("cents")
+    )
+    a1 = subs.join(F.broadcast(cb0), "m").select(
+        "m", "sub", _pq_best_code(F.col("cents"), F.col("sub")).alias("code")
+    )
+    dims = (
+        a1.select(
+            "m",
+            "code",
+            F.posexplode("sub").alias("pos", "v"),
+        )
+        .select(
+            "m",
+            "code",
+            "pos",
+            F.floor(F.col("v") * 10000.0 + 0.5).cast("long").alias("qv"),
+        )
+        .groupBy("m", "code", "pos")
+        .agg((F.sum("qv") / (F.count("*") * 10000.0)).alias("c"))
+    )
+    cents1 = dims.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cent")
+    )
+    return cents1.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cent"))).alias("cents")
+    )
+
+
+@query(
+    "x3_pq_ann",
+    oracle=None,  # approximate shortlist -> rows-only; quality + determinism gated in tests
+    tags=("X3", "U1", "J5", "W6"),
+)
+def x3_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace 16-code
+    codebooks compress each vector to M=4 code bytes; queries scan the
+    compressed corpus with an additive lookup table (ADC), keep a
+    100-candidate shortlist, and exact re-rank the shortlist to a final
+    L2 top-10 — the memory-bound ANN design point (codes are 4 bytes vs
+    512: a ~128x smaller scan than raw vectors).
+
+    Determinism: codebooks via the integer-grid Lloyd update, ADC scores
+    summed as 1e-4-quantized BIGINTs (order-free), every argmin/rank
+    tie-broken by id — two runs produce identical rows.
+
+    Scale shape: codebook + query LUT are broadcast (M*K and Q*M*K rows);
+    ENCODE is map-only over the corpus (argmin HOF, no fan-out); the ADC
+    scan shuffles only (q_id, vec_id, partial-sum) skinny rows with
+    map-side combine; the exact re-rank touches Q*SHORTLIST full vectors
+    — the only place raw vectors move. At 100 TB the codes table is the
+    persisted artifact (bucketed by vec_id) and re-encode happens only on
+    codebook refresh."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    subs = pq_subvectors(e)
+    cb = pq_codebook(subs)
+    codes = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", _pq_best_code(F.col("cents"), F.col("sub")).alias("code")
+    )
+    q = subs.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("m").alias("qm"), F.col("sub").alias("q_sub")
+    )
+    lut = (
+        q.join(F.broadcast(cb), q.qm == F.col("m"))
+        .select(
+            "q_id",
+            "m",
+            "q_sub",
+            F.explode("cents").alias("ce"),
+        )
+        .select(
+            "q_id",
+            "m",
+            F.col("ce.code").alias("code"),
+            F.floor(_l2_sq(F.col("ce.cent"), F.col("q_sub")) * 10000.0 + 0.5)
+            .cast("long")
+            .alias("d2q"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc"))
+    )
+    w_short = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    shortlist = (
+        adc.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= _PQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    q_full = e.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rerank = (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q_full), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2_sq(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.transform(F.col("q_emb"), lambda x: x.cast("double")),
+            ).alias("l2_sq"),
+        )
+    )
+    w_final = Window.partitionBy("q_id").orderBy("l2_sq", "neighbor_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("q_id", "neighbor_id", F.round("l2_sq", 4).alias("l2_sq"), "rank")
+        .orderBy("q_id", "rank")
+    )

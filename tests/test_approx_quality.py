@@ -394,3 +394,50 @@ def test_knn_join_bucketed_near_tie_band_past_screen_cut(spark, tmp_path):
         for r in SPECS["x3_knn_join_bucketed"].build(spark, sf_dir).collect()
     }
     assert exact and bucketed == exact
+
+
+def test_pq_ann_recall_vs_exact_l2(spark):
+    """x3_pq_ann (ADC shortlist 100 -> exact re-rank top-10): recall@10 vs
+    exact brute-force L2 top-10 must be >= 0.8 — the re-rank makes every
+    HIT's reported l2_sq exact, so hits must also carry the exact distance
+    and the exact rank ORDER (a wrong ADC would both lose recall and
+    scramle nothing it keeps)."""
+    from otlp2parquet_spark.extensions.similarity import _l2_sq
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    asd = lambda c: F.transform(c, lambda x: x.cast("double"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy("l2_sq", "neighbor_id")
+    exact_df = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2_sq(asd(F.col("embedding")), asd(F.col("q_emb"))).alias("l2_sq"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    exact = {(r.q_id, r.neighbor_id): round(r.l2_sq, 4) for r in exact_df.collect()}
+    approx = {
+        (r.q_id, r.neighbor_id): r.l2_sq
+        for r in SPECS["x3_pq_ann"].build(spark, SF_ORACLE).collect()
+    }
+    assert exact, "exact baseline empty"
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.8, f"PQ recall@10 = {recall:.2f} < 0.8"
+    for k in hits:  # re-ranked distances are exact, not ADC approximations
+        assert exact[k] == approx[k], (k, exact[k], approx[k])
+
+
+def test_pq_ann_deterministic(spark):
+    """Integer-grid codebooks + BIGINT ADC sums: two independent builds
+    must produce byte-identical rows (the rows-only determinism contract)."""
+    a = sorted(map(tuple, SPECS["x3_pq_ann"].build(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, SPECS["x3_pq_ann"].build(spark, SF_ORACLE).collect()))
+    assert a == b
