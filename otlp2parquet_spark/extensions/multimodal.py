@@ -906,3 +906,122 @@ def x5_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata from the synthesis formulas, so a wrong parser, a wrong
     dispatch, or a dropped modality breaks the hash match."""
     return decode_media_meta(media_meta_table(spark, sf_dir)).orderBy("media_id")
+
+
+# --- real decode: WAV frame CONTENT (not just headers) ---------------------
+# x5_wav_meta proves header parsing; this op proves the decoder reads the
+# PCM frames themselves: per-file int16 sample statistics, all integer-exact
+# (sum of squares, peak, sign-change count), so the DuckDB oracle can
+# re-derive them by reconstructing the byte stream from the synthesis
+# formula (sha256 hex -> repeated -> little-endian int16 pairs) WITHOUT any
+# audio code — a wrong endianness, offset, or frame count in the Python
+# decoder breaks the hash match.
+
+WAV_FEAT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_vals", LongType(), True),
+        StructField("energy_sumsq", LongType(), True),
+        StructField("peak_abs", IntegerType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL frame decode: parse RIFF/WAVE with stdlib `wave`, interpret the
+    frame bytes as interleaved little-endian int16, and emit integer-exact
+    sample statistics (energy = sum v^2 as int64, peak |v|, zero crossings
+    with sign(v) := v >= 0). Malformed payloads null out (D25 posture)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "n_vals": [],
+                "energy_sumsq": [],
+                "peak_abs": [],
+                "zero_crossings": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    with wave.open(io.BytesIO(bytes(payload or b"")), "rb") as w:
+                        if w.getsampwidth() != 2:
+                            raise ValueError("non-16-bit pcm")
+                        frames = w.readframes(w.getnframes())
+                    v = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                    if v.size == 0:
+                        raise ValueError("empty frame stream")
+                    nonneg = v >= 0
+                    out["n_vals"].append(int(v.size))
+                    out["energy_sumsq"].append(int(np.sum(v * v)))
+                    out["peak_abs"].append(int(np.max(np.abs(v))))
+                    out["zero_crossings"].append(
+                        int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+                    )
+                except (wave.Error, EOFError, ValueError):
+                    for k in ("n_vals", "energy_sumsq", "peak_abs", "zero_crossings"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=WAV_FEAT_SCHEMA)
+
+
+@query(
+    "x5_audio_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             (100 + doc_id % 900) * (1 + doc_id % 2) AS n_vals,
+             sha256(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE doc_id % 3 = 1
+    ), hexes AS (
+      SELECT doc_id, n_vals,
+             substr(repeat(h, CAST((n_vals * 4 + 63) // 64 AS INT)),
+                    1, n_vals * 4) AS hx
+      FROM params
+    ), samples AS (
+      SELECT doc_id, i.i AS idx,
+             (strpos('0123456789abcdef', substr(hx, 4*(i.i-1)+3, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(hx, 4*(i.i-1)+4, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(hx, 4*(i.i-1)+1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4*(i.i-1)+2, 1)) - 1) AS u
+      FROM hexes, LATERAL (SELECT unnest(range(1, n_vals + 1)) AS i) i
+    ), signed_s AS (
+      SELECT doc_id, idx,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM samples
+    ), lagged AS (
+      SELECT doc_id, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+      FROM signed_s
+    )
+    SELECT doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy_sumsq,
+           CAST(MAX(ABS(v)) AS INT) AS peak_abs,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ((v >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings
+    FROM lagged
+    GROUP BY doc_id
+    ORDER BY media_id
+    """,
+    tags=("X5", "U4", "A6"),
+)
+def x5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FRAME-content features with a real decode path: the fixture's
+    genuine WAV containers are decoded (stdlib wave + numpy int16 view)
+    and reduced to integer-exact per-file statistics; the oracle
+    reconstructs the same int16 stream in pure SQL from the synthesis
+    formula (sha256 hex repeated, little-endian pairs, two's complement),
+    so the decoder's frame math is pinned end-to-end, not just headers.
+
+    Scale shape: identical to every x5 lane — Arrow-batched mapInPandas
+    over the payload column, one narrow pass, per-file reduction inside
+    the kernel (nothing per-sample ever leaves the worker)."""
+    return decode_wav_features(wav_media_table(spark, sf_dir)).orderBy("media_id")
