@@ -32,6 +32,9 @@ from otlp2parquet_spark.session import get_spark
 # r4 adds the X6 family + x2_dedup_clusters so the newest operators are
 # visible to round-over-round regression tracking (judge ask #9; BASELINE.md
 # notes the one-time suite-total reset this causes).
+# r6 adds x2_substring_dedup + x3_pq_ann (another small suite-total bump;
+# the stable cross-round comparables remain the 18-query pre-r4 subtotal
+# and the 28-query r4/r5 shared subtotal).
 HEADLINE = [
     "a1_tpch_q1",
     "p1_project_compute",
@@ -49,6 +52,8 @@ HEADLINE = [
     "x2_minhash_lsh",
     "x2_embedding_neardup",
     "x2_dedup_clusters",
+    "x2_substring_dedup",  # r6: passage-level window-fingerprint dedup
+    "x3_pq_ann",  # r6: PQ compress + ADC shortlist + exact re-rank
     "x3_cosine_topk",
     "x3_kmeans",
     "x3_knn_join",

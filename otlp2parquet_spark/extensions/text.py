@@ -364,3 +364,107 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x4_pii_scrub — PII detection + redaction (emails / IPv4 / phone-shaped)
+
+# Patterns restricted to the RE2-compatible subset (no lookaround, no
+# backreferences) so Spark's Java regex engine and DuckDB's RE2 agree
+# character-for-character — the same constraint normalized_text lives under.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+# The driver corpus carries no PII, so the fixture lane injects synthetic
+# identifiers deterministically from doc_id (the x5 synthesis pattern:
+# both engines derive the identical input from the same formula, then the
+# operator under test — the regex scrub — runs for real on both sides).
+_PII_SQL_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    "          || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)"
+    "          || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+)
+
+
+@query(
+    "x4_pii_scrub",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id, {_PII_SQL_TEXT} AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
+    FROM pii
+    ORDER BY doc_id
+    """,
+    tags=("X4", "P3", "F1"),
+)
+def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every pretraining pipeline runs
+    before release: detect and replace email / IPv4 / phone-shaped spans,
+    reporting per-doc match counts plus an md5 of the scrubbed text (so
+    the oracle pins the EXACT redacted output, not just the counts; a
+    regex-dialect divergence between engines breaks the hash).
+
+    The corpus carries no organic PII, so identifiers are injected
+    deterministically from doc_id (the x5 fixture pattern) — the scrub
+    itself runs for real, on both engines, over identical inputs.
+
+    Scale shape: map-only — three regexp_replace passes fused into one
+    projection over the scan; no shuffle, no UDF. At 100 TB this is the
+    cheapest operator class there is (the regex engine is the only cost,
+    same as normalized_text)."""
+    d = spread(T(spark, sf_dir, "documents"))
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                F.lit("-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(t, F.lit(_PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).alias("n_phone"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    ).orderBy("doc_id")
