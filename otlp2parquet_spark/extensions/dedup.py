@@ -15,7 +15,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otlp2parquet_spark.queries.registry import T, query
@@ -839,14 +839,14 @@ def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (this is why window fingerprints beat pairwise Jaccard for
     passage dedup): NO pair generation ever happens. Per-doc windows
-    dedupe map-side (array_distinct before the explode), ONE groupBy on the
-    uniform md5 key counts document frequency, and the join back to the
-    (doc, hash) rows is 1:1 per row — fan-out is linear in total windows
+    dedupe map-side (array_distinct before the explode); document frequency
+    per hash is an unordered window count over the win_hash partition —
+    ONE shuffle on a uniform 128-bit key, no join, no second read of the
+    tokenize+hash subtree; fan-out stays linear in total windows
     regardless of how many docs share a passage, so no df-cap is needed
     (contrast GRAM_DF_CAP, which bounds the d^2 pair fan-out in
-    x2_ngram_jaccard). At 100 TB: shuffle key is a 128-bit uniform hash
-    (no skew), both shuffles are on win_hash (AQE reuses the exchange), and
-    the final per-doc aggregate rides the doc-partitioned window rows."""
+    x2_ngram_jaccard). The final per-doc aggregate rides the already
+    shuffled window rows."""
     d = spread(T(spark, sf_dir, "documents"))
     tok_df = with_tokens(d)
     n = F.size(F.col("toks"))
@@ -858,15 +858,17 @@ def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_df.filter(n >= SUBSTR_W)
         .select("doc_id", F.explode(F.array_distinct(windows)).alias("win_hash"))
     )
-    # per-doc windows are already distinct, so count(*) per hash == distinct
-    # doc frequency; merge hint for the same static-underestimate reason as
-    # x1_incremental_dedup (the hash index is O(corpus), never broadcast)
-    hashes = wins.groupBy("win_hash").agg(F.count("*").alias("n_docs"))
+    # per-doc windows are already distinct, so a plain count over the hash
+    # partition == the hash's distinct document frequency. An unordered
+    # window count needs ONE shuffle on win_hash and re-reads nothing —
+    # the groupBy+join-back alternative re-executes the tokenize+hash
+    # subtree for the second join input (Spark does no CSE across join
+    # branches; the r4 plan-audit bug class).
+    w_hash = Window.partitionBy("win_hash")
+    wins = wins.withColumn("n_docs", F.count("*").over(w_hash))
     dup = F.sum((F.col("n_docs") >= 2).cast("bigint"))
     return (
-        wins.hint("merge")
-        .join(hashes, "win_hash")
-        .groupBy("doc_id")
+        wins.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),
             dup.alias("n_dup_windows"),

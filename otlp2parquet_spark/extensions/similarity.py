@@ -798,7 +798,9 @@ def x3_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted artifact (bucketed by vec_id) and re-encode happens only on
     codebook refresh."""
     e = spread(T(spark, sf_dir, "embeddings"))
-    subs = pq_subvectors(e)
+    # one materialization feeds codebook training, encode, and the query
+    # slice (three consumers; Spark does no CSE across plan branches)
+    subs = pq_subvectors(e).localCheckpoint(eager=False)
     cb = pq_codebook(subs)
     codes = subs.join(F.broadcast(cb), "m").select(
         "vec_id", "m", _pq_best_code(F.col("cents"), F.col("sub")).alias("code")

@@ -790,6 +790,40 @@ def a7_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a8_sketch_distinct",
+    oracle=None,  # HLL++ estimates are engine-specific; error + determinism gated in tests
+    tags=("A8", "A2"),
+)
+def a8_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting: approx_count_distinct (HLL++,
+    rsd 0.02) next to the exact count, with the relative error surfaced —
+    the cardinality-estimation surface every OLAP engine ships for the
+    regime where exact COUNT(DISTINCT) no longer fits (at 100 TB the
+    exact form is a full shuffle of the distinct keys; the sketch is a
+    fixed ~KB-per-group merge, map-side combinable and mergeable across
+    partitions/epochs in any order).
+
+    Rows-only in the driver harness (the estimate is engine-specific);
+    the error gate (<= 3 * rsd) and two-run determinism (HLL++ register
+    merge is commutative) are pinned in test_approx_quality."""
+    li = T(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("n_approx"),
+    )
+    return out.select(
+        "l_returnflag",
+        "n_exact",
+        "n_approx",
+        F.round(
+            F.abs(F.col("n_approx") - F.col("n_exact")).cast("double")
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    ).orderBy("l_returnflag")
+
+
 # ===========================================================================
 # W group — window functions
 # ===========================================================================

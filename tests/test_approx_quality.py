@@ -441,3 +441,17 @@ def test_pq_ann_deterministic(spark):
     a = sorted(map(tuple, SPECS["x3_pq_ann"].build(spark, SF_ORACLE).collect()))
     b = sorted(map(tuple, SPECS["x3_pq_ann"].build(spark, SF_ORACLE).collect()))
     assert a == b
+
+
+def test_sketch_distinct_error_and_determinism(spark):
+    """a8_sketch_distinct: HLL++ (rsd 0.02) relative error must stay within
+    3x the configured rsd on every group, and two runs must agree exactly
+    (register merge is commutative — partial-agg order cannot change the
+    estimate)."""
+    a = sorted(map(tuple, SPECS["a8_sketch_distinct"].build(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, SPECS["a8_sketch_distinct"].build(spark, SF_ORACLE).collect()))
+    assert a == b
+    assert a, "no groups"
+    for _flag, n_exact, _n_approx, rel_err in a:
+        assert n_exact > 0
+        assert rel_err <= 0.06, (a,)

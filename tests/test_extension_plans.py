@@ -129,6 +129,11 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "stream branches the same way)",
     "x5_media_meta": "three disjoint doc_id%3 slices, one per modality "
     "synth fixture (wav/png/avi) unioned into the mixed corpus",
+    "x3_pq_ann": "subvector frame is checkpointed once for train/encode/"
+    "query; the two remaining raw-vector scans are the exact re-rank "
+    "(broadcast-shortlist-filtered corpus) and the 5-query slice — two "
+    "genuine roles, kept as scans because the ADC pipeline deliberately "
+    "never carries raw vectors",
 }
 
 
