@@ -688,8 +688,22 @@ def avi_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _avi_chunk(b"avih", avih)
                     + _avi_list(b"strl", _avi_chunk(b"strh", strh)),
                 )
-                frame = hashlib.sha256(str(doc_id).encode()).digest()
-                movi = _avi_list(b"movi", _avi_chunk(b"00dc", frame))
+                # one REAL '00dc' chunk per declared frame (avih count and
+                # the movi stream agree); each frame body is the 64-byte
+                # ascii sha256 hex of "doc_id:idx" so the demux oracle can
+                # reproduce it in pure SQL (x5_video_frames)
+                movi = _avi_list(
+                    b"movi",
+                    b"".join(
+                        _avi_chunk(
+                            b"00dc",
+                            hashlib.sha256(
+                                f"{doc_id}:{i}".encode()
+                            ).hexdigest().encode(),
+                        )
+                        for i in range(n_frames)
+                    ),
+                )
                 body = b"AVI " + hdrl + movi
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
@@ -1025,3 +1039,106 @@ def x5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the payload column, one narrow pass, per-file reduction inside
     the kernel (nothing per-sample ever leaves the worker)."""
     return decode_wav_features(wav_media_table(spark, sf_dir)).orderBy("media_id")
+
+
+# --- real decode: AVI frame DEMUX (per-frame 1->N extraction) --------------
+# x5_avi_meta proves the header walk; this op proves the movi STREAM walk:
+# every '..dc' video chunk is extracted as its own row — the real form of
+# frame sampling over a video container (x5_frame_sample remains the
+# generic-binary fallback; only pixel DECODE of the extracted frames stays
+# env-gated, there is no codec in-container).
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_len", LongType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def parse_avi_frames(payload: bytes) -> list[bytes]:
+    """Walk the RIFF chunk tree to the movi LIST and return the video
+    ('..dc') chunk bodies in stream order. Raises ValueError on a
+    malformed container (RIFF spec: [fourcc][u32 size][data][pad-to-even])."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    frames: list[bytes] = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) < size:
+            raise ValueError("truncated chunk")
+        if fourcc == b"LIST" and data[:4] == b"movi":
+            p = 4
+            while p + 8 <= len(data):
+                fc = data[p : p + 4]
+                sz = int.from_bytes(data[p + 4 : p + 8], "little")
+                body = data[p + 8 : p + 8 + sz]
+                if len(body) < sz:
+                    raise ValueError("truncated movi chunk")
+                if fc[2:4] == b"dc":
+                    frames.append(body)
+                p += 8 + sz + (sz & 1)
+        pos += 8 + size + (size & 1)
+    return frames
+
+
+def decode_avi_frames(media: DataFrame) -> DataFrame:
+    """REAL 1->N demux kernel: each payload explodes into one row per video
+    frame chunk (index, byte length, content md5). Malformed containers
+    contribute ZERO rows — for an extraction operator the quarantine
+    posture is drop-the-file, not a null row per absent frame (the file's
+    absence is visible as a missing media_id, which the accounting ops
+    surface)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = parse_avi_frames(bytes(payload or b""))
+                except ValueError:
+                    continue
+                for i, body in enumerate(frames):
+                    rows["media_id"].append(int(media_id))
+                    rows["frame_idx"].append(i)
+                    rows["frame_len"].append(len(body))
+                    rows["frame_md5"].append(hashlib.md5(body).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
+
+
+@query(
+    "x5_video_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           i.i AS frame_idx,
+           CAST(64 AS BIGINT) AS frame_len,
+           md5(sha256(CAST(doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)))
+             AS frame_md5
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, 10 + doc_id % 90)) AS i) i
+    WHERE doc_id % 3 = 2
+    ORDER BY media_id, frame_idx
+    """,
+    tags=("X5", "U4", "F6"),
+)
+def x5_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame demux with a REAL movi-stream walk: the fixture's AVI
+    containers carry their declared frame count as genuine '00dc' chunks,
+    and the kernel re-extracts every one (1->N explode inside the Arrow
+    batch); the oracle reproduces each frame's md5 from the synthesis
+    formula in pure SQL, so chunk offsets, pad bytes, stream order and
+    frame boundaries are all pinned by the hash match.
+
+    Scale shape: map-only mapInPandas, 1->N inside the kernel — the same
+    posture as every x5 lane; at 100 TB frames land partitioned by
+    media_id for downstream (env-gated) pixel decode."""
+    return decode_avi_frames(avi_media_table(spark, sf_dir)).orderBy(
+        "media_id", "frame_idx"
+    )

@@ -455,3 +455,28 @@ def test_sketch_distinct_error_and_determinism(spark):
     for _flag, n_exact, _n_approx, rel_err in a:
         assert n_exact > 0
         assert rel_err <= 0.06, (a,)
+
+
+def test_video_frame_demux_is_real_and_drops_malformed(spark):
+    """x5_video_frames must actually walk the movi stream: an intact file
+    yields exactly its declared frame count (avih agreement), and breaking
+    the RIFF signature drops the file's rows entirely (extraction
+    quarantine = zero rows, not nulls)."""
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.extensions.multimodal import (
+        avi_media_table,
+        decode_avi_frames,
+    )
+
+    media = avi_media_table(spark, SF_ORACLE)
+    one = media.orderBy("media_id").limit(1)
+    mid = one.collect()[0]["media_id"]
+    got = decode_avi_frames(one).collect()
+    assert len(got) == 10 + mid % 90
+    assert all(r["frame_len"] == 64 for r in got)
+
+    corrupted = one.withColumn(
+        "payload", F.concat(F.lit(b"JUNK"), F.expr("substring(payload, 5)"))
+    )
+    assert decode_avi_frames(corrupted).count() == 0
