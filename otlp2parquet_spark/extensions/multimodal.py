@@ -618,7 +618,8 @@ def x5_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # modality's container metadata — frame geometry, frame count, frame rate
 # from the 'avih' main header — parses with stdlib struct. The fixture
 # synthesizes spec-valid RIFF/AVI containers (hdrl LIST with avih + strl,
-# movi LIST with one junk frame); only the lossy FRAME PIXEL decode
+# movi LIST carrying the declared frame count as real '00dc' chunks —
+# x5_video_frames demuxes them); only the lossy FRAME PIXEL decode
 # remains environment-gated (no video codecs in-container).
 
 AVI_META_SCHEMA = StructType(

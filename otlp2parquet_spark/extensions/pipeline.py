@@ -594,7 +594,9 @@ def x6_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT s.stage_idx, s.stage, s.n_in, s.n_out,
-           ROUND(CAST(s.n_out AS DOUBLE) / s.n_in, 4) AS kept_frac
+           CASE WHEN s.n_in = 0 THEN NULL
+                ELSE ROUND(CAST(s.n_out AS DOUBLE) / s.n_in, 4)
+           END AS kept_frac
     FROM c, LATERAL (
       SELECT * FROM (VALUES
         (1, 'min_length',  c.c0, c.c1),
@@ -662,7 +664,12 @@ def x6_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             "n_in",
             "n_out",
-            F.round(F.col("n_out").cast("double") / F.col("n_in"), 4).alias("kept_frac"),
+            # explicit NULL on an annihilated stage: Spark's non-ANSI /0 is
+            # already NULL, but DuckDB's IEEE division would yield NaN —
+            # both sides pin the same CASE so degenerate corpora still match
+            F.when(F.col("n_in") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("n_out").cast("double") / F.col("n_in"), 4))
+            .alias("kept_frac"),
         )
         .orderBy("stage_idx")
     )

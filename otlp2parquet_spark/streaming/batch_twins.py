@@ -470,10 +470,10 @@ CAPPED_SESSION_MAX_EVENTS = 20
              AS seg_idx,
            COUNT(*) AS n_events, """
     + sql_dsum("value", "seg_value")
-    + """
+    + f"""
     FROM marked
     GROUP BY user_id, sess_first_rn,
-             (rn - sess_first_rn) // 20
+             (rn - sess_first_rn) // {CAPPED_SESSION_MAX_EVENTS}
     ORDER BY user_id, seg_start, seg_idx
     """,
     tags=("T10", "W3", "U4"),

@@ -234,6 +234,12 @@ def capped_sessions(stream: DataFrame, watermark: str = "10 seconds") -> DataFra
     property suite replays micro-batched streams and asserts the closed
     segments match the twin row-for-row.
 
+    Ordering contract: twin equivalence holds for in-order streams (the
+    property suite's regime). A late-but-within-watermark event joins the
+    currently-OPEN segment in arrival order — an append-mode operator
+    cannot retract an already-emitted segment — and never moves the gap/
+    timeout baseline backward (last_ts is clamped monotone).
+
     State is bounded by construction: ONE open segment (5 scalars) per live
     key, and the cap means at most 20 events ever accumulate into it — the
     operational reason metering sinks cap segments. At 100 TB state is
@@ -265,7 +271,10 @@ def capped_sessions(stream: DataFrame, watermark: str = "10 seconds") -> DataFra
         rows = []
         for pdf in pdfs:
             for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
-                rows.append((int(pd.Timestamp(ts).value // 1000), int(eid), float(val)))
+                # null value: the twin's dsum skips it in the sum but the
+                # event still counts and moves the gap baseline -> 0.0
+                v = 0.0 if pd.isna(val) else float(val)
+                rows.append((int(pd.Timestamp(ts).value // 1000), int(eid), v))
         rows.sort()
         # state encodes either an OPEN segment (n > 0) or, after a cap
         # close, a CONTINUATION ANCHOR (n == 0): the session is still alive
@@ -283,7 +292,11 @@ def capped_sessions(stream: DataFrame, watermark: str = "10 seconds") -> DataFra
             elif st[3] == 0:  # consume the continuation anchor
                 st = (ts_us, ts_us, st[2], 1, val)
             else:
-                st = (st[0], ts_us, st[2], st[3] + 1, st[4] + val)
+                # late-but-within-watermark rows join the OPEN segment in
+                # arrival order (append mode cannot retract a closed one);
+                # clamp last_ts so a late row never moves the gap/timeout
+                # baseline backward
+                st = (st[0], max(st[1], ts_us), st[2], st[3] + 1, st[4] + val)
             if st[3] >= _CAPPED_MAX_EVENTS:
                 closed.append(close_row(user, st))
                 st = (st[1], st[1], st[2] + 1, 0, 0.0)

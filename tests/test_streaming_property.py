@@ -69,7 +69,7 @@ def _write_stream_dir(tmp_root: str, batches) -> str:
                     "ts": BASE_US + off * 1_000_000,
                     "user_id": user,
                     "event_type": "t",
-                    "value": float(val),
+                    "value": None if val is None else float(val),
                     "props": None,
                 }
             )
@@ -331,3 +331,37 @@ def test_t10_capped_sessions_match_sequential_model(spark, stream_root, rows):
         if r["user_id"] != _T10_SENTINEL_USER
     ]
     assert sorted(got) == _t10_model(tagged)
+
+
+def test_t10_late_event_clamps_baseline_and_null_value_is_zero(spark, stream_root):
+    """Round-6 review regressions: (a) a late-but-within-watermark event
+    joining the open segment must NOT move seg_last / the gap baseline
+    backward; (b) a NULL event value contributes 0.0 to seg_value (the
+    twin's SUM skips nulls) instead of poisoning the sum with NaN."""
+    batches = [
+        [(100, 0, 7)],
+        # 95s is late (arrival after 100s) but above the watermark -> kept;
+        # None value must fold as 0.0
+        [(95, 0, None), (101, 0, 5)],
+        [(5000, _T10_SENTINEL_USER, 0)],
+        [(5001, _T10_SENTINEL_USER, 0)],
+    ]
+    d = _write_stream_dir(stream_root, batches)
+    name = "t10_late_" + os.path.basename(d)[:8]
+    _drain(P.capped_sessions(_stream(spark, d), "30 seconds"), name, "append")
+    rows = [
+        r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["user_id"] != _T10_SENTINEL_USER
+    ]
+    assert len(rows) == 1, rows
+    seg = rows[0]
+    assert seg["n_events"] == 3
+    assert seg["seg_value"] == 12.0  # 7 + 0 (null) + 5
+    import datetime as _dt
+
+    base_dt = _dt.datetime.fromtimestamp(
+        BASE_US // 1_000_000, _dt.timezone.utc
+    ).replace(tzinfo=None)
+    assert int((seg["seg_last"] - base_dt).total_seconds()) == 101
+    assert int((seg["seg_start"] - base_dt).total_seconds()) == 100
