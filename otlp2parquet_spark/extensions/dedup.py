@@ -821,8 +821,8 @@ SUBSTR_W = 8
            CAST(COUNT(*) AS BIGINT) AS n_windows,
            CAST(SUM(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dup_windows,
-           ROUND(CAST(SUM(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 4) AS dup_fraction
+           FLOOR(CAST(SUM(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS dup_fraction
     FROM wins w JOIN hashes h ON w.win_hash = h.win_hash
     GROUP BY w.doc_id
     ORDER BY doc_id
@@ -872,7 +872,12 @@ def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_windows"),
             dup.alias("n_dup_windows"),
-            F.round(dup.cast("double") / F.count("*"), 4).alias("dup_fraction"),
+            # FLOOR(x*1e4+0.5), not ROUND: an integer-ratio fraction can
+            # land exactly on a 4-dp half (e.g. 1/32) where the engines'
+            # double ROUND tie-breaking diverges (the davg sf0.1 lesson)
+            (F.floor(dup.cast("double") / F.count("*") * 10000.0 + 0.5) / 10000.0).alias(
+                "dup_fraction"
+            ),
         )
         .orderBy("doc_id")
     )

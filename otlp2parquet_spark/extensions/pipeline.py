@@ -595,7 +595,8 @@ def x6_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.stage_idx, s.stage, s.n_in, s.n_out,
            CASE WHEN s.n_in = 0 THEN NULL
-                ELSE ROUND(CAST(s.n_out AS DOUBLE) / s.n_in, 4)
+                ELSE FLOOR(CAST(s.n_out AS DOUBLE) / s.n_in * 10000.0 + 0.5)
+                     / 10000.0
            END AS kept_frac
     FROM c, LATERAL (
       SELECT * FROM (VALUES
@@ -668,7 +669,12 @@ def x6_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # already NULL, but DuckDB's IEEE division would yield NaN —
             # both sides pin the same CASE so degenerate corpora still match
             F.when(F.col("n_in") == 0, F.lit(None).cast("double"))
-            .otherwise(F.round(F.col("n_out").cast("double") / F.col("n_in"), 4))
+            .otherwise(
+                # integer-ratio 4-dp quantization: FLOOR(x*1e4+0.5), the
+                # engine-stable form (see davg)
+                F.floor(F.col("n_out").cast("double") / F.col("n_in") * 10000.0 + 0.5)
+                / 10000.0
+            )
             .alias("kept_frac"),
         )
         .orderBy("stage_idx")

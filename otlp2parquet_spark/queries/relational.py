@@ -40,7 +40,15 @@ def dsum(col, alias: str):
 
 
 def davg(col, alias: str):
-    return F.round(F.sum(col.cast(DEC)).cast("double") / F.count(col), 4).alias(alias)
+    """AVG rounded to 4 dp, cross-engine exact: the sum accumulates in
+    DECIMAL (order-free), the division is one IEEE double op both engines
+    perform identically, and the 4-dp quantization is FLOOR(x*1e4 + 0.5)
+    — NOT ROUND, whose double half-way tie-breaking differs between
+    engines (half-up vs half-even). Caught at sf0.1: q07_hourly_avg and
+    t2_sliding_window hash-matched at sf0.01 for four rounds, then more
+    rows produced .xxxx5 averages and ROUND diverged."""
+    avg = F.sum(col.cast(DEC)).cast("double") / F.count(col)
+    return (F.floor(avg * 10000.0 + 0.5) / 10000.0).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
@@ -48,8 +56,10 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 
 def sql_davg(expr: str, alias: str) -> str:
+    # FLOOR(x*1e4 + 0.5), not ROUND — see davg
     return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr}), 4) AS {alias}"
+        f"FLOOR(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
+        f" * 10000.0 + 0.5) / 10000.0 AS {alias}"
     )
 
 
