@@ -167,7 +167,8 @@ def x2_neardup_normhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_a, doc_b
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common), 4) AS jaccard
+           FLOOR(CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM pairs
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -189,7 +190,12 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _jaccard_scored(spark, sf_dir)
         .filter(F.col("jac") >= 0.2)
-        .select("doc_a", "doc_b", F.round(F.col("jac"), 4).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            # integer-ratio tie-stable quantization (see davg)
+            (F.floor(F.col("jac") * 10000.0 + 0.5) / 10000.0).alias("jaccard"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 

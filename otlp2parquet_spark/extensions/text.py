@@ -51,8 +51,8 @@ def _marker_hits(tokens, words) -> F.Column:
            len(toks) AS n_tokens,
            length(text) AS n_chars_measured,
            len(list_distinct(toks)) AS n_unique,
-           ROUND(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE) / len(toks), 4) AS avg_tok_len,
-           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+           FLOOR(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE) / len(toks) * 10000.0 + 0.5) / 10000.0 AS avg_tok_len,
+           FLOOR(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 10000.0 + 0.5) / 10000.0 AS ttr,
            len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_pieces
     FROM tok
     ORDER BY doc_id
@@ -75,8 +75,10 @@ def x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.round(total_len.cast("double") / F.size(toks), 4).alias("avg_tok_len"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4).alias("ttr"),
+        # FLOOR(x*1e4+0.5): integer-ratio 4-dp quantization, engine-stable
+        # on exact .5 ties where double ROUND diverges (the davg lesson)
+        (F.floor(total_len.cast("double") / F.size(toks) * 10000.0 + 0.5) / 10000.0).alias("avg_tok_len"),
+        (F.floor(F.size(F.array_distinct(toks)).cast("double") / F.size(toks) * 10000.0 + 0.5) / 10000.0).alias("ttr"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_pieces"),
     ).orderBy("doc_id")
 
@@ -181,8 +183,8 @@ def x4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_chars_m, n_tokens,
-           ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
-           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           FLOOR(CAST(n_punct AS DOUBLE) / n_chars_m * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+           FLOOR(CAST(n_stop AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
            (n_chars_m >= 200 AND n_tokens >= 30
             AND CAST(n_punct AS DOUBLE) / n_chars_m < 0.1) AS passes_quality
     FROM feat
@@ -204,8 +206,8 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        (F.floor(punct_ratio * 10000.0 + 0.5) / 10000.0).alias("punct_ratio"),
+        (F.floor(n_stop.cast("double") / n_tokens * 10000.0 + 0.5) / 10000.0).alias("stopword_ratio"),
         ((n_chars >= 200) & (n_tokens >= 30) & (punct_ratio < 0.1)).alias("passes_quality"),
     ).orderBy("doc_id")
 
