@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otlp2parquet_spark.queries.registry import T, query
-from otlp2parquet_spark.queries.relational import DEC
+from otlp2parquet_spark.queries.relational import DEC, quant4
 from otlp2parquet_spark.session import spread
 
 # Canonical text normalization shared by X2 variants: lowercase, strip
@@ -193,8 +193,8 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            # integer-ratio tie-stable quantization (see davg)
-            (F.floor(F.col("jac") * 10000.0 + 0.5) / 10000.0).alias("jaccard"),
+            # integer-ratio tie-stable quantization (see quant4)
+            quant4(F.col("jac")).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -878,12 +878,10 @@ def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_windows"),
             dup.alias("n_dup_windows"),
-            # FLOOR(x*1e4+0.5), not ROUND: an integer-ratio fraction can
-            # land exactly on a 4-dp half (e.g. 1/32) where the engines'
-            # double ROUND tie-breaking diverges (the davg sf0.1 lesson)
-            (F.floor(dup.cast("double") / F.count("*") * 10000.0 + 0.5) / 10000.0).alias(
-                "dup_fraction"
-            ),
+            # quant4, not ROUND: an integer-ratio fraction can land exactly
+            # on a 4-dp half (e.g. 1/32) where the engines' double ROUND
+            # tie-breaking diverges (see quant4)
+            quant4(dup.cast("double") / F.count("*")).alias("dup_fraction"),
         )
         .orderBy("doc_id")
     )

@@ -29,8 +29,7 @@ from otlp2parquet_spark.session import spread
 _Q4 = "FLOOR({x} * 10000.0 + 0.5) / 10000.0"
 
 
-def _q4(col):
-    return F.floor(col * 10000.0 + 0.5) / 10000.0
+from otlp2parquet_spark.queries.relational import quant4 as _q4  # canonical 4-dp quantizer
 
 
 def mix_bucket_expr(n_buckets: int = 1000):
@@ -669,12 +668,7 @@ def x6_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # already NULL, but DuckDB's IEEE division would yield NaN —
             # both sides pin the same CASE so degenerate corpora still match
             F.when(F.col("n_in") == 0, F.lit(None).cast("double"))
-            .otherwise(
-                # integer-ratio 4-dp quantization: FLOOR(x*1e4+0.5), the
-                # engine-stable form (see davg)
-                F.floor(F.col("n_out").cast("double") / F.col("n_in") * 10000.0 + 0.5)
-                / 10000.0
-            )
+            .otherwise(_q4(F.col("n_out").cast("double") / F.col("n_in")))
             .alias("kept_frac"),
         )
         .orderBy("stage_idx")

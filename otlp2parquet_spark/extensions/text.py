@@ -15,6 +15,7 @@ from otlp2parquet_spark.extensions.dedup import (
     with_tokens,
 )
 from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.queries.relational import quant4
 from otlp2parquet_spark.session import spread
 
 # Tiny per-language stopword marker sets (public common words). On synthetic
@@ -75,10 +76,10 @@ def x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        # FLOOR(x*1e4+0.5): integer-ratio 4-dp quantization, engine-stable
-        # on exact .5 ties where double ROUND diverges (the davg lesson)
-        (F.floor(total_len.cast("double") / F.size(toks) * 10000.0 + 0.5) / 10000.0).alias("avg_tok_len"),
-        (F.floor(F.size(F.array_distinct(toks)).cast("double") / F.size(toks) * 10000.0 + 0.5) / 10000.0).alias("ttr"),
+        # quant4: integer-ratio 4-dp quantization, engine-stable on exact
+        # .5 ties where double ROUND diverges (see quant4)
+        quant4(total_len.cast("double") / F.size(toks)).alias("avg_tok_len"),
+        quant4(F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_pieces"),
     ).orderBy("doc_id")
 
@@ -206,8 +207,8 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
-        (F.floor(punct_ratio * 10000.0 + 0.5) / 10000.0).alias("punct_ratio"),
-        (F.floor(n_stop.cast("double") / n_tokens * 10000.0 + 0.5) / 10000.0).alias("stopword_ratio"),
+        quant4(punct_ratio).alias("punct_ratio"),
+        quant4(n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
         ((n_chars >= 200) & (n_tokens >= 30) & (punct_ratio < 0.1)).alias("passes_quality"),
     ).orderBy("doc_id")
 

@@ -39,16 +39,27 @@ def dsum(col, alias: str):
     return F.round(F.sum(col.cast(DEC)), 4).cast("double").alias(alias)
 
 
+def quant4(col):
+    """4-dp quantization of a double, cross-engine exact: FLOOR(x*1e4+0.5)
+    — NOT ROUND, whose double half-way tie-breaking differs between
+    engines (half-up vs half-even). Caught for real at sf0.1 in round 6:
+    q07_hourly_avg / t2_sliding_window hash-matched at sf0.01 for four
+    rounds, then more rows produced .xxxx5 averages and ROUND diverged.
+    Twin of sql_quant4; use BOTH or NEITHER in an oracle pair."""
+    return F.floor(col * 10000.0 + 0.5) / 10000.0
+
+
+def sql_quant4(expr: str) -> str:
+    """DuckDB side of quant4 (see there)."""
+    return f"FLOOR(({expr}) * 10000.0 + 0.5) / 10000.0"
+
+
 def davg(col, alias: str):
     """AVG rounded to 4 dp, cross-engine exact: the sum accumulates in
     DECIMAL (order-free), the division is one IEEE double op both engines
-    perform identically, and the 4-dp quantization is FLOOR(x*1e4 + 0.5)
-    — NOT ROUND, whose double half-way tie-breaking differs between
-    engines (half-up vs half-even). Caught at sf0.1: q07_hourly_avg and
-    t2_sliding_window hash-matched at sf0.01 for four rounds, then more
-    rows produced .xxxx5 averages and ROUND diverged."""
+    perform identically, and the 4-dp quantization is quant4 (see there)."""
     avg = F.sum(col.cast(DEC)).cast("double") / F.count(col)
-    return (F.floor(avg * 10000.0 + 0.5) / 10000.0).alias(alias)
+    return quant4(avg).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
@@ -56,11 +67,8 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    # FLOOR(x*1e4 + 0.5), not ROUND — see davg
-    return (
-        f"FLOOR(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
-        f" * 10000.0 + 0.5) / 10000.0 AS {alias}"
-    )
+    avg = f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
+    return f"{sql_quant4(avg)} AS {alias}"
 
 
 # ===========================================================================

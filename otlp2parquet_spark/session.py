@@ -19,6 +19,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Scale the local-mode heap to the machine: in local[N] every executor
+    thread shares the ONE driver JVM heap, and at 8g the 32-thread bench
+    OOMed intermittently in the partitioned parity-write stage on a 128 GiB
+    box. 16g fixes that, but is hostile to small CI hosts — so size by
+    physical memory and let SPARK_DRIVER_MEMORY override either way."""
+    try:
+        total_gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    if total_gib >= 64:
+        return "16g"
+    if total_gib >= 16:
+        return "8g"
+    return "4g"
+
+
 def get_spark(
     app_name: str = "otlp2parquet-spark",
     master: str | None = None,
@@ -44,11 +61,10 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # 16g: at 8g the local[32] single-JVM bench OOMed intermittently in
-        # the partitioned parity-write stage (all 32 executor threads share
-        # the one driver heap in local mode — a real cluster gives the write
-        # stage executor heaps instead). Machine has 128 GiB.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     )

@@ -202,20 +202,49 @@ CAPPED_SEG_SCHEMA = StructType(
         StructField("seg_last", TimestampType(), False),
         StructField("seg_idx", LongType(), False),
         StructField("n_events", LongType(), False),
-        StructField("seg_value", DoubleType(), False),
+        # nullable: a segment whose every value is NULL sums to NULL,
+        # exactly like the twin's SQL SUM
+        StructField("seg_value", DoubleType(), True),
     ]
 )
 
-# open segment: (seg_start_us, last_ts_us, seg_idx, n, value_sum)
+# open segment: (seg_start_us, last_ts_us, seg_idx, n, vsum_micro, n_val)
+# vsum_micro accumulates 1e-6-quantized integer micro-units (each value
+# quantized half-up like the engines' CAST(double AS DECIMAL(25,6))), so
+# the segment sum is exact and the final 4-dp rounding matches the twin's
+# DECIMAL ROUND half-up — binary-double accumulation + Python round()
+# (half-even) diverged from the twin on .xxxx5 ties (round-6 review).
 _CAPPED_STATE_SCHEMA = StructType(
     [
         StructField("seg_start_us", LongType(), False),
         StructField("last_ts_us", LongType(), False),
         StructField("seg_idx", LongType(), False),
         StructField("n", LongType(), False),
-        StructField("value_sum", DoubleType(), False),
+        StructField("vsum_micro", LongType(), False),
+        StructField("n_val", LongType(), False),
     ]
 )
+
+
+def _micro(val) -> tuple[int, int]:
+    """(micro_units, 1) for a non-null value, (0, 0) for NULL — per-element
+    1e-6 quantization with HALF_UP on the exact binary expansion, mirroring
+    both engines' double -> DECIMAL(25,6) cast."""
+    import decimal
+
+    if val is None or pd.isna(val):
+        return 0, 0
+    q = decimal.Decimal(float(val)).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+    )
+    return int(q * 1_000_000), 1
+
+
+def _micro_to_4dp(m: int):
+    """Exact DECIMAL-style 4-dp rounding (half-up, away from zero) of an
+    integer micro-unit sum — the same result as ROUND(DECIMAL, 4)."""
+    q = (abs(m) + 50) // 100
+    return (q if m >= 0 else -q) / 10000.0
 
 _CAPPED_GAP_US = 600 * 1_000_000
 _CAPPED_MAX_EVENTS = 20
@@ -240,20 +269,21 @@ def capped_sessions(stream: DataFrame, watermark: str = "10 seconds") -> DataFra
     cannot retract an already-emitted segment — and never moves the gap/
     timeout baseline backward (last_ts is clamped monotone).
 
-    State is bounded by construction: ONE open segment (5 scalars) per live
+    State is bounded by construction: ONE open segment (6 scalars) per live
     key, and the cap means at most 20 events ever accumulate into it — the
     operational reason metering sinks cap segments. At 100 TB state is
     hash-partitioned by user_id across the cluster's state stores."""
 
     def close_row(key: int, st: tuple) -> dict:
-        start_us, last_us, seg_idx, n, vsum = st
+        start_us, last_us, seg_idx, n, vsum_micro, n_val = st
         return {
             "user_id": key,
             "seg_start": pd.Timestamp(start_us, unit="us"),
             "seg_last": pd.Timestamp(last_us, unit="us"),
             "seg_idx": int(seg_idx),
             "n_events": int(n),
-            "seg_value": float(round(vsum, 4)),
+            # all-NULL segment -> NULL, like the twin's SQL SUM
+            "seg_value": _micro_to_4dp(vsum_micro) if n_val else None,
         }
 
     def update(
@@ -271,10 +301,10 @@ def capped_sessions(stream: DataFrame, watermark: str = "10 seconds") -> DataFra
         rows = []
         for pdf in pdfs:
             for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
-                # null value: the twin's dsum skips it in the sum but the
-                # event still counts and moves the gap baseline -> 0.0
-                v = 0.0 if pd.isna(val) else float(val)
-                rows.append((int(pd.Timestamp(ts).value // 1000), int(eid), v))
+                # null value: the twin's SUM skips it, but the event still
+                # counts and moves the gap baseline
+                m, k = _micro(val)
+                rows.append((int(pd.Timestamp(ts).value // 1000), int(eid), m, k))
         rows.sort()
         # state encodes either an OPEN segment (n > 0) or, after a cap
         # close, a CONTINUATION ANCHOR (n == 0): the session is still alive
@@ -282,24 +312,27 @@ def capped_sessions(stream: DataFrame, watermark: str = "10 seconds") -> DataFra
         # gap rule and the seg_idx chain survive the close. Either way the
         # state is 5 scalars.
         st = state.get if state.exists else None
-        for ts_us, _eid, val in rows:
+        for ts_us, _eid, m, k in rows:
             if st is not None and ts_us - st[1] > _CAPPED_GAP_US:
                 if st[3] > 0:
                     closed.append(close_row(user, st))
                 st = None  # anchor beyond the gap expires silently
             if st is None:
-                st = (ts_us, ts_us, 0, 1, val)
-            elif st[3] == 0:  # consume the continuation anchor
-                st = (ts_us, ts_us, st[2], 1, val)
+                st = (ts_us, ts_us, 0, 1, m, k)
+            elif st[3] == 0:
+                # consume the continuation anchor; clamp last_ts here too —
+                # a late-but-within-watermark row arriving right after a cap
+                # close must not drag the gap/timeout baseline backward
+                st = (ts_us, max(st[1], ts_us), st[2], 1, m, k)
             else:
                 # late-but-within-watermark rows join the OPEN segment in
                 # arrival order (append mode cannot retract a closed one);
                 # clamp last_ts so a late row never moves the gap/timeout
                 # baseline backward
-                st = (st[0], max(st[1], ts_us), st[2], st[3] + 1, st[4] + val)
+                st = (st[0], max(st[1], ts_us), st[2], st[3] + 1, st[4] + m, st[5] + k)
             if st[3] >= _CAPPED_MAX_EVENTS:
                 closed.append(close_row(user, st))
-                st = (st[1], st[1], st[2] + 1, 0, 0.0)
+                st = (st[1], st[1], st[2] + 1, 0, 0, 0)
         if st is None:
             if state.exists:
                 state.remove()

@@ -257,30 +257,37 @@ def _t10_model(rows):
     """Independent sequential fold of the t10 close rule: per user in
     (ts, eid) order, close on gap > 600 s or on the 20-event cap (cap close
     keeps the session alive: next in-gap event continues at seg_idx + 1).
+    Value math mirrors the twin's DECIMAL semantics via the operator's own
+    integer micro-unit helpers (exact, half-up — NOT binary-double round).
     Returns the closed+flushed segment multiset."""
     per_user: dict[int, list] = {}
     for ts_us, eid, user, val in rows:
         per_user.setdefault(user, []).append((ts_us, eid, val))
+
+    def seg_val(m, k):
+        return P._micro_to_4dp(m) if k else None
+
     out = []
     for user, evs in per_user.items():
-        evs.sort()
-        st_ = None  # (start, last, seg_idx, n, vsum)
+        evs.sort(key=lambda e: (e[0], e[1]))
+        st_ = None  # (start, last, seg_idx, n, vsum_micro, n_val)
         for ts_us, _eid, val in evs:
+            m, k = P._micro(val)
             if st_ is not None and ts_us - st_[1] > _T10_GAP_S * 1_000_000:
                 if st_[3] > 0:
-                    out.append((user, st_[0], st_[1], st_[2], st_[3], round(st_[4], 4)))
+                    out.append((user, st_[0], st_[1], st_[2], st_[3], seg_val(st_[4], st_[5])))
                 st_ = None
             if st_ is None:
-                st_ = (ts_us, ts_us, 0, 1, float(val))
+                st_ = (ts_us, ts_us, 0, 1, m, k)
             elif st_[3] == 0:
-                st_ = (ts_us, ts_us, st_[2], 1, float(val))
+                st_ = (ts_us, ts_us, st_[2], 1, m, k)
             else:
-                st_ = (st_[0], ts_us, st_[2], st_[3] + 1, st_[4] + val)
+                st_ = (st_[0], ts_us, st_[2], st_[3] + 1, st_[4] + m, st_[5] + k)
             if st_[3] >= _T10_CAP:
-                out.append((user, st_[0], st_[1], st_[2], st_[3], round(st_[4], 4)))
-                st_ = (st_[1], st_[1], st_[2] + 1, 0, 0.0)
+                out.append((user, st_[0], st_[1], st_[2], st_[3], seg_val(st_[4], st_[5])))
+                st_ = (st_[1], st_[1], st_[2] + 1, 0, 0, 0)
         if st_ is not None and st_[3] > 0:  # end-of-stream flush (timeout)
-            out.append((user, st_[0], st_[1], st_[2], st_[3], round(st_[4], 4)))
+            out.append((user, st_[0], st_[1], st_[2], st_[3], seg_val(st_[4], st_[5])))
     return sorted(out)
 
 
@@ -325,7 +332,7 @@ def test_t10_capped_sessions_match_sequential_model(spark, stream_root, rows):
             _us(r["seg_last"]),
             r["seg_idx"],
             r["n_events"],
-            round(r["seg_value"], 4),
+            None if r["seg_value"] is None else round(r["seg_value"], 4),
         )
         for r in spark.sql(f"SELECT * FROM {name}").collect()
         if r["user_id"] != _T10_SENTINEL_USER
@@ -365,3 +372,23 @@ def test_t10_late_event_clamps_baseline_and_null_value_is_zero(spark, stream_roo
     ).replace(tzinfo=None)
     assert int((seg["seg_last"] - base_dt).total_seconds()) == 101
     assert int((seg["seg_start"] - base_dt).total_seconds()) == 100
+
+
+def test_t10_all_null_segment_sums_to_null(spark, stream_root):
+    """A segment whose every value is NULL must emit seg_value NULL — the
+    twin's SQL SUM over all-NULL is NULL, not 0.0 (round-6 review)."""
+    batches = [
+        [(100, 0, None), (105, 0, None)],
+        [(5000, _T10_SENTINEL_USER, 0)],
+        [(5001, _T10_SENTINEL_USER, 0)],
+    ]
+    d = _write_stream_dir(stream_root, batches)
+    name = "t10_null_" + os.path.basename(d)[:8]
+    _drain(P.capped_sessions(_stream(spark, d), "10 seconds"), name, "append")
+    rows = [
+        r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["user_id"] != _T10_SENTINEL_USER
+    ]
+    assert len(rows) == 1 and rows[0]["n_events"] == 2
+    assert rows[0]["seg_value"] is None
