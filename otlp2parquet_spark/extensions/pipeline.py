@@ -673,3 +673,74 @@ def x6_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# x6_curriculum — global difficulty ordering + curriculum stages
+
+
+@query(
+    "x6_curriculum",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                             t -> length(t) > 0)) AS score
+      FROM documents
+    ), r AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rank,
+             COUNT(*) OVER () AS total
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(score AS BIGINT) AS score,
+           CAST(rank AS BIGINT) AS rank,
+           CAST((rank - 1) * 4 // total AS BIGINT) AS stage
+    FROM r
+    ORDER BY doc_id
+    """,
+    tags=("X6", "W1", "O1"),
+)
+def x6_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every doc gets its EXACT global rank under a
+    difficulty key (token count, shortest-first — the classic curriculum
+    schedule) and a 4-stage assignment — the op behind
+    easy-to-hard data ordering for training runs.
+
+    Scale shape — distributed exact global ranking WITHOUT the
+    single-partition window trap: a naive row_number() over a global
+    ORDER BY collapses the corpus onto one task. Instead, phase 1
+    aggregates per-score counts (the score domain is small — hundreds of
+    distinct token counts — so this frame is broadcast-sized), phase 2
+    turns them into cumulative offsets with a window over that TINY frame,
+    and phase 3 ranks docs inside each score group (window partitioned by
+    score — parallel) and adds the broadcast offset. Total = one small
+    agg + one parallel window; the corpus never funnels through a single
+    partition. (Same two-level decomposition as x6_seq_pack_sharded.)"""
+    d = spread(T(spark, sf_dir, "documents"))
+    # one tokenize pass: the scored frame feeds both the per-score counts
+    # and the rank join (Spark does no CSE across plan branches)
+    scored = d.select(
+        "doc_id", token_count_expr(F.col("text")).cast("long").alias("score")
+    ).localCheckpoint(eager=False)
+    counts = scored.groupBy("score").agg(F.count("*").alias("c"))
+    w_off = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "score", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("offset")
+    )
+    # total from the tiny counts frame — not a third corpus pass
+    total = counts.agg(F.sum("c").alias("total"))
+    w_in = Window.partitionBy("score").orderBy("doc_id")
+    return (
+        scored.join(F.broadcast(offsets), "score")
+        .withColumn("rank", (F.col("offset") + F.row_number().over(w_in)).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "score",
+            "rank",
+            F.expr("(rank - 1) * 4 div total").cast("long").alias("stage"),
+        )
+        .orderBy("doc_id")
+    )
