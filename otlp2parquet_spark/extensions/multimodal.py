@@ -375,6 +375,7 @@ def decode_wav_meta(media: DataFrame) -> DataFrame:
     posture, column edition). Same Arrow-batched mapInPandas contract as
     decode_features — this is the production dataflow with a real codec."""
     import io
+    import struct
     import wave
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -401,7 +402,10 @@ def decode_wav_meta(media: DataFrame) -> DataFrame:
                     out["sample_width"].append(width)
                     out["n_samples"].append(n)
                     out["duration_ms"].append(n * 1000 // rate)
-                except (wave.Error, EOFError, ValueError):
+                # wave also raises RuntimeError / struct.error on some
+                # corrupt shapes (found by the parser fuzz suite) — all
+                # malformed classes must null the ROW, not kill the task
+                except (wave.Error, EOFError, ValueError, RuntimeError, struct.error):
                     for k in (
                         "sample_rate",
                         "n_channels",
@@ -949,6 +953,7 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     sample statistics (energy = sum v^2 as int64, peak |v|, zero crossings
     with sign(v) := v >= 0). Malformed payloads null out (D25 posture)."""
     import io
+    import struct
     import wave
 
     import numpy as np
@@ -978,7 +983,10 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                     out["zero_crossings"].append(
                         int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
                     )
-                except (wave.Error, EOFError, ValueError):
+                # wave also raises RuntimeError / struct.error on some
+                # corrupt shapes (found by the parser fuzz suite) — all
+                # malformed classes must null the ROW, not kill the task
+                except (wave.Error, EOFError, ValueError, RuntimeError, struct.error):
                     for k in ("n_vals", "energy_sumsq", "peak_abs", "zero_crossings"):
                         out[k].append(None)
             yield pd.DataFrame(out)
