@@ -875,7 +875,15 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                     elif mt == "video/avi":
                         w, h, n_frames, fps, dur = parse_avi_meta(b)
                         vals = (w, h, n_frames, fps, dur)
-                except (ValueError, KeyError, wave.Error, EOFError, zlib.error, struct.error):
+                except (
+                    ValueError,
+                    KeyError,
+                    wave.Error,
+                    EOFError,
+                    RuntimeError,  # wave's corrupt-fmt path (fuzz-found)
+                    zlib.error,
+                    struct.error,
+                ):
                     vals = (None,) * 5
                 for c, v in zip(cols, vals):
                     out[c].append(v)
