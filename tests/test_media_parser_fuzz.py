@@ -27,9 +27,13 @@ from otlp2parquet_spark.extensions.multimodal import (
     parse_png_meta,
 )
 
-# the exception classes the decode kernels catch, per lane
+# the exception classes the decode kernels catch, per lane — these sets
+# MUST mirror the kernels' except clauses (multimodal.py): the property
+# being tested is "nothing escapes the kernel's clause"
+import zlib
+
 _WAV_OK = (wave.Error, EOFError, ValueError, RuntimeError, struct.error)
-_PNG_OK = (ValueError, struct.error)
+_PNG_OK = (ValueError, KeyError, zlib.error, struct.error)
 _AVI_OK = (ValueError, struct.error)
 
 
