@@ -368,13 +368,36 @@ def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(synth, schema=WAV_SCHEMA)
 
 
+def parse_wav_meta(payload: bytes) -> tuple:
+    """Module-level WAV header parse (shared by decode_wav_meta, the
+    unified x5_media_meta dispatch, and the parser fuzz suite — a single
+    parse path so the fuzzed code IS the kernel code). Returns
+    (rate, channels, sample_width, n_frames, duration_ms); raises one of
+    the kernel-declared malformed classes otherwise. Fields destined for
+    IntegerType columns are bounded to int32 here — a corrupt u32 header
+    value must null the ROW, not explode at the Arrow boundary."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, ch = w.getframerate(), w.getnchannels()
+        width, n = w.getsampwidth(), w.getnframes()
+    if rate <= 0:
+        # stdlib wave accepts a 0-rate fmt chunk; D25 says null the row,
+        # not ZeroDivisionError the task
+        raise ValueError("non-positive sample rate")
+    if rate > 2**31 - 1 or ch > 2**31 - 1 or width > 2**31 - 1:
+        raise ValueError("header field out of int32 range")
+    return rate, ch, width, n, n * 1000 // rate
+
+
 def decode_wav_meta(media: DataFrame) -> DataFrame:
     """REAL decode kernel: parse each RIFF/WAVE payload with the stdlib
-    `wave` reader and emit its header/frame metadata; malformed payloads
-    yield null metadata instead of failing the batch (the D25 quarantine
-    posture, column edition). Same Arrow-batched mapInPandas contract as
-    decode_features — this is the production dataflow with a real codec."""
-    import io
+    `wave` reader (parse_wav_meta) and emit its header/frame metadata;
+    malformed payloads yield null metadata instead of failing the batch
+    (the D25 quarantine posture, column edition). Same Arrow-batched
+    mapInPandas contract as decode_features — this is the production
+    dataflow with a real codec."""
     import struct
     import wave
 
@@ -390,18 +413,12 @@ def decode_wav_meta(media: DataFrame) -> DataFrame:
             }
             for payload in pdf["payload"]:
                 try:
-                    with wave.open(io.BytesIO(bytes(payload or b"")), "rb") as w:
-                        rate, ch = w.getframerate(), w.getnchannels()
-                        width, n = w.getsampwidth(), w.getnframes()
-                    if rate <= 0:
-                        # stdlib wave accepts a 0-rate fmt chunk; D25 says
-                        # null the row, not ZeroDivisionError the task
-                        raise ValueError("non-positive sample rate")
+                    rate, ch, width, n, dur = parse_wav_meta(bytes(payload or b""))
                     out["sample_rate"].append(rate)
                     out["n_channels"].append(ch)
                     out["sample_width"].append(width)
                     out["n_samples"].append(n)
-                    out["duration_ms"].append(n * 1000 // rate)
+                    out["duration_ms"].append(dur)
                 # wave also raises RuntimeError / struct.error on some
                 # corrupt shapes (found by the parser fuzz suite) — all
                 # malformed classes must null the ROW, not kill the task
@@ -744,6 +761,11 @@ def parse_avi_meta(payload: bytes):
                     if not usec_pf or not w or not h:
                         raise ValueError("degenerate avih")
                     fps = round(1_000_000 / usec_pf)
+                    if w > 2**31 - 1 or h > 2**31 - 1 or fps > 2**31 - 1:
+                        # u32 header vs IntegerType column: a corrupt high
+                        # byte must null the ROW, not blow up at the Arrow
+                        # boundary (AVI has no CRC, unlike PNG)
+                        raise ValueError("avih field out of int32 range")
                     return (
                         w,
                         h,
@@ -864,11 +886,8 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                 try:
                     b = bytes(payload or b"")
                     if mt == "audio/wav":
-                        with wave.open(io.BytesIO(b), "rb") as wv:
-                            rate, n = wv.getframerate(), wv.getnframes()
-                        if rate <= 0 or rate > 2**31 - 1:
-                            raise ValueError("sample rate out of range")
-                        vals = (None, None, n, rate, n * 1000 // rate)
+                        rate, _ch, _w, n, dur = parse_wav_meta(b)
+                        vals = (None, None, n, rate, dur)
                     elif mt == "image/png":
                         w, h, _depth, _ch, n_pixels, _raw = parse_png_meta(b)
                         vals = (w, h, n_pixels, None, None)

@@ -684,8 +684,8 @@ def x6_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
-                             t -> length(t) > 0)) AS score
+             COALESCE(len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                             t -> length(t) > 0)), 0) AS score
       FROM documents
     ), r AS (
       SELECT doc_id, score,
@@ -721,8 +721,12 @@ def x6_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     # one tokenize pass: the scored frame feeds both the per-score counts
     # and the rank join (Spark does no CSE across plan branches)
+    # COALESCE(score, 0): a NULL text must still rank (a NULL join key
+    # would silently drop the doc while the oracle ranks it NULLS LAST;
+    # 0 tokens is the honest difficulty for an empty doc)
     scored = d.select(
-        "doc_id", token_count_expr(F.col("text")).cast("long").alias("score")
+        "doc_id",
+        F.coalesce(token_count_expr(F.col("text")), F.lit(0)).cast("long").alias("score"),
     ).localCheckpoint(eager=False)
     counts = scored.groupBy("score").agg(F.count("*").alias("c"))
     w_off = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)

@@ -25,6 +25,7 @@ from otlp2parquet_spark.extensions.multimodal import (
     parse_avi_frames,
     parse_avi_meta,
     parse_png_meta,
+    parse_wav_meta,
 )
 
 # the exception classes the decode kernels catch, per lane — these sets
@@ -34,7 +35,11 @@ import zlib
 
 _WAV_OK = (wave.Error, EOFError, ValueError, RuntimeError, struct.error)
 _PNG_OK = (ValueError, KeyError, zlib.error, struct.error)
-_AVI_OK = (ValueError, struct.error)
+_AVI_META_OK = (ValueError, struct.error)
+# decode_avi_frames catches bare ValueError — parse_avi_frames uses only
+# slicing + int.from_bytes, so ValueError is provably its complete set;
+# the fuzz property must be exactly as strict as the kernel clause
+_AVI_FRAMES_OK = (ValueError,)
 
 
 def _wav_bytes(doc_id: int = 7) -> bytes:
@@ -69,32 +74,26 @@ def _avi_bytes() -> bytes:
 
 
 def _png_bytes():
-    from otlp2parquet_spark.extensions.multimodal import png_media_table  # noqa: F401
-    # cheapest valid PNG: reuse the fixture synthesis via its building blocks
-    import zlib
+    # the REAL fixture building blocks (multimodal._png_chunk / _PNG_SIG) so
+    # the fuzzed 'good' corpus cannot drift from the synthesis
+    from otlp2parquet_spark.extensions import multimodal as M
 
     w, h = 4, 3
     raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
-    idat = zlib.compress(raw)
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        c = typ + data
-        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     return (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(raw))
+        + M._png_chunk(b"IEND", b"")
     )
 
 
 def _wav_parse(b: bytes):
-    # mirror of the decode_wav_meta kernel's parse path
+    # the kernels' OWN parse path (header) + the feature kernel's frame read
+    parse_wav_meta(b)
     with wave.open(io.BytesIO(b), "rb") as w:
-        rate = w.getframerate()
-        w.getnchannels(), w.getsampwidth(), w.getnframes()
         w.readframes(w.getnframes())
-    if rate <= 0:
-        raise ValueError("non-positive sample rate")
 
 
 _mutations = st.lists(
@@ -115,7 +114,12 @@ def _mutate(good: bytes, muts, cut: int) -> bytes:
 @given(data=st.binary(max_size=400))
 @settings(max_examples=300, deadline=None)
 def test_parsers_never_crash_on_arbitrary_bytes(data):
-    for parse, ok in ((_wav_parse, _WAV_OK), (parse_png_meta, _PNG_OK), (parse_avi_meta, _AVI_OK), (parse_avi_frames, _AVI_OK)):
+    for parse, ok in (
+        (_wav_parse, _WAV_OK),
+        (parse_png_meta, _PNG_OK),
+        (parse_avi_meta, _AVI_META_OK),
+        (parse_avi_frames, _AVI_FRAMES_OK),
+    ):
         try:
             parse(data)
         except ok:
@@ -128,8 +132,8 @@ def test_parsers_never_crash_on_corrupted_containers(muts, cut):
     for good, parse, ok in (
         (_wav_bytes(), _wav_parse, _WAV_OK),
         (_png_bytes(), parse_png_meta, _PNG_OK),
-        (_avi_bytes(), parse_avi_meta, _AVI_OK),
-        (_avi_bytes(), parse_avi_frames, _AVI_OK),
+        (_avi_bytes(), parse_avi_meta, _AVI_META_OK),
+        (_avi_bytes(), parse_avi_frames, _AVI_FRAMES_OK),
     ):
         try:
             parse(_mutate(good, muts, cut))
