@@ -392,3 +392,77 @@ def test_t10_all_null_segment_sums_to_null(spark, stream_root):
     ]
     assert len(rows) == 1 and rows[0]["n_events"] == 2
     assert rows[0]["seg_value"] is None
+
+
+@given(rows=_t10_rows)
+@settings(max_examples=4, deadline=None)
+def test_t10_live_matches_batch_twin_directly(spark, stream_root, tmp_path_factory, rows):
+    """Close the loop live == twin (not just live == model): drain the
+    stream form over a closed input and run the ORACLE-MATCHED batch twin
+    t10_capped_session over the same rows written as an events table —
+    the two operators must emit identical segments."""
+    import datetime as _dt
+
+    from otlp2parquet_spark.streaming.batch_twins import t10_capped_session
+
+    rows = sorted((off, user, val) for off, user, val in rows)
+    tagged = [
+        (BASE_US + off * 1_000_000, eid, user, float(val))
+        for eid, (off, user, val) in enumerate(rows)
+    ]
+    chunks = [tagged[i : i + 25] for i in range(0, len(tagged), 25)]
+    far = BASE_US + 10**12
+    for k in range(2):
+        chunks.append([(far + k * 1_000_000, 10**6 + k, _T10_SENTINEL_USER, 0.0)])
+    batches = [
+        [((ts - BASE_US) // 1_000_000, user, val) for ts, _eid, user, val in ch]
+        for ch in chunks
+    ]
+    d = _write_stream_dir(stream_root, batches)
+
+    # twin input: the SAME rows (without sentinels) as an events table dir
+    sf_dir = str(tmp_path_factory.mktemp("t10_twin"))
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        _pa.table(
+            {
+                "event_id": _pa.array([e for _t, e, _u, _v in tagged], _pa.int64()),
+                "ts": _pa.array([t for t, _e, _u, _v in tagged], _pa.timestamp("us")),
+                "user_id": _pa.array([u for _t, _e, u, _v in tagged], _pa.int64()),
+                "event_type": _pa.array(["t"] * len(tagged), _pa.string()),
+                "value": _pa.array([v for _t, _e, _u, v in tagged], _pa.float64()),
+                "props": _pa.array([None] * len(tagged), _pa.string()),
+            }
+        ),
+        f"{sf_dir}/events.parquet",
+    )
+
+    name = "t10_twin_" + os.path.basename(d)[:8]
+    _drain(P.capped_sessions(_stream(spark, d), "10 seconds"), name, "append")
+
+    base_dt = _dt.datetime.fromtimestamp(
+        BASE_US // 1_000_000, _dt.timezone.utc
+    ).replace(tzinfo=None)
+
+    def canon(rs):
+        return sorted(
+            (
+                r["user_id"],
+                int((r["seg_start"] - base_dt).total_seconds()),
+                int((r["seg_last"] - base_dt).total_seconds()),
+                r["seg_idx"],
+                r["n_events"],
+                None if r["seg_value"] is None else round(r["seg_value"], 4),
+            )
+            for r in rs
+        )
+
+    live = canon(
+        r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["user_id"] != _T10_SENTINEL_USER
+    )
+    twin = canon(t10_capped_session(spark, sf_dir).collect())
+    assert live == twin
