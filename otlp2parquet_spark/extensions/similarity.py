@@ -859,3 +859,115 @@ def x3_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "neighbor_id", F.round("l2_sq", 4).alias("l2_sq"), "rank")
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# x3_srp_ann — signed-random-projection (hyperplane LSH) ANN
+
+_SRP_TABLES = 8  # independent hash tables (the LSH amplification knob)
+_SRP_BITS = 6  # hyperplanes per table -> 64 buckets each
+_SRP_TOPK = 5
+_SRP_NQ = 5
+
+
+def _srp_hyperplanes() -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes (no RNG state): component
+    (t, k, d) comes from md5("srp:t:k:d") mapped to [-1, 1) — identical
+    on every run and every worker, so the index is reproducible without
+    shipping state. Shape: TABLES x BITS x DIM."""
+    import hashlib as _h
+
+    return [
+        [
+            [
+                int(_h.md5(f"srp:{t}:{k}:{d}".encode()).hexdigest()[:8], 16) / 2**31
+                - 1.0
+                for d in range(_PQ_DIM)
+            ]
+            for k in range(_SRP_BITS)
+        ]
+        for t in range(_SRP_TABLES)
+    ]
+
+
+def _srp_buckets(vec: Column) -> Column:
+    """Array of per-table SRP signatures (one 6-bit bucket per table):
+    bit k of table t = sign of <v, h_{t,k}> — a map-only HOF expression,
+    no shuffle, no UDF. A pair is a candidate if it shares a bucket in
+    ANY table (OR-amplification: each extra table multiplies the miss
+    probability by p_miss, the same banding trick x2_minhash_lsh uses)."""
+    out = []
+    for t, planes in enumerate(_srp_hyperplanes()):
+        bits = None
+        for k, row in enumerate(planes):
+            h = F.array(*[F.lit(float(x)) for x in row])
+            b = F.when(dot_expr(vec, h) >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+            bits = b if bits is None else bits + b
+        out.append(bits.cast("int"))
+    return F.array(*out)
+
+
+@query(
+    "x3_srp_ann",
+    oracle=None,  # LSH shortlist is approximate; recall + determinism gated in tests
+    tags=("X3", "F6", "J5", "W6"),
+)
+def x3_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (signed random projections, Charikar 2002): the
+    third ANN indexing family next to IVF (x3_ivf_ann, centroid cells)
+    and PQ (x3_pq_ann, quantization) — 8 independent hash tables of
+    6-bit sign signatures; a pair is a candidate if it shares a bucket
+    in ANY table (OR-amplified banding, the same construction as
+    x2_minhash_lsh); candidates exact-cosine re-rank to a top-5.
+
+    Scale shape: signatures are a map-only HOF over the scan (at 100 TB
+    a PERSISTED array column computed once at ingest); the query probe
+    set is Q * TABLES (table, bucket) pairs broadcast against the
+    corpus's exploded (table, bucket) rows — the corpus shuffles on
+    nothing, and only rows colliding with a query in some table
+    (~TABLES/2^BITS of the corpus) reach the cosine. TABLES x BITS is
+    the recall/candidates dial, exactly IVF's n_probe analog.
+
+    Data-regime contract (measured, and inherent to hyperplane LSH): the
+    collision probability is (1 - theta/pi)^BITS per table, so pruning
+    only coexists with recall when true neighbors are ACTUALLY similar —
+    on the clustered (mixture-of-Gaussians) fixture recall@5 is 0.92
+    with ~6% candidate fraction, while on the driver's diffuse corpus
+    (true top-5 cosines 0.25-0.40) recall at useful pruning is ~0.24 and
+    no TABLES x BITS setting fixes that (IVF/PQ are the right families
+    there — which is why all three ship). The recall gate therefore runs
+    on the clustered fixture, the regime this family is FOR."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    # one signature pass: the 48-plane HOF feeds both the corpus explode
+    # and the query slice (no CSE across plan branches)
+    sigs = e.select(
+        "vec_id", "embedding", _srp_buckets(F.col("embedding")).alias("sigs")
+    ).localCheckpoint(eager=False)
+    corpus = sigs.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("sigs").alias("t", "bucket"),
+    )
+    q = sigs.filter(F.col("vec_id") < _SRP_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode("sigs").alias("t", "bucket"),
+    )
+    cands = (
+        corpus.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_emb", "vec_id", "embedding")
+        .distinct()  # a pair colliding in several tables scores once
+    )
+    scored = cands.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SRP_TOPK)
+        .select("q_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+        .orderBy("q_id", "rank")
+    )

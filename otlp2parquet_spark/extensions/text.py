@@ -12,6 +12,7 @@ from otlp2parquet_spark.extensions.dedup import (
     SQL_NORM,
     gram3_expr,
     normalized_text,
+    token_count_expr,
     with_tokens,
 )
 from otlp2parquet_spark.queries.registry import T, query
@@ -470,4 +471,62 @@ def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(_PII_PHONE)).alias("n_phone"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
         F.length(scrubbed).alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x4_pretoken_count — BPE-style pretokenization counting
+
+# GPT-2-style pretokenizer, restricted to the RE2-compatible subset (the
+# original pattern's trailing-space lookahead and \p classes are not
+# available in DuckDB's RE2): a pretoken is an optional leading space plus
+# a letter run, digit run, or punctuation run; whitespace runs stand alone.
+# This is the unit BPE merges operate on — counting them estimates subword
+# token budgets ~linearly (unlike whitespace words, which undercount
+# digits/punctuation-heavy text).
+_PRETOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\r\\n]+|[ \\t\\r\\n]+"
+
+
+@query(
+    "x4_pretoken_count",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS BIGINT)
+               AS n_pretokens,
+             CAST(len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                                  t -> length(t) > 0)) AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, n_pretokens, n_words,
+           CASE WHEN n_words = 0 THEN NULL
+                ELSE FLOOR(CAST(n_pretokens AS DOUBLE) / n_words * 10000.0
+                           + 0.5) / 10000.0
+           END AS subword_ratio
+    FROM c
+    ORDER BY doc_id
+    """,
+    tags=("X4", "P3", "F1"),
+)
+def x4_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretoken counting — the token-budget estimator pretraining
+    pipelines run before any real tokenizer exists for the corpus: count
+    GPT-2-shaped pretokens (space-prefixed letter/digit/punct runs, the
+    units BPE merges operate on) next to whitespace words, and the
+    subword expansion ratio between them. Both engines run the identical
+    RE2-compatible pattern, so the count is oracle-matched, not
+    approximated.
+
+    Scale shape: map-only — one regexp_extract_all per row, no shuffle;
+    the same cost class as normalized_text."""
+    d = spread(T(spark, sf_dir, "documents"))
+    n_pre = F.size(F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), 0)).cast("long")
+    n_words = token_count_expr(F.col("text")).cast("long")
+    return d.select(
+        "doc_id",
+        n_pre.alias("n_pretokens"),
+        n_words.alias("n_words"),
+        F.when(n_words == 0, F.lit(None).cast("double"))
+        .otherwise(quant4(n_pre.cast("double") / n_words))
+        .alias("subword_ratio"),
     ).orderBy("doc_id")

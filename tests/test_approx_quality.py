@@ -480,3 +480,45 @@ def test_video_frame_demux_is_real_and_drops_malformed(spark):
         "payload", F.concat(F.lit(b"JUNK"), F.expr("substring(payload, 5)"))
     )
     assert decode_avi_frames(corrupted).count() == 0
+
+
+def test_srp_ann_recall_and_pruning_on_clustered_fixture(spark, tmp_path):
+    """x3_srp_ann on mixture-of-Gaussians geometry (the regime hyperplane
+    LSH is for — see the docstring's data-regime contract): recall@5 >=
+    0.8 vs exact cosine top-5 WHILE candidates stay a small fraction of
+    the corpus (the pruning must actually engage), plus two-run
+    determinism of the fixed-hyperplane index."""
+    sf_dir = str(tmp_path / "mog")
+    _write_mog_embeddings(sf_dir)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in SPECS["x3_cosine_topk"].build(spark, sf_dir).collect()
+    }
+    a = sorted(map(tuple, SPECS["x3_srp_ann"].build(spark, sf_dir).collect()))
+    b = sorted(map(tuple, SPECS["x3_srp_ann"].build(spark, sf_dir).collect()))
+    assert a == b, "fixed-hyperplane index must be run-deterministic"
+    approx = {(r[0], r[1]) for r in a}
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"SRP recall@5 = {recall:.2f} < 0.8"
+
+    # pruning engaged: distinct (q, candidate) pairs << Q * corpus
+    from otlp2parquet_spark.extensions.similarity import _SRP_NQ, _srp_buckets
+    from otlp2parquet_spark.queries.registry import T
+
+    e = T(spark, sf_dir, "embeddings")
+    sigs = e.select("vec_id", _srp_buckets(F.col("embedding")).alias("sigs"))
+    corpus = sigs.select("vec_id", F.posexplode("sigs").alias("t", "bucket"))
+    q = sigs.filter(F.col("vec_id") < _SRP_NQ).select(
+        F.col("vec_id").alias("q_id"), F.posexplode("sigs").alias("t", "bucket")
+    )
+    n = e.count()
+    n_cand = (
+        corpus.join(q, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+        .count()
+    )
+    frac = n_cand / (n * _SRP_NQ)
+    assert frac <= 0.25, f"candidate fraction {frac:.2f} — LSH did not prune"
