@@ -897,7 +897,7 @@ def _srp_buckets(vec: Column) -> Column:
     ANY table (OR-amplification: each extra table multiplies the miss
     probability by p_miss, the same banding trick x2_minhash_lsh uses)."""
     out = []
-    for t, planes in enumerate(_srp_hyperplanes()):
+    for planes in _srp_hyperplanes():
         bits = None
         for k, row in enumerate(planes):
             h = F.array(*[F.lit(float(x)) for x in row])
@@ -905,6 +905,33 @@ def _srp_buckets(vec: Column) -> Column:
             bits = b if bits is None else bits + b
         out.append(bits.cast("int"))
     return F.array(*out)
+
+
+def srp_candidates(e: DataFrame) -> DataFrame:
+    """(q_id, q_emb, vec_id, embedding) candidate pairs — the SRP index
+    construction shared by x3_srp_ann and its pruning gate, so the gated
+    code IS the shipped code (the parse_wav_meta principle): signatures
+    once (checkpointed), corpus and query slices explode to (table,
+    bucket) rows, candidates collide in ANY table, distinct."""
+    sigs = e.select(
+        "vec_id", "embedding", _srp_buckets(F.col("embedding")).alias("sigs")
+    ).localCheckpoint(eager=False)
+    corpus = sigs.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("sigs").alias("t", "bucket"),
+    )
+    q = sigs.filter(F.col("vec_id") < _SRP_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode("sigs").alias("t", "bucket"),
+    )
+    return (
+        corpus.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_emb", "vec_id", "embedding")
+        .distinct()  # a pair colliding in several tables scores once
+    )
 
 
 @query(
@@ -938,27 +965,7 @@ def x3_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     there — which is why all three ship). The recall gate therefore runs
     on the clustered fixture, the regime this family is FOR."""
     e = spread(T(spark, sf_dir, "embeddings"))
-    # one signature pass: the 48-plane HOF feeds both the corpus explode
-    # and the query slice (no CSE across plan branches)
-    sigs = e.select(
-        "vec_id", "embedding", _srp_buckets(F.col("embedding")).alias("sigs")
-    ).localCheckpoint(eager=False)
-    corpus = sigs.select(
-        "vec_id",
-        "embedding",
-        F.posexplode("sigs").alias("t", "bucket"),
-    )
-    q = sigs.filter(F.col("vec_id") < _SRP_NQ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.posexplode("sigs").alias("t", "bucket"),
-    )
-    cands = (
-        corpus.join(F.broadcast(q), ["t", "bucket"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_emb", "vec_id", "embedding")
-        .distinct()  # a pair colliding in several tables scores once
-    )
+    cands = srp_candidates(e)
     scored = cands.select(
         "q_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -529,4 +529,7 @@ def x4_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_words == 0, F.lit(None).cast("double"))
         .otherwise(quant4(n_pre.cast("double") / n_words))
         .alias("subword_ratio"),
-    ).orderBy("doc_id")
+        # no global sort: the compare is order-insensitive, and a range-
+        # partitioned ORDER BY would re-execute the regex chain for its
+        # sampling pass (the map-only rule from x6_hash_sample)
+    ).sortWithinPartitions("doc_id")

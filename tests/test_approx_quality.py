@@ -502,23 +502,70 @@ def test_srp_ann_recall_and_pruning_on_clustered_fixture(spark, tmp_path):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"SRP recall@5 = {recall:.2f} < 0.8"
 
-    # pruning engaged: distinct (q, candidate) pairs << Q * corpus
-    from otlp2parquet_spark.extensions.similarity import _SRP_NQ, _srp_buckets
+    # pruning engaged: distinct (q, candidate) pairs << Q * corpus —
+    # measured through the OPERATOR'S OWN candidate generator, so the gate
+    # cannot drift from the shipped pipeline
+    from otlp2parquet_spark.extensions.similarity import _SRP_NQ, srp_candidates
     from otlp2parquet_spark.queries.registry import T
 
     e = T(spark, sf_dir, "embeddings")
-    sigs = e.select("vec_id", _srp_buckets(F.col("embedding")).alias("sigs"))
-    corpus = sigs.select("vec_id", F.posexplode("sigs").alias("t", "bucket"))
-    q = sigs.filter(F.col("vec_id") < _SRP_NQ).select(
-        F.col("vec_id").alias("q_id"), F.posexplode("sigs").alias("t", "bucket")
-    )
     n = e.count()
-    n_cand = (
-        corpus.join(q, ["t", "bucket"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-        .distinct()
-        .count()
-    )
+    n_cand = srp_candidates(e).select("q_id", "vec_id").count()
     frac = n_cand / (n * _SRP_NQ)
     assert frac <= 0.25, f"candidate fraction {frac:.2f} — LSH did not prune"
+
+
+
+def test_pretoken_count_differentiating_paths_cross_engine(spark, tmp_path, duck):
+    """The driver corpus is letters+spaces only, so x4_pretoken_count's
+    digit/punct/whitespace alternatives — the operator's whole point —
+    never fire there. Run BOTH engines over crafted texts that hit every
+    alternative (digit runs, punct runs, attached/detached punctuation,
+    tabs/newlines, an all-punct doc with 0 normalized words -> NULL
+    ratio) and require identical results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_util import compare
+
+    texts = [
+        "hello world",
+        "version 2 dot 71828 released",
+        "a1b2c3 mixed4 runs5",
+        "wait... really?! (yes: #1)",
+        "tabs\tand\nnewlines  double  spaces",
+        "...!!!???",  # 0 normalized words -> NULL subword_ratio
+        "price 1234567890 dollars and 99 cents",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["crafted"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    sf_dir = str(tmp_path / "crafted")
+    import os
+
+    os.makedirs(sf_dir)
+    pq.write_table(t, f"{sf_dir}/documents.parquet")
+
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    spec = SPECS["x4_pretoken_count"]
+    problems = compare(spec.build(spark, sf_dir), con, spec.oracle)
+    assert not problems, "\n".join(problems)
+    # sanity: the crafted corpus actually exercises the differentiating
+    # paths (expansion ratio > 1 somewhere, and one NULL ratio)
+    rows = {r["doc_id"]: r for r in spec.build(spark, sf_dir).collect()}
+    assert rows[5]["subword_ratio"] is None
+    assert any(
+        r["subword_ratio"] is not None and r["subword_ratio"] > 1.0
+        for r in rows.values()
+    )
