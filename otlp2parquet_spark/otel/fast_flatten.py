@@ -59,7 +59,12 @@ def _decode_guard(fn):
         except OtlpDecodeError:
             raise
         except Exception as e:
-            raise OtlpDecodeError(f"malformed OTLP/JSON: {e}") from e
+            # name the underlying class: a quarantine-rate spike caused by a
+            # genuine codec bug (vs malformed input) must be diagnosable from
+            # the sidecar files alone (ADVICE r6)
+            raise OtlpDecodeError(
+                f"malformed OTLP/JSON ({type(e).__name__}): {e}"
+            ) from e
 
     return wrapped
 
@@ -495,6 +500,11 @@ def flatten_request_json(body: str | bytes, signal: str) -> list[dict[str, Any]]
         obj = json.loads(body)
     except json.JSONDecodeError as e:
         raise OtlpDecodeError(f"malformed JSON: {e}") from e
+    except UnicodeDecodeError as e:
+        # bytes body that isn't UTF-8: json.loads raises UnicodeDecodeError
+        # BEFORE parsing (fuzz-found r7 — the .json-file twin of the JSONL
+        # lane's explicit decode guard)
+        raise OtlpDecodeError(f"invalid utf-8 in JSON payload: {e}") from e
     if signal == "logs":
         return flatten_logs_json(obj)
     return flatten_traces_json(obj)
@@ -784,6 +794,8 @@ def flatten_metrics_request_json(body: str | bytes):
         obj = json.loads(body)
     except json.JSONDecodeError as e:
         raise OtlpDecodeError(f"malformed JSON: {e}") from e
+    except UnicodeDecodeError as e:
+        raise OtlpDecodeError(f"invalid utf-8 in JSON payload: {e}") from e
     return flatten_metrics_json(obj)
 
 
