@@ -58,6 +58,18 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cp.add_argument("table", help="e.g. otel_logs")
     cp.add_argument("--min-files", type=int, default=2)
+    cp.add_argument(
+        "--quiesced-sec",
+        type=float,
+        default=120.0,
+        help="refuse when any data file is younger than this (active-writer "
+        "guard for the non-atomic swap); --force disables",
+    )
+    cp.add_argument(
+        "--force",
+        action="store_true",
+        help="compact even if a writer looks active on the root",
+    )
 
     sub.add_parser("validate-config", help="load, validate and print config")
     return p
@@ -123,7 +135,12 @@ def main(argv: list[str] | None = None) -> int:
                 args.table,
                 max_rows_per_file=cfg.batch["max_rows"],
                 min_files_per_partition=args.min_files,
+                require_quiesced_sec=0.0 if args.force else args.quiesced_sec,
             )
+        except RuntimeError as e:
+            # active-writer refusal (compact_table's quiesce guard)
+            print(f"error: {e}", file=sys.stderr)
+            return 3
         except NotImplementedError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2

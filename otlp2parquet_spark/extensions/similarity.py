@@ -98,7 +98,9 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TWO_LEVEL_MIN_K = 16
 
 
-def _score_centroids(embeddings: DataFrame, cents: DataFrame, n_centroids: int) -> DataFrame:
+def _score_centroids(
+    embeddings: DataFrame, cents: DataFrame, n_centroids: int, exact: bool = False
+) -> DataFrame:
     """(vec_id, embedding, label, cent_id, sim) candidate scores.
 
     Flat for small k; two-level (coarse-quantized, the IMI / hierarchical-
@@ -108,8 +110,10 @@ def _score_centroids(embeddings: DataFrame, cents: DataFrame, n_centroids: int) 
     then scores only against those cells' centroids — n x ~3*sqrt(k) work
     instead of n x k. Approximate above the threshold (the true nearest
     centroid can live outside both probed cells); the recall gates
-    (isotropic + mixture-of-Gaussians fixtures) hold the quality contract."""
-    if n_centroids <= _TWO_LEVEL_MIN_K:
+    (isotropic + mixture-of-Gaussians fixtures) hold the quality contract.
+    exact=True forces the flat pass at any k (callers who need the
+    exact-nearest-centroid contract above the threshold pay the O(n*k))."""
+    if exact or n_centroids <= _TWO_LEVEL_MIN_K:
         return embeddings.join(F.broadcast(cents)).select(
             "vec_id",
             "embedding",
@@ -165,10 +169,18 @@ def _score_centroids(embeddings: DataFrame, cents: DataFrame, n_centroids: int) 
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> tuple[DataFrame, DataFrame]:
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 8, exact: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """One k-means-like assignment pass: centroids are seeded deterministically
     from the first `n_centroids` vectors by vec_id (no RNG — resumable and
     oracle-friendly), every vector is assigned to its nearest centroid.
+
+    Above 16 centroids the assignment is APPROXIMATE: scoring goes two-level
+    (route through ~sqrt(k) coarse cells, probe top-2) so a vector whose true
+    nearest centroid lies outside both probed cells gets a near-nearest one
+    instead — the flat n x k pass is measured superlinear at 100x
+    (_score_centroids). Pass exact=True to force the exact flat pass at any k.
 
     Returns (assignments(vec_id, embedding, label, cluster_id), centroids).
     At real scale centroids come from a sampled k-means; the assignment/probe
@@ -177,7 +189,7 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> tuple[DataFrame, 
     cents = embeddings.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    scored = _score_centroids(embeddings, cents, n_centroids)
+    scored = _score_centroids(embeddings, cents, n_centroids, exact=exact)
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     assign = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -197,6 +209,7 @@ def ivf_assign_spill(
     n_centroids: int = 8,
     spill: int = 2,
     spill_eps: float = 0.10,
+    exact: bool = False,
 ) -> DataFrame:
     """Spilled IVF assignment (kmeans-with-spilling, the SpillTree /
     multi-assignment trick): every vector gets `rank=1` in its nearest list
@@ -217,11 +230,14 @@ def ivf_assign_spill(
     Returns assignments(vec_id, embedding, label, cluster_id, rank).
     With n_centroids == 1 only rank 1 exists, so spill degrades to the
     plain assignment (the exact-equivalence-below-target property of
-    callers is preserved)."""
+    callers is preserved).
+
+    Above 16 centroids centroid scoring is APPROXIMATE (two-level routing,
+    see ivf_assign); exact=True forces the flat O(n*k) pass."""
     cents = embeddings.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    scored = _score_centroids(embeddings, cents, n_centroids)
+    scored = _score_centroids(embeddings, cents, n_centroids, exact=exact)
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     assign = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -102,6 +102,32 @@ def _read_fragments_object_store(
     return paths_df.mapInArrow(read_files, sschema)
 
 
+def newest_data_file_age_sec(root: str, table: str) -> float | None:
+    """Seconds since the most recent data-file modification under the table
+    root (None when the table has no files). Activity probe for the
+    non-atomic swap guard: a young newest-file age means a writer (almost
+    certainly the streaming sink, which flushes every trigger) is active on
+    this root and compaction would expose duplicated rows to its readers."""
+    import time
+
+    files = _list_parquet(root, table)
+    if not files:
+        return None
+    fs, _rel = writer._resolve_fs(root)
+    if fs is None:
+        newest = max(os.path.getmtime(f) for f in files)
+    else:
+        stamps = [
+            info.mtime.timestamp()
+            for info in fs.get_file_info(files)
+            if info.mtime is not None
+        ]
+        if not stamps:
+            return None  # store exposes no mtimes: caller decides (CLI warns)
+        newest = max(stamps)
+    return max(0.0, time.time() - newest)
+
+
 def compact_table(
     spark: SparkSession,
     root: str,
@@ -110,6 +136,7 @@ def compact_table(
     bucket: str = "hour",
     max_rows_per_file: int = writer.DEFAULT_MAX_ROWS_PER_FILE,
     min_files_per_partition: int = 2,
+    require_quiesced_sec: float = 0.0,
 ) -> DataFrame:
     """Rewrite the table's fragment files into full-size files in place.
 
@@ -117,7 +144,22 @@ def compact_table(
     partitions holding at least `min_files_per_partition` fragments are
     rewritten — already-compact partitions are never read, rewritten or
     deleted, so the I/O (and the crash-exposure window) is bounded by the
-    fragmented subset, not the table."""
+    fragmented subset, not the table.
+
+    require_quiesced_sec > 0 REFUSES to run (RuntimeError) when any data
+    file under the root was modified more recently than that — the swap is
+    non-atomic (module docstring), so compacting under an active streaming
+    sink exposes duplicated rows to concurrent readers. The CLI sets 120 s
+    by default; --force drops the guard."""
+    if require_quiesced_sec > 0:
+        age = newest_data_file_age_sec(root, table)
+        if age is not None and age < require_quiesced_sec:
+            raise RuntimeError(
+                f"refusing to compact {table} at {root}: newest data file is "
+                f"{age:.0f}s old (< {require_quiesced_sec:.0f}s) — a writer "
+                "looks active on this root and the compaction swap is "
+                "non-atomic. Stop the streaming sink or pass --force."
+            )
     fs, _rel = writer._resolve_fs(root)
     old_files = _list_parquet(root, table)
     by_dir: dict[str, list[str]] = {}

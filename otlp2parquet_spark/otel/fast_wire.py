@@ -241,6 +241,19 @@ _ATTRS_MEMO: dict[tuple, str] = {}
 _VALUE_MEMO: dict[bytes, str | None] = {}
 
 
+def _memo_evict_half(memo: dict) -> None:
+    """At-cap eviction: drop the OLDEST half (dict insertion order) instead
+    of clearing — clear-at-cap rebuilt the whole memo repeatedly on streams
+    whose attr diversity exceeds the cap, turning steady-state hits into
+    periodic all-miss latency spikes (ADVICE r6). Same amortized O(1) per
+    miss (CAP/2 deletions every CAP/2 misses), but the recently-inserted
+    half — the keys most likely to repeat next — survives."""
+    from itertools import islice
+
+    for k in list(islice(memo, len(memo) // 2)):
+        del memo[k]
+
+
 def _attrs_json_memo(buf: bytes, ranges: list[tuple[int, int]]) -> str:
     """Attribute KeyValue ranges -> canonical JSON, memoized.
 
@@ -255,7 +268,7 @@ def _attrs_json_memo(buf: bytes, ranges: list[tuple[int, int]]) -> str:
     if out is None:
         out = _canon(_attrs(buf, ranges))
         if len(_ATTRS_MEMO) >= _MEMO_CAP:
-            _ATTRS_MEMO.clear()
+            _memo_evict_half(_ATTRS_MEMO)
         _ATTRS_MEMO[key] = out
     return out
 
@@ -271,7 +284,7 @@ def _body_json_memo(buf: bytes, pos: int, end: int) -> str | None:
     v = _anyvalue(buf, pos, end)
     out = None if v is _EMPTY else _canon(v)
     if len(_VALUE_MEMO) >= _MEMO_CAP:
-        _VALUE_MEMO.clear()
+        _memo_evict_half(_VALUE_MEMO)
     _VALUE_MEMO[key] = out
     return out
 
@@ -290,7 +303,7 @@ def _scope_fields_memo(
     if out is None:
         out = _scope_fields(buf, pos, end, with_attrs=with_attrs)
         if len(_SCOPE_MEMO) >= _MEMO_CAP:
-            _SCOPE_MEMO.clear()
+            _memo_evict_half(_SCOPE_MEMO)
         _SCOPE_MEMO[key] = out
     return out
 
@@ -339,7 +352,7 @@ def _resource_fields_memo(
     if out is None:
         out = _resource_fields(buf, pos, end)
         if len(_RESOURCE_MEMO) >= _MEMO_CAP:
-            _RESOURCE_MEMO.clear()
+            _memo_evict_half(_RESOURCE_MEMO)
         _RESOURCE_MEMO[key] = out
     return out
 
@@ -366,7 +379,7 @@ def _metrics_resource_memo(buf: bytes, pos: int, end: int) -> tuple[str, str]:
     if out is None:
         out = _metrics_resource(buf, pos, end)
         if len(_MRES_MEMO) >= _MEMO_CAP:
-            _MRES_MEMO.clear()
+            _memo_evict_half(_MRES_MEMO)
         _MRES_MEMO[key] = out
     return out
 

@@ -176,14 +176,22 @@ def _parse_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, Any]
 # failures").
 
 
-def _write_quarantine(qdir: str, path: str, content: bytes, err: OtlpDecodeError) -> None:
+def _write_quarantine(
+    qdir: str, path: str, content: bytes | None, err: OtlpDecodeError
+) -> None:
     """Executor-side quarantine write: payload copy + error sidecar.
 
     File names derive deterministically from the source path (content hash
     when the path is empty, e.g. line-split scans), so a retried or
     speculative task overwrites its first attempt instead of duplicating.
     The name is basename + a short hash of the FULL path: two bad payloads
-    named `a/x.pb` and `b/x.pb` must not clobber each other (ADVICE r2)."""
+    named `a/x.pb` and `b/x.pb` must not clobber each other (ADVICE r2).
+
+    content=None means the payload bytes were never obtained (locality-lane
+    read failure): no payload copy is written — an empty file would make
+    replay-from-quarantine silently lose the bytes (ADVICE r6) — and the
+    sidecar records `payload_at` so replay knows where the original still
+    lives."""
     import hashlib
     import json as _json
 
@@ -191,11 +199,14 @@ def _write_quarantine(qdir: str, path: str, content: bytes, err: OtlpDecodeError
         suffix = hashlib.sha256(path.encode()).hexdigest()[:8]
         base = f"{os.path.basename(path)}.{suffix}"
     else:
-        base = hashlib.sha256(content).hexdigest()[:16]
+        base = hashlib.sha256(content or b"").hexdigest()[:16]
     os.makedirs(qdir, exist_ok=True)
-    with open(os.path.join(qdir, base), "wb") as f:
-        f.write(content)
     sidecar = {"path": path, "code": err.code, "error": str(err)}
+    if content is None:
+        sidecar["payload_at"] = path  # read failed; bytes never left the source
+    else:
+        with open(os.path.join(qdir, base), "wb") as f:
+            f.write(content)
     with open(os.path.join(qdir, base + ".error.json"), "w") as f:
         _json.dump(sidecar, f)
 
@@ -219,7 +230,11 @@ def read_quarantine(spark: SparkSession, qdir: str) -> DataFrame:
 
 
 def _handle_decode_error(
-    err: OtlpDecodeError, on_error: str, quarantine_dir: str | None, path: str, content: bytes
+    err: OtlpDecodeError,
+    on_error: str,
+    quarantine_dir: str | None,
+    path: str,
+    content: bytes | None,
 ) -> None:
     if on_error == "raise":
         raise err
@@ -316,7 +331,10 @@ def _decode_simple(signal: str, table: str, on_error: str, quarantine_dir: str |
             )
             fmts = batch.column("fmt")
             for i in range(batch.num_rows):
-                content = b""
+                # None until the bytes are in hand: a locality-lane read
+                # failure must quarantine WITHOUT a (misleading, empty)
+                # payload copy (ADVICE r6)
+                content: bytes | None = None
                 try:
                     content = (
                         contents[i].as_py()
@@ -433,7 +451,7 @@ def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str |
             for i in range(batch.num_rows):
                 if decode_counter is not None:
                     decode_counter.add(1)
-                content = b""
+                content: bytes | None = None
                 try:
                     content = (
                         contents[i].as_py()

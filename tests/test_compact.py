@@ -58,6 +58,39 @@ def test_compact_merges_fragments_preserving_content(spark, tmp_path):
     assert _files(out) == merged
 
 
+def test_compact_refuses_under_active_writer(spark, tmp_path):
+    """VERDICT r6: the swap is non-atomic, so the CLI path must REFUSE when
+    a writer looks active on the root (fresh data-file mtimes) and proceed
+    once the root has quiesced (or under --force)."""
+    import os
+    import time
+
+    import pytest
+
+    out = str(tmp_path / "lake")
+    for run in range(2):
+        _ingest_once(spark, out, run)
+    # files were written milliseconds ago -> active-writer refusal
+    age = compact.newest_data_file_age_sec(out, "otel_logs")
+    assert age is not None and age < 60
+    with pytest.raises(RuntimeError, match="refusing to compact"):
+        compact.compact_table(spark, out, "otel_logs", require_quiesced_sec=60)
+    assert len(_files(out)) >= 2  # nothing touched
+
+    # age the files past the window -> proceeds
+    past = time.time() - 3600
+    for f in _files(out):
+        os.utime(f, (past, past))
+    acct = compact.compact_table(
+        spark, out, "otel_logs", require_quiesced_sec=60
+    ).collect()
+    assert acct
+
+    # force path: guard off even with fresh files
+    _ingest_once(spark, out, 9)
+    compact.compact_table(spark, out, "otel_logs", require_quiesced_sec=0).collect()
+
+
 def test_compact_converges_after_crash_between_write_and_delete(spark, tmp_path):
     """Simulate a crash that wrote the compacted generation but never
     deleted the fragments: both generations visible (duplicated rows);

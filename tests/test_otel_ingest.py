@@ -496,6 +496,36 @@ def test_locality_lane_quarantine_parity(spark, landing, tmp_path):
         assert any(f.startswith("bad.pb") and f.endswith(".error.json") for f in qfiles), qfiles
 
 
+def test_locality_read_failure_quarantines_without_empty_payload(spark, tmp_path):
+    """ADVICE r6 (ingest.py locality lane): when the payload file vanishes
+    between the listing scan and the decode task, the quarantine record must
+    NOT be an empty payload copy (replay would silently lose the bytes) —
+    sidecar only, with `payload_at` pointing at the original source path."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    shutil.copy(f"{TD}/logs.pb", d / "good.pb")
+    doomed = d / "doomed.pb"
+    doomed.write_bytes(open(f"{TD}/logs.pb", "rb").read())
+    meta, _ = ingest.read_landing_meta(spark, str(d))
+    meta = meta.cache()
+    assert meta.count() == 2  # listing done, bytes not yet read
+    doomed.unlink()  # rotate the file away before the decode task runs
+    qdir = str(tmp_path / "q")
+    n = ingest.decode_logs(meta, on_error="quarantine", quarantine_dir=qdir).count()
+    meta.unpersist()
+    assert n == 81  # the good payload decoded; pipeline continued
+    files = sorted(os.listdir(qdir))
+    sidecars = [f for f in files if f.endswith(".error.json")]
+    payload_copies = [f for f in files if not f.endswith(".error.json")]
+    assert len(sidecars) == 1 and "doomed.pb" in sidecars[0]
+    assert payload_copies == []  # no empty-bytes artifact
+    import json as _json
+
+    side = _json.load(open(os.path.join(qdir, sidecars[0])))
+    assert side["payload_at"].endswith("doomed.pb")
+    assert "read failed" in side["error"]
+
+
 def test_corrupt_gzip_and_bad_utf8_quarantine_not_crash(spark, tmp_path):
     """Round-6 review finding: corrupted gzip (zlib.error/EOFError) and
     non-UTF-8 JSONL (UnicodeDecodeError) must quarantine the one payload,
