@@ -533,3 +533,148 @@ def x4_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partitioned ORDER BY would re-execute the regex chain for its
         # sampling pass (the map-only rule from x6_hash_sample)
     ).sortWithinPartitions("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x4_bpe_train — distributed BPE merge training (the capstone over
+# x4_pretoken_count): learn the first N merge rules of a byte-pair-encoding
+# tokenizer from the corpus itself.
+
+_BPE_ROUNDS = 10
+
+
+def _apply_merge_expr(tokens_col, a: str, b: str):
+    """Left-to-right, non-overlapping application of ONE merge rule (a,b) ->
+    a+b over a symbol array — the exact greedy semantics of Sennrich-style
+    BPE — as a pure Catalyst fold (F.aggregate), so the per-round rewrite is
+    map-only JVM work with the pair as broadcast literals.
+
+    Fold state: (out, carry). carry holds the last unmerged symbol; when
+    (carry, next) == (a, b) the merged symbol goes straight to out and carry
+    resets, so a merged token never re-merges within the same round
+    ("aaaa" + (a,a) -> [aa, aa], not [aaa, a])."""
+    merged = a + b
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc, s):
+        return (
+            F.when(acc.carry.isNull(), F.struct(acc.out.alias("out"), s.alias("carry")))
+            .when(
+                (acc.carry == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc.out, F.array(acc.carry)).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc.carry.isNull(), acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.carry))
+        )
+
+    return F.aggregate(tokens_col, acc0, step, finish)
+
+
+def bpe_train(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple]:
+    """Learn `rounds` BPE merges over the documents' text column.
+
+    Returns [(round, left, right, merged, pair_count, corpus_tokens), ...]
+    where corpus_tokens is the total symbol count across the corpus AFTER
+    applying that round's merge (the per-round compression ledger).
+
+    Scale shape — the part that matters at 100 TB:
+    - ONE corpus-sized shuffle total: pretokenize (the x4_pretoken_count
+      regex) -> explode -> groupBy(pretoken) with map-side partial
+      aggregation. Everything after runs on the VOCAB table (distinct
+      pretokens + frequencies), which grows sublinearly with the corpus —
+      this is why classic BPE trainers fold duplicates first.
+    - Each merge round is: adjacent-pair explode + weighted groupBy over
+      the vocab table (small shuffle), a 1-row driver collect (the argmax
+      pair, deterministic tie-break count desc / left asc / right asc),
+      then a map-only Catalyst fold applying the merge with the pair as
+      broadcast literals. No Python in any per-row path.
+    - The evolving vocab is localCheckpoint'ed per round: 10 rounds of
+      nested F.aggregate folds would otherwise stack into one plan that
+      re-executes the whole chain per round's pair-count job.
+
+    Determinism: integer frequencies, lexicographic tie-breaks, and
+    single-merge-per-round semantics make the merge list a pure function
+    of the corpus — the pytest gate replays a pure-Python reference BPE
+    and asserts bit-identical output (the T10 model-replay pattern;
+    iterative argmax is not SQL-expressible, so this op is rows-only for
+    the driver)."""
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), 0)
+            ).alias("pretoken")
+        )
+        .groupBy("pretoken")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.filter(F.split("pretoken", ""), lambda c: F.length(c) > 0).alias(
+                "tokens"
+            ),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    out: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        n = F.size("tokens")
+        pairs = (
+            vocab.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("tokens"), i).alias("l"),
+                            F.element_at(F.col("tokens"), i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        vocab = vocab.select(
+            _apply_merge_expr(F.col("tokens"), a, b).alias("tokens"), "freq"
+        ).localCheckpoint()
+        corpus_tokens = int(
+            vocab.agg(F.sum(F.size("tokens") * F.col("freq"))).collect()[0][0]
+        )
+        out.append((rnd, a, b, a + b, cnt, corpus_tokens))
+    return out
+
+
+@query(
+    "x4_bpe_train",
+    oracle=None,  # iterative argmax: rows-only + pure-Python replay gate
+    tags=("X4", "A1"),
+)
+def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 learned BPE merge rules over the documents corpus, with the
+    per-round pair count and post-merge corpus token count (see bpe_train
+    for the dataflow and the 100-TB argument)."""
+    merges = bpe_train(spread(T(spark, sf_dir, "documents")))
+    return spark.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, "
+        "pair_count long, corpus_tokens long",
+    )
