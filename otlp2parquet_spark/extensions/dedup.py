@@ -646,6 +646,139 @@ def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup threshold: within-cluster cosine above this marks the higher-id
+# vector a semantic duplicate (sf-corpus p99 within-cluster sim ~0.295, so
+# 0.30 drops the genuinely-close tail, ~40% at sf0.01, not the whole corpus)
+SEM_TAU = 0.30
+
+
+@query(
+    "x2_semantic_dedup",
+    oracle=f"""
+    WITH cents0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cent
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), s1 AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_cosine_similarity(e.embedding::DOUBLE[], c.cent) AS sim
+      FROM embeddings e CROSS JOIN cents0 c
+    ), a1 AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      FROM s1
+    ), expl AS (
+      SELECT cid, generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(unnest(embedding)::DOUBLE * 10000.0 + 0.5) AS BIGINT) AS qv
+      FROM a1 WHERE rn = 1
+    ), dims AS (
+      SELECT cid, pos, SUM(qv) / (COUNT(*) * 10000.0) AS m
+      FROM expl GROUP BY cid, pos
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cent FROM dims GROUP BY cid
+    ), s2 AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_cosine_similarity(e.embedding::DOUBLE[], c.cent) AS sim
+      FROM embeddings e CROSS JOIN c1 c
+    ), a2 AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      FROM s2
+    ), assigned AS (
+      SELECT vec_id, embedding, cid AS cluster_id FROM a2 WHERE rn = 1
+    ), norm AS (
+      SELECT vec_id, cluster_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM assigned
+    ), dup AS (
+      SELECT b.vec_id, COUNT(*) AS n
+      FROM norm a JOIN norm b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_sum(list_zip(a.embedding, b.embedding)
+                     .list_transform(p -> CAST(p[1] AS DOUBLE) * p[2]))
+            / (a.nrm * b.nrm) >= {SEM_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT n.vec_id, n.cluster_id,
+           d.vec_id IS NULL AS is_kept,
+           COALESCE(d.n, 0) AS n_sem_dups
+    FROM norm n LEFT JOIN dup d USING (vec_id)
+    ORDER BY n.vec_id
+    """,
+    tags=("X2", "X3", "J1", "W1", "F4"),
+)
+def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023)-shaped semantic deduplication: k-means
+    cluster the embedding space, then within each cluster drop any vector
+    whose cosine to a lower-vec_id cluster-mate is >= SEM_TAU. The third
+    dedup axis after exact (x1) and near-text (x2_minhash/_jaccard): catches
+    paraphrases whose token overlap is low but whose embeddings coincide.
+
+    Composition of two proven pieces: similarity.kmeans_refined_assign (the
+    oracle-matched deterministic Lloyd's round of x3_kmeans) partitions the
+    corpus so pairwise work is cluster-local, then the per-cluster gemm
+    kernel of x2_embedding_neardup screens candidates and recomputes
+    survivors with left-to-right accumulation for exact DuckDB parity.
+    Keep rule is order-free (dup iff ANY lower-id neighbor >= tau, not a
+    greedy chain), so it is SQL-expressible and embarrassingly parallel.
+
+    Scale shape: centroids broadcast (assignment is map-only over the
+    corpus scan); ONE shuffle on cluster_id; per-cluster cost is O(n_b^2*d)
+    BLAS where n_b is bounded by growing K with the corpus (the SemDeDup
+    paper runs 110k clusters at 100 TB scale — K is a knob, the plan shape
+    is constant). Same block-bounded pattern whose 100x factor is measured
+    for x2_embedding_neardup in BASELINE.md."""
+    import numpy as np
+    import pandas as pd
+
+    from otlp2parquet_spark.extensions.similarity import kmeans_refined_assign
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    assigned = kmeans_refined_assign(e).select("vec_id", "embedding", "cluster_id")
+
+    def _seq_dot(a, b) -> float:
+        # strict left-to-right float64 accumulation (DuckDB list_sum order);
+        # BLAS pairwise order drifts ~1e-16, enough to flip a >= tau boundary
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def cluster_mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
+        )
+        nrm = np.array([np.sqrt(_seq_dot(row, row)) for row in m])
+        # gemm screens candidate pairs; survivors (result-sized, not
+        # pair-sized) are recomputed in sequential order for exact parity
+        sim = (m @ m.T) / np.outer(nrm, nrm)
+        n = len(ids)
+        n_dups = np.zeros(n, dtype=np.int64)
+        iu, ju = np.triu_indices(n, k=1)
+        cand = sim[iu, ju] >= SEM_TAU - 1e-9
+        for i, j in zip(iu[cand], ju[cand]):
+            if _seq_dot(m[i], m[j]) / (nrm[i] * nrm[j]) >= SEM_TAU:
+                n_dups[j] += 1
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": np.full(n, pdf["cluster_id"].iloc[0], dtype=np.int64),
+                "is_kept": n_dups == 0,
+                "n_sem_dups": n_dups,
+            }
+        )
+
+    return (
+        assigned.groupBy("cluster_id")
+        .applyInPandas(
+            cluster_mark,
+            "vec_id long, cluster_id long, is_kept boolean, n_sem_dups long",
+        )
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "x2_simhash",
     oracle=None,  # bit-vote fingerprint; verified against a python reference in tests

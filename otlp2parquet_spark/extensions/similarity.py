@@ -540,6 +540,20 @@ def x3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy localCheckpoint per round exactly like x2_dedup_clusters; a
     single round is fixed here so the oracle stays closed-form."""
     e = spread(T(spark, sf_dir, "embeddings"))
+    return (
+        kmeans_refined_assign(e)
+        .select("vec_id", "cluster_id", _q4_sim(F.col("sim")))
+        .orderBy("vec_id")
+    )
+
+
+def kmeans_refined_assign(e: DataFrame) -> DataFrame:
+    """The deterministic clustering core of x3_kmeans, reusable by downstream
+    operators (x2_semantic_dedup): seed K centroids from the K lowest vec_ids,
+    assign, recompute centroids on the 1e-4 integer grid (order-free exact
+    sums), reassign. Returns (vec_id, embedding, cluster_id, sim) with the
+    refined assignment — bit-identical with the DuckDB CTE twin (see
+    x3_kmeans's oracle) because every float op is order-pinned."""
     cents0 = (
         e.orderBy("vec_id")
         .limit(_KM_K)
@@ -573,10 +587,8 @@ def x3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.getField("m"),
         ).alias("cent")
     )
-    return (
-        assign(c1)
-        .select("vec_id", F.col("cid").alias("cluster_id"), _q4_sim(F.col("sim")))
-        .orderBy("vec_id")
+    return assign(c1).select(
+        "vec_id", "embedding", F.col("cid").alias("cluster_id"), "sim"
     )
 
 
