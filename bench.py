@@ -100,7 +100,9 @@ def _ingest_metrics(spark) -> dict[str, float]:
             with open(f"{landing}/c{i}.jsonl", "w") as f:
                 f.write("\n".join(all_lines[i * per : (i + 1) * per]))
 
-        payloads, _ = ingest.read_landing(spark, landing)
+        # the shipped batch-ingest path (read_landing_auto): local/posix
+        # source -> payload-locality lane, object store -> content lane
+        payloads, _ = ingest.read_landing_auto(spark, landing)
         ingest.decode_logs(payloads).count()  # warm codec workers
         decode_write = 0.0
         for run in range(2):
