@@ -743,6 +743,17 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return s
 
     def cluster_mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Chunked gemm: the full n_b x n_b sim matrix is O(n_b^2) memory
+        # (31 GB at a 62k-row block) — stream it CH rows at a time instead.
+        # The threshold DECISION (not the sim value) is all this op needs,
+        # so the sequential-order recompute narrows to the +-1e-9 band
+        # around tau: BLAS pairwise-sum drift is ~1e-13, so any pair whose
+        # exact left-to-right value could sit on the other side of tau is
+        # inside the band, and outside it the gemm verdict is already
+        # exact. Normally the band is empty; parity with DuckDB stays
+        # bit-for-bit (same argument as x2_embedding_neardup, decision
+        # edition).
+        CH = 1024
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
@@ -750,16 +761,22 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
         )
         nrm = np.array([np.sqrt(_seq_dot(row, row)) for row in m])
-        # gemm screens candidate pairs; survivors (result-sized, not
-        # pair-sized) are recomputed in sequential order for exact parity
-        sim = (m @ m.T) / np.outer(nrm, nrm)
         n = len(ids)
         n_dups = np.zeros(n, dtype=np.int64)
-        iu, ju = np.triu_indices(n, k=1)
-        cand = sim[iu, ju] >= SEM_TAU - 1e-9
-        for i, j in zip(iu[cand], ju[cand]):
-            if _seq_dot(m[i], m[j]) / (nrm[i] * nrm[j]) >= SEM_TAU:
-                n_dups[j] += 1
+        for s in range(0, n, CH):
+            e_ = min(s + CH, n)
+            sims = (m[s:e_] @ m.T) / np.outer(nrm[s:e_], nrm)
+            # keep only j > i (upper triangle of the global matrix)
+            cols = np.arange(n)[None, :]
+            rows_ = np.arange(s, e_)[:, None]
+            upper = cols > rows_
+            dup = upper & (sims >= SEM_TAU + 1e-9)
+            band = upper & (sims >= SEM_TAU - 1e-9) & ~dup
+            for bi, bj in zip(*np.nonzero(band)):
+                i, j = s + bi, bj
+                if _seq_dot(m[i], m[j]) / (nrm[i] * nrm[j]) >= SEM_TAU:
+                    dup[bi, bj] = True
+            n_dups += dup.sum(axis=0)
         return pd.DataFrame(
             {
                 "vec_id": ids,

@@ -565,6 +565,38 @@ def _ann_family_stats(spark, sf_dir):
     )
 
 
+def test_semantic_dedup_cluster_local_vs_brute_force(spark, tmp_path):
+    """x2_semantic_dedup's cluster-locality contract on clustered geometry
+    (the regime SemDeDup is for): (a) every cluster-local drop is also a
+    global brute-force drop (subset by construction — the witnessing pair
+    is a real pair), and (b) cluster-local recall of the global drop set
+    >= 0.9 — tau-similar pairs live inside k-means cells, so restricting
+    the quadratic to cells loses almost nothing while bounding the work."""
+    import numpy as np
+
+    sf_dir = str(tmp_path / "mog")
+    _write_mog_embeddings(sf_dir)
+    rows = SPECS["x2_semantic_dedup"].build(spark, sf_dir).collect()
+    local_drops = {r.vec_id for r in rows if not r.is_kept}
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id"))
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])[order]
+    nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+    sim = (m @ m.T) / np.outer(nrm, nrm)
+    upper = np.triu(sim >= 0.30, k=1)  # i < j (ids sorted ascending)
+    global_drops = {int(ids[j]) for j in np.nonzero(upper.any(axis=0))[0]}
+
+    assert local_drops <= global_drops  # no false drop, ever
+    assert global_drops, "fixture produced no semantic duplicates"
+    recall = len(local_drops & global_drops) / len(global_drops)
+    assert recall >= 0.9, f"cluster-local drop recall {recall:.3f} < 0.9"
+
+
 def test_ann_router_beats_families_at_its_candidate_fraction(spark, tmp_path):
     """x3_ann_router (judge r6 ask #7) on BOTH regimes: (a) the measured
     regime statistic routes diffuse -> IVF and clustered -> SRP, (b) router
