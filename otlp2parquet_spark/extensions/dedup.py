@@ -726,13 +726,26 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper runs 110k clusters at 100 TB scale — K is a knob, the plan shape
     is constant). Same block-bounded pattern whose 100x factor is measured
     for x2_embedding_neardup in BASELINE.md."""
-    import numpy as np
-    import pandas as pd
-
     from otlp2parquet_spark.extensions.similarity import kmeans_refined_assign
 
     e = spread(T(spark, sf_dir, "embeddings"))
     assigned = kmeans_refined_assign(e).select("vec_id", "embedding", "cluster_id")
+    return (
+        assigned.groupBy("cluster_id")
+        .applyInPandas(
+            _cluster_mark_kernel(),
+            "vec_id long, cluster_id long, is_kept boolean, n_sem_dups long",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _cluster_mark_kernel():
+    """Per-cluster SemDeDup marking kernel, shared by the oracle-matched
+    form and the K-scaled variant (the parse_wav_meta principle: the gated
+    code IS the shipped code)."""
+    import numpy as np
+    import pandas as pd
 
     def _seq_dot(a, b) -> float:
         # strict left-to-right float64 accumulation (DuckDB list_sum order);
@@ -786,10 +799,48 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    return cluster_mark
+
+
+# scale variant block target: expected rows per k-means cell (the
+# x3_knn_join_bucketed TARGET_BLOCK convention)
+_SEM_TARGET_BLOCK = 200
+
+
+@query(
+    "x2_semantic_dedup_scaled",
+    oracle=None,  # approximate (finer cells lose cross-cell dups); gated in tests
+    tags=("X2", "X3", "J1", "W1", "F4"),
+)
+def x2_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of x2_semantic_dedup — the same exact-op/scale-op
+    relationship as x3_knn_join vs x3_knn_join_bucketed: the exact form's
+    K=8 cells densify WITH the corpus, so its per-cell quadratic is
+    superlinear (measured 14.3x wall at 100x data). Here K is sized so the
+    expected cell holds ~_SEM_TARGET_BLOCK vectors (SemDeDup itself runs
+    110k clusters at web scale — K is the knob, the plan shape is
+    constant): per-cell cost stays CONSTANT as the corpus grows, total
+    work is linear in n, and above 16 centroids the assignment takes the
+    two-level IMI routing (_score_centroids) so centroid scoring is
+    O(n*sqrt(K)) too.
+
+    Approximate exactly like every blocked ANN op: a tau-duplicate pair
+    split across two cells is missed. The quality gate (subset-of-brute-
+    force + recall on the mixture-of-Gaussians fixture) holds the locality
+    contract; the oracle-matched K=8 form remains the semantics anchor."""
+    from otlp2parquet_spark.extensions.similarity import ivf_assign
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    # driver-side sizing scalar at index build, like x3_knn_join_bucketed
+    n = e.count()
+    k = max(8, int(n) // _SEM_TARGET_BLOCK)
+    assigned = ivf_assign(e, n_centroids=k)[0].select(
+        "vec_id", "embedding", "cluster_id"
+    )
     return (
         assigned.groupBy("cluster_id")
         .applyInPandas(
-            cluster_mark,
+            _cluster_mark_kernel(),
             "vec_id long, cluster_id long, is_kept boolean, n_sem_dups long",
         )
         .orderBy("vec_id")

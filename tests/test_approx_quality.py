@@ -576,8 +576,6 @@ def test_semantic_dedup_cluster_local_vs_brute_force(spark, tmp_path):
 
     sf_dir = str(tmp_path / "mog")
     _write_mog_embeddings(sf_dir)
-    rows = SPECS["x2_semantic_dedup"].build(spark, sf_dir).collect()
-    local_drops = {r.vec_id for r in rows if not r.is_kept}
 
     import pyarrow.parquet as pq
 
@@ -590,11 +588,16 @@ def test_semantic_dedup_cluster_local_vs_brute_force(spark, tmp_path):
     sim = (m @ m.T) / np.outer(nrm, nrm)
     upper = np.triu(sim >= 0.30, k=1)  # i < j (ids sorted ascending)
     global_drops = {int(ids[j]) for j in np.nonzero(upper.any(axis=0))[0]}
-
-    assert local_drops <= global_drops  # no false drop, ever
     assert global_drops, "fixture produced no semantic duplicates"
-    recall = len(local_drops & global_drops) / len(global_drops)
-    assert recall >= 0.9, f"cluster-local drop recall {recall:.3f} < 0.9"
+
+    # exact form (K=8, oracle-matched) and the K-scaled variant (finer
+    # cells; the measured gate holds the locality contract at scale)
+    for spec, min_recall in (("x2_semantic_dedup", 0.9), ("x2_semantic_dedup_scaled", 0.95)):
+        rows = SPECS[spec].build(spark, sf_dir).collect()
+        local_drops = {r.vec_id for r in rows if not r.is_kept}
+        assert local_drops <= global_drops, spec  # no false drop, ever
+        recall = len(local_drops & global_drops) / len(global_drops)
+        assert recall >= min_recall, f"{spec} drop recall {recall:.3f} < {min_recall}"
 
 
 def test_ann_router_beats_families_at_its_candidate_fraction(spark, tmp_path):
