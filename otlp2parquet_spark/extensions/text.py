@@ -586,6 +586,13 @@ def _apply_merge_expr(tokens_col, a: str, b: str):
 
 
 def bpe_train(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple]:
+    merges, _vocab = bpe_train_vocab(docs, rounds)
+    return merges
+
+
+def bpe_train_vocab(
+    docs: DataFrame, rounds: int = _BPE_ROUNDS
+) -> tuple[list[tuple], DataFrame]:
     """Learn `rounds` BPE merges over the documents' text column.
 
     Returns [(round, left, right, merged, pair_count, corpus_tokens), ...]
@@ -612,7 +619,11 @@ def bpe_train(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple]:
     of the corpus — the pytest gate replays a pure-Python reference BPE
     and asserts bit-identical output (the T10 model-replay pattern;
     iterative argmax is not SQL-expressible, so this op is rows-only for
-    the driver)."""
+    the driver).
+
+    Returns (merges, vocab): vocab is the post-merge symbol table
+    (pretoken, tokens, freq) — the trained tokenizer itself, consumed by
+    x4_bpe_encode to tokenize the corpus without re-deriving anything."""
     vocab = (
         docs.select(
             F.explode(
@@ -622,6 +633,7 @@ def bpe_train(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple]:
         .groupBy("pretoken")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "pretoken",
             F.filter(F.split("pretoken", ""), lambda c: F.length(c) > 0).alias(
                 "tokens"
             ),
@@ -654,13 +666,13 @@ def bpe_train(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple]:
             break
         a, b, cnt = top[0].l, top[0].r, int(top[0].cnt)
         vocab = vocab.select(
-            _apply_merge_expr(F.col("tokens"), a, b).alias("tokens"), "freq"
+            "pretoken", _apply_merge_expr(F.col("tokens"), a, b).alias("tokens"), "freq"
         ).localCheckpoint()
         corpus_tokens = int(
             vocab.agg(F.sum(F.size("tokens") * F.col("freq"))).collect()[0][0]
         )
         out.append((rnd, a, b, a + b, cnt, corpus_tokens))
-    return out
+    return out, vocab
 
 
 @query(
@@ -677,4 +689,66 @@ def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "round int, left string, right string, merged string, "
         "pair_count long, corpus_tokens long",
+    )
+
+
+@query(
+    "x4_bpe_encode",
+    oracle=None,  # tokenizer derives from iterative training: rows-only +
+    # pure-Python replay gate (tests/test_bpe_train.py)
+    tags=("X4", "J1", "A1"),
+)
+def x4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges — the op a training
+    pipeline runs after x4_bpe_train: per document, the pretoken count,
+    pre-merge symbol count, post-merge BPE token count, and the achieved
+    compression ratio.
+
+    Scale shape: training already folded the corpus into the distinct-
+    pretoken vocab and REWROTE it through every merge round, so the
+    trained tokenizer IS the final vocab table (pretoken -> symbol array)
+    — encoding never re-applies a merge. The corpus then makes one
+    pretoken-explode pass joined against the vocab on pretoken (merge
+    hint: the vocab is sublinear but corpus-dependent, so it must not be
+    STATICALLY broadcast — AQE promotes it at runtime when measured small,
+    the scale-bug-#1 discipline; AQE skew-join handles hot pretokens like
+    ' the') and one groupBy(doc_id). No Python in any per-row path.
+
+    Compression is quantized by integer math (floor(x*1e4+0.5)/1e4) like
+    every float output; NULL for documents with no pretokens."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    _merges, vocab = bpe_train_vocab(docs)
+    enc = vocab.select("pretoken", F.size("tokens").alias("n_bpe"))
+    pre = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), 0)).alias(
+            "pretoken"
+        ),
+    )
+    agg = (
+        pre.join(enc.hint("merge"), "pretoken")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum(F.length("pretoken")).alias("n_symbols"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pretokens", F.lit(0)).alias("n_pretokens"),
+            F.coalesce("n_symbols", F.lit(0)).alias("n_symbols"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.floor(
+                    F.col("n_symbols") / F.col("n_bpe_tokens") * 10000.0 + 0.5
+                )
+                / 10000.0,
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
     )

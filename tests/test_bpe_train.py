@@ -12,10 +12,15 @@ import re
 import pyarrow.parquet as pq
 import pytest
 
-from otlp2parquet_spark.extensions.text import _PRETOKEN_RE, bpe_train, x4_bpe_train
+from otlp2parquet_spark.extensions.text import (
+    _PRETOKEN_RE,
+    bpe_train,
+    x4_bpe_encode,
+    x4_bpe_train,
+)
 
 
-def ref_bpe(texts, rounds: int = 10):
+def ref_bpe(texts, rounds: int = 10, return_words: bool = False):
     """Sennrich-style reference: fold duplicate pretokens, count overlapping
     adjacent pairs weighted by frequency, argmax with (count desc, left asc,
     right asc) tie-break, apply left-to-right non-overlapping."""
@@ -52,7 +57,7 @@ def ref_bpe(texts, rounds: int = 10):
             words[w] = out
         corpus_tokens = sum(freq * len(words[w]) for w, freq in vocab.items())
         merges.append((rnd, a, b, a + b, cnt, corpus_tokens))
-    return merges
+    return (merges, words) if return_words else merges
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
@@ -87,6 +92,57 @@ def test_bpe_merge_semantics_edge_cases(spark):
     # takes: r3 (' ',b) or (b,b)? tie at cnt 1 -> lexicographic: ' ' < 'b'
     assert merges[2][1:3] == (" ", "b")
     assert rounds_run == 4  # r4 merges (' b','b') -> ' bb'; then exhausted
+
+
+def _ref_encode_rows(doc_rows, rounds: int = 10):
+    """(doc_id, n_pretokens, n_symbols, n_bpe_tokens, compression) per doc
+    by replaying the reference tokenizer over the same corpus."""
+    pat = re.compile(_PRETOKEN_RE)
+    _merges, words = ref_bpe([t for _i, t in doc_rows], rounds, return_words=True)
+    out = []
+    for doc_id, text in doc_rows:
+        pts = pat.findall(text)
+        n_sym = sum(len(p) for p in pts)
+        n_bpe = sum(len(words[p]) for p in pts)
+        comp = None
+        if n_bpe:
+            import math
+
+            comp = math.floor(n_sym / n_bpe * 10000.0 + 0.5) / 10000.0
+        out.append((doc_id, len(pts), n_sym, n_bpe, comp))
+    return sorted(out)
+
+
+def test_bpe_encode_matches_reference_replay(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_rows = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    got = sorted(map(tuple, x4_bpe_encode(spark, sf_dir).collect()))
+    assert got == _ref_encode_rows(doc_rows)
+
+
+def test_bpe_encode_handles_empty_and_punct_docs(spark, tmp_path):
+    """A doc with no pretokens (empty / all-punct text) must come back with
+    zero counts and NULL compression, not vanish in the join."""
+    import pyarrow as pa
+
+    sf = str(tmp_path / "sf")
+    __import__("os").makedirs(sf)
+    rows = [(0, "aa aa bb"), (1, ""), (2, "!!! 123"), (3, "aa")]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    got = sorted(map(tuple, x4_bpe_encode(spark, sf).collect()))
+    want = _ref_encode_rows(rows)
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][1:] == (0, 0, 0, None)
 
 
 def test_bpe_train_stops_when_exhausted(spark):
