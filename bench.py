@@ -35,6 +35,9 @@ from otlp2parquet_spark.session import get_spark
 # r6 adds x2_substring_dedup + x3_pq_ann (another small suite-total bump;
 # the stable cross-round comparables remain the 18-query pre-r4 subtotal
 # and the 28-query r4/r5 shared subtotal).
+# r7 adds x2_semantic_dedup_scaled (the SemDeDup axis, scale form) +
+# x3_ann_router (regime-routed ANN) — the r6 32-query subset stays the
+# round-over-round comparable.
 HEADLINE = [
     "a1_tpch_q1",
     "p1_project_compute",
@@ -53,7 +56,9 @@ HEADLINE = [
     "x2_embedding_neardup",
     "x2_dedup_clusters",
     "x2_substring_dedup",  # r6: passage-level window-fingerprint dedup
+    "x2_semantic_dedup_scaled",  # r7: SemDeDup, corpus-sized K
     "x3_pq_ann",  # r6: PQ compress + ADC shortlist + exact re-rank
+    "x3_ann_router",  # r7: measured-regime ANN family selection
     "x3_cosine_topk",
     "x3_kmeans",
     "x3_knn_join",

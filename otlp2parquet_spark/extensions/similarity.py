@@ -1060,6 +1060,83 @@ def ann_route(e: DataFrame) -> tuple[str, float]:
 
 
 @query(
+    "x3_embed_quant",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM base
+    ), coded AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                    ELSE CAST(FLOOR(x / scale + 0.5) AS BIGINT) END)
+               AS codes
+      FROM scaled
+    )
+    SELECT vec_id,
+           FLOOR(scale * 10000.0 + 0.5) / 10000.0 AS qscale,
+           FLOOR(CASE WHEN scale = 0 THEN 0.0 ELSE
+               list_sum(list_transform(list_zip(v, codes),
+                        p -> abs(p[1] - p[2] * scale))) / len(v) END
+               * 10000.0 + 0.5) / 10000.0 AS mae,
+           len(list_filter(codes, c -> c = 0)) AS n_zero
+    FROM coded
+    ORDER BY vec_id
+    """,
+    tags=("X3", "F4", "P1"),
+)
+def x3_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + reconstruction-error audit —
+    the storage step a 100-TB embedding corpus runs before indexing (4x
+    smaller than fp32; PQ's 16x cousin with none of its training): per
+    vector, scale = max|x|/127, codes = round-half-up(x/scale), and the
+    mean absolute reconstruction error + zero-code count as the quality
+    ledger a pipeline monitors.
+
+    Determinism: round-half-up is FLOOR(x/scale + 0.5) — one IEEE divide,
+    add, floor, identical in both engines (no banker's rounding, no
+    double->DECIMAL repr); |x| <= max|x| bounds codes to [-127, 127] with
+    no clamp branch; the MAE sum folds in index order (DuckDB list_sum ==
+    Catalyst aggregate order) and outputs quantize on the 1e-4 integer
+    grid like every float output.
+
+    Scale shape: pure map-only HOF pass — no shuffle, no UDF, no state;
+    the scan is the cost, which is the point of the op."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    v = _as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    out = e.select("vec_id", v.alias("v"), scale.alias("scale"))
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x / F.col("scale") + F.lit(0.5)).cast("long")
+        ),
+    )
+    out = out.withColumn("codes", codes)
+    abs_err_sum = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("codes"), lambda x, c: F.abs(x - c * F.col("scale"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mae = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        abs_err_sum / F.size("v")
+    )
+    q4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return out.select(
+        "vec_id",
+        q4(F.col("scale")).alias("qscale"),
+        q4(mae).alias("mae"),
+        F.size(F.filter("codes", lambda c: c == 0)).cast("long").alias("n_zero"),
+    ).orderBy("vec_id")
+
+
+@query(
     "x3_ann_router",
     oracle=None,  # routes between two approximate families; gated in tests
     tags=("X3", "A1"),
