@@ -719,29 +719,28 @@ def x4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(T(spark, sf_dir, "documents"))
     _merges, vocab = bpe_train_vocab(docs)
     enc = vocab.select("pretoken", F.size("tokens").alias("n_bpe"))
+    # explode_outer keeps no-pretoken documents as one NULL-pretoken row, so
+    # ONE corpus scan feeds the whole op (no doc_id membership re-scan); the
+    # NULL never matches the vocab join and aggregates to zero counts
     pre = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), 0)).alias(
-            "pretoken"
-        ),
-    )
-    agg = (
-        pre.join(enc.hint("merge"), "pretoken")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_pretokens"),
-            F.sum(F.length("pretoken")).alias("n_symbols"),
-            F.sum("n_bpe").alias("n_bpe_tokens"),
-        )
+        F.explode_outer(
+            F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), 0)
+        ).alias("pretoken"),
     )
     return (
-        docs.select("doc_id")
-        .join(agg, "doc_id", "left")
+        pre.join(enc.hint("merge"), "pretoken", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("pretoken").alias("n_pretokens"),
+            F.coalesce(F.sum(F.length("pretoken")), F.lit(0)).alias("n_symbols"),
+            F.coalesce(F.sum("n_bpe"), F.lit(0)).alias("n_bpe_tokens"),
+        )
         .select(
             "doc_id",
-            F.coalesce("n_pretokens", F.lit(0)).alias("n_pretokens"),
-            F.coalesce("n_symbols", F.lit(0)).alias("n_symbols"),
-            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            "n_pretokens",
+            "n_symbols",
+            "n_bpe_tokens",
             F.when(
                 F.col("n_bpe_tokens") > 0,
                 F.floor(

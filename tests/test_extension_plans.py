@@ -134,6 +134,9 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "(broadcast-shortlist-filtered corpus) and the 5-query slice — two "
     "genuine roles, kept as scans because the ADC pipeline deliberately "
     "never carries raw vectors",
+    "x2_semantic_dedup": "inherits x3_kmeans's fixed 2-pass Lloyd round "
+    "(two corpus assignment streams + a LIMIT-8 seed scan) via "
+    "kmeans_refined_assign; the dedup stage adds no further scans",
 }
 
 
