@@ -137,8 +137,11 @@ def main(argv: list[str] | None = None) -> int:
                 min_files_per_partition=args.min_files,
                 require_quiesced_sec=0.0 if args.force else args.quiesced_sec,
             )
-        except RuntimeError as e:
-            # active-writer refusal (compact_table's quiesce guard)
+        except compact_mod.CompactionActiveError as e:
+            # active-writer refusal (compact_table's quiesce guard); its own
+            # type — a broad RuntimeError catch would also swallow
+            # NotImplementedError (a RuntimeError subclass) and unrelated
+            # engine errors, mislabeling them as the refusal
             print(f"error: {e}", file=sys.stderr)
             return 3
         except NotImplementedError as e:

@@ -773,7 +773,19 @@ def _cluster_mark_kernel():
         m = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
         )
-        nrm = np.array([np.sqrt(_seq_dot(row, row)) for row in m])
+        # vectorized norms for the SCREEN; their ~1e-13 drift vs the
+        # sequential-order norm is inside the +-1e-9 band like the gemm's,
+        # so the decision outside the band is still exact. Sequential norms
+        # are computed lazily ONLY for band rows (normally none) — a full
+        # _seq_dot norm pass would be n*d Python-interpreter work per block.
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        seq_nrm_cache: dict = {}
+
+        def seq_nrm(i: int) -> float:
+            if i not in seq_nrm_cache:
+                seq_nrm_cache[i] = np.sqrt(_seq_dot(m[i], m[i]))
+            return seq_nrm_cache[i]
+
         n = len(ids)
         n_dups = np.zeros(n, dtype=np.int64)
         for s in range(0, n, CH):
@@ -787,7 +799,7 @@ def _cluster_mark_kernel():
             band = upper & (sims >= SEM_TAU - 1e-9) & ~dup
             for bi, bj in zip(*np.nonzero(band)):
                 i, j = s + bi, bj
-                if _seq_dot(m[i], m[j]) / (nrm[i] * nrm[j]) >= SEM_TAU:
+                if _seq_dot(m[i], m[j]) / (seq_nrm(i) * seq_nrm(j)) >= SEM_TAU:
                     dup[bi, bj] = True
             n_dups += dup.sum(axis=0)
         return pd.DataFrame(

@@ -102,30 +102,50 @@ def _read_fragments_object_store(
     return paths_df.mapInArrow(read_files, sschema)
 
 
-def newest_data_file_age_sec(root: str, table: str) -> float | None:
+class CompactionActiveError(RuntimeError):
+    """The quiesce guard refused to compact: a writer looks active on the
+    root. Its own type so callers (the CLI's exit-3 branch) can distinguish
+    the refusal from arbitrary RuntimeErrors raised inside the rewrite —
+    and from NotImplementedError, which is a RuntimeError subclass."""
+
+
+def newest_data_file_age_sec(
+    root: str, table: str, files: list[str] | None = None
+) -> float | None:
     """Seconds since the most recent data-file modification under the table
     root (None when the table has no files). Activity probe for the
     non-atomic swap guard: a young newest-file age means a writer (almost
     certainly the streaming sink, which flushes every trigger) is active on
-    this root and compaction would expose duplicated rows to its readers."""
+    this root and compaction would expose duplicated rows to its readers.
+
+    `files` skips the recursive listing when the caller already has one
+    (compact_table lists once and probes from it — listing is THE
+    object-store tax, module docstring). Files that vanish between listing
+    and stat (a concurrent compaction's deletions) are skipped, matching
+    the pyarrow branch's missing-mtime tolerance."""
     import time
 
-    files = _list_parquet(root, table)
+    if files is None:
+        files = _list_parquet(root, table)
     if not files:
         return None
     fs, _rel = writer._resolve_fs(root)
     if fs is None:
-        newest = max(os.path.getmtime(f) for f in files)
+        stamps = []
+        for f in files:
+            try:
+                stamps.append(os.path.getmtime(f))
+            except OSError:
+                continue  # rotated/deleted mid-probe: not evidence of activity
     else:
         stamps = [
             info.mtime.timestamp()
             for info in fs.get_file_info(files)
             if info.mtime is not None
         ]
-        if not stamps:
-            return None  # store exposes no mtimes: caller decides (CLI warns)
-        newest = max(stamps)
-    return max(0.0, time.time() - newest)
+    if not stamps:
+        return None  # nothing statable: caller decides (CLI warns)
+    return max(0.0, time.time() - max(stamps))
 
 
 def compact_table(
@@ -146,22 +166,23 @@ def compact_table(
     deleted, so the I/O (and the crash-exposure window) is bounded by the
     fragmented subset, not the table.
 
-    require_quiesced_sec > 0 REFUSES to run (RuntimeError) when any data
-    file under the root was modified more recently than that — the swap is
-    non-atomic (module docstring), so compacting under an active streaming
-    sink exposes duplicated rows to concurrent readers. The CLI sets 120 s
-    by default; --force drops the guard."""
+    require_quiesced_sec > 0 REFUSES to run (CompactionActiveError) when any
+    data file under the root was modified more recently than that — the swap
+    is non-atomic (module docstring), so compacting under an active
+    streaming sink exposes duplicated rows to concurrent readers. The CLI
+    sets 120 s by default; --force drops the guard."""
+    fs, _rel = writer._resolve_fs(root)
+    old_files = _list_parquet(root, table)
     if require_quiesced_sec > 0:
-        age = newest_data_file_age_sec(root, table)
+        # probe from the listing just taken: one recursive listing total
+        age = newest_data_file_age_sec(root, table, files=old_files)
         if age is not None and age < require_quiesced_sec:
-            raise RuntimeError(
+            raise CompactionActiveError(
                 f"refusing to compact {table} at {root}: newest data file is "
                 f"{age:.0f}s old (< {require_quiesced_sec:.0f}s) — a writer "
                 "looks active on this root and the compaction swap is "
                 "non-atomic. Stop the streaming sink or pass --force."
             )
-    fs, _rel = writer._resolve_fs(root)
-    old_files = _list_parquet(root, table)
     by_dir: dict[str, list[str]] = {}
     for f in old_files:
         by_dir.setdefault(posixpath.dirname(f) if fs else os.path.dirname(f), []).append(f)

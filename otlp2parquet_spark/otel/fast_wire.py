@@ -242,16 +242,33 @@ _VALUE_MEMO: dict[bytes, str | None] = {}
 
 
 def _memo_evict_half(memo: dict) -> None:
-    """At-cap eviction: drop the OLDEST half (dict insertion order) instead
-    of clearing — clear-at-cap rebuilt the whole memo repeatedly on streams
+    """At-cap eviction: drop the least-recently-USED half instead of
+    clearing — clear-at-cap rebuilt the whole memo repeatedly on streams
     whose attr diversity exceeds the cap, turning steady-state hits into
     periodic all-miss latency spikes (ADVICE r6). Same amortized O(1) per
-    miss (CAP/2 deletions every CAP/2 misses), but the recently-inserted
-    half — the keys most likely to repeat next — survives."""
+    miss (CAP/2 deletions every CAP/2 misses). _memo_get re-inserts on hit,
+    so dict insertion order IS recency order: a hot working set that
+    arrived early still survives the cut (plain insertion-order eviction
+    would drop it wholesale at the first cap crossing)."""
     from itertools import islice
 
     for k in list(islice(memo, len(memo) // 2)):
         del memo[k]
+
+
+_MEMO_MISS = object()  # sentinel: memo values may legitimately be None
+
+
+def _memo_get(memo: dict, key):
+    """Lookup with an LRU touch: on hit the entry re-inserts at the end so
+    dict order tracks use recency for _memo_evict_half. Returns _MEMO_MISS
+    when absent."""
+    try:
+        val = memo.pop(key)
+    except KeyError:
+        return _MEMO_MISS
+    memo[key] = val
+    return val
 
 
 def _attrs_json_memo(buf: bytes, ranges: list[tuple[int, int]]) -> str:
@@ -264,8 +281,8 @@ def _attrs_json_memo(buf: bytes, ranges: list[tuple[int, int]]) -> str:
     if sum(sizes) > _MEMO_MAX_KEY:
         return _canon(_attrs(buf, ranges))
     key = (sizes, b"".join(buf[p:e] for p, e in ranges))
-    out = _ATTRS_MEMO.get(key)
-    if out is None:
+    out = _memo_get(_ATTRS_MEMO, key)
+    if out is _MEMO_MISS:
         out = _canon(_attrs(buf, ranges))
         if len(_ATTRS_MEMO) >= _MEMO_CAP:
             _memo_evict_half(_ATTRS_MEMO)
@@ -279,8 +296,9 @@ def _body_json_memo(buf: bytes, pos: int, end: int) -> str | None:
         v = _anyvalue(buf, pos, end)
         return None if v is _EMPTY else _canon(v)
     key = buf[pos:end]
-    if key in _VALUE_MEMO:
-        return _VALUE_MEMO[key]
+    out = _memo_get(_VALUE_MEMO, key)
+    if out is not _MEMO_MISS:
+        return out
     v = _anyvalue(buf, pos, end)
     out = None if v is _EMPTY else _canon(v)
     if len(_VALUE_MEMO) >= _MEMO_CAP:
@@ -299,8 +317,8 @@ def _scope_fields_memo(
     if end - pos > _MEMO_MAX_KEY:
         return _scope_fields(buf, pos, end, with_attrs=with_attrs)
     key = (buf[pos:end], with_attrs)
-    out = _SCOPE_MEMO.get(key)
-    if out is None:
+    out = _memo_get(_SCOPE_MEMO, key)
+    if out is _MEMO_MISS:
         out = _scope_fields(buf, pos, end, with_attrs=with_attrs)
         if len(_SCOPE_MEMO) >= _MEMO_CAP:
             _memo_evict_half(_SCOPE_MEMO)
@@ -348,8 +366,8 @@ def _resource_fields_memo(
     if end - pos > _MEMO_MAX_KEY:
         return _resource_fields(buf, pos, end)
     key = buf[pos:end]
-    out = _RESOURCE_MEMO.get(key)
-    if out is None:
+    out = _memo_get(_RESOURCE_MEMO, key)
+    if out is _MEMO_MISS:
         out = _resource_fields(buf, pos, end)
         if len(_RESOURCE_MEMO) >= _MEMO_CAP:
             _memo_evict_half(_RESOURCE_MEMO)
@@ -375,8 +393,8 @@ def _metrics_resource_memo(buf: bytes, pos: int, end: int) -> tuple[str, str]:
     if end - pos > _MEMO_MAX_KEY:
         return _metrics_resource(buf, pos, end)
     key = buf[pos:end]
-    out = _MRES_MEMO.get(key)
-    if out is None:
+    out = _memo_get(_MRES_MEMO, key)
+    if out is _MEMO_MISS:
         out = _metrics_resource(buf, pos, end)
         if len(_MRES_MEMO) >= _MEMO_CAP:
             _memo_evict_half(_MRES_MEMO)

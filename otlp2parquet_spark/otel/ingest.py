@@ -119,12 +119,30 @@ def read_landing_meta(
     return accepted.select("path", "fmt"), rejected
 
 
-def is_local_or_posix(path: str) -> bool:
-    """Lane routing predicate: `file:` URIs and bare paths are local/posix
-    mounts (the payload is reachable with plain open() on every executor —
-    the same reachability binaryFile itself assumes); any other scheme
-    (s3a://, s3://, abfs://, hdfs://) is treated as an object store."""
-    return path.startswith("file:") or "://" not in path
+def is_local_or_posix(path: str, default_fs_local: bool = True) -> bool:
+    """Lane routing predicate: `file:` URIs are local/posix mounts (the
+    payload is reachable with plain open() on every executor — the same
+    reachability binaryFile itself assumes); any explicit other scheme
+    (s3a://, s3://, abfs://, hdfs://) is an object store. BARE paths
+    resolve against Spark's default filesystem, which need not be local
+    (fs.defaultFS=hdfs://... makes '/landing' a remote path) — the caller
+    passes `default_fs_local` from the live Hadoop conf; only then does a
+    bare path count as posix."""
+    if path.startswith("file:"):
+        return True
+    if "://" in path:
+        return False
+    return default_fs_local
+
+
+def _default_fs_is_local(spark: SparkSession) -> bool:
+    """True when Spark's fs.defaultFS (what binaryFile resolves bare paths
+    against) is the local filesystem."""
+    fs = (
+        spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS")
+        or "file:///"
+    )
+    return fs.startswith("file:")
 
 
 def read_landing_auto(
@@ -143,8 +161,13 @@ def read_landing_auto(
     Python worker opens its payloads directly (407-599k rows/s vs 334-470k
     through the JVM channel, BASELINE.md round 6). Object stores keep the
     content lane: there the Hadoop connector owns credentials/retries and
-    the bytes must cross the network once either way."""
-    reader = read_landing_meta if is_local_or_posix(path) else read_landing
+    the bytes must cross the network once either way.
+
+    Bare paths route by Spark's LIVE fs.defaultFS (what binaryFile resolves
+    them against): with fs.defaultFS=hdfs://... a bare '/landing' is remote
+    and keeps the content lane."""
+    local = is_local_or_posix(path, _default_fs_is_local(spark))
+    reader = read_landing_meta if local else read_landing
     return reader(spark, path, max_payload_bytes=max_payload_bytes)
 
 
@@ -578,10 +601,15 @@ def observed(df: DataFrame, name: str):
     return out, obs
 
 
-def ingest_summary(decoded: dict[str, DataFrame]) -> dict[str, int]:
+def ingest_summary(decoded: dict[str, "DataFrame | str"]) -> dict[str, int]:
     """records-processed accounting dict (reference src/handlers.rs:191-198).
-    Batch-mode counts; in streaming this becomes `observe()` metrics."""
-    return {name: df.count() for name, df in decoded.items()}
+    Batch-mode counts; in streaming this becomes `observe()` metrics.
+    Non-frame metadata entries (ingest_directory's '_lane') are skipped."""
+    return {
+        name: df.count()
+        for name, df in decoded.items()
+        if isinstance(df, DataFrame)
+    }
 
 
 def ingest_directory(
@@ -594,7 +622,7 @@ def ingest_directory(
     decode_counter=None,
     quarantine_dir: str | None = None,
     lane: str = "auto",
-) -> dict[str, DataFrame]:
+) -> dict[str, "DataFrame | str"]:
     """End-to-end decode of a landing dir for one signal.
 
     Returns {table_name: DataFrame} (metrics contribute 4 tables + a
@@ -616,7 +644,11 @@ def ingest_directory(
     if lane not in ("auto", "locality", "content"):
         raise ValueError(f"unknown lane: {lane}")
     if lane == "auto":
-        lane = "locality" if is_local_or_posix(landing_dir) else "content"
+        lane = (
+            "locality"
+            if is_local_or_posix(landing_dir, _default_fs_is_local(spark))
+            else "content"
+        )
     reader = read_landing_meta if lane == "locality" else read_landing
     payloads, rejected = reader(spark, landing_dir, max_payload_bytes=max_payload_bytes)
     if signal == "logs":

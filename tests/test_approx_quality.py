@@ -565,6 +565,38 @@ def _ann_family_stats(spark, sf_dir):
     )
 
 
+def test_ivf_assign_exact_escape_hatch(spark, tmp_path):
+    """exact=True (the r6-ADVICE escape hatch) must force the flat O(n*k)
+    pass above the 16-centroid threshold: every vector lands on its TRUE
+    nearest centroid (numpy brute force over the same deterministic seeds),
+    where the default two-level routing is allowed to miss some."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from otlp2parquet_spark.extensions.similarity import ivf_assign
+    from otlp2parquet_spark.queries.registry import T
+
+    sf_dir = str(tmp_path / "mog")
+    _write_mog_embeddings(sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    k = 20  # > _TWO_LEVEL_MIN_K
+    assign, _cents = ivf_assign(e, n_centroids=k, exact=True)
+    got = {r.vec_id: r.cluster_id for r in assign.collect()}
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id"))
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    order = np.argsort(ids, kind="stable")
+    ids, m = ids[order], m[order]
+    cents = m[:k]  # seeds = first k by vec_id
+    sims = (m @ cents.T) / np.outer(
+        np.linalg.norm(m, axis=1), np.linalg.norm(cents, axis=1)
+    )
+    # ties to lower cent_id: argmax returns the first maximum
+    want = {int(ids[i]): int(ids[np.argmax(sims[i])]) for i in range(len(ids))}
+    assert got == want
+
+
 def test_semantic_dedup_cluster_local_vs_brute_force(spark, tmp_path):
     """x2_semantic_dedup's cluster-locality contract on clustered geometry
     (the regime SemDeDup is for): (a) every cluster-local drop is also a

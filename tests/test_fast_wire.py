@@ -247,3 +247,23 @@ def test_truncated_traces_and_metrics_rejected_by_both():
             except wire.OtlpDecodeError as e:
                 fast_err = e
             assert (slow_err is None) == (fast_err is None), (fx, len(cut))
+
+
+def test_memo_lru_touch_protects_hot_working_set():
+    """_memo_get must refresh recency on hit so _memo_evict_half evicts the
+    least-recently-USED half: a hot key inserted first but hit continuously
+    survives the cut; cold early keys do not (code-review r7 — plain
+    insertion-order eviction dropped hot sets inserted early wholesale)."""
+    memo: dict = {}
+    memo["hot"] = "H"
+    for i in range(9):
+        memo[f"cold{i}"] = i
+    # continuous hits on the hot key while cold churn fills the memo
+    assert fast_wire._memo_get(memo, "hot") == "H"
+    assert fast_wire._memo_get(memo, "missing") is fast_wire._MEMO_MISS
+    fast_wire._memo_evict_half(memo)  # drops the LRU half (5 of 10)
+    assert "hot" in memo  # touched most recently -> survived
+    assert "cold0" not in memo and "cold3" not in memo
+    # None is a legitimate cached value, distinct from a miss
+    memo["none-key"] = None
+    assert fast_wire._memo_get(memo, "none-key") is None
