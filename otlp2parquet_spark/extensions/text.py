@@ -751,3 +751,69 @@ def x4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage chunking (training-data prep: fixed token windows with overlap)
+
+CHUNK_WINDOW = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # window start step (overlap = WINDOW - STRIDE = 8 tokens)
+
+
+@query(
+    "x4_chunk_passages",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS s
+      FROM tok
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(least({CHUNK_WINDOW}, n - s) AS BIGINT) AS chunk_len,
+           array_to_string(toks[s + 1 : s + {CHUNK_WINDOW}], ' ') AS chunk_text,
+           md5(array_to_string(toks[s + 1 : s + {CHUNK_WINDOW}], ' ')) AS chunk_md5
+    FROM st
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("X4", "X6", "F1"),
+)
+def x4_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the passage splitter a
+    RAG / pretraining pipeline runs before embedding or packing. 32-token
+    windows advancing by 24 (8-token overlap), last window short.
+
+    Scale shape: pure map-only — tokenize, build the start list with
+    `sequence` (length n/STRIDE, tiny), posexplode, slice. No shuffle except
+    the display ORDER BY; output rows ~ n_tokens/STRIDE per doc, each carrying
+    one window of text. The chunk_md5 column is what downstream exact-dedup
+    joins on, so chunk identity survives without re-reading chunk_text."""
+    d = spread(T(spark, sf_dir, "documents"))
+    toks_df = (
+        d.select("doc_id", F.split(normalized_text(F.col("text")), " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    exploded = toks_df.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - F.lit(1), F.lit(CHUNK_STRIDE))
+        ).alias("chunk_id", "s"),
+    )
+    chunk_text = F.array_join(F.slice("toks", F.col("s") + 1, CHUNK_WINDOW), " ")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("s").cast("long").alias("chunk_start"),
+        F.least(F.lit(CHUNK_WINDOW), F.col("n") - F.col("s")).cast("long").alias("chunk_len"),
+        chunk_text.alias("chunk_text"),
+        F.md5(chunk_text).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")

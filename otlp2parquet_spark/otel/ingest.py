@@ -287,9 +287,16 @@ def _handle_decode_error(
     quarantine_dir: str | None,
     path: str,
     content: bytes | None,
+    quarantine_counter=None,
 ) -> None:
     if on_error == "raise":
         raise err
+    # Count every dropped payload (quarantined OR skipped) so a sudden
+    # quarantine-rate spike from a parser regression is observable without
+    # grepping the quarantine dir (ADVICE r6: the broad _decode_guard makes
+    # codec bugs drain into quarantine — this counter is the tripwire).
+    if quarantine_counter is not None:
+        quarantine_counter.add(1)
     if on_error == "quarantine":
         if not quarantine_dir:
             raise ValueError("on_error='quarantine' requires quarantine_dir")
@@ -359,7 +366,13 @@ def _flatten_payload(content: bytes, fmt: str, signal: str) -> list[dict[str, An
     return fast_flatten.flatten_request_jsonl(content, signal)
 
 
-def _decode_simple(signal: str, table: str, on_error: str, quarantine_dir: str | None = None):
+def _decode_simple(
+    signal: str,
+    table: str,
+    on_error: str,
+    quarantine_dir: str | None = None,
+    quarantine_counter=None,
+):
     """mapInArrow kernel: payload batches -> raw-row Arrow batches.
 
     Arrow end-to-end at the Python boundary: the walker's row dicts go
@@ -396,7 +409,8 @@ def _decode_simple(signal: str, table: str, on_error: str, quarantine_dir: str |
                     rows.extend(_flatten_payload(content, fmts[i].as_py(), signal))
                 except OtlpDecodeError as e:
                     _handle_decode_error(
-                        e, on_error, quarantine_dir, paths[i].as_py(), content
+                        e, on_error, quarantine_dir, paths[i].as_py(), content,
+                        quarantine_counter,
                     )
             # no yield when every payload in the batch was skipped/
             # quarantined — mapInArrow's declared schema covers the
@@ -423,20 +437,26 @@ def finalize(raw_df: DataFrame, table: str) -> DataFrame:
 
 
 def decode_logs(
-    payloads: DataFrame, on_error: str = "raise", quarantine_dir: str | None = None
+    payloads: DataFrame,
+    on_error: str = "raise",
+    quarantine_dir: str | None = None,
+    quarantine_counter=None,
 ) -> DataFrame:
     raw = payloads.mapInArrow(
-        _decode_simple("logs", "otel_logs", on_error, quarantine_dir),
+        _decode_simple("logs", "otel_logs", on_error, quarantine_dir, quarantine_counter),
         schemas.raw_spark_schema("otel_logs"),
     )
     return finalize(raw, "otel_logs")
 
 
 def decode_traces(
-    payloads: DataFrame, on_error: str = "raise", quarantine_dir: str | None = None
+    payloads: DataFrame,
+    on_error: str = "raise",
+    quarantine_dir: str | None = None,
+    quarantine_counter=None,
 ) -> DataFrame:
     raw = payloads.mapInArrow(
-        _decode_simple("traces", "otel_traces", on_error, quarantine_dir),
+        _decode_simple("traces", "otel_traces", on_error, quarantine_dir, quarantine_counter),
         schemas.raw_spark_schema("otel_traces"),
     )
     return finalize(raw, "otel_traces")
@@ -485,7 +505,12 @@ def _flatten_metrics_payload(content: bytes, fmt: str):
     return fast_flatten.flatten_metrics_request_jsonl(content)
 
 
-def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str | None = None):
+def _decode_metrics_fn(
+    on_error: str,
+    decode_counter=None,
+    quarantine_dir: str | None = None,
+    quarantine_counter=None,
+):
     union_cols = [f.name for f in METRICS_UNION_SCHEMA.fields]
 
     def fn(batches):
@@ -522,7 +547,10 @@ def _decode_metrics_fn(on_error: str, decode_counter=None, quarantine_dir: str |
                                 r = {"MetricType": _SKIP_TAG, "SkipReason": reason, "SkipCount": cnt}
                                 rows.append({c: r.get(c) for c in union_cols})
                 except OtlpDecodeError as e:
-                    _handle_decode_error(e, on_error, quarantine_dir, paths[i].as_py(), content)
+                    _handle_decode_error(
+                        e, on_error, quarantine_dir, paths[i].as_py(), content,
+                        quarantine_counter,
+                    )
             if rows:
                 yield from pa.Table.from_pylist(rows, schema=target).to_batches()
 
@@ -534,13 +562,16 @@ def decode_metrics_union(
     on_error: str = "raise",
     decode_counter=None,
     quarantine_dir: str | None = None,
+    quarantine_counter=None,
 ) -> DataFrame:
     """One decode pass over metrics payloads -> tagged union DataFrame.
 
     `decode_counter` (a SparkContext accumulator) counts payload decodes —
-    used by tests to prove the fan-out runs exactly one decode job."""
+    used by tests to prove the fan-out runs exactly one decode job.
+    `quarantine_counter` counts payloads dropped via quarantine/skip."""
     return payloads.mapInArrow(
-        _decode_metrics_fn(on_error, decode_counter, quarantine_dir), METRICS_UNION_SCHEMA
+        _decode_metrics_fn(on_error, decode_counter, quarantine_dir, quarantine_counter),
+        METRICS_UNION_SCHEMA,
     )
 
 
@@ -621,6 +652,7 @@ def ingest_directory(
     on_error: str = "raise",
     decode_counter=None,
     quarantine_dir: str | None = None,
+    quarantine_counter=None,
     lane: str = "auto",
 ) -> dict[str, "DataFrame | str"]:
     """End-to-end decode of a landing dir for one signal.
@@ -653,20 +685,22 @@ def ingest_directory(
     payloads, rejected = reader(spark, landing_dir, max_payload_bytes=max_payload_bytes)
     if signal == "logs":
         return {
-            "otel_logs": decode_logs(payloads, on_error, quarantine_dir),
+            "otel_logs": decode_logs(payloads, on_error, quarantine_dir, quarantine_counter),
             "_rejected": rejected,
             "_lane": lane,
         }
     if signal == "traces":
         return {
-            "otel_traces": decode_traces(payloads, on_error, quarantine_dir),
+            "otel_traces": decode_traces(payloads, on_error, quarantine_dir, quarantine_counter),
             "_rejected": rejected,
             "_lane": lane,
         }
     if signal == "metrics":
         from pyspark import StorageLevel
 
-        union_df = decode_metrics_union(payloads, on_error, decode_counter, quarantine_dir)
+        union_df = decode_metrics_union(
+            payloads, on_error, decode_counter, quarantine_dir, quarantine_counter
+        )
         union_df = union_df.persist(StorageLevel.MEMORY_AND_DISK)
         out: dict[str, DataFrame] = {
             schemas.METRIC_TABLES[t]: metrics_table(union_df, t)

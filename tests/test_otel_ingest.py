@@ -437,6 +437,34 @@ def test_quarantine_invalid_corpus(spark, tmp_path):
             out["_union"].unpersist()
 
 
+def test_quarantine_counter_observability(spark, tmp_path):
+    """ADVICE r6: the broad decode guard means a parser regression drains
+    payloads into quarantine silently — the quarantine_counter accumulator
+    makes the drop RATE observable driver-side without scanning the
+    quarantine dir. One action, N bad payloads -> counter == N."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    shutil.copy(f"{TD}/log.json", d / "log.json")
+    shutil.copy(f"{INVALID_TD}/log_invalid_severity.json", d / "bad1.json")
+    shutil.copy(f"{INVALID_TD}/malformed.json", d / "bad2.json")
+    qdir = str(tmp_path / "q")
+    counter = spark.sparkContext.accumulator(0)
+    out = ingest.ingest_directory(
+        spark, str(d), "logs", quarantine_dir=qdir, quarantine_counter=counter
+    )
+    assert out["otel_logs"].count() > 0
+    assert counter.value == 2
+    # on_error='skip' (no accounting dir) still counts drops
+    counter2 = spark.sparkContext.accumulator(0)
+    n = ingest.decode_logs(
+        ingest.read_landing(spark, str(d))[0],
+        on_error="skip",
+        quarantine_counter=counter2,
+    ).count()
+    assert n > 0
+    assert counter2.value == 2
+
+
 def test_quarantine_same_basename_no_clobber(tmp_path):
     """ADVICE r2: two bad payloads with the same basename in different
     source subdirectories must land as distinct quarantine files."""
