@@ -1178,3 +1178,224 @@ def x5_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_avi_frames(avi_media_table(spark, sf_dir)).orderBy(
         "media_id", "frame_idx"
     )
+
+
+# --- real decode: image PIXEL lane (average-hash fingerprint) ---------------
+# x5_png_meta proves the container walk; this op proves the PIXEL path: the
+# scanlines are unfiltered per the PNG spec (all five filter types), reduced
+# to grayscale, block-averaged onto an 8x8 grid and thresholded into the
+# classic 64-bit average hash — the fingerprint an image-dedup pipeline bands
+# on. Integer-exact throughout (floor-division means) so the DuckDB oracle
+# can replay the fixture's synthesis formula bit-for-bit.
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("phash_hex", StringType(), True),
+        StructField("n_set_bits", IntegerType(), True),
+    ]
+)
+
+
+def parse_png_pixels(payload: bytes):
+    """Full PNG pixel decode (stdlib + numpy): chunk walk with CRC checks,
+    zlib inflate, per-scanline UNFILTERING (types 0-4, PNG spec §9), returns
+    an (h, w) uint8 GRAYSCALE array (gray = channel mean via floor division
+    for color images). 8-bit depth, color types 0/2/4/6 (palette needs PLTE
+    state the fixture never produces — raises like any malformed input)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("bad signature")
+    pos = len(_PNG_SIG)
+    width = height = bit_depth = color_type = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("bad crc")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("no IHDR")
+    if bit_depth != 8:
+        raise ValueError("unsupported bit depth")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError("unsupported color type")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("scanline length mismatch")
+    # Unfilter (PNG spec: Sub/Up/Average/Paeth reference the RECONSTRUCTED
+    # bytes of this and the prior scanline, one channel-width back).
+    out = np.zeros((height, stride), dtype=np.int32)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1).astype(np.int32)
+        ftype = raw[y * (1 + stride)]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up (vectorizable: no intra-row dependence)
+            out[y] = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError("bad filter type")
+    px = out.reshape(height, width, channels)
+    if channels == 1:
+        gray = px[:, :, 0]
+    elif channels == 2:  # gray + alpha
+        gray = px[:, :, 0]
+    else:  # RGB / RGBA: integer luma, alpha ignored
+        gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+    return gray.astype(np.int64)
+
+
+def average_hash(gray) -> tuple[str, int]:
+    """64-bit average hash over an (h, w) integer grayscale array: 8x8
+    block-mean grid (floor-division means, so every step is integer-exact),
+    threshold at the floor-mean of the 64 cell means, MSB-first bit order.
+    Returns (16-char hex, set-bit count). Needs h >= 8 and w >= 8."""
+    import numpy as np
+
+    h, w = gray.shape
+    if h < 8 or w < 8:
+        raise ValueError("image smaller than hash grid")
+    ys = [by * h // 8 for by in range(8)]
+    xs = [bx * w // 8 for bx in range(8)]
+    sums = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
+    ny = np.diff(ys + [h]).reshape(8, 1)
+    nx = np.diff(xs + [w]).reshape(1, 8)
+    cm = sums // (ny * nx)
+    thresh = int(cm.sum()) // 64
+    bits = (cm >= thresh).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, "016x"), int(bits.sum())
+
+
+def decode_image_phash(media: DataFrame) -> DataFrame:
+    """mapInPandas kernel: PNG payload -> (geometry, 64-bit aHash). Malformed
+    payloads null out (D25 posture, column edition)."""
+    import struct
+    import zlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "phash_hex", "n_set_bits")
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], **{c: [] for c in cols}}
+            for payload in pdf["payload"]:
+                try:
+                    gray = parse_png_pixels(bytes(payload or b""))
+                    hx, nset = average_hash(gray)
+                    vals = (gray.shape[1], gray.shape[0], hx, nset)
+                except (ValueError, KeyError, zlib.error, struct.error):
+                    vals = (None,) * 4
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=PHASH_SCHEMA)
+
+
+def _sql_byte(j: str) -> str:
+    """DuckDB expr: byte value of 1-based byte index `j` in hex string hx."""
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, 2*({j})-1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(hx, 2*({j}), 1)) - 1))"
+    )
+
+
+@query(
+    "x5_image_phash",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 37 AS hgt,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             sha256(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), hexes AS (
+      SELECT doc_id, w, hgt, ch,
+             substr(repeat(h, CAST((2*w*ch + 63) // 64 AS INT)), 1, 2*w*ch) AS hx
+      FROM params
+    ), px AS (
+      -- every scanline of the fixture is identical, so the 8x8 grid's cell
+      -- means reduce to per-COLUMN-band means of one scanline ((k*a)//(k*b)
+      -- = a//b); gray = byte for ch=1, floor-mean of 3 bytes for RGB
+      SELECT doc_id, w, p.p AS p,
+             CASE WHEN ch = 1 THEN {_sql_byte('p.p + 1')}
+                  ELSE ({_sql_byte('3*p.p + 1')} + {_sql_byte('3*p.p + 2')}
+                        + {_sql_byte('3*p.p + 3')}) // 3 END AS g
+      FROM hexes, LATERAL (SELECT unnest(range(0, w)) AS p) p
+    ), cells AS (
+      SELECT doc_id, bx.bx AS bx,
+             CAST(SUM(g) AS BIGINT) // COUNT(*) AS cm
+      FROM px, LATERAL (SELECT unnest(range(0, 8)) AS bx) bx
+      WHERE p >= bx.bx * w // 8 AND p < (bx.bx + 1) * w // 8
+      GROUP BY doc_id, bx.bx
+    ), th AS (
+      SELECT doc_id, (8 * SUM(cm)) // 64 AS thresh FROM cells GROUP BY doc_id
+    ), bits AS (
+      SELECT c.doc_id, c.bx,
+             CASE WHEN c.cm >= t.thresh THEN 1 ELSE 0 END AS b
+      FROM cells c JOIN th t USING (doc_id)
+    ), bytev AS (
+      SELECT doc_id,
+             CAST(SUM(b * (1 << (7 - CAST(bx AS INT)))) AS INT) AS bv,
+             CAST(SUM(b) AS INT) AS row_bits
+      FROM bits GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(p.w AS INT) AS width,
+           CAST(p.hgt AS INT) AS height,
+           lower(repeat(lpad(to_hex(v.bv), 2, '0'), 8)) AS phash_hex,
+           CAST(8 * v.row_bits AS INT) AS n_set_bits
+    FROM params p JOIN bytev v USING (doc_id)
+    ORDER BY media_id
+    """,
+    tags=("X5", "X2", "U4"),
+)
+def x5_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual fingerprint with a REAL pixel decode path: genuine
+    PNG containers are chunk-walked, inflated, UNFILTERED (all five PNG
+    filter types implemented), grayscaled and reduced to the classic 64-bit
+    average hash — the banding key of an image near-dup pipeline. Every
+    step is integer-exact (floor-division means), so the oracle replays the
+    fixture's synthesis formula in pure SQL and the hash match pins filter
+    reconstruction, luma math, block boundaries, threshold and bit order.
+
+    Scale shape: map-only mapInPandas over the payload column (same posture
+    as every x5 lane); downstream dedup bands on substrings of phash_hex —
+    exact-dup images collide on the full hash, near-dups within Hamming
+    distance share a band with LSH probability, so the join is a uniform
+    16-char-key shuffle, never pairwise."""
+    return decode_image_phash(png_media_table(spark, sf_dir)).orderBy("media_id")

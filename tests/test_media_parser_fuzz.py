@@ -22,9 +22,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from otlp2parquet_spark.extensions.multimodal import (
+    average_hash,
     parse_avi_frames,
     parse_avi_meta,
     parse_png_meta,
+    parse_png_pixels,
     parse_wav_meta,
 )
 
@@ -117,6 +119,7 @@ def test_parsers_never_crash_on_arbitrary_bytes(data):
     for parse, ok in (
         (_wav_parse, _WAV_OK),
         (parse_png_meta, _PNG_OK),
+        (parse_png_pixels, _PNG_OK),
         (parse_avi_meta, _AVI_META_OK),
         (parse_avi_frames, _AVI_FRAMES_OK),
     ):
@@ -132,6 +135,7 @@ def test_parsers_never_crash_on_corrupted_containers(muts, cut):
     for good, parse, ok in (
         (_wav_bytes(), _wav_parse, _WAV_OK),
         (_png_bytes(), parse_png_meta, _PNG_OK),
+        (_png_bytes(), parse_png_pixels, _PNG_OK),
         (_avi_bytes(), parse_avi_meta, _AVI_META_OK),
         (_avi_bytes(), parse_avi_frames, _AVI_FRAMES_OK),
     ):
@@ -148,3 +152,89 @@ def test_fixture_containers_roundtrip():
     assert parse_png_meta(_png_bytes())[:2] == (4, 3)
     assert parse_avi_meta(_avi_bytes())[:2] == (64, 48)
     assert len(parse_avi_frames(_avi_bytes())) == 3
+
+
+def _png_filtered(pix, ftype: int, channels: int = 1) -> bytes:
+    """Forward-filter `pix` (h x w x c uint8 ndarray) per PNG spec filter
+    `ftype` and wrap it in a spec-valid container — the inverse of
+    parse_png_pixels's unfilter step, written independently here so the
+    round-trip pins the decoder against the SPEC, not against itself."""
+    import numpy as np
+    from otlp2parquet_spark.extensions import multimodal as M
+
+    h, w, c = pix.shape
+    stride = w * c
+    flat = pix.reshape(h, stride).astype(int)
+    out = bytearray()
+    for y in range(h):
+        out.append(ftype)
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=int)
+        for x in range(stride):
+            a = int(flat[y][x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out.append((int(flat[y][x]) - pred) & 0xFF)
+    color_type = {1: 0, 3: 2}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + M._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_all_types_roundtrip():
+    """Filters 1-4 never appear in the fixture, so the decoder's unfilter
+    arms are pinned here: the same pixels encoded under every filter type
+    must reconstruct identically (and therefore share one average hash)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3):
+        pix = rng.integers(0, 256, size=(12, 11, c), dtype=np.uint8)
+        if c == 1:
+            want = pix[:, :, 0].astype(np.int64)
+        else:
+            want = (
+                pix[:, :, 0].astype(np.int64)
+                + pix[:, :, 1]
+                + pix[:, :, 2]
+            ) // 3
+        hashes = set()
+        for ftype in range(5):
+            got = parse_png_pixels(_png_filtered(pix, ftype, c))
+            assert (got == want).all(), (c, ftype)
+            hashes.add(average_hash(got))
+        assert len(hashes) == 1, c
+
+
+def test_average_hash_contract():
+    """aHash invariants: deterministic, 16 lowercase hex chars, popcount
+    matches, tiny images rejected, and a brightness-shifted image keeps a
+    small Hamming distance (the property image near-dup banding relies on)."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 200, size=(40, 40), dtype=np.int64)
+    hx, nset = average_hash(img)
+    assert hx == average_hash(img)[0] and len(hx) == 16
+    assert bin(int(hx, 16)).count("1") == nset
+    shifted = img + 20  # uniform brightness shift: means shift with it
+    hx2, _ = average_hash(shifted)
+    assert bin(int(hx, 16) ^ int(hx2, 16)).count("1") <= 4
+    with pytest.raises(ValueError):
+        average_hash(np.zeros((4, 40), dtype=np.int64))
