@@ -842,6 +842,71 @@ def a8_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+@query(
+    "a9_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+           FLOOR(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50) * 10000.0 + 0.5) / 10000.0 AS p50,
+           FLOOR(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) * 10000.0 + 0.5) / 10000.0 AS p75,
+           FLOOR(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) * 10000.0 + 0.5) / 10000.0 AS p95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("A9", "A2"),
+)
+def a9_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (continuous/linear interpolation): Spark's
+    `percentile` against DuckDB's quantile_cont — both engines sort within
+    the group and interpolate identically, so this is hash-matchable unlike
+    the sketch twin below. The exact form is the small-group tool; it
+    shuffles every value to its group, which is exactly why a9_quantile_
+    sketch exists for the 100-TB regime."""
+    li = T(spark, sf_dir, "lineitem")
+    q = F.percentile(F.col("l_extendedprice").cast("double"), F.lit([0.25, 0.5, 0.75, 0.95]))
+    out = li.groupBy("l_returnflag").agg(q.alias("q"))
+    return out.select(
+        "l_returnflag",
+        *[
+            quant4(F.element_at("q", i + 1)).alias(name)
+            for i, name in enumerate(("p25", "p50", "p75", "p95"))
+        ],
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "a9_quantile_sketch",
+    oracle=None,  # GK-sketch estimates are engine-specific; rank-error gated in tests
+    tags=("A9", "A2"),
+)
+def a9_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles: approx_percentile (Greenwald-Khanna summary,
+    accuracy 10000 => rank error <= 1/10000) beside the exact percentile,
+    relative error surfaced. The sketch is the 100-TB form: fixed-size
+    per-partition summaries, map-side combinable, merged in any order —
+    no value-level shuffle. Rows-only in the driver harness; the rank-error
+    gate and two-run determinism are pinned in test_approx_quality."""
+    li = T(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    out = li.groupBy("l_returnflag").agg(
+        F.percentile(price, F.lit([0.5, 0.95])).alias("exact"),
+        F.percentile_approx(price, F.lit([0.5, 0.95]), F.lit(10000)).alias("approx"),
+    )
+    rel = lambda i: F.round(  # noqa: E731
+        F.abs(F.element_at("approx", i) - F.element_at("exact", i))
+        / F.element_at("exact", i),
+        4,
+    )
+    return out.select(
+        "l_returnflag",
+        F.element_at("exact", 1).alias("p50_exact"),
+        F.element_at("approx", 1).alias("p50_approx"),
+        rel(1).alias("p50_rel_err"),
+        F.element_at("exact", 2).alias("p95_exact"),
+        F.element_at("approx", 2).alias("p95_approx"),
+        rel(2).alias("p95_rel_err"),
+    ).orderBy("l_returnflag")
+
+
 # ===========================================================================
 # W group — window functions
 # ===========================================================================

@@ -457,6 +457,21 @@ def test_sketch_distinct_error_and_determinism(spark):
         assert rel_err <= 0.06, (a,)
 
 
+def test_quantile_sketch_error_and_determinism(spark):
+    """a9_quantile_sketch: the GK summary (accuracy 10000 => rank error
+    <= 1e-4) must land within 2% relative VALUE error of the exact
+    percentile on every group (generous: rank error translates to value
+    error through the local density), and two runs must agree exactly
+    (summary merge is deterministic for a fixed partitioning)."""
+    a = sorted(map(tuple, SPECS["a9_quantile_sketch"].build(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, SPECS["a9_quantile_sketch"].build(spark, SF_ORACLE).collect()))
+    assert a == b
+    assert a, "no groups"
+    for _flag, p50e, _p50a, p50err, p95e, _p95a, p95err in a:
+        assert p50e > 0 and p95e > 0
+        assert p50err <= 0.02 and p95err <= 0.02, (a,)
+
+
 def test_video_frame_demux_is_real_and_drops_malformed(spark):
     """x5_video_frames must actually walk the movi stream: an intact file
     yields exactly its declared frame count (avih agreement), and breaking
