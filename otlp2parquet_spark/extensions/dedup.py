@@ -1098,3 +1098,143 @@ def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup: band the 64-bit perceptual hash (x5_image_phash) LSH-style
+
+PHASH_BAND_CAP = 64  # drop band buckets larger than this (LSH skew guard)
+PHASH_HAM_MAX = 8  # keep pairs within this Hamming distance
+
+
+@query(
+    "x2_phash_neardup",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, 16 + doc_id % 48 AS w,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             sha256(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), hexes AS (
+      SELECT doc_id, w, ch,
+             substr(repeat(h, CAST((2*w*ch + 63) // 64 AS INT)), 1, 2*w*ch) AS hx
+      FROM params
+    ), px AS (
+      SELECT doc_id, w, p.p AS p,
+             CASE WHEN ch = 1 THEN
+               ((strpos('0123456789abcdef', substr(hx, 2*(p.p+1)-1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 2*(p.p+1), 1)) - 1))
+             ELSE (
+               ((strpos('0123456789abcdef', substr(hx, 2*(3*p.p+1)-1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 2*(3*p.p+1), 1)) - 1))
+             + ((strpos('0123456789abcdef', substr(hx, 2*(3*p.p+2)-1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 2*(3*p.p+2), 1)) - 1))
+             + ((strpos('0123456789abcdef', substr(hx, 2*(3*p.p+3)-1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 2*(3*p.p+3), 1)) - 1))
+             ) // 3 END AS g
+      FROM hexes, LATERAL (SELECT unnest(range(0, w)) AS p) p
+    ), cells AS (
+      SELECT doc_id, bx.bx AS bx, CAST(SUM(g) AS BIGINT) // COUNT(*) AS cm
+      FROM px, LATERAL (SELECT unnest(range(0, 8)) AS bx) bx
+      WHERE p >= bx.bx * w // 8 AND p < (bx.bx + 1) * w // 8
+      GROUP BY doc_id, bx.bx
+    ), th AS (
+      SELECT doc_id, (8 * SUM(cm)) // 64 AS thresh FROM cells GROUP BY doc_id
+    ), bytev AS (
+      -- the fixture's scanlines are identical, so the 64-bit hash is its
+      -- top byte repeated 8x: every 16-bit band equals (bv, bv), band
+      -- equality collapses to bv equality, and the full-hash Hamming
+      -- distance is 8x the byte distance
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.cm >= t.thresh THEN 1 ELSE 0 END
+                      * (1 << (7 - CAST(c.bx AS INT)))) AS BIGINT) AS bv
+      FROM cells c JOIN th t USING (doc_id) GROUP BY c.doc_id
+    ), sized AS (
+      SELECT doc_id, bv, COUNT(*) OVER (PARTITION BY bv) AS df FROM bytev
+    ), kept AS (
+      SELECT * FROM sized WHERE df <= {PHASH_BAND_CAP}
+    )
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(8 * bit_count(xor(a.bv, b.bv)) AS BIGINT) AS hamming
+    FROM kept a JOIN kept b ON a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE 8 * bit_count(xor(a.bv, b.bv)) <= {PHASH_HAM_MAX}
+    ORDER BY media_a, media_b
+    """,
+    tags=("X2", "X5"),
+)
+def x2_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate pairs over the real pixel-decode lane: the
+    64-bit average hash (x5_image_phash) is banded into 4x16-bit LSH bands;
+    images sharing a band become candidates, candidates within Hamming
+    distance {PHASH_HAM_MAX} are emitted. This is Charikar-style simhash
+    banding applied to the image modality — the oracle replays the whole
+    path (pixel formula -> hash -> bands -> pairs) in pure SQL.
+
+    Scale shape: decode is map-only; banding is one explode (4 rows/image)
+    + one shuffle on the band key; PHASH_BAND_CAP drops degenerate buckets
+    (e.g. all-black images hashing to 0x00..0) so no bucket goes quadratic
+    — the same skew guard as GRAM_DF_CAP, mirrored in the oracle. The
+    verify join moves only (id, 16-char hash) pairs, never pixels."""
+    return phash_neardup_pairs(spark, sf_dir)
+
+
+def phash_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    band_cap: int = PHASH_BAND_CAP,
+    ham_max: int = PHASH_HAM_MAX,
+) -> DataFrame:
+    from otlp2parquet_spark.extensions.multimodal import (
+        decode_image_phash,
+        png_media_table,
+    )
+
+    ph = (
+        decode_image_phash(png_media_table(spark, sf_dir))
+        .filter(F.col("phash_hex").isNotNull())
+        .select("media_id", "phash_hex")
+    )
+    return phash_pairs_from_hashes(ph, band_cap, ham_max)
+
+
+def phash_pairs_from_hashes(ph: DataFrame, band_cap: int, ham_max: int) -> DataFrame:
+    """(media_id, phash_hex) -> near-dup pairs. Split out so tests can feed
+    handcrafted hashes with nonzero Hamming distances (the synthetic
+    fixture's repeated-scanline images only collide exactly)."""
+    bands = ph.select(
+        "media_id",
+        "phash_hex",
+        F.posexplode(
+            F.array(*[F.substring("phash_hex", 1 + 4 * k, 4) for k in range(4)])
+        ).alias("band_idx", "band_val"),
+    )
+    w_band = Window.partitionBy("band_idx", "band_val")
+    kept = bands.withColumn("df", F.count("*").over(w_band)).filter(
+        F.col("df") <= band_cap
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("a.phash_hex").alias("ha"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("b.phash_hex").alias("hb"),
+        )
+        .distinct()  # a pair sharing k bands appears k times
+    )
+
+    def band_long(col, k):
+        return F.conv(F.substring(col, 1 + 4 * k, 4), 16, 10).cast("long")
+
+    hamming = sum(
+        F.bit_count(band_long("ha", k).bitwiseXOR(band_long("hb", k)))
+        for k in range(4)
+    ).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= ham_max)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+    )

@@ -725,3 +725,35 @@ def test_pretoken_count_differentiating_paths_cross_engine(spark, tmp_path, duck
         r["subword_ratio"] is not None and r["subword_ratio"] > 1.0
         for r in rows.values()
     )
+
+
+def test_phash_neardup_banding_on_handcrafted_hashes(spark):
+    """x2_phash_neardup's general path: the fixture's repeated-scanline
+    images only collide exactly (hamming 0), so the nonzero-Hamming and
+    band-cap semantics are pinned here on handcrafted hashes.
+    - 1<->2 share band 0 and differ by 2 bits elsewhere -> found, hamming 2;
+    - 1<->3 differ in every band -> never candidates even though close;
+    - 4,5,6 share a hot band that the cap drops -> no pairs from it."""
+    from otlp2parquet_spark.extensions.dedup import phash_pairs_from_hashes
+
+    rows = [
+        (1, "aaaa000000000000"),
+        (2, "aaaa000000000003"),  # shares band 0 with 1; hamming 2
+        (3, "aaab000100010001"),  # no band shared with 1 (distance 4)
+        (4, "ffff111122223333"),
+        (5, "ffff444455556666"),
+        (6, "ffff777788889999"),  # band 'ffff' is hot: df=3 > cap=2
+    ]
+    ph = spark.createDataFrame(rows, "media_id long, phash_hex string")
+    got = [
+        tuple(r)
+        for r in phash_pairs_from_hashes(ph, band_cap=2, ham_max=8).collect()
+    ]
+    assert got == [(1, 2, 2)]
+    # with the cap lifted the hot band produces its pairs, still Hamming-gated
+    got2 = [
+        tuple(r)
+        for r in phash_pairs_from_hashes(ph, band_cap=64, ham_max=64).collect()
+    ]
+    # 1111^4444=5555 (8 bits) + 2222^5555=7777 (12) + 3333^6666=5555 (8) = 28
+    assert (4, 5, 28) in got2 and (1, 2, 2) in got2
