@@ -59,6 +59,8 @@ HEADLINE = [
     "x2_semantic_dedup_scaled",  # r7: SemDeDup, corpus-sized K
     "x3_pq_ann",  # r6: PQ compress + ADC shortlist + exact re-rank
     "x3_ann_router",  # r7: measured-regime ANN family selection
+    "x2_phash_neardup",  # r7: image near-dup over the real PNG pixel lane
+    "a9_quantile_sketch",  # r7: GK quantile summary beside the exact percentile
     "x3_cosine_topk",
     "x3_kmeans",
     "x3_knn_join",
