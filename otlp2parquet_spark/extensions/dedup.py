@@ -1212,7 +1212,14 @@ def phash_pairs_from_hashes(ph: DataFrame, band_cap: int, ham_max: int) -> DataF
     kept = bands.withColumn("df", F.count("*").over(w_band)).filter(
         F.col("df") <= band_cap
     )
-    a, b = kept.alias("a"), kept.alias("b")
+    # cut the lineage before the self-join: without this the PIXEL DECODE
+    # subtree executes once per join branch (Spark does no CSE across join
+    # inputs — the r4 plan-audit bug class), and Spark's static size
+    # estimate broadcasts the O(corpus) banded table (the r6 scale bug
+    # class); merge hints keep it off the broadcast path, AQE re-promotes
+    # measured-small sides
+    kept = kept.localCheckpoint(eager=False)
+    a, b = kept.alias("a").hint("merge"), kept.alias("b").hint("merge")
     cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("a.media_id") < F.col("b.media_id"))
