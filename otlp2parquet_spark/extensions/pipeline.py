@@ -748,3 +748,60 @@ def x6_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiling (the ANALYZE step a curation pipeline runs first)
+
+_PROFILE_COLS = ("doc_id", "lang", "n_chars", "source", "text")
+
+
+@query(
+    "x6_profile",
+    oracle="""
+    """ + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM documents""" for c in _PROFILE_COLS
+    ) + """
+    ORDER BY column_name
+    """,
+    tags=("X6", "A2", "A6"),
+)
+def x6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile: per column, row/null/distinct counts and
+    min/max (stringified) — the ANALYZE a pipeline runs before mixing or
+    filtering a new source, and the stats a query planner wants.
+
+    Scale shape: ONE aggregation job for every column (multi-distinct via
+    Catalyst's Expand, the A2 pattern — each input row fans out once per
+    distinct-agg, all map-side combined), then a stack() unpivot of the
+    single result row. No per-column scans: 5 columns cost one pass, and
+    at 100 TB the only shuffle is the distinct-agg's keyed combine. The
+    oracle pays 5 scans (UNION ALL) for the same numbers — the Spark form
+    is the one you'd actually run."""
+    d = spread(T(spark, sf_dir, "documents"))
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("column_name")

@@ -1167,3 +1167,80 @@ def x3_ann_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(family).alias("family"),
         F.round(F.lit(stat), 4).alias("regime_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-dimension ablation (Matryoshka-style truncation evaluation)
+
+
+@query(
+    "x3_dim_truncation",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cf,
+             list_cosine_similarity((q.q_emb[1:32])::DOUBLE[],
+                                    (e.embedding[1:32])::DOUBLE[]) AS ch
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, neighbor_id, cf, ch,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ch DESC, neighbor_id) AS rank_half,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cf DESC, neighbor_id) AS rank_full
+      FROM scored
+    ), kept AS (
+      SELECT q_id, neighbor_id, rank_half,
+             ROUND(ch, 4) AS cos_half, ROUND(cf, 4) AS cos_full,
+             CASE WHEN rank_full <= 5 THEN 1 ELSE 0 END AS in_full_topk
+      FROM ranked WHERE rank_half <= 5
+    )
+    SELECT q_id, CAST(rank_half AS BIGINT) AS rank_half, neighbor_id,
+           cos_half, cos_full, CAST(in_full_topk AS INT) AS in_full_topk,
+           CAST(SUM(in_full_topk) OVER (PARTITION BY q_id) AS BIGINT) AS overlap_at_5
+    FROM kept
+    ORDER BY q_id, rank_half
+    """,
+    tags=("X3", "F4", "W6"),
+)
+def x3_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: for each query, the
+    top-5 neighbors under HALF-dimension cosine (first 32 of 64 dims) vs the
+    full-dimension top-5, with per-neighbor membership and overlap@5 — the
+    ablation a training pipeline runs before committing to truncated
+    embeddings for cheap retrieval tiers.
+
+    Scale shape: identical to x3_cosine_topk — queries broadcast, the corpus
+    streams through ONE scoring pass computing both similarities (the sliced
+    prefix reuses the loaded array; no second scan), both rankings share one
+    q_id hash partition, group-limit top-k. Nothing corpus-sized shuffles."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    half = lambda c: F.slice(c, 1, 32)  # noqa: E731
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr(F.col("q_emb"), F.col("embedding")).alias("cf"),
+        cosine_expr(half(F.col("q_emb")), half(F.col("embedding"))).alias("ch"),
+    )
+    w_half = Window.partitionBy("q_id").orderBy(F.desc("ch"), F.asc("neighbor_id"))
+    w_full = Window.partitionBy("q_id").orderBy(F.desc("cf"), F.asc("neighbor_id"))
+    kept = (
+        scored.withColumn("rank_half", F.row_number().over(w_half))
+        .withColumn("rank_full", F.row_number().over(w_full))
+        .filter(F.col("rank_half") <= 5)
+        .select(
+            "q_id",
+            F.col("rank_half").cast("bigint").alias("rank_half"),
+            "neighbor_id",
+            F.round("ch", 4).alias("cos_half"),
+            F.round("cf", 4).alias("cos_full"),
+            (F.col("rank_full") <= 5).cast("int").alias("in_full_topk"),
+        )
+    )
+    return kept.withColumn(
+        "overlap_at_5",
+        F.sum("in_full_topk").over(Window.partitionBy("q_id")).cast("bigint"),
+    ).orderBy("q_id", "rank_half")
