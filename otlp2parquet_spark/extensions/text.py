@@ -817,3 +817,143 @@ def x4_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_text.alias("chunk_text"),
         F.md5(chunk_text).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# x4_collocation_pmi — corpus collocations by pointwise-mutual-information lift
+
+# Minimum pair evidence before a bigram is eligible (the classic PMI
+# low-count-explosion guard: a pair seen once has huge PMI and no signal).
+PMI_MIN_PAIR = 5
+PMI_TOPK = 50
+
+# Shared lift expression (documented here once): PMI without the log —
+# lift = p(w1 w2) / (p(w1) p(w2)) = (c12 * T * T) / (B * c1 * c2). Exact
+# integer counts all the way to ONE float division chain, identical
+# operation order in both engines, so the unrounded sort key is
+# bit-deterministic cross-engine (no ln(), whose libm rounding is not
+# pinned by IEEE-754 the way * and / are).
+_SQL_LIFT = (
+    "(CAST(pair_count AS DOUBLE) * CAST(t_uni AS DOUBLE) * CAST(t_uni AS DOUBLE))"
+    " / (CAST(t_big AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))"
+)
+
+
+@query(
+    "x4_collocation_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                         t -> length(t) > 0) AS toks
+      FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS term FROM tok
+    ), uc AS (
+      SELECT term, COUNT(*) AS c FROM uni GROUP BY term
+    ), big AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> [toks[i], toks[i + 1]])) AS pair
+      FROM tok WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS pair_count
+      FROM big GROUP BY 1, 2
+    ), tot AS (
+      SELECT (SELECT SUM(c) FROM uc) AS t_uni,
+             (SELECT SUM(pair_count) FROM bc) AS t_big
+    )
+    SELECT w1, w2, pair_count,
+           FLOOR({_SQL_LIFT} * 10000.0 + 0.5) / 10000.0 AS pmi_lift
+    FROM bc
+    JOIN uc u1 ON bc.w1 = u1.term
+    JOIN uc u2 ON bc.w2 = u2.term
+    CROSS JOIN tot
+    WHERE pair_count >= {PMI_MIN_PAIR}
+    ORDER BY {_SQL_LIFT} DESC, w1, w2
+    LIMIT {PMI_TOPK}
+    """,
+    tags=("X4", "A1", "J5", "O2"),
+)
+def x4_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} bigram collocations by PMI lift — the phrase-mining /
+    tokenizer-vocabulary-seeding pass a pretraining pipeline runs to find
+    multi-word units worth keeping intact ("new york", "machine learning").
+
+    Scale shape: ONE corpus scan and ONE corpus-sized shuffle. Each document
+    explodes into unigram AND bigram gram rows in the same pass (tagged
+    structs from one concat), and the single (kind, w1, w2) groupBy count is
+    map-side combined, so the shuffle carries vocabulary-sized partials, not
+    token instances. Everything downstream — unigram probability joins (both
+    broadcast: vocab << corpus), the two scalar totals, the top-k — runs on
+    the vocab table, which is localCheckpoint'ed once so the corpus pass
+    never re-executes across the four consuming branches. At 100 TB the cost
+    is the token explode + one combined shuffle; vocab size is
+    corpus-independent (Heaps-law sublinear).
+
+    Determinism: exact integer counts; the only float math is the final lift
+    division chain, identical op-for-op in both engines (see _SQL_LIFT);
+    quant4 applied to the OUTPUT only, sort key stays unrounded with a
+    (w1, w2) tiebreaker at the LIMIT boundary.
+    """
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(normalized_text(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    docs = d.select(toks.alias("toks"))
+    pair_len = F.greatest(F.size("toks") - 1, F.lit(0))
+    grams = docs.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    "toks",
+                    lambda t: F.struct(
+                        F.lit("u").alias("kind"), t.alias("w1"), F.lit("").alias("w2")
+                    ),
+                ),
+                F.zip_with(
+                    F.slice("toks", F.lit(1), pair_len),
+                    F.slice("toks", F.lit(2), pair_len),
+                    lambda a, b: F.struct(
+                        F.lit("b").alias("kind"), a.alias("w1"), b.alias("w2")
+                    ),
+                ),
+            )
+        ).alias("g")
+    ).select("g.kind", "g.w1", "g.w2")
+    counts = (
+        grams.groupBy("kind", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # vocab-sized; corpus pass runs ONCE
+    )
+    uc = counts.filter(F.col("kind") == "u").select(F.col("w1").alias("term"), "c")
+    bc = counts.filter(F.col("kind") == "b").select(
+        "w1", "w2", F.col("c").alias("pair_count")
+    )
+    tot = counts.groupBy().agg(
+        F.sum(F.when(F.col("kind") == "u", F.col("c"))).alias("t_uni"),
+        F.sum(F.when(F.col("kind") == "b", F.col("c"))).alias("t_big"),
+    )
+    lift = (
+        F.col("pair_count").cast("double")
+        * F.col("t_uni").cast("double")
+        * F.col("t_uni").cast("double")
+    ) / (
+        F.col("t_big").cast("double")
+        * F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+    )
+    return (
+        bc.filter(F.col("pair_count") >= PMI_MIN_PAIR)
+        .join(
+            F.broadcast(uc.select(F.col("term").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uc.select(F.col("term").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lift", lift)
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(PMI_TOPK)
+        .select("w1", "w2", "pair_count", quant4(F.col("lift")).alias("pmi_lift"))
+    )

@@ -118,6 +118,9 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     ),
     "x1_incremental_dedup": "corpus slice vs batch slice: disjoint %10 predicates",
     "x3_cosine_topk": "query slice vs corpus: two roles of embeddings",
+    "x3_dim_truncation": "query slice (vec_id<5, broadcast) vs corpus: two "
+    "roles of embeddings, same shape as x3_cosine_topk; both cosines are "
+    "computed in the ONE corpus-streaming pass",
     "x3_knn_join": "blocked exact self-join: both sides required",
     "x6_contamination": "bench slice (1/97) vs corpus slice: disjoint",
     "x6_tfidf_topk": "count-only n_docs side scan (zero data columns)",
