@@ -805,3 +805,99 @@ def x6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
         )
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# x6_mix_temperature — temperature-scaled source rebalancing (α = 0.5)
+
+# sqrt(mass) is quantized to integer BEFORE the cross-source sum so both
+# totals are exact integers: float summation order (Spark partial-agg order,
+# DuckDB scan order) can never perturb the keep predicate. SQRT_SCALE=1000
+# keeps every product inside int64 headroom up to ~1000x the sf1.0 corpus
+# (s_q ~ 1e6 * m_total/2 ~ 1e9 * 1000 ~ 1e18 < 2^63).
+_TEMP_SQRT_SCALE = 1000
+
+
+@query(
+    "x6_mix_temperature",
+    oracle=f"""
+    WITH sc AS (
+      SELECT source, SUM(n_chars) AS m FROM documents GROUP BY source
+    ), sq AS (
+      SELECT source, m,
+             CAST(FLOOR(sqrt(CAST(m AS DOUBLE)) * {_TEMP_SQRT_SCALE}.0 + 0.5) AS BIGINT) AS s_q
+      FROM sc
+    ), tot AS (
+      SELECT SUM(m) AS m_total, SUM(s_q) AS s_total FROM sq
+    ), rates AS (
+      SELECT source,
+             CAST(GREATEST(1, LEAST(1000,
+                  (s_q * (m_total // 2) * 1000) // (s_total * m))) AS BIGINT)
+               AS rate_milli
+      FROM sq, tot
+    )
+    SELECT d.doc_id, d.source, r.rate_milli,
+           {_Q4.format(x='CAST(1000 AS DOUBLE) / r.rate_milli')} AS weight
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000 < r.rate_milli
+    ORDER BY d.doc_id
+    """,
+    tags=("X6", "A1", "J5", "F6"),
+)
+def x6_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (α = 0.5): per-source sampling rates
+    q_s ∝ p_s^α computed FROM measured source mass, targeting half the
+    corpus — the multilingual/multi-source rebalancing pass (rare sources
+    upsampled toward parity, dominant sources squashed) that follows the
+    fixed-quota x6_data_mix when quotas must come from the data itself.
+    Mass is char mass (`n_chars` — already a column, so the rate pass scans
+    two thin columns); production swaps in token counts, same shape.
+
+    Scale shape: pass 1 aggregates (source, n_chars) map-side into a
+    source-count table (tiny); rates are derived relationally from EXACT
+    integer arithmetic (see _TEMP_SQRT_SCALE note) — no driver collect; the
+    probe pass joins the broadcast rate table and filters on the shared
+    content-addressed md5 bucket (mix_bucket_expr), map-only next to the
+    scan. Keep/drop is reproducible across engines, runs, and cluster
+    layouts, and composes with incremental ingest.
+
+    Return contract: ordered by doc_id within partitions only (global sort
+    would shuffle the kept mix; the driver hash is order-insensitive).
+    weight = 1000/rate_milli is the importance weight that undoes the
+    subsampling in downstream loss accounting."""
+    d = T(spark, sf_dir, "documents")
+    sc = d.groupBy("source").agg(F.sum("n_chars").alias("m"))
+    sq = sc.withColumn(
+        "s_q",
+        F.floor(F.sqrt(F.col("m").cast("double")) * float(_TEMP_SQRT_SCALE) + 0.5).cast(
+            "long"
+        ),
+    )
+    tot = sq.groupBy().agg(
+        F.sum("m").alias("m_total"), F.sum("s_q").alias("s_total")
+    )
+    rates = (
+        sq.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.least(
+                    F.lit(1000).cast("long"),
+                    F.expr("(s_q * (m_total div 2) * 1000) div (s_total * m)"),
+                ),
+            ).alias("rate_milli"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(mix_bucket_expr(1000) < F.col("rate_milli"))
+        .select(
+            "doc_id",
+            "source",
+            "rate_milli",
+            _q4(F.lit(1000.0) / F.col("rate_milli")).alias("weight"),
+        )
+        .sortWithinPartitions("doc_id")
+    )

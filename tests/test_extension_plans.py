@@ -123,6 +123,10 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "computed in the ONE corpus-streaming pass",
     "x3_knn_join": "blocked exact self-join: both sides required",
     "x6_contamination": "bench slice (1/97) vs corpus slice: disjoint",
+    "x6_mix_temperature": "rate side scan is column-pruned to (source, "
+    "n_chars) and aggregates immediately into a source-sized table — "
+    "rates inherently need a global agg before the probe pass (same "
+    "shape as x6_tfidf_topk's count-only side)",
     "x6_tfidf_topk": "count-only n_docs side scan (zero data columns)",
     "x3_kmeans": "two Lloyd assignment passes each stream the corpus once "
     "(inherent to the iteration) + a LIMIT-8 seed scan; re-scanning parquet "
