@@ -15,6 +15,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+import pandas as pd  # module-global so stringified UDF type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1244,4 +1245,106 @@ def phash_pairs_from_hashes(ph: DataFrame, band_cap: int, ham_max: int) -> DataF
         .filter(F.col("hamming") <= ham_max)
         .select("media_a", "media_b", "hamming")
         .orderBy("media_a", "media_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x1_bloom_dedup — Bloom-filter membership probe for incremental exact dedup
+
+# k independent bit positions per key. Positions come from k seeded xxhash64
+# calls (hashing the (key, i) tuple) rather than the Kirsch-Mitzenmacher
+# h1 + i*h2 form: the additive form's long arithmetic can overflow, which
+# ANSI mode turns into a task error, while extra xxhash64 calls are pure
+# codegen. 16 bits/key with k=7 gives theoretical FP ~= 4e-4 at the
+# rounded-up power-of-two m actually allocated.
+BLOOM_K = 7
+BLOOM_BITS_PER_KEY = 16
+
+
+def _bloom_positions(key, m: int):
+    """Array of BLOOM_K bit positions in [0, m) for a key column (codegen)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(BLOOM_K)]
+    )
+
+
+def bloom_build_words(corpus_keys: DataFrame, m: int):
+    """Aggregate a corpus key column ('h') into the filter's int64 words.
+
+    Distributed form: explode each key into its k positions, map the
+    position to (block = pos >> 6, bit = pos % 64), and bit_or the shifted
+    bits per block — one map-side-combined shuffle whose output is AT MOST
+    m/64 rows regardless of corpus size. The words table (not the corpus)
+    is what reaches the driver."""
+    return (
+        corpus_keys.select(F.explode(_bloom_positions(F.col("h"), m)).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).alias("block"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("block")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+@query(
+    "x1_bloom_dedup",
+    oracle=None,  # probabilistic structure: gated in tests/test_approx_quality.py
+    # (zero false negatives by construction, measured FP rate vs the
+    # theoretical bound, bit determinism across runs)
+    tags=("X1", "U4", "A1"),
+)
+def x1_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup: probe a new ingest batch against a
+    fixed-size bitmap of the historical corpus's content hashes — the
+    membership structure a continuously-ingesting pipeline keeps in memory
+    so most non-duplicate docs never touch the exact dedup index
+    (x1_incremental_dedup's hash join is then paid only by probe-positive
+    docs, a ~FP-rate fraction of the stream).
+
+    Corpus = even doc_ids; batch = odd doc_ids plus re-keyed copies of the
+    doc_id % 10 == 0 slice (guaranteed true duplicates, so the
+    zero-false-negative contract is exercised, not vacuous).
+
+    Scale shape: the build is one map-side-combined shuffle whose output is
+    bounded by m/64 words (see bloom_build_words); the words table is the
+    ONLY driver traffic (m/64 longs — 2 MiB per billion keys per bit/key;
+    at multi-billion-key scale the filter shards by key range and each
+    executor holds only its shard). The probe is map-only: positions are
+    computed in codegen and tested against the broadcast numpy bitmap in
+    one vectorized Arrow-batched kernel — no shuffle, no join, the batch
+    streams past the scan."""
+    import numpy as np
+    from pyspark.sql.types import BooleanType
+
+    d = spread(T(spark, sf_dir, "documents"))
+    hashed = d.select("doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+    corpus = hashed.filter(F.col("doc_id") % 2 == 0)
+    batch = hashed.filter(F.col("doc_id") % 2 == 1).unionByName(
+        hashed.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "h"
+        )
+    )
+
+    # bounded driver scalars: corpus cardinality sizes m (power of two >=
+    # BITS_PER_KEY * n), then the <= m/64 words come back for broadcast —
+    # the same bounded-collect class as similarity.py's index sizing
+    n = corpus.count()
+    m = 1 << max(10, (BLOOM_BITS_PER_KEY * max(n, 1) - 1).bit_length())
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for r in bloom_build_words(corpus, m).collect():
+        words[r["block"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    bc = spark.sparkContext.broadcast(words)
+
+    @F.pandas_udf(BooleanType())
+    def bloom_probe(pos: pd.Series) -> pd.Series:
+        w = bc.value
+        mat = np.vstack(pos.to_numpy())  # (batch, k) int64 — fixed k
+        bits = (w[mat >> 6] >> (mat & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return (
+        batch.withColumn("pos", _bloom_positions(F.col("h"), m))
+        .select("doc_id", bloom_probe(F.col("pos")).alias("bloom_hit"))
+        .orderBy("doc_id")
     )

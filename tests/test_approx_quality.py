@@ -757,3 +757,44 @@ def test_phash_neardup_banding_on_handcrafted_hashes(spark):
     ]
     # 1111^4444=5555 (8 bits) + 2222^5555=7777 (12) + 3333^6666=5555 (8) = 28
     assert (4, 5, 28) in got2 and (1, 2, 2) in got2
+
+
+def test_bloom_dedup_no_false_negatives_fp_bounded_and_deterministic(spark):
+    """x1_bloom_dedup: (a) ZERO false negatives — every batch doc whose
+    content hash exists in the corpus MUST probe positive (a Bloom filter's
+    hard guarantee; a miss here is a construction bug, not noise); (b) the
+    measured false-positive rate stays within 10x the ~4e-4 theoretical
+    bound at 16 bits/key, k=7 (generous: the batch is small so a single FP
+    moves the rate by ~1e-4); (c) two runs agree bit-for-bit (seeded
+    xxhash64 positions, deterministic build)."""
+    a = sorted(map(tuple, SPECS["x1_bloom_dedup"].build(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, SPECS["x1_bloom_dedup"].build(spark, SF_ORACLE).collect()))
+    assert a == b
+    hits = {doc_id: hit for doc_id, hit in a}
+    assert hits, "empty probe result"
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    hashed = docs.select("doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+    corpus_hashes = {
+        r.h for r in hashed.filter(F.col("doc_id") % 2 == 0).collect()
+    }
+    batch = [
+        (r.doc_id, r.h) for r in hashed.filter(F.col("doc_id") % 2 == 1).collect()
+    ] + [
+        (r.doc_id + 10_000_000, r.h)
+        for r in hashed.filter(F.col("doc_id") % 10 == 0).collect()
+    ]
+    assert len(batch) == len(hits)
+
+    n_true_neg = n_fp = 0
+    for doc_id, h in batch:
+        if h in corpus_hashes:
+            assert hits[doc_id], f"FALSE NEGATIVE at doc {doc_id}"
+        else:
+            n_true_neg += 1
+            if hits[doc_id]:
+                n_fp += 1
+    # the re-keyed %10 slice guarantees the FN branch above actually ran
+    assert any(doc_id >= 10_000_000 for doc_id, _ in batch)
+    assert n_true_neg > 0
+    assert n_fp / n_true_neg <= 4e-3, f"FP rate {n_fp}/{n_true_neg}"

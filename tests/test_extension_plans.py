@@ -117,6 +117,9 @@ _DUPLICATE_SCAN_ALLOWLIST = {
         "event frame just to avoid a 2-column second pass"
     ),
     "x1_incremental_dedup": "corpus slice vs batch slice: disjoint %10 predicates",
+    "x1_bloom_dedup": "probe plan unions the odd-doc slice with the "
+    "re-keyed %10 duplicate-injection slice (two disjoint predicates on "
+    "documents); the corpus build scan ran eagerly before this plan",
     "x3_cosine_topk": "query slice vs corpus: two roles of embeddings",
     "x3_dim_truncation": "query slice (vec_id<5, broadcast) vs corpus: two "
     "roles of embeddings, same shape as x3_cosine_topk; both cosines are "
