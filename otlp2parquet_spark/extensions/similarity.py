@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otlp2parquet_spark.queries.registry import T, query
+from otlp2parquet_spark.queries.relational import quant4
 from otlp2parquet_spark.session import spread
 
 
@@ -1244,3 +1245,136 @@ def x3_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overlap_at_5",
         F.sum("in_full_topk").over(Window.partitionBy("q_id")).cast("bigint"),
     ).orderBy("q_id", "rank_half")
+
+
+# ---------------------------------------------------------------------------
+# x3_mmr_rerank — maximal-marginal-relevance diversified top-k
+
+MMR_SHORTLIST = 30
+MMR_K = 10
+MMR_LAMBDA = 0.7
+
+
+def mmr_select(ids, rel, sim, k: int = MMR_K, lam: float = MMR_LAMBDA):
+    """Greedy MMR over a shortlist: pick argmax lam*rel - (1-lam)*max-sim-to-
+    selected, candidates visited in ascending id order with strict > so ties
+    resolve to the smaller neighbor_id. Pure-Python float arithmetic (no
+    BLAS) so the Spark kernel and the test's reference replay are
+    bit-identical. Returns [(id, rel, mmr_score), ...] in selection order.
+
+    `ids` MUST be sorted ascending; `sim[i][j]` is neighbor-neighbor cosine."""
+    n = len(ids)
+    selected: list[int] = []
+    out = []
+    for rank in range(min(k, n)):
+        best_i, best_score = -1, None
+        for i in range(n):
+            if i in selected:
+                continue
+            if selected:
+                penalty = max(sim[i][j] for j in selected)
+            else:
+                penalty = 0.0
+            score = lam * rel[i] - (1.0 - lam) * penalty
+            if best_score is None or score > best_score:
+                best_i, best_score = i, score
+        selected.append(best_i)
+        out.append((ids[best_i], rel[best_i], best_score))
+    return out
+
+
+@query(
+    "x3_mmr_rerank",
+    oracle=None,  # greedy sequential selection is not SQL-expressible;
+    # pinned instead by tests/test_approx_quality.py's reference replay
+    # (bit-identical selection + scores vs an independent Python model)
+    tags=("X3", "U4", "W6"),
+)
+def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval: exact cosine top-30 shortlist per query
+    (vec_id < 5), then greedy maximal-marginal-relevance selection of 10
+    (lambda = 0.7) — the diversification re-rank a RAG / retrieval pipeline
+    applies so the context window isn't filled with near-duplicates of the
+    same best hit. Complements the x2 near-dup family: instead of dropping
+    duplicates from the corpus, it keeps them out of a single result list.
+
+    Scale shape: stage 1 is exactly x3_cosine_topk's plan (queries
+    broadcast, ONE corpus streaming pass, per-partition group-limit top-30)
+    — the only corpus-sized work. Stage 2 is applyInPandas per q_id over 30
+    rows: the greedy O(k * s^2) loop touches shortlist-sized data only, so
+    at 100 TB the re-rank cost is queries x 30 vectors, independent of
+    corpus size. Pure-Python dot products keep the kernel bit-reproducible
+    (no BLAS reduction-order drift near selection ties)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        cosine_expr(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    shortlist = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= MMR_SHORTLIST
+    )
+
+    out_schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("mmr_rank", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("relevance", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    def _dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def rerank(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("neighbor_id", kind="stable")
+        ids = pdf["neighbor_id"].tolist()
+        rel = pdf["cos_raw"].tolist()
+        vecs = [[float(x) for x in v] for v in pdf["embedding"]]
+        nrm = [np.sqrt(_dot(v, v)) for v in vecs]
+        n = len(ids)
+        sim = [[0.0] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = _dot(vecs[i], vecs[j]) / float(nrm[i] * nrm[j])
+                sim[i][j] = sim[j][i] = s
+        rows = [
+            {
+                "q_id": int(pdf["q_id"].iloc[0]),
+                "mmr_rank": r + 1,
+                "neighbor_id": int(nid),
+                "relevance": rv,
+                "mmr_score": sc,
+            }
+            for r, (nid, rv, sc) in enumerate(mmr_select(ids, rel, sim))
+        ]
+        return pd.DataFrame(rows)
+
+    reranked = shortlist.groupBy("q_id").applyInPandas(rerank, out_schema)
+    return reranked.select(
+        "q_id",
+        "mmr_rank",
+        "neighbor_id",
+        quant4(F.col("relevance")).alias("relevance"),
+        quant4(F.col("mmr_score")).alias("mmr_score"),
+    ).orderBy("q_id", "mmr_rank")

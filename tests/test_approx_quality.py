@@ -798,3 +798,65 @@ def test_bloom_dedup_no_false_negatives_fp_bounded_and_deterministic(spark):
     assert any(doc_id >= 10_000_000 for doc_id, _ in batch)
     assert n_true_neg > 0
     assert n_fp / n_true_neg <= 4e-3, f"FP rate {n_fp}/{n_true_neg}"
+
+
+def test_mmr_rerank_matches_independent_reference_and_diversifies(spark):
+    """x3_mmr_rerank: the distributed kernel's selection must replay
+    bit-identically against an independently-written driver-side MMR model
+    (same contract: top-30 exact-cosine shortlist, lambda=0.7, greedy with
+    smaller-neighbor_id tie-break, sequential left-to-right float dots),
+    scores matching at the 4-dp output quantization; the selection must
+    actually diversify (differ from plain relevance top-10 somewhere); and
+    two runs must agree exactly."""
+    a = [tuple(r) for r in SPECS["x3_mmr_rerank"].build(spark, SF_ORACLE).collect()]
+    b = [tuple(r) for r in SPECS["x3_mmr_rerank"].build(spark, SF_ORACLE).collect()]
+    assert a == b and a
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    }
+
+    def dot(u, v):
+        s = 0.0
+        for x, y in zip(u, v):
+            s += x * y
+        return s
+
+    def cos(u, v):
+        import math
+
+        return dot(u, v) / math.sqrt(dot(u, u) * dot(v, v))
+
+    def q4(x):
+        import math
+
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    expected = []
+    any_reordered = False
+    for q_id in range(5):
+        qv = vecs[q_id]
+        scored = sorted(
+            ((cos(qv, v), -i) for i, v in vecs.items() if i != q_id), reverse=True
+        )
+        short = sorted(-i for _, i in scored[:30])  # neighbor_ids ascending
+        rel = {i: cos(qv, vecs[i]) for i in short}
+        chosen: list[int] = []
+        for rank in range(10):
+            best, best_s = None, None
+            for i in short:
+                if i in chosen:
+                    continue
+                pen = max((cos(vecs[i], vecs[j]) for j in chosen), default=0.0)
+                s = 0.7 * rel[i] - 0.3 * pen
+                if best_s is None or s > best_s:
+                    best, best_s = i, s
+            chosen.append(best)
+            expected.append((q_id, rank + 1, best, q4(rel[best]), q4(best_s)))
+        top10_by_rel = [-i for _, i in scored[:10]]
+        if chosen != top10_by_rel:
+            any_reordered = True
+
+    assert a == expected, (a[:12], expected[:12])
+    assert any_reordered, "MMR never deviated from plain top-k: vacuous fixture"
