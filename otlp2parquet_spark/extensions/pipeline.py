@@ -901,3 +901,114 @@ def x6_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x6_source_overlap — cross-source n-gram overlap audit
+
+_SQL_JAC = (
+    "FLOOR(CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE)"
+    " * 10000.0 + 0.5) / 10000.0"
+)
+
+
+@query(
+    "x6_source_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT source,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), counts AS (
+      SELECT source, COUNT(*) AS n FROM grams GROUP BY source
+    ), pc AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common, ca.n AS grams_a, cb.n AS grams_b,
+           {_SQL_JAC} AS jaccard
+    FROM pc
+    JOIN counts ca ON pc.source_a = ca.source
+    JOIN counts cb ON pc.source_b = cb.source
+    ORDER BY source_a, source_b
+    """,
+    tags=("X6", "X2", "A1", "J1"),
+)
+def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair duplication audit: distinct-trigram Jaccard between every
+    pair of sources — the corpus-level overlap report a curation team reads
+    before mixing sources (a high-overlap pair means one source largely
+    mirrors another, e.g. a crawl re-hosting another crawl, and the mix
+    double-counts it; also the cheap first check for benchmark contamination
+    between a benchmark source and a training source).
+
+    Scale shape: ONE corpus-sized shuffle — explode per-doc-distinct
+    trigrams and groupBy gram into a sorted source-set (collect_set is
+    bounded by |sources|, here 20, never by corpus size). Everything after
+    runs on the checkpointed gram->sources table (vocab-sized): per-source
+    gram counts by re-exploding it, pair counts by generating each gram's
+    C(s,2) source pairs with codegen HOFs (bounded by S^2 per gram — the
+    skew ceiling is sources^2, independent of how many documents share the
+    gram, which is what makes this linear where doc-pair Jaccard needs a
+    df cap). Pair/count joins are source^2-sized: broadcast."""
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = F.split(normalized_text(F.col("text")), " ")
+    per_doc = d.select(
+        "source",
+        F.explode(F.array_distinct(gram3_expr(toks))).alias("gram"),
+    )
+    bysrc = (
+        per_doc.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=False)  # vocab-sized; corpus pass runs ONCE
+    )
+    counts = (
+        bysrc.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "srcs",
+            lambda a, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
+    pc = (
+        bysrc.select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("grams_a") + F.col("grams_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        pc.join(
+            F.broadcast(
+                counts.select(F.col("source").alias("source_a"), F.col("n").alias("grams_a"))
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                counts.select(F.col("source").alias("source_b"), F.col("n").alias("grams_b"))
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "grams_a",
+            "grams_b",
+            _q4(jac).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
