@@ -239,3 +239,69 @@ def test_t10_restart_matches_sequential_model(spark, tmp_path_factory, rows, cut
         if r["user_id"] != _T10_SENTINEL_USER
     )
     assert got == _t10_model(tagged)
+
+
+def _write_id_file(d: str, idx: int, rows) -> None:
+    """One parquet micro-batch with EXPLICIT event_ids — rows are
+    (event_id, ts_offset_s) — so dedup keys can deliberately repeat across
+    files and across the kill boundary (unlike _write_batch_files, whose
+    per-file id ranges never collide)."""
+    os.makedirs(d, exist_ok=True)
+    t = pa.table(
+        {
+            "event_id": pa.array([e for e, _o in rows], pa.int64()),
+            "ts": pa.array(
+                [BASE_US + o * 1_000_000 for _e, o in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array(["t"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    path = os.path.join(d, f"{idx:03d}.parquet")
+    pq.write_table(t, path)
+    os.utime(path, (1_700_000_000 + idx * 10, 1_700_000_000 + idx * 10))
+
+
+def _run_t5(spark, src: str, ckpt: str, out: str) -> None:
+    stream = (
+        spark.readStream.schema(P.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        P.dedup_events(stream)
+        .select("event_id", "ts", "user_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_t5_dedup_state_survives_restart(spark, dirs):
+    """T5 exactly-once across a restart: an event_id first seen BEFORE the
+    kill and re-sent AFTER it must still be dropped — i.e. dropDuplicates'
+    key state reloads from the checkpoint, it doesn't restart empty (which
+    would re-admit every cross-boundary duplicate and break the lane's
+    exactly-once contract). New ids after the restart must still pass."""
+    src, ckpt, out = dirs
+    # phase 1: ids 1..6, with an in-phase duplicate of 3 (sanity: in-run
+    # dedup works before we even get to the restart question)
+    _write_id_file(src, 0, [(1, 0), (2, 1), (3, 2), (3, 2), (4, 3)])
+    _write_id_file(src, 1, [(5, 4), (6, 5)])
+    _run_t5(spark, src, ckpt, out)
+    first = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert first == [1, 2, 3, 4, 5, 6]
+
+    # phase 2 (the restart): re-send 2, 3, 5 with LATER timestamps + new 7, 8
+    _write_id_file(src, 2, [(2, 6), (3, 7), (7, 8)])
+    _write_id_file(src, 3, [(5, 9), (8, 10)])
+    _run_t5(spark, src, ckpt, out)
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8], got
