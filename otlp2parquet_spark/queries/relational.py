@@ -1568,3 +1568,86 @@ def w7_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey", "s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# W8 — first-touch funnel sequencing (MATCH_RECOGNIZE-style path detection)
+
+
+@query(
+    "w8_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           (p.purchase_ts IS NOT NULL) AS converted,
+           epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS conv_us
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+    tags=("W8", "J2", "A1"),
+)
+def w8_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel: per user, the earliest 'view', the earliest
+    'click' strictly after it, and the earliest 'purchase' strictly after
+    that — the MATCH_RECOGNIZE / CEP-style ordered-sequence detection that
+    product analytics engines ship as a dedicated operator, expressed as
+    staged conditional MINs (deterministic: MIN over event-time, no
+    row_number over possibly-tied orderings).
+
+    Scale shape: three event_type-pruned scans (each predicate pushes to
+    the parquet scan, so each pass reads only its slice — at 100 TB this
+    beats one wide scan forked three ways, which would materialize the
+    whole event stream once per branch anyway after the column pruner);
+    every shuffle — the three stage MINs and the stage joins — is keyed on
+    user_id, so AQE coalesces them onto one co-partitioned layout and the
+    per-user state never exceeds three timestamps. No collect, no window
+    over an unpartitioned frame."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.col("purchase_ts").isNotNull().alias("converted"),
+            (
+                F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("view_ts").cast("timestamp"))
+            ).alias("conv_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -116,6 +116,10 @@ _DUPLICATE_SCAN_ALLOWLIST = {
         "aggregates immediately: cheaper than materializing the windowed "
         "event frame just to avoid a 2-column second pass"
     ),
+    "w8_funnel": "three disjoint event_type slices (view/click/purchase), "
+    "each predicate pushed to its scan — the funnel's staged-MIN stages "
+    "genuinely need three roles of events (same class as t8's two-slice "
+    "stream-stream join)",
     "x1_incremental_dedup": "corpus slice vs batch slice: disjoint %10 predicates",
     "x1_bloom_dedup": "probe plan unions the odd-doc slice with the "
     "re-keyed %10 duplicate-injection slice (two disjoint predicates on "
