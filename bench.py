@@ -84,6 +84,7 @@ HEADLINE = [
     "x3_mmr_rerank",  # r7 addendum: shortlist-local MMR diversification
     "x6_source_overlap",  # r7 addendum: source-pair gram Jaccard audit
     "w9_cohort_retention",  # r7 addendum: weekly retention triangle
+    "x2_minhash_firstseen",  # r7 addendum: hash-matched LSH first-seen dedup
 ]
 
 RUNS_PER_QUERY = 3

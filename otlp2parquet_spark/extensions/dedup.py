@@ -1348,3 +1348,178 @@ def x1_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", bloom_probe(F.col("pos")).alias("bloom_hit"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x2_minhash_firstseen — ORACLE-MATCHED MinHash-LSH first-seen dedup
+# ---------------------------------------------------------------------------
+# Hash family both engines can replay bit-for-bit: ONE md5 per distinct gram,
+# split into h1 (60-bit prefix) and h2 (40 bits at offset 16), expanded to K
+# values by Kirsch-Mitzenmacher double hashing h1 + k*h2 (max < 2^60 + 15*2^40,
+# no signed-64 overflow, so ANSI mode stays happy). x2_minhash_lsh keeps the
+# cheaper xxhash64 family for the pair-generation variant; THIS op trades ~2x
+# hash cost for a DuckDB-replayable signature, which upgrades LSH dedup from
+# tolerance-gated to hash-matched.
+
+_MHFS_ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+
+_MHFS_MINS = ",\n             ".join(
+    f"MIN(h1 + {k} * h2) AS m{k}" for k in range(MINHASH_K)
+)
+_MHFS_BANDS = "\n      UNION ALL\n      ".join(
+    "SELECT doc_id, {b} AS band, concat({cols}) AS bsig FROM mins".format(
+        b=b,
+        cols=", '|', ".join(
+            f"m{b * _MHFS_ROWS_PER_BAND + r}" for r in range(_MHFS_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(LSH_BANDS)
+)
+
+_SQL_MINHASH_FS = f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(gram), 17, 10)) AS BIGINT) AS h2
+      FROM grams
+    ), mins AS (
+      SELECT doc_id, {_MHFS_MINS}
+      FROM h GROUP BY doc_id
+    ), bands AS (
+      {_MHFS_BANDS}
+    ), firsts AS (
+      SELECT band, bsig, MIN(doc_id) AS first_id FROM bands GROUP BY band, bsig
+    ), flags AS (
+      SELECT b.doc_id, BOOL_OR(b.doc_id > f.first_id) AS dup
+      FROM bands b JOIN firsts f ON b.band = f.band AND b.bsig = f.bsig
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, COALESCE(fl.dup, FALSE) AS is_neardup
+    FROM documents d LEFT JOIN flags fl ON d.doc_id = fl.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def minhash_fs_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) LSH band rows under the md5-derived
+    Kirsch-Mitzenmacher hash family (see the block comment above) — the
+    shared signature kernel of batch x2_minhash_firstseen and the live
+    streaming form (streaming/pipeline.py neardup_stream): both MUST hash
+    identically or the live==batch equivalence proof is vacuous. Docs with
+    <3 tokens produce no rows."""
+    tok = with_tokens(docs)
+    gram_df = tok.select(
+        "doc_id", F.explode(F.array_distinct(gram3_expr(F.col("toks")))).alias("gram")
+    )
+    md = F.md5(F.col("gram"))
+    hashed = gram_df.select(
+        "doc_id",
+        F.conv(F.substring(md, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md, 17, 10), 16, 10).cast("long").alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"m{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"m{b * _MHFS_ROWS_PER_BAND + r}").cast("string")
+                                for r in range(_MHFS_ROWS_PER_BAND)
+                            ],
+                        ).alias("bsig"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+
+
+@query(
+    "x2_minhash_firstseen",
+    oracle=_SQL_MINHASH_FS,
+    tags=("X2", "W6", "F6"),
+)
+def x2_minhash_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen MinHash-LSH dedup, hash-matched: a doc is flagged
+    is_neardup when ANY of its LSH bands was already emitted by an
+    earlier-doc_id document — the keep/drop decision a streaming ingest
+    pipeline makes per arriving doc, computed in batch with NO pair
+    generation (x2_minhash_lsh materializes candidate pairs; here each
+    band bucket reduces to MIN(doc_id), so a 10^6-doc boilerplate bucket
+    costs one aggregation, not 10^12 pair rows — skew-safe by
+    construction, no df cap needed).
+
+    Scale shape: one corpus tokenize pass -> per-gram md5 (map-side) ->
+    signature agg keyed doc_id (map-side partial MINs, K longs per doc per
+    mapper) -> band rows (map-side explode, 4 skinny rows per doc) ->
+    window MIN over (band, bsig) -> per-doc BOOL_OR keyed doc_id. Three
+    skinny-row shuffles, zero joins over corpus-sized sides except the
+    final doc_id-co-partitioned re-attach of gramless (<3 token) docs,
+    which never pair and surface as is_neardup = FALSE."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = with_tokens(d)
+    gram_df = tok.select(
+        "doc_id", F.explode(F.array_distinct(gram3_expr(F.col("toks")))).alias("gram")
+    )
+    md = F.md5(F.col("gram"))
+    hashed = gram_df.select(
+        "doc_id",
+        F.conv(F.substring(md, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md, 17, 10), 16, 10).cast("long").alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"m{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"m{b * _MHFS_ROWS_PER_BAND + r}").cast("string")
+                                for r in range(_MHFS_ROWS_PER_BAND)
+                            ],
+                        ).alias("bsig"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    w = Window.partitionBy("band", "bsig")
+    per_doc = (
+        bands.withColumn("first_id", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("doc_id") > F.col("first_id")).alias("dup"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("dup", F.lit(False)).alias("is_neardup"))
+        .orderBy("doc_id")
+    )

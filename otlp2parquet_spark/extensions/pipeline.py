@@ -954,48 +954,79 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a benchmark source and a training source).
 
     Scale shape: ONE corpus-sized shuffle — explode per-doc-distinct
-    trigrams, reduce each gram to a 60-bit md5-prefix key MAP-SIDE (8-byte
-    shuffle keys; the string-keyed form measured 111x wall at 100x data —
-    zero parallel economy — and dropped to ~linear-with-headroom after
-    this change), and groupBy gram_key into a sorted source-set
-    (collect_set is bounded by |sources|, here 20, never by corpus size). Everything after
-    runs on the checkpointed gram->sources table (vocab-sized): per-source
-    gram counts by re-exploding it, pair counts by generating each gram's
-    C(s,2) source pairs with codegen HOFs (bounded by S^2 per gram — the
-    skew ceiling is sources^2, independent of how many documents share the
-    gram, which is what makes this linear where doc-pair Jaccard needs a
-    df cap). Pair/count joins are source^2-sized: broadcast."""
+    trigrams, reduce each gram MAP-SIDE to a 60-bit md5-prefix key (8-byte
+    shuffle keys) and its source to a bit index (a bounded driver collect
+    of the <= 64 distinct sources, the same class as similarity.py's index
+    sizing), then groupBy gram_key into a single bit_or(1 << idx) LONG.
+    The bitmask aggregation is the load-bearing choice: the collect_set
+    form measured 246x wall at 100x salted data because collect_set is an
+    ObjectHashAggregate that falls back to sort-based aggregation and
+    materializes per-gram array buffers, while bit_or is plain codegen
+    HashAggregate with map-side combine — and the checkpointed per-gram
+    state is 8 bytes, not an array (at 10x salted both forms are corpus-
+    pass-bound at ~16 s; the object-agg pathology only bites once the
+    vocab outgrows the hash map, which is exactly the 100x regime). Everything after runs on the checkpointed mask column
+    (vocab-sized): per-source gram counts by exploding set bits, pair
+    counts by generating each mask's C(s,2) bit pairs with codegen HOFs
+    (bounded by sources^2 per gram, independent of how many documents
+    share the gram — what makes this linear where doc-pair Jaccard needs a
+    df cap). Pair/count joins are source^2-sized: broadcast. Corpora with
+    > 64 sources shard this op by source-group pairs (each group keeps its
+    own 64-bit mask lane); the fixture and any sane mixing config stay
+    far below that."""
     d = spread(T(spark, sf_dir, "documents"))
+    srcs = sorted(r[0] for r in d.select("source").distinct().collect())
+    if len(srcs) > 64:  # pragma: no cover - fixture has ~20 sources
+        raise NotImplementedError(
+            "x6_source_overlap's single-lane bitmask form supports <= 64 "
+            "sources; shard source-group pairs across lanes beyond that"
+        )
+    sidx = F.create_map(
+        *[lit for i, s in enumerate(srcs) for lit in (F.lit(s), F.lit(i))]
+    )[F.col("source")]
     toks = F.split(normalized_text(F.col("text")), " ")
     gram_key = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
     per_doc = d.select(
         "source",
         F.explode(F.array_distinct(gram3_expr(toks))).alias("gram"),
-    ).select("source", gram_key.alias("gram_key"))
-    bysrc = (
+    ).select(gram_key.alias("gram_key"), sidx.alias("sidx"))
+    masks = (
         per_doc.groupBy("gram_key")
-        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(sidx AS INT)))").alias("mask"))
+        .select("mask")  # gram identity not needed downstream: 8 bytes/row
         .localCheckpoint(eager=False)  # vocab-sized; corpus pass runs ONCE
     )
+    set_bits = F.filter(
+        F.array(
+            *[
+                F.when(F.col("mask").bitwiseAND(F.lit(1 << i)) != 0, F.lit(i))
+                for i in range(len(srcs))
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
     counts = (
-        bysrc.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
+        masks.select(F.explode(set_bits).alias("sidx"))
+        .groupBy("sidx")
         .agg(F.count("*").alias("n"))
     )
     pair_structs = F.flatten(
         F.transform(
-            "srcs",
+            set_bits,
             lambda a, i: F.transform(
-                F.slice(F.col("srcs"), i + 2, F.size("srcs")),
-                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+                F.slice(set_bits, i + 2, F.lit(len(srcs))),
+                lambda b: F.struct(a.alias("ia"), b.alias("ib")),
             ),
         )
     )
     pc = (
-        bysrc.select(F.explode(pair_structs).alias("p"))
-        .select("p.source_a", "p.source_b")
-        .groupBy("source_a", "source_b")
+        masks.select(F.explode(pair_structs).alias("p"))
+        .select("p.ia", "p.ib")
+        .groupBy("ia", "ib")
         .agg(F.count("*").alias("n_common"))
+    )
+    names = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(srcs)], "sidx int, source string"
     )
     jac = F.col("n_common").cast("double") / (
         F.col("grams_a") + F.col("grams_b") - F.col("n_common")
@@ -1003,15 +1034,23 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pc.join(
             F.broadcast(
-                counts.select(F.col("source").alias("source_a"), F.col("n").alias("grams_a"))
+                counts.join(names, "sidx").select(
+                    F.col("sidx").alias("ia"),
+                    F.col("source").alias("source_a"),
+                    F.col("n").alias("grams_a"),
+                )
             ),
-            "source_a",
+            "ia",
         )
         .join(
             F.broadcast(
-                counts.select(F.col("source").alias("source_b"), F.col("n").alias("grams_b"))
+                counts.join(names, "sidx").select(
+                    F.col("sidx").alias("ib"),
+                    F.col("source").alias("source_b"),
+                    F.col("n").alias("grams_b"),
+                )
             ),
-            "source_b",
+            "ib",
         )
         .select(
             "source_a",

@@ -15,6 +15,7 @@ availableNow must reproduce the batch twin's results exactly).
 | T7 | foreachBatch partitioned flush    | streaming/ingest.py            |
 | T8 | stream-stream interval join       | attribution_join               |
 | T10| gap+count-capped sessions         | capped_sessions (applyInPandasWithState, event-time timeout) |
+| T11| streaming near-dup dedup at ingest| neardup_stream (foreachBatch + persistent LSH band index) |
 """
 
 from __future__ import annotations
@@ -354,3 +355,126 @@ def capped_sessions(stream: DataFrame, watermark: str = "10 seconds") -> DataFra
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T11: streaming near-dup dedup at ingest (live x2_minhash_firstseen)
+# ---------------------------------------------------------------------------
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def neardup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Streaming first-seen MinHash-LSH dedup: the live form of batch
+    x2_minhash_firstseen (extensions/dedup.py) — every arriving document is
+    flagged is_neardup when ANY of its LSH bands was already emitted by an
+    earlier document, across ALL previous micro-batches and runs.
+
+    State is a parquet band index under {state_dir}/bands, epoch-partitioned;
+    per-doc verdicts land under {state_dir}/flags, epoch-partitioned. Both
+    writes are per-epoch directory OVERWRITES keyed by the Spark epoch id, so
+    a micro-batch replayed after a crash (foreachBatch's at-least-once
+    contract) rewrites exactly its own partitions: exactly-once at the file
+    level, same discipline as stream_ingest's run_tag=epoch. The history
+    read filters epoch < current so a replayed batch never sees its OWN
+    half-written bands as history (which would flag first-seen docs against
+    themselves).
+
+    Equivalence contract (proven in tests/test_streaming_neardup.py): when
+    documents arrive in doc_id order, the union of all flag partitions —
+    across any micro-batch slicing, stop/restart cycle, or crash-replay —
+    equals the batch operator's output on the union of the inputs. "Earlier"
+    means arrival order, which the batch twin models as doc_id order.
+
+    Scale shape per micro-batch: the signature kernel is the batch op's
+    (one tokenize pass, md5 double-hash family, map-side partial MINs); the
+    history probe is a left-semi join of the batch's ~4 skinny band rows
+    per doc against the index — at 100 TB the index is bucketed by
+    (band, bsig) so the probe co-locates, and epochs compact like any
+    streaming lake table (otel/compact.py is the same machinery)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    from otlp2parquet_spark.extensions.dedup import minhash_fs_bands
+
+    bands_dir = os.path.join(state_dir, "bands")
+    flags_dir = os.path.join(state_dir, "flags")
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = batch_df.select("doc_id", "text").persist()
+        try:
+            bands = minhash_fs_bands(docs).persist()
+            try:
+                try:
+                    hist = (
+                        spark.read.parquet(bands_dir)
+                        .filter(F.col("epoch") < F.lit(int(epoch_id)))
+                        .select("band", "bsig")
+                    )
+                except AnalysisException:
+                    hist = None  # first epoch: no index yet
+                w = Window.partitionBy("band", "bsig")
+                per_doc = (
+                    bands.withColumn("first_id", F.min("doc_id").over(w))
+                    .groupBy("doc_id")
+                    .agg(F.max(F.col("doc_id") > F.col("first_id")).alias("hit_intra"))
+                )
+                out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+                if hist is not None:
+                    hist_hits = (
+                        bands.join(hist, ["band", "bsig"], "left_semi")
+                        .select("doc_id")
+                        .distinct()
+                        .withColumn("hit_hist", F.lit(True))
+                    )
+                    out = out.join(hist_hits, "doc_id", "left")
+                else:
+                    out = out.withColumn("hit_hist", F.lit(False))
+                out.select(
+                    "doc_id",
+                    (
+                        F.coalesce("hit_intra", F.lit(False))
+                        | F.coalesce("hit_hist", F.lit(False))
+                    ).alias("is_neardup"),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(flags_dir, f"epoch={int(epoch_id)}")
+                )
+                bands.groupBy("band", "bsig").agg(
+                    F.min("doc_id").alias("first_id")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(bands_dir, f"epoch={int(epoch_id)}")
+                )
+            finally:
+                bands.unpersist()
+        finally:
+            docs.unpersist()
+
+    ws = stream.writeStream.foreachBatch(flush).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        ws = ws.trigger(availableNow=True)
+    return ws.start()

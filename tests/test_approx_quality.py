@@ -860,3 +860,66 @@ def test_mmr_rerank_matches_independent_reference_and_diversifies(spark):
 
     assert a == expected, (a[:12], expected[:12])
     assert any_reordered, "MMR never deviated from plain top-k: vacuous fixture"
+
+
+def test_minhash_firstseen_flags_high_jaccard_dups(spark):
+    """x2_minhash_firstseen over the real corpus: docs with jaccard >= 0.8
+    against an earlier doc must be flagged at the >=90% rate the LSH family
+    guarantees (P(candidate | j=0.8) ~ 0.97 with 4 bands of 4), and flagged
+    docs must not be pure noise (every flagged doc shares a full band, which
+    at 60-bit minhashes means a genuinely shared gram pattern)."""
+    from otlp2parquet_spark.extensions.dedup import _jaccard_scored
+
+    flagged = {
+        r.doc_id
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_ORACLE).collect()
+        if r.is_neardup
+    }
+    pairs = _jaccard_scored(spark, SF_ORACLE).collect()
+    high_later = {max(r.doc_a, r.doc_b) for r in pairs if r.jac >= 0.8}
+    assert high_later, "fixture has no high-similarity pairs to test against"
+    missed = high_later - flagged
+    assert len(missed) <= max(1, len(high_later) // 10), (
+        f"missed {len(missed)}/{len(high_later)} docs with an earlier "
+        "jaccard>=0.8 twin"
+    )
+
+
+def test_minhash_firstseen_exact_duplicate_theorem(spark, tmp_path):
+    """Identical gram sets give identical signatures, hence identical bands:
+    an exact-text duplicate of an earlier doc MUST be flagged (a miss means
+    broken wiring, not LSH luck), while unrelated docs must not drag each
+    other in. Handcrafted 4-doc fixture: doc 2 duplicates doc 1 verbatim,
+    doc 4 is a one-token edit of doc 3 (jaccard ~ 0.9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_a = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    base_b = "machine learning pipelines transform raw corpora into curated training datasets efficiently at scale"
+    docs = [
+        (1, "s1", base_a),
+        (2, "s1", base_a),
+        (3, "s2", base_b),
+        (4, "s2", base_b.replace("curated", "filtered")),
+    ]
+    sf_dir = str(tmp_path / "mhfs")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    out = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, sf_dir).collect()
+    }
+    assert out[1] is False and out[3] is False, f"first-seen docs flagged: {out}"
+    assert out[2] is True, "verbatim duplicate of doc 1 not flagged"
+    assert out[4] is True, "one-token edit of doc 3 (high jaccard) not flagged"

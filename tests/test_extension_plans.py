@@ -121,6 +121,9 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "genuinely need three roles of events (same class as t8's two-slice "
     "stream-stream join)",
     "x1_incremental_dedup": "corpus slice vs batch slice: disjoint %10 predicates",
+    "x2_minhash_firstseen": "doc_id-only second scan re-attaches gramless "
+    "(<3 token) docs as is_neardup=FALSE (zero data columns, same class as "
+    "x6_tfidf_topk's count-only side); the tokenize pass runs once",
     "x1_bloom_dedup": "probe plan unions the odd-doc slice with the "
     "re-keyed %10 duplicate-injection slice (two disjoint predicates on "
     "documents); the corpus build scan ran eagerly before this plan",

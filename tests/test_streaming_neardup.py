@@ -1,0 +1,137 @@
+"""Live==batch + restart proof for the streaming near-dup lane (T11):
+pipeline.neardup_stream must reproduce batch x2_minhash_firstseen exactly —
+across any micro-batch slicing of the corpus AND across a kill/restart with
+new files — because both run the same md5-family LSH kernel
+(dedup.minhash_fs_bands) and "earlier" is arrival (= doc_id) order.
+
+This is the streaming ingest capability the batch op's docstring promises:
+the keep/drop decision made per arriving doc, with the band index as the
+persistent state.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from otlp2parquet_spark.queries.registry import all_specs
+from otlp2parquet_spark.streaming import pipeline as P
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def _doc_slices(spark, n_slices: int):
+    """sf0.001 documents split into doc_id-ordered contiguous slices."""
+    rows = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    per = (len(rows) + n_slices - 1) // n_slices
+    return [rows[i * per : (i + 1) * per] for i in range(n_slices)]
+
+
+def _write_slice_files(d: str, slices, start_idx: int = 0) -> None:
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(slices, start=start_idx):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+                "text": pa.array([r.text for r in rows], pa.string()),
+                "lang": pa.array([r.lang for r in rows], pa.string()),
+                "source": pa.array([r.source for r in rows], pa.string()),
+                "n_chars": pa.array([r.n_chars for r in rows], pa.int64()),
+            }
+        )
+        path = os.path.join(d, f"{i:03d}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+
+def _drain(spark, src: str, state: str, ckpt: str) -> None:
+    q = P.neardup_stream(spark, src, state, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+
+
+def _flags(spark, state: str) -> dict[int, bool]:
+    df = spark.read.parquet(os.path.join(state, "flags"))
+    return {r.doc_id: r.is_neardup for r in df.collect()}
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    return src, state, ckpt
+
+
+def test_neardup_stream_equals_batch_over_microbatches(spark, dirs):
+    """4-slice drain == batch operator on the full table (the slicing must
+    be invisible: intra-batch precedence + the band index together
+    reconstruct global first-seen semantics)."""
+    src, state, ckpt = dirs
+    _write_slice_files(src, _doc_slices(spark, 4))
+    _drain(spark, src, state, ckpt)
+    live = _flags(spark, state)
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert live == batch
+    assert any(live.values()), "fixture produced no near-dups: vacuous"
+
+
+def test_neardup_stream_state_survives_restart(spark, dirs):
+    """Drain slices 0-1, stop (the kill), add slices 2-3, restart from the
+    SAME checkpoint+state: a doc in the second run whose twin arrived in
+    the FIRST run must be flagged — i.e. the band index is real cross-run
+    state, not per-run scratch."""
+    src, state, ckpt = dirs
+    slices = _doc_slices(spark, 4)
+    _write_slice_files(src, slices[:2])
+    _drain(spark, src, state, ckpt)
+    first = _flags(spark, state)
+    assert set(first) == {r.doc_id for s in slices[:2] for r in s}
+
+    _write_slice_files(src, slices[2:], start_idx=2)
+    _drain(spark, src, state, ckpt)
+    live = _flags(spark, state)
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert live == batch
+    # the restart must not have re-verdicted the first run's docs
+    assert {d: v for d, v in live.items() if d in first} == first
+    # and the cross-boundary case actually occurred: some post-restart doc
+    # is flagged ONLY because of a pre-restart twin — rerunning the batch op
+    # on the second half alone must miss it
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as half_dir:
+        rows = [r for s in slices[2:] for r in s]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+                    "text": pa.array([r.text for r in rows], pa.string()),
+                    "lang": pa.array([r.lang for r in rows], pa.string()),
+                    "source": pa.array([r.source for r in rows], pa.string()),
+                    "n_chars": pa.array([r.n_chars for r in rows], pa.int64()),
+                }
+            ),
+            os.path.join(half_dir, "documents.parquet"),
+        )
+        half_only = {
+            r.doc_id: r.is_neardup
+            for r in SPECS["x2_minhash_firstseen"].build(spark, half_dir).collect()
+        }
+    cross = [d for d, v in live.items() if v and d not in set(first) and not half_only[d]]
+    assert cross, "no doc was flagged solely via pre-restart state: boundary untested"
