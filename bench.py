@@ -85,6 +85,7 @@ HEADLINE = [
     "x6_source_overlap",  # r7 addendum: source-pair gram Jaccard audit
     "w9_cohort_retention",  # r7 addendum: weekly retention triangle
     "x2_minhash_firstseen",  # r7 addendum: hash-matched LSH first-seen dedup
+    "x4_repetition_score",  # r7 addendum: intra-doc repetition filter
 ]
 
 RUNS_PER_QUERY = 3

@@ -957,3 +957,108 @@ def x4_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOPK)
         .select("w1", "w2", "pair_count", quant4(F.col("lift")).alias("pmi_lift"))
     )
+
+
+@query(
+    "x4_repetition_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), stats AS (
+      SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+             CASE WHEN len(toks) >= 2
+                  THEN len(list_filter(range(1, len(toks)),
+                                       i -> toks[i] = toks[i + 1]))
+                  ELSE 0 END AS n_imm
+      FROM tok
+    ), bg AS (
+      SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS b
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+    ), bgc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+    ), bga AS (
+      SELECT doc_id, MAX(c) AS topc, SUM(c) AS total FROM bgc GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n AS n_tokens,
+           FLOOR((1.0 - CAST(nd AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+             AS dup_token_frac,
+           FLOOR(CAST(n_imm AS DOUBLE) / GREATEST(n - 1, 1) * 10000.0 + 0.5)
+             / 10000.0 AS imm_repeat_frac,
+           FLOOR(COALESCE(CAST(topc AS DOUBLE) / total, 0.0) * 10000.0 + 0.5)
+             / 10000.0 AS top_bigram_share,
+           (CAST(n_imm AS DOUBLE) / GREATEST(n - 1, 1) > 0.07
+            OR COALESCE(CAST(topc AS DOUBLE) / total, 0.0) > 0.07)
+             AS is_repetitive
+    FROM stats s LEFT JOIN bga ON s.doc_id = bga.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("X4", "A1", "W6"),
+)
+def x4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the MassiveText/Gopher repetition
+    rules, adapted to token granularity): duplicate-token fraction,
+    immediate-repeat fraction ("batch batch batch"), and the share of all
+    bigrams taken by the single most frequent bigram — degenerate generated
+    or boilerplate text scores high on all three long before a dedup pass
+    can see it, so this runs inside the quality gate, not after dedup.
+
+    Thresholds (>0.07 on immediate repeats or top-bigram share ~ p90 of the
+    fixture) are exact-integer-ratio comparisons: both engines compute the
+    same single IEEE division, so the boolean is cross-engine stable, and
+    the surfaced ratios are quant4-quantized for the hash match.
+
+    Scale shape: the scalar features are one map-only pass of codegen HOFs
+    over the materialized token array; the top-bigram mode needs true
+    per-(doc, bigram) counts, which is ONE corpus shuffle keyed
+    (doc_id, bigram) followed by a doc_id-keyed rollup — an O(n^2)-per-doc
+    HOF mode would be map-only but explodes on 1k-token production docs,
+    so the shuffle form is the 100 TB choice. The token pass is
+    localCheckpointed: two plan branches (scalars, bigrams) consume it."""
+    d = spread(T(spark, sf_dir, "documents"))
+    base = with_tokens(d).localCheckpoint(eager=False)
+    toks = F.col("toks")
+    n = F.size(toks)
+    imm_hits = F.size(
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.element_at(toks, i) == F.element_at(toks, i + 1),
+        )
+    )
+    stats = base.select(
+        "doc_id",
+        n.alias("n"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.when(n >= 2, imm_hits).otherwise(F.lit(0)).alias("n_imm"),
+    )
+    bigram = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bga = (
+        base.select("doc_id", F.explode(F.when(n >= 2, bigram)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"), F.sum("c").alias("total"))
+    )
+    imm_frac = F.col("n_imm").cast("double") / F.greatest(F.col("n") - 1, F.lit(1))
+    top_share = F.coalesce(
+        F.col("topc").cast("double") / F.col("total"), F.lit(0.0)
+    )
+    return (
+        stats.join(bga, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            quant4(F.lit(1.0) - F.col("nd").cast("double") / F.col("n")).alias(
+                "dup_token_frac"
+            ),
+            quant4(imm_frac).alias("imm_repeat_frac"),
+            quant4(top_share).alias("top_bigram_share"),
+            ((imm_frac > 0.07) | (top_share > 0.07)).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
