@@ -372,41 +372,12 @@ DOCS_SCHEMA = StructType(
 )
 
 
-def neardup_stream(
-    spark: SparkSession,
-    landing_dir: str,
-    state_dir: str,
-    checkpoint_dir: str,
-    max_files_per_trigger: int = 1,
-    available_now: bool = True,
-):
-    """Streaming first-seen MinHash-LSH dedup: the live form of batch
-    x2_minhash_firstseen (extensions/dedup.py) — every arriving document is
-    flagged is_neardup when ANY of its LSH bands was already emitted by an
-    earlier document, across ALL previous micro-batches and runs.
-
-    State is a parquet band index under {state_dir}/bands, epoch-partitioned;
-    per-doc verdicts land under {state_dir}/flags, epoch-partitioned. Both
-    writes are per-epoch directory OVERWRITES keyed by the Spark epoch id, so
-    a micro-batch replayed after a crash (foreachBatch's at-least-once
-    contract) rewrites exactly its own partitions: exactly-once at the file
-    level, same discipline as stream_ingest's run_tag=epoch. The history
-    read filters epoch < current so a replayed batch never sees its OWN
-    half-written bands as history (which would flag first-seen docs against
-    themselves).
-
-    Equivalence contract (proven in tests/test_streaming_neardup.py): when
-    documents arrive in doc_id order, the union of all flag partitions —
-    across any micro-batch slicing, stop/restart cycle, or crash-replay —
-    equals the batch operator's output on the union of the inputs. "Earlier"
-    means arrival order, which the batch twin models as doc_id order.
-
-    Scale shape per micro-batch: the signature kernel is the batch op's
-    (one tokenize pass, md5 double-hash family, map-side partial MINs); the
-    history probe is a left-semi join of the batch's ~4 skinny band rows
-    per doc against the index — at 100 TB the index is bucketed by
-    (band, bsig) so the probe co-locates, and epochs compact like any
-    streaming lake table (otel/compact.py is the same machinery)."""
+def make_neardup_flush(spark: SparkSession, state_dir: str):
+    """The foreachBatch body of neardup_stream, exposed so tests can drive
+    it with explicit (batch, epoch_id) pairs — including REPLAYING an epoch,
+    which is how the per-epoch-overwrite idempotence contract is proven
+    (tests/test_streaming_neardup.py::test_neardup_flush_replay_idempotent,
+    the same pattern as tests/test_writer_idempotence.py for the sinks)."""
     import os
 
     from pyspark.sql import Window
@@ -416,12 +387,6 @@ def neardup_stream(
 
     bands_dir = os.path.join(state_dir, "bands")
     flags_dir = os.path.join(state_dir, "flags")
-
-    stream = (
-        spark.readStream.schema(DOCS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(landing_dir)
-    )
 
     def flush(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df.select("doc_id", "text").persist()
@@ -472,9 +437,52 @@ def neardup_stream(
         finally:
             docs.unpersist()
 
-    ws = stream.writeStream.foreachBatch(flush).option(
-        "checkpointLocation", checkpoint_dir
+    return flush
+
+
+def neardup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Streaming first-seen MinHash-LSH dedup: the live form of batch
+    x2_minhash_firstseen (extensions/dedup.py) — every arriving document is
+    flagged is_neardup when ANY of its LSH bands was already emitted by an
+    earlier document, across ALL previous micro-batches and runs.
+
+    State is a parquet band index under {state_dir}/bands, epoch-partitioned;
+    per-doc verdicts land under {state_dir}/flags, epoch-partitioned. Both
+    writes are per-epoch directory OVERWRITES keyed by the Spark epoch id, so
+    a micro-batch replayed after a crash (foreachBatch's at-least-once
+    contract) rewrites exactly its own partitions: exactly-once at the file
+    level, same discipline as stream_ingest's run_tag=epoch. The history
+    read filters epoch < current so a replayed batch never sees its OWN
+    half-written bands as history (which would flag first-seen docs against
+    themselves).
+
+    Equivalence contract (proven in tests/test_streaming_neardup.py): when
+    documents arrive in doc_id order, the union of all flag partitions —
+    across any micro-batch slicing, stop/restart cycle, or crash-replay —
+    equals the batch operator's output on the union of the inputs. "Earlier"
+    means arrival order, which the batch twin models as doc_id order.
+
+    Scale shape per micro-batch: the signature kernel is the batch op's
+    (one tokenize pass, md5 double-hash family, map-side partial MINs); the
+    history probe is a left-semi join of the batch's ~4 skinny band rows
+    per doc against the index — at 100 TB the index is bucketed by
+    (band, bsig) so the probe co-locates, and epochs compact like any
+    streaming lake table (otel/compact.py is the same machinery)."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
     )
+    ws = stream.writeStream.foreachBatch(
+        make_neardup_flush(spark, state_dir)
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         ws = ws.trigger(availableNow=True)
     return ws.start()

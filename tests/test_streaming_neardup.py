@@ -135,3 +135,41 @@ def test_neardup_stream_state_survives_restart(spark, dirs):
         }
     cross = [d for d, v in live.items() if v and d not in set(first) and not half_only[d]]
     assert cross, "no doc was flagged solely via pre-restart state: boundary untested"
+
+
+def test_neardup_flush_replay_idempotent(spark, dirs):
+    """foreachBatch is at-least-once: a crash between the flags write and
+    the checkpoint commit replays the epoch. The per-epoch-overwrite
+    discipline must make the replay a no-op — identical flags, identical
+    band index, and crucially the replayed epoch must NOT see its own
+    crashed write as history (which would flag first-seen docs against
+    themselves)."""
+    src, state, ckpt = dirs
+    slices = _doc_slices(spark, 3)
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(r.doc_id, r.text) for r in rows], "doc_id long, text string"
+        )
+
+    flush = P.make_neardup_flush(spark, state)
+    flush(_df(slices[0]), 0)
+    flush(_df(slices[1]), 1)
+    after_two = _flags(spark, state)
+    idx_two = {
+        (r.band, r.bsig, r.first_id)
+        for r in spark.read.parquet(os.path.join(state, "bands")).collect()
+    }
+    flush(_df(slices[1]), 1)  # the crash replay
+    assert _flags(spark, state) == after_two
+    assert {
+        (r.band, r.bsig, r.first_id)
+        for r in spark.read.parquet(os.path.join(state, "bands")).collect()
+    } == idx_two
+    # and the sequence still converges to the batch twin afterwards
+    flush(_df(slices[2]), 2)
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert _flags(spark, state) == batch
