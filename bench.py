@@ -86,6 +86,7 @@ HEADLINE = [
     "w9_cohort_retention",  # r7 addendum: weekly retention triangle
     "x2_minhash_firstseen",  # r7 addendum: hash-matched LSH first-seen dedup
     "x4_repetition_score",  # r7 addendum: intra-doc repetition filter
+    "x3_ivfpq_ann",  # r7 addendum: IVF + residual-PQ ADC composition
 ]
 
 RUNS_PER_QUERY = 3

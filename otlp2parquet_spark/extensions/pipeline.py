@@ -962,15 +962,19 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     form measured 246x wall at 100x salted data because collect_set is an
     ObjectHashAggregate that falls back to sort-based aggregation and
     materializes per-gram array buffers, while bit_or is plain codegen
-    HashAggregate with map-side combine — and the checkpointed per-gram
-    state is 8 bytes, not an array (at 10x salted both forms are corpus-
-    pass-bound at ~16 s; the object-agg pathology only bites once the
-    vocab outgrows the hash map, which is exactly the 100x regime). Everything after runs on the checkpointed mask column
-    (vocab-sized): per-source gram counts by exploding set bits, pair
-    counts by generating each mask's C(s,2) bit pairs with codegen HOFs
-    (bounded by sources^2 per gram, independent of how many documents
-    share the gram — what makes this linear where doc-pair Jaccard needs a
-    df cap). Pair/count joins are source^2-sized: broadcast. Corpora with
+    HashAggregate with map-side combine — and the per-gram state is 8
+    bytes, not an array (at 10x salted both forms are corpus-pass-bound at
+    ~16 s; the object-agg pathology only bites once the vocab outgrows the
+    hash map, which is exactly the 100x regime). Per-source gram counts
+    (singles, tagged ib=-1) and pair counts (each mask's C(s,2) bit pairs,
+    bounded by sources^2 per gram regardless of how many documents share
+    the gram — what makes this linear where doc-pair Jaccard needs a df
+    cap) are emitted from ONE codegen-HOF explode over the masks, so the
+    corpus pass has exactly one consumer and nothing vocab-sized is ever
+    materialized (the mask-checkpoint form measured 102x at 100x salted;
+    this fused form removes the 8-byte-x-vocab materialization and the
+    second vocab pass); the only checkpointed frame is the
+    <= S + C(S,2)-row tally table. Pair/count joins: broadcast. Corpora with
     > 64 sources shard this op by source-group pairs (each group keeps its
     own 64-bit mask lane); the fixture and any sane mixing config stay
     far below that."""
@@ -990,11 +994,8 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.array_distinct(gram3_expr(toks))).alias("gram"),
     ).select(gram_key.alias("gram_key"), sidx.alias("sidx"))
-    masks = (
-        per_doc.groupBy("gram_key")
-        .agg(F.expr("bit_or(shiftleft(1L, CAST(sidx AS INT)))").alias("mask"))
-        .select("mask")  # gram identity not needed downstream: 8 bytes/row
-        .localCheckpoint(eager=False)  # vocab-sized; corpus pass runs ONCE
+    masks = per_doc.groupBy("gram_key").agg(
+        F.expr("bit_or(shiftleft(1L, CAST(sidx AS INT)))").alias("mask")
     )
     set_bits = F.filter(
         F.array(
@@ -1005,10 +1006,11 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    counts = (
-        masks.select(F.explode(set_bits).alias("sidx"))
-        .groupBy("sidx")
-        .agg(F.count("*").alias("n"))
+    # singles (i, -1) and pairs (i, j) emitted from ONE explode so the corpus
+    # pass has exactly one consumer — no vocab-sized materialization; the
+    # only checkpointed frame is the <= S + C(S,2)-row count table
+    single_structs = F.transform(
+        set_bits, lambda a: F.struct(a.alias("ia"), F.lit(-1).alias("ib"))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -1019,11 +1021,20 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pc = (
-        masks.select(F.explode(pair_structs).alias("p"))
+    tallies = (
+        masks.select(
+            F.explode(F.concat(single_structs, pair_structs)).alias("p")
+        )
         .select("p.ia", "p.ib")
         .groupBy("ia", "ib")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # sources^2 rows; consumed twice below
+    )
+    counts = tallies.filter(F.col("ib") == -1).select(
+        F.col("ia").alias("sidx"), F.col("cnt").alias("n")
+    )
+    pc = tallies.filter(F.col("ib") >= 0).select(
+        "ia", "ib", F.col("cnt").alias("n_common")
     )
     names = spark.createDataFrame(
         [(i, s) for i, s in enumerate(srcs)], "sidx int, source string"

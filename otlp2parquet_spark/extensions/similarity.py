@@ -1378,3 +1378,159 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant4(F.col("relevance")).alias("relevance"),
         quant4(F.col("mmr_score")).alias("mmr_score"),
     ).orderBy("q_id", "mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# x3_ivfpq_ann — IVF coarse cells + PQ on residuals (the IVFADC composition)
+
+_IVFPQ_PROBE = 2  # coarse cells probed per query (n_probe)
+
+
+@query(
+    "x3_ivfpq_ann",
+    oracle=None,  # approximate (cell truncation + quantization); gated in tests
+    tags=("X3", "U1", "J5", "W6"),
+)
+def x3_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ / IVFADC (Jegou et al. 2011, the billion-scale FAISS default):
+    the composition of the two shipped index families — an IVF coarse
+    quantizer restricts each query to its n_probe nearest cells, and PQ
+    codebooks trained on RESIDUALS (v - coarse_centroid) compress what is
+    left, so the 4-byte codes spend their 16 levels per subspace on the
+    within-cell spread instead of the corpus-wide spread (the reason
+    residual PQ beats flat PQ at equal bits). Query-side, the ADC lookup
+    table is built per (query, probed cell) because the query residual
+    differs per cell — the textbook IVFADC detail.
+
+    Determinism: coarse assignment inherits ivf_assign's id-tie-broken
+    argmax; codebooks use pq_codebook's integer-grid Lloyd update; ADC
+    sums 1e-4-quantized BIGINTs; every rank tie-breaks by id.
+
+    Scale shape: encode = the two map-only passes (coarse assign against
+    broadcast centroids, residual argmin against the broadcast codebook) —
+    at 100 TB both run once at ingest and persist (cluster_id, 4 code
+    bytes) per vector. The ADC join keys on (cluster_id, m, code) against
+    a broadcast LUT of NQ * PROBE * M * K rows, so ONLY vectors in probed
+    cells leave the scan: cell pruning is enforced by the join key, not a
+    filter after the fact. Shortlist + exact re-rank as in x3_pq_ann
+    (the only raw-vector traffic is Q * SHORTLIST rows)."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    assign, cents = ivf_assign(e)
+    fdouble = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cdouble = F.transform(F.col("cent_emb"), lambda x: x.cast("double"))
+    res = (
+        assign.join(F.broadcast(cents), assign.cluster_id == cents.cent_id)
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.zip_with(fdouble, cdouble, lambda x, y: x - y).alias("embedding"),
+        )
+    )
+    # subvector explode carrying cluster_id (pq_subvectors drops it);
+    # one materialization feeds codebook training, encode, and queries
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col("embedding"), m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    subs = (
+        res.select("vec_id", "cluster_id", F.explode(parts).alias("p"))
+        .select("vec_id", "cluster_id", F.col("p.m").alias("m"), F.col("p.sub").alias("sub"))
+        .localCheckpoint(eager=False)
+    )
+    cb = pq_codebook(subs)
+    codes = subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "cluster_id",
+        "m",
+        _pq_best_code(F.col("cents"), F.col("sub")).alias("code"),
+    )
+    # query side: top-PROBE coarse cells by the same similarity ivf_assign
+    # uses, then a per-(query, cell) residual subvector set for the LUT
+    q_raw = e.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = (
+        q_raw.join(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_emb",
+            "cent_id",
+            "cent_emb",
+            cosine_expr(F.col("q_emb"), F.col("cent_emb")).alias("sim"),
+        )
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probed = (
+        q_cells.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= _IVFPQ_PROBE)
+        .select(
+            "q_id",
+            F.col("cent_id").alias("cluster_id"),
+            F.zip_with(
+                F.transform(F.col("q_emb"), lambda x: x.cast("double")),
+                F.transform(F.col("cent_emb"), lambda x: x.cast("double")),
+                lambda x, y: x - y,
+            ).alias("q_res"),
+        )
+    )
+    q_parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col("q_res"), m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    q_subs = probed.select(
+        "q_id", "cluster_id", F.explode(q_parts).alias("p")
+    ).select("q_id", "cluster_id", F.col("p.m").alias("m"), F.col("p.sub").alias("q_sub"))
+    lut = (
+        q_subs.join(F.broadcast(cb), "m")
+        .select("q_id", "cluster_id", "m", "q_sub", F.explode("cents").alias("ce"))
+        .select(
+            "q_id",
+            "cluster_id",
+            "m",
+            F.col("ce.code").alias("code"),
+            F.floor(_l2_sq(F.col("ce.cent"), F.col("q_sub")) * 10000.0 + 0.5)
+            .cast("long")
+            .alias("d2q"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cluster_id", "m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc"))
+    )
+    w_short = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    shortlist = (
+        adc.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= _PQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    rerank = (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q_raw), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2_sq(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.transform(F.col("q_emb"), lambda x: x.cast("double")),
+            ).alias("l2_sq"),
+        )
+    )
+    w_final = Window.partitionBy("q_id").orderBy("l2_sq", "neighbor_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("q_id", "neighbor_id", F.round("l2_sq", 4).alias("l2_sq"), "rank")
+        .orderBy("q_id", "rank")
+    )

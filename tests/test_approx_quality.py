@@ -923,3 +923,68 @@ def test_minhash_firstseen_exact_duplicate_theorem(spark, tmp_path):
     assert out[1] is False and out[3] is False, f"first-seen docs flagged: {out}"
     assert out[2] is True, "verbatim duplicate of doc 1 not flagged"
     assert out[4] is True, "one-token edit of doc 3 (high jaccard) not flagged"
+
+
+def test_ivfpq_ann_recall_and_cell_pruning_on_clustered_fixture(spark, tmp_path):
+    """x3_ivfpq_ann (IVF coarse cells + residual PQ + per-(query, cell) ADC
+    LUT): on the clustered fixture — the geometry IVF's cell truncation is
+    FOR — recall@10 vs exact L2 must be >= 0.8, every reported hit must
+    carry the exact re-ranked distance, and the candidate set must actually
+    be cell-pruned (every shortlisted neighbor lives in one of the query's
+    2 probed cells — the join-key enforcement, checked independently)."""
+    from pyspark.sql import Window
+
+    from otlp2parquet_spark.extensions.similarity import _l2_sq, ivf_assign
+
+    sf_dir = str(tmp_path / "mog")
+    _write_mog_embeddings(sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    asd = lambda c: F.transform(c, lambda x: x.cast("double"))
+    w = Window.partitionBy("q_id").orderBy("l2_sq", "neighbor_id")
+    exact_df = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2_sq(asd(F.col("embedding")), asd(F.col("q_emb"))).alias("l2_sq"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    exact = {(r.q_id, r.neighbor_id): round(r.l2_sq, 4) for r in exact_df.collect()}
+    approx_rows = SPECS["x3_ivfpq_ann"].build(spark, sf_dir).collect()
+    approx = {(r.q_id, r.neighbor_id): r.l2_sq for r in approx_rows}
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.8, f"IVFPQ recall@10 = {recall:.2f} < 0.8"
+    for k in hits:
+        assert exact[k] == approx[k], (k, exact[k], approx[k])
+    # independent cell-pruning check: recompute the coarse assignment and
+    # each query's 2 probed cells; every returned neighbor must be inside
+    from otlp2parquet_spark.extensions.similarity import cosine_expr
+
+    assign, cents = ivf_assign(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    cell_of = {r.vec_id: r.cluster_id for r in assign.select("vec_id", "cluster_id").collect()}
+    q_cells = (
+        q.join(F.broadcast(cents))
+        .select(
+            "q_id", "cent_id", cosine_expr(F.col("q_emb"), F.col("cent_emb")).alias("sim")
+        )
+        .collect()
+    )
+    probed: dict[int, list[int]] = {}
+    for r in sorted(q_cells, key=lambda r: (r.q_id, -r.sim, r.cent_id)):
+        probed.setdefault(r.q_id, [])
+        if len(probed[r.q_id]) < 2:
+            probed[r.q_id].append(r.cent_id)
+    for (q_id, n_id) in approx:
+        assert cell_of[n_id] in probed[q_id], (q_id, n_id)
+
+
+def test_ivfpq_ann_deterministic(spark):
+    a = sorted(map(tuple, SPECS["x3_ivfpq_ann"].build(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, SPECS["x3_ivfpq_ann"].build(spark, SF_ORACLE).collect()))
+    assert a == b

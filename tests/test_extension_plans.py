@@ -154,6 +154,12 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "(broadcast-shortlist-filtered corpus) and the 5-query slice — two "
     "genuine roles, kept as scans because the ADC pipeline deliberately "
     "never carries raw vectors",
+    "x3_ivfpq_ann": "same class as x3_pq_ann: the residual subvector frame "
+    "is checkpointed once for codebook/encode (and the coarse assignment "
+    "ran eagerly inside ivf_assign); the three remaining scans are the "
+    "5-row query slice (consumed by the cell probe AND the re-rank) and "
+    "the broadcast-shortlist-filtered exact re-rank corpus pass — raw "
+    "vectors deliberately never ride the ADC pipeline",
     "x2_semantic_dedup": "inherits x3_kmeans's fixed 2-pass Lloyd round "
     "(two corpus assignment streams + a LIMIT-8 seed scan) via "
     "kmeans_refined_assign; the dedup stage adds no further scans",
