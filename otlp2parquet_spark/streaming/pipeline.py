@@ -486,3 +486,49 @@ def neardup_stream(
     if available_now:
         ws = ws.trigger(availableNow=True)
     return ws.start()
+
+
+def compact_band_index(spark: SparkSession, state_dir: str) -> int:
+    """Compact neardup_stream's epoch-partitioned band index: merge all
+    epochs STRICTLY BELOW the newest into one consolidated partition at
+    epoch = max - 1, keeping MIN(first_id) per (band, bsig) — the steady
+    low-volume ingest otherwise accretes one small parquet dir per
+    micro-batch, the same small-file tax otel/compact.py pays down for the
+    event sink.
+
+    Replay-safety of the epoch choice: foreachBatch can only replay the
+    LAST processed epoch (earlier ones are committed the moment their
+    successor ran), and a replayed epoch E reads history as epoch < E.
+    Consolidating only epochs <= max-1 into epoch = max-1 therefore never
+    moves a band ACROSS the replay boundary: a replay of max still sees
+    exactly the pre-compaction history, and every future epoch (> max)
+    sees everything. Returns the number of epoch partitions removed.
+
+    Same crash contract as compact_table: the consolidated partition is
+    written (to its own directory) before the stale ones are deleted, so a
+    crash in between leaves duplicated band rows — harmless for presence
+    semantics (flags never double-count) and converged by re-running."""
+    import os
+    import shutil
+
+    bands_dir = os.path.join(state_dir, "bands")
+    epochs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(bands_dir)
+        if d.startswith("epoch=")
+    )
+    old = [e for e in epochs if e < epochs[-1]]
+    if len(old) < 2:
+        return 0  # nothing worth merging
+    target = old[-1]
+    merged = (
+        spark.read.parquet(*[os.path.join(bands_dir, f"epoch={e}") for e in old])
+        .groupBy("band", "bsig")
+        .agg(F.min("first_id").alias("first_id"))
+    )
+    tmp = os.path.join(bands_dir, f"_compact_epoch_{target}")
+    merged.write.mode("overwrite").parquet(tmp)
+    for e in old:
+        shutil.rmtree(os.path.join(bands_dir, f"epoch={e}"))
+    os.rename(tmp, os.path.join(bands_dir, f"epoch={target}"))
+    return len(old) - 1

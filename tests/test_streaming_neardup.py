@@ -173,3 +173,29 @@ def test_neardup_flush_replay_idempotent(spark, dirs):
         for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
     }
     assert _flags(spark, state) == batch
+
+
+def test_neardup_band_index_compaction_preserves_semantics(spark, dirs):
+    """Compact the band index between two runs: epochs < max merge into one
+    consolidated partition (MIN first_id per band) and the continued stream
+    must still produce exactly the batch twin — i.e. compaction changes the
+    file layout, never the history a future epoch reads."""
+    src, state, ckpt = dirs
+    slices = _doc_slices(spark, 4)
+    _write_slice_files(src, slices[:3])  # 3 epochs -> 2 compactable
+    _drain(spark, src, state, ckpt)
+    removed = P.compact_band_index(spark, state)
+    assert removed >= 1, "compaction found nothing to merge: vacuous"
+    epochs = sorted(
+        d for d in os.listdir(os.path.join(state, "bands")) if d.startswith("epoch=")
+    )
+    assert len(epochs) == 2  # consolidated(max-1) + the replayable max
+
+    _write_slice_files(src, slices[3:], start_idx=3)
+    _drain(spark, src, state, ckpt)
+    live = _flags(spark, state)
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert live == batch
