@@ -1409,12 +1409,21 @@ def x3_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: encode = the two map-only passes (coarse assign against
     broadcast centroids, residual argmin against the broadcast codebook) —
     at 100 TB both run once at ingest and persist (cluster_id, 4 code
-    bytes) per vector. The ADC join keys on (cluster_id, m, code) against
-    a broadcast LUT of NQ * PROBE * M * K rows, so ONLY vectors in probed
-    cells leave the scan: cell pruning is enforced by the join key, not a
-    filter after the fact. Shortlist + exact re-rank as in x3_pq_ann
+    bytes) per vector; ivfpq_write_index/ivfpq_read_index below ARE that
+    lifecycle, and the persisted-index search is proven equal to this
+    inline form in tests. The ADC join keys on (cluster_id, m, code)
+    against a broadcast LUT of NQ * PROBE * M * K rows, so ONLY vectors in
+    probed cells leave the scan: cell pruning is enforced by the join key,
+    not a filter after the fact. Shortlist + exact re-rank as in x3_pq_ann
     (the only raw-vector traffic is Q * SHORTLIST rows)."""
     e = spread(T(spark, sf_dir, "embeddings"))
+    return ivfpq_search(e, *ivfpq_build(e))
+
+
+def ivfpq_build(e: DataFrame):
+    """IVFPQ index construction: (codes, codebook, coarse centroids).
+    codes = (vec_id, cluster_id, m, code) — the 4-bytes-per-vector artifact
+    a production deployment persists at ingest (see ivfpq_write_index)."""
     assign, cents = ivf_assign(e)
     fdouble = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     cdouble = F.transform(F.col("cent_emb"), lambda x: x.cast("double"))
@@ -1449,8 +1458,37 @@ def x3_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         _pq_best_code(F.col("cents"), F.col("sub")).alias("code"),
     )
-    # query side: top-PROBE coarse cells by the same similarity ivf_assign
-    # uses, then a per-(query, cell) residual subvector set for the LUT
+    return codes, cb, cents
+
+
+def ivfpq_write_index(e: DataFrame, path: str) -> None:
+    """Persist the IVFPQ artifacts (codes / codebook / coarse centroids) as
+    parquet — the 'encode once at ingest, probe many' lifecycle the
+    x3_ivfpq_ann docstring promises. At 100 TB the codes table is bucketed
+    by cluster_id so every probe co-locates with its cells."""
+    import os
+
+    codes, cb, cents = ivfpq_build(e)
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ivfpq_read_index(spark: SparkSession, path: str):
+    """Load persisted IVFPQ artifacts for ivfpq_search — no re-encode."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "codes")),
+        spark.read.parquet(os.path.join(path, "codebook")),
+        spark.read.parquet(os.path.join(path, "centroids")),
+    )
+
+
+def ivfpq_search(e: DataFrame, codes: DataFrame, cb: DataFrame, cents: DataFrame):
+    """IVFADC search over a built (or reloaded) index: per-(query, probed
+    cell) residual LUTs, join-key-enforced cell pruning, shortlist, exact
+    re-rank. `e` supplies only the query slice and the re-rank vectors."""
     q_raw = e.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )

@@ -988,3 +988,23 @@ def test_ivfpq_ann_deterministic(spark):
     a = sorted(map(tuple, SPECS["x3_ivfpq_ann"].build(spark, SF_ORACLE).collect()))
     b = sorted(map(tuple, SPECS["x3_ivfpq_ann"].build(spark, SF_ORACLE).collect()))
     assert a == b
+
+
+def test_ivfpq_persisted_index_search_equals_inline(spark, tmp_path):
+    """The persisted-index lifecycle (encode once -> parquet artifacts ->
+    probe many) must produce byte-identical results to the inline operator:
+    write the index, reload it, search, compare row-for-row."""
+    from otlp2parquet_spark.extensions.similarity import (
+        ivfpq_read_index,
+        ivfpq_search,
+        ivfpq_write_index,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    inline = sorted(map(tuple, SPECS["x3_ivfpq_ann"].build(spark, SF_ORACLE).collect()))
+    idx_path = str(tmp_path / "ivfpq_index")
+    ivfpq_write_index(e, idx_path)
+    reloaded = sorted(
+        map(tuple, ivfpq_search(e, *ivfpq_read_index(spark, idx_path)).collect())
+    )
+    assert inline == reloaded and inline
