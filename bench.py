@@ -87,6 +87,7 @@ HEADLINE = [
     "x2_minhash_firstseen",  # r7 addendum: hash-matched LSH first-seen dedup
     "x4_repetition_score",  # r7 addendum: intra-doc repetition filter
     "x3_ivfpq_ann",  # r7 addendum: IVF + residual-PQ ADC composition
+    "x6_epoch_shuffle",  # r7 addendum: deterministic training-order permutation
 ]
 
 RUNS_PER_QUERY = 3

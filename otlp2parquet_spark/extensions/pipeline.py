@@ -1073,3 +1073,75 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x6_epoch_shuffle — seeded deterministic training-order permutation
+
+
+@query(
+    "x6_epoch_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT e.epoch, doc_id,
+             CAST(('0x' || substr(md5(e.epoch || ':' || doc_id), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents, (SELECT unnest([0, 1]) AS epoch) e
+    )
+    SELECT epoch, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY hv, doc_id) AS rank
+    FROM h
+    ORDER BY epoch, doc_id
+    """,
+    tags=("X6", "W1", "F6"),
+)
+def x6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic global shuffle: the training-order
+    permutation a pretraining dataloader applies — every doc gets its EXACT
+    position under ORDER BY md5(epoch:doc_id), a fresh permutation per
+    epoch, reproducible across runs/workers with no RNG state (the
+    curriculum op orders easy-to-hard; this is its randomized sibling, and
+    together they cover the two training-order regimes).
+
+    Scale shape — exact global rank under a HIGH-CARDINALITY key, where
+    x6_curriculum's per-score-counts trick would produce a corpus-sized
+    counts frame: bucket by the hash's top 10 bits instead. Bucket is a
+    PREFIX of the sort key, so (bucket, hash, doc_id) order equals
+    (hash, doc_id) order and per-bucket offsets + within-bucket
+    row_numbers compose to the exact global rank. The counts/offsets frame
+    is 2 epochs x 1024 buckets regardless of corpus size; the within-bucket
+    window is partitioned (parallel) and each partition holds ~n/1024
+    uniformly-hashed rows — no single-partition window, no skew."""
+    d = spread(T(spark, sf_dir, "documents"))
+    hv = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    scored = (
+        d.select(
+            "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+        )
+        .select("epoch", "doc_id", hv.alias("hv"))
+        .withColumn("bucket", F.shiftright("hv", 50))
+        .localCheckpoint(eager=False)  # feeds bucket counts AND the rank join
+    )
+    counts = scored.groupBy("epoch", "bucket").agg(F.count("*").alias("c"))
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch", "bucket", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = Window.partitionBy("epoch", "bucket").orderBy("hv", "doc_id")
+    return (
+        scored.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("offset") + F.row_number().over(w_in)).cast("long").alias("rank"),
+        )
+        .orderBy("epoch", "doc_id")
+    )
