@@ -88,6 +88,7 @@ HEADLINE = [
     "x4_repetition_score",  # r7 addendum: intra-doc repetition filter
     "x3_ivfpq_ann",  # r7 addendum: IVF + residual-PQ ADC composition
     "x6_epoch_shuffle",  # r7 addendum: deterministic training-order permutation
+    "x6_dedup_funnel",  # r7 addendum: sequential 3-axis dedup retention ledger
 ]
 
 RUNS_PER_QUERY = 3

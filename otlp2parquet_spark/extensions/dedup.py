@@ -1523,3 +1523,124 @@ def x2_minhash_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.coalesce("dup", F.lit(False)).alias("is_neardup"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x6_dedup_funnel — the three hash-matched dedup axes as ONE sequential ledger
+
+_DDF_SQL = f"""
+    WITH f1 AS (
+      SELECT doc_id, source, text,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))) AS k1
+      FROM documents
+    ), f2 AS (
+      SELECT doc_id, source, text,
+             k1,
+             (k1 AND doc_id = MIN(CASE WHEN k1 THEN doc_id END)
+                       OVER (PARTITION BY md5({SQL_NORM.format(c='text')}))) AS k2
+      FROM f1
+    ), tok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM f2 WHERE k2
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(gram), 17, 10)) AS BIGINT) AS h2
+      FROM grams
+    ), mins AS (
+      SELECT doc_id, {_MHFS_MINS}
+      FROM h GROUP BY doc_id
+    ), bands AS (
+      {_MHFS_BANDS}
+    ), firsts AS (
+      SELECT band, bsig, MIN(doc_id) AS first_id FROM bands GROUP BY band, bsig
+    ), lsh AS (
+      SELECT b.doc_id, BOOL_OR(b.doc_id > f.first_id) AS dup
+      FROM bands b JOIN firsts f ON b.band = f.band AND b.bsig = f.bsig
+      GROUP BY b.doc_id
+    ), f3 AS (
+      SELECT f2.source, f2.k1, f2.k2,
+             (f2.k2 AND NOT COALESCE(l.dup, FALSE)) AS k3
+      FROM f2 LEFT JOIN lsh l ON f2.doc_id = l.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_kept,
+           CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_kept,
+           CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_kept,
+           FLOOR(CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS retention
+    FROM f3
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@query(
+    "x6_dedup_funnel",
+    oracle=_DDF_SQL,
+    tags=("X6", "X1", "X2", "W5"),
+)
+def x6_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup funnel report: per source, how many docs survive each of
+    the three hash-matched dedup axes applied SEQUENTIALLY — exact content
+    hash, then normalized-text hash among exact survivors, then first-seen
+    MinHash-LSH among those — the retention ledger a curation run publishes
+    before committing a corpus version (the dedup-axis sibling of
+    x6_filter_funnel's quality-gate ledger).
+
+    Sequential semantics without sequential passes: k2's survivor MIN runs
+    over `CASE WHEN k1 THEN doc_id END` inside the normhash window, so both
+    hash stages are two window functions over ONE corpus frame (no
+    intermediate filters, no re-scans); only the LSH stage filters to k2
+    survivors because signatures are per-surviving-doc work. Final ledger
+    is one groupBy(source) of boolean sums — output is sources-sized.
+
+    Scale shape: two hash-partitioned windows (uniform 128/256-bit keys, no
+    skew), the minhash_fs_bands kernel over the deduped remainder, and a
+    sources-sized agg. The corpus frame is localCheckpointed once for its
+    two consumers (band branch, ledger agg)."""
+    d = spread(T(spark, sf_dir, "documents"))
+    w_ex = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
+    w_nh = Window.partitionBy(F.md5(normalized_text(F.col("text")).cast("binary")))
+    flags = (
+        d.select("doc_id", "source", "text")
+        .withColumn("k1", F.col("doc_id") == F.min("doc_id").over(w_ex))
+        .withColumn(
+            "k2",
+            F.col("k1")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("k1"), F.col("doc_id"))).over(w_nh)
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bands = minhash_fs_bands(flags.filter(F.col("k2")).select("doc_id", "text"))
+    w_b = Window.partitionBy("band", "bsig")
+    lsh = (
+        bands.withColumn("first_id", F.min("doc_id").over(w_b))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("doc_id") > F.col("first_id")).alias("dup"))
+    )
+    k3 = F.col("k2") & ~F.coalesce(F.col("dup"), F.lit(False))
+    bsum = lambda c, name: F.sum(c.cast("long")).alias(name)  # noqa: E731
+    return (
+        flags.join(lsh, "doc_id", "left")
+        .withColumn("k3", k3)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            bsum(F.col("k1"), "n_exact_kept"),
+            bsum(F.col("k2"), "n_norm_kept"),
+            bsum(F.col("k3"), "n_lsh_kept"),
+            quant4(
+                F.sum(F.col("k3").cast("long")).cast("double") / F.count("*")
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
