@@ -71,6 +71,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="compact even if a writer looks active on the root",
     )
 
+    nd = sub.add_parser(
+        "neardup",
+        help="streaming near-dup dedup over a documents landing dir (T11): "
+        "drain available files, flag each doc against the persistent LSH "
+        "band index, append per-epoch verdicts under STATE/flags",
+    )
+    nd.add_argument("landing_dir", help="dir of documents-schema parquet files")
+    nd.add_argument("--state", required=True, help="band index + flags root")
+    nd.add_argument("--checkpoint", required=True)
+    nd.add_argument(
+        "--compact-index",
+        action="store_true",
+        help="merge committed band-index epochs after the drain "
+        "(replay-safe: only epochs below the newest)",
+    )
+
     sub.add_parser("validate-config", help="load, validate and print config")
     return p
 
@@ -154,6 +170,36 @@ def main(argv: list[str] | None = None) -> int:
                     "compacted_files": len(acct),
                     "rows": int(sum(r.rows for r in acct)),
                     "output": cfg.output_root(),
+                }
+            )
+        )
+        return 0
+
+    if args.command == "neardup":
+        from pyspark.sql import functions as F
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-neardup")
+        q = stream_pipeline.neardup_stream(
+            spark, args.landing_dir, args.state, args.checkpoint
+        )
+        q.awaitTermination()
+        compacted = 0
+        if args.compact_index:
+            compacted = stream_pipeline.compact_band_index(spark, args.state)
+        flags = spark.read.parquet(f"{args.state}/flags")
+        n_total, n_dup = flags.agg(
+            F.count("*"), F.sum(F.col("is_neardup").cast("long"))
+        ).first()
+        print(
+            json.dumps(
+                {
+                    "docs_flagged_total": int(n_total),
+                    "near_dups": int(n_dup or 0),
+                    "index_epochs_compacted": compacted,
+                    "state": args.state,
                 }
             )
         )

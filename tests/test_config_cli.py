@@ -157,3 +157,37 @@ def test_cli_stream_available_now(spark, tmp_path):
     )
     assert rc == 0
     assert writer.read_table(spark, str(out), "otel_traces").count() == 19
+
+
+def test_cli_neardup_end_to_end(spark, tmp_path):
+    """`neardup` subcommand: documents landing dir -> per-epoch flags +
+    compacted band index + summary JSON; verdicts equal the batch op."""
+    from otlp2parquet_spark import cli
+    from otlp2parquet_spark.queries.registry import all_specs
+    from tests.conftest import SF_SMOKE
+    from tests.test_streaming_neardup import _doc_slices, _write_slice_files
+
+    landing = str(tmp_path / "landing")
+    _write_slice_files(landing, _doc_slices(spark, 3))
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            "neardup",
+            landing,
+            "--state",
+            state,
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+            "--compact-index",
+        ]
+    )
+    assert rc == 0
+    live = {
+        r.doc_id: r.is_neardup
+        for r in spark.read.parquet(f"{state}/flags").collect()
+    }
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in all_specs()["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert live == batch
