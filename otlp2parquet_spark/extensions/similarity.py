@@ -1420,11 +1420,20 @@ def x3_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(e, *ivfpq_build(e))
 
 
-def ivfpq_build(e: DataFrame):
-    """IVFPQ index construction: (codes, codebook, coarse centroids).
-    codes = (vec_id, cluster_id, m, code) — the 4-bytes-per-vector artifact
-    a production deployment persists at ingest (see ivfpq_write_index)."""
-    assign, cents = ivf_assign(e)
+def _ivfpq_residual_subs(e: DataFrame, cents: DataFrame, n_centroids: int) -> DataFrame:
+    """(vec_id, cluster_id, m, sub): coarse-assign `e` against the GIVEN
+    centroids (id-tie-broken argmax, identical to ivf_assign's own
+    assignment when cents are its seeds) and explode residual subvectors —
+    lazily checkpointed because build consumes it twice (codebook + codes).
+    The shared kernel of ivfpq_build and ivfpq_encode: both MUST assign and
+    residualize identically or streamed codes diverge from built codes."""
+    scored = _score_centroids(e, cents, n_centroids)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cluster_id"))
+    )
     fdouble = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     cdouble = F.transform(F.col("cent_emb"), lambda x: x.cast("double"))
     res = (
@@ -1435,8 +1444,6 @@ def ivfpq_build(e: DataFrame):
             F.zip_with(fdouble, cdouble, lambda x, y: x - y).alias("embedding"),
         )
     )
-    # subvector explode carrying cluster_id (pq_subvectors drops it);
-    # one materialization feeds codebook training, encode, and queries
     parts = F.array(
         *[
             F.struct(
@@ -1446,19 +1453,41 @@ def ivfpq_build(e: DataFrame):
             for m in range(_PQ_M)
         ]
     )
-    subs = (
+    return (
         res.select("vec_id", "cluster_id", F.explode(parts).alias("p"))
         .select("vec_id", "cluster_id", F.col("p.m").alias("m"), F.col("p.sub").alias("sub"))
         .localCheckpoint(eager=False)
     )
-    cb = pq_codebook(subs)
-    codes = subs.join(F.broadcast(cb), "m").select(
+
+
+def _codes_from_subs(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    return subs.join(F.broadcast(cb), "m").select(
         "vec_id",
         "cluster_id",
         "m",
         _pq_best_code(F.col("cents"), F.col("sub")).alias("code"),
     )
-    return codes, cb, cents
+
+
+def ivfpq_build(e: DataFrame, n_centroids: int = 8):
+    """IVFPQ index construction: (codes, codebook, coarse centroids).
+    codes = (vec_id, cluster_id, m, code) — the 4-bytes-per-vector artifact
+    a production deployment persists at ingest (see ivfpq_write_index)."""
+    cents = e.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    ).localCheckpoint(eager=False)
+    subs = _ivfpq_residual_subs(e, cents, n_centroids)
+    cb = pq_codebook(subs)
+    return _codes_from_subs(subs, cb), cb, cents
+
+
+def ivfpq_encode(e: DataFrame, cents: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode vectors against FROZEN artifacts (centroids + codebook) — the
+    per-batch ingest step of a live ANN index (streaming/pipeline.py
+    ivfpq_index_stream): bit-identical to what ivfpq_build would emit for
+    the same rows, because both run _ivfpq_residual_subs."""
+    n_centroids = cents.count()  # bounded: the broadcast artifact
+    return _codes_from_subs(_ivfpq_residual_subs(e, cents, n_centroids), cb)
 
 
 def ivfpq_write_index(e: DataFrame, path: str) -> None:

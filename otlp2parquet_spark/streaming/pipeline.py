@@ -16,6 +16,7 @@ availableNow must reproduce the batch twin's results exactly).
 | T8 | stream-stream interval join       | attribution_join               |
 | T10| gap+count-capped sessions         | capped_sessions (applyInPandasWithState, event-time timeout) |
 | T11| streaming near-dup dedup at ingest| neardup_stream (foreachBatch + persistent LSH band index) |
+| T12| streaming ANN index maintenance   | ivfpq_index_stream (frozen-quantizer encode-at-ingest) |
 """
 
 from __future__ import annotations
@@ -28,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -532,3 +536,80 @@ def compact_band_index(spark: SparkSession, state_dir: str) -> int:
         shutil.rmtree(os.path.join(bands_dir, f"epoch={e}"))
     os.rename(tmp, os.path.join(bands_dir, f"epoch={target}"))
     return len(old) - 1
+
+
+# ---------------------------------------------------------------------------
+# T12: streaming ANN index maintenance (live IVFPQ encode-at-ingest)
+# ---------------------------------------------------------------------------
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+        StructField("label", IntegerType(), True),
+    ]
+)
+
+
+def ivfpq_index_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Live IVFPQ index maintenance: the production ANN ingest loop — train
+    the coarse centroids + residual codebooks ONCE on the first arriving
+    batch (the frozen-quantizer pattern every deployed IVF system uses:
+    FAISS trains on a sample, then add() only encodes), then every
+    micro-batch encodes its vectors against the frozen artifacts and
+    appends 4-byte codes, epoch-partitioned. Searches run against the
+    growing codes table via similarity.ivfpq_search at any time.
+
+    Equivalence contract (tests/test_streaming_annindex.py): the streamed
+    codes table is bit-identical to similarity.ivfpq_encode over the union
+    of the inputs with the same artifacts — across any micro-batch slicing
+    and across stop/restart — because both run _ivfpq_residual_subs.
+
+    Crash/replay: the artifact bootstrap is idempotent (a replayed first
+    epoch finds the artifacts present and skips training — and retraining
+    would be deterministic from the same batch anyway); code writes are
+    per-epoch directory overwrites, the same file-level exactly-once
+    discipline as neardup_stream."""
+    import os
+
+    from otlp2parquet_spark.extensions.similarity import (
+        ivfpq_build,
+        ivfpq_encode,
+    )
+
+    cb_dir = os.path.join(index_path, "codebook")
+    cent_dir = os.path.join(index_path, "centroids")
+    codes_dir = os.path.join(index_path, "codes")
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.persist()
+        try:
+            if not os.path.isdir(cb_dir):
+                _, cb, cents = ivfpq_build(batch)
+                cb.write.mode("overwrite").parquet(cb_dir)
+                cents.write.mode("overwrite").parquet(cent_dir)
+            cents = spark.read.parquet(cent_dir)
+            cb = spark.read.parquet(cb_dir)
+            ivfpq_encode(batch, cents, cb).write.mode("overwrite").parquet(
+                os.path.join(codes_dir, f"epoch={int(epoch_id)}")
+            )
+        finally:
+            batch.unpersist()
+
+    stream = (
+        spark.readStream.schema(EMBED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,97 @@
+"""Live==batch proof for the streaming ANN index lane (T12):
+pipeline.ivfpq_index_stream must leave a codes table bit-identical to
+similarity.ivfpq_encode over the union of the inputs with the same frozen
+artifacts — across any micro-batch slicing AND across a stop/restart —
+and searches over the streamed index must equal searches over the
+batch-built one.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from otlp2parquet_spark.streaming import pipeline as P
+from tests.conftest import SF_SMOKE
+
+
+def _vec_slices(spark, n_slices: int):
+    rows = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    per = (len(rows) + n_slices - 1) // n_slices
+    return [rows[i * per : (i + 1) * per] for i in range(n_slices)]
+
+
+def _write_slices(d: str, slices, start_idx: int = 0) -> None:
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(slices, start=start_idx):
+        t = pa.table(
+            {
+                "vec_id": pa.array([r.vec_id for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [list(r.embedding) for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r.label for r in rows], pa.int32()),
+            }
+        )
+        path = os.path.join(d, f"{i:03d}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+
+def _drain(spark, src: str, idx: str, ckpt: str) -> None:
+    q = P.ivfpq_index_stream(spark, src, idx, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+
+
+def _codes(spark, idx: str) -> set:
+    return {
+        (r.vec_id, r.cluster_id, r.m, r.code)
+        for r in spark.read.parquet(os.path.join(idx, "codes")).collect()
+    }
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    return src, idx, ckpt
+
+
+def test_ivfpq_stream_codes_equal_batch_encode_and_survive_restart(spark, dirs):
+    from otlp2parquet_spark.extensions.similarity import ivfpq_encode, ivfpq_search
+
+    src, idx, ckpt = dirs
+    slices = _vec_slices(spark, 3)
+    _write_slices(src, slices[:2])
+    _drain(spark, src, idx, ckpt)
+    # restart with a new slice: artifacts must stay frozen, codes append
+    _write_slices(src, slices[2:], start_idx=2)
+    _drain(spark, src, idx, ckpt)
+
+    e = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    cb = spark.read.parquet(os.path.join(idx, "codebook"))
+    expected = {
+        (r.vec_id, r.cluster_id, r.m, r.code)
+        for r in ivfpq_encode(e, cents, cb).collect()
+    }
+    got = _codes(spark, idx)
+    assert got == expected and got
+
+    # searches over the streamed index == searches over batch-encoded codes
+    streamed_codes = spark.read.parquet(os.path.join(idx, "codes")).select(
+        "vec_id", "cluster_id", "m", "code"
+    )
+    s1 = sorted(map(tuple, ivfpq_search(e, streamed_codes, cb, cents).collect()))
+    s2 = sorted(map(tuple, ivfpq_search(e, ivfpq_encode(e, cents, cb), cb, cents).collect()))
+    assert s1 == s2 and s1
