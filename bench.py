@@ -89,6 +89,7 @@ HEADLINE = [
     "x3_ivfpq_ann",  # r7 addendum: IVF + residual-PQ ADC composition
     "x6_epoch_shuffle",  # r7 addendum: deterministic training-order permutation
     "x6_dedup_funnel",  # r7 addendum: sequential 3-axis dedup retention ledger
+    "w10_anomaly",  # r7 addendum: trailing z-score anomaly detection
 ]
 
 RUNS_PER_QUERY = 3

@@ -1728,3 +1728,95 @@ def w9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "w10_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
+      FROM events GROUP BY event_type, hour_ts
+    ), stats AS (
+      SELECT event_type, hour_ts, n,
+             SUM(n) OVER w AS s1,
+             SUM(n * n) OVER w AS s2,
+             COUNT(*) OVER w AS cnt
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_ts, n,
+           CASE WHEN cnt >= 12
+                     AND (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / cnt)
+                         / (cnt - 1) > 0
+                THEN FLOOR((n - CAST(s1 AS DOUBLE) / cnt)
+                           / sqrt((CAST(s2 AS DOUBLE)
+                                   - CAST(s1 * s1 AS DOUBLE) / cnt)
+                                  / (cnt - 1))
+                           * 10000.0 + 0.5) / 10000.0
+                END AS zscore,
+           COALESCE(
+             CASE WHEN cnt >= 12
+                       AND (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / cnt)
+                           / (cnt - 1) > 0
+                  THEN abs((n - CAST(s1 AS DOUBLE) / cnt)
+                           / sqrt((CAST(s2 AS DOUBLE)
+                                   - CAST(s1 * s1 AS DOUBLE) / cnt)
+                                  / (cnt - 1))) > 3.0
+                  END, FALSE) AS is_anomaly
+    FROM stats
+    ORDER BY event_type, hour_ts
+    """,
+    tags=("W10", "A6", "W4"),
+)
+def w10_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection over event-rate telemetry —
+    the canonical observability query run downstream of the reference's
+    parquet output (reference docs/querying.md delegates it; this makes it
+    first-class): each (event_type, hour) count is scored against the mean
+    and sample-stddev of its own trailing 24 populated hours, needing at
+    least 12 of history; |z| > 3 flags the hour.
+
+    Cross-engine exactness without tolerance: the window aggregates are
+    exact integers (SUM n, SUM n^2, COUNT — order-free), and both engines
+    then evaluate the SAME IEEE op tree — (s2 - s1^2/cnt)/(cnt-1), one
+    sqrt, one division — so even the raw z agrees bit-for-bit and only the
+    presentation value is quant4-quantized. s1^2 multiplies in LONG (exact;
+    ~1e10 max at sf ladders vs 2^63).
+
+    Scale shape: ONE corpus shuffle (the hourly pre-aggregation, map-side
+    combined) reduces the stream to type x hours rows; the trailing window
+    then runs on that calendar-bounded frame partitioned by event_type —
+    at 100 TB the window input is ~types x hours (thousands of rows per
+    year), never event-sized."""
+    ev = T(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - (F.col("s1") * F.col("s1")).cast("double") / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    z = (F.col("n") - F.col("s1").cast("double") / F.col("cnt")) / F.sqrt(var)
+    ok = (F.col("cnt") >= 12) & (var > 0)
+    return stats.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        F.when(ok, quant4(z)).alias("zscore"),
+        F.coalesce(F.when(ok, F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
+    ).orderBy("event_type", "hour_ts")
