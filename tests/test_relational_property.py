@@ -124,3 +124,39 @@ def test_w9_cohort_retention_matches_python_model(spark, tmp_path_factory, rows)
         for (cw, k), us in cells.items()
     }
     assert got == expect
+
+
+@given(rows=_events)
+@settings(max_examples=8, deadline=None)
+def test_w10_anomaly_matches_python_model(spark, tmp_path_factory, rows):
+    """The z-score is a real trailing-24-populated-hours sample z-score:
+    rebuild it with plain Python floats (same op order) per (type, hour)."""
+    sf_dir = _write_events(str(tmp_path_factory.mktemp("w10")), rows)
+    got = {
+        (r.event_type, r.hour_ts): (r.n, r.zscore, r.is_anomaly)
+        for r in SPECS["w10_anomaly"].build(spark, sf_dir).collect()
+    }
+    hourly: dict[tuple, int] = {}
+    for d, h, _u, t in rows:
+        ts = (BASE + dt.timedelta(days=d, hours=h)).replace(minute=0, second=0)
+        hourly[(t, ts)] = hourly.get((t, ts), 0) + 1
+    expect = {}
+    by_type: dict[str, list] = {}
+    for (t, ts), n in hourly.items():
+        by_type.setdefault(t, []).append((ts, n))
+    for t, cells in by_type.items():
+        cells.sort()
+        for i, (ts, n) in enumerate(cells):
+            trail = [m for _ts, m in cells[max(0, i - 24) : i]]
+            cnt = len(trail)
+            z = None
+            anom = False
+            if cnt >= 12:
+                s1, s2 = sum(trail), sum(m * m for m in trail)
+                var = (float(s2) - float(s1 * s1) / cnt) / (cnt - 1)
+                if var > 0:
+                    raw = (n - float(s1) / cnt) / math.sqrt(var)
+                    z = _q4(raw)
+                    anom = abs(raw) > 3.0
+            expect[(t, ts)] = (n, z, anom)
+    assert got == expect
