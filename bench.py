@@ -90,6 +90,7 @@ HEADLINE = [
     "x6_epoch_shuffle",  # r7 addendum: deterministic training-order permutation
     "x6_dedup_funnel",  # r7 addendum: sequential 3-axis dedup retention ledger
     "w10_anomaly",  # r7 addendum: trailing z-score anomaly detection
+    "x4_perplexity_buckets",  # r7 addendum: CCNet head/middle/tail split
 ]
 
 RUNS_PER_QUERY = 3

@@ -261,9 +261,7 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_Q4 = "FLOOR({x} * 10000.0 + 0.5) / 10000.0"
 
 
-@query(
-    "x4_ngram_lm_score",
-    oracle=f"""
+_LM_SQL = f"""
     WITH tok AS (
       SELECT doc_id, source,
              list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
@@ -293,7 +291,12 @@ _LM_Q4 = "FLOOR({x} * 10000.0 + 0.5) / 10000.0"
     FROM scored
     GROUP BY doc_id, source
     ORDER BY doc_id
-    """,
+    """
+
+
+@query(
+    "x4_ngram_lm_score",
+    oracle=_LM_SQL,
     tags=("X4", "A1", "J1", "F3"),
 )
 def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,6 +1062,61 @@ def x4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             quant4(imm_frac).alias("imm_repeat_frac"),
             quant4(top_share).alias("top_bigram_share"),
             ((imm_frac > 0.07) | (top_share > 0.07)).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x4_perplexity_buckets — CCNet-style head/middle/tail quality split
+
+
+@query(
+    "x4_perplexity_buckets",
+    oracle=f"""
+    WITH lm AS ({_LM_SQL}
+    ), th AS (
+      SELECT quantile_cont(avg_logprob, [1.0/3, 2.0/3]) AS q FROM lm
+    )
+    SELECT doc_id, source, avg_logprob,
+           CASE WHEN avg_logprob > q[2] THEN 'head'
+                WHEN avg_logprob > q[1] THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lm, th
+    ORDER BY doc_id
+    """,
+    tags=("X4", "A9", "P4"),
+)
+def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head / middle / tail terciles of the bigram-LM fluency
+    score — the standard quality-stratification step before mixing (train
+    mostly on head, sample middle, drop or down-weight tail).
+
+    Scale shape: the scored frame is x4_ngram_lm_score's (broadcast model,
+    one corpus shuffle); the two tercile thresholds are ONE exact
+    percentile aggregate collapsing to a single broadcast row — no global
+    sort, no single-partition window (the rank-free way to cut a corpus at
+    global quantiles; contrast x6_curriculum, which needs every rank). The
+    threshold comparison inputs are the already-quant4-quantized scores,
+    identical rationals in both engines, and a9 proved the
+    percentile == quantile_cont interpolation pairing — so the bucket
+    label is hash-matched, not tolerance-gated."""
+    scored = x4_ngram_lm_score(spark, sf_dir).localCheckpoint(eager=False)
+    th = scored.agg(
+        F.percentile("avg_logprob", F.lit(1.0 / 3)).alias("q1"),
+        F.percentile("avg_logprob", F.lit(2.0 / 3)).alias("q2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            "source",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") > F.col("q2"), F.lit("head"))
+            .when(F.col("avg_logprob") > F.col("q1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
         )
         .orderBy("doc_id")
     )
