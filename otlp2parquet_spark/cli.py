@@ -176,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "neardup":
+        import os
+
         from pyspark.sql import functions as F
 
         from otlp2parquet_spark.session import get_spark
@@ -188,11 +190,17 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         compacted = 0
         if args.compact_index:
+            # returns 0 when no epoch ever flushed (empty landing dir)
             compacted = stream_pipeline.compact_band_index(spark, args.state)
-        flags = spark.read.parquet(f"{args.state}/flags")
-        n_total, n_dup = flags.agg(
-            F.count("*"), F.sum(F.col("is_neardup").cast("long"))
-        ).first()
+        flags_dir = os.path.join(args.state, "flags")
+        if os.path.isdir(flags_dir):
+            flags = spark.read.parquet(flags_dir)
+            n_total, n_dup = flags.agg(
+                F.count("*"), F.sum(F.col("is_neardup").cast("long"))
+            ).first()
+        else:
+            # empty landing dir: no epoch flushed, nothing to summarize
+            n_total, n_dup = 0, 0
         print(
             json.dumps(
                 {

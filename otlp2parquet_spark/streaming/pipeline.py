@@ -375,19 +375,117 @@ DOCS_SCHEMA = StructType(
     ]
 )
 
+# --- band-index bucketing ---------------------------------------------------
+# Every band-index epoch is laid out as epoch=E/bucket=B/… with
+# B = pmod(xxhash64(band, bsig), nb) and a per-epoch `_NB` sidecar recording
+# nb (a power of two dividing _BAND_MAXNB). The per-micro-batch history probe
+# then reads ONLY the buckets its batch's band keys hash to, instead of the
+# whole corpus-sized index: because nb | _BAND_MAXNB, a batch's coarse bucket
+# ids (hash % _BAND_MAXNB, at most _BAND_MAXNB distinct values — a bounded
+# driver collect) fold onto any epoch's buckets as coarse % nb. Compaction
+# re-buckets the consolidated epoch at ~BAND_ROWS_PER_BUCKET rows per bucket,
+# so probe bytes stay ~(matched buckets x constant) as the index grows —
+# the flat-probe property measured in BASELINE.md (r8).
 
-def make_neardup_flush(spark: SparkSession, state_dir: str):
+_BAND_MAXNB = 4096
+BAND_ROWS_PER_BUCKET = 100_000
+
+
+def _nb_for_rows(rows: int, rows_per_bucket: int = BAND_ROWS_PER_BUCKET) -> int:
+    """Power-of-two bucket count targeting ~rows_per_bucket rows per bucket,
+    clamped to [1, _BAND_MAXNB] so nb always divides _BAND_MAXNB."""
+    nb = 1
+    while nb < _BAND_MAXNB and rows > nb * rows_per_bucket:
+        nb *= 2
+    return nb
+
+
+def _band_bucket(nb: int):
+    return F.pmod(F.xxhash64(F.col("band"), F.col("bsig")), F.lit(nb))
+
+
+def _band_epochs(bands_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(bands_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(bands_dir)
+        if d.startswith("epoch=")
+    )
+
+
+def _epoch_nb(epoch_dir: str) -> int | None:
+    """Bucket count of an epoch partition (None => legacy unbucketed dir)."""
+    import os
+
+    nb_path = os.path.join(epoch_dir, "_NB")
+    if not os.path.isfile(nb_path):
+        return None
+    with open(nb_path) as f:
+        return int(f.read().strip())
+
+
+def _write_band_epoch(df: DataFrame, epoch_dir: str, nb: int) -> None:
+    """Bucketed epoch write + the `_NB` sidecar (underscore-prefixed, so
+    Spark partition discovery over the whole bands dir ignores it)."""
+    import os
+
+    (
+        df.withColumn("bucket", _band_bucket(nb))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(epoch_dir)
+    )
+    with open(os.path.join(epoch_dir, "_NB"), "w") as f:
+        f.write(str(nb))
+
+
+def history_probe_paths(
+    bands_dir: str, before_epoch: int, coarse_buckets: list[int]
+) -> list[str]:
+    """The band-index paths a probe for the given batch must read: for each
+    epoch < before_epoch, only the bucket dirs the batch's coarse bucket ids
+    (hash % _BAND_MAXNB) fold onto under that epoch's nb. Exposed (and kept
+    pure) so tests and the probe-cost bench can measure exactly what the
+    probe reads — the pruning IS the scale property."""
+    import os
+
+    paths: list[str] = []
+    for e in _band_epochs(bands_dir):
+        if e >= before_epoch:
+            continue
+        ed = os.path.join(bands_dir, f"epoch={e}")
+        nb = _epoch_nb(ed)
+        if nb is None:
+            paths.append(ed)  # legacy unbucketed epoch: read it whole
+            continue
+        for b in sorted({v % nb for v in coarse_buckets}):
+            p = os.path.join(ed, f"bucket={b}")
+            if os.path.isdir(p):
+                paths.append(p)
+    return paths
+
+
+def make_neardup_flush(
+    spark: SparkSession,
+    state_dir: str,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+):
     """The foreachBatch body of neardup_stream, exposed so tests can drive
     it with explicit (batch, epoch_id) pairs — including REPLAYING an epoch,
     which is how the per-epoch-overwrite idempotence contract is proven
     (tests/test_streaming_neardup.py::test_neardup_flush_replay_idempotent,
-    the same pattern as tests/test_writer_idempotence.py for the sinks)."""
+    the same pattern as tests/test_writer_idempotence.py for the sinks).
+
+    rows_per_bucket sizes the per-epoch bucket count (tests force it tiny to
+    exercise multi-bucket epochs on small fixtures)."""
     import os
 
     from pyspark.sql import Window
-    from pyspark.sql.utils import AnalysisException
 
-    from otlp2parquet_spark.extensions.dedup import minhash_fs_bands
+    from otlp2parquet_spark.extensions.dedup import LSH_BANDS, minhash_fs_bands
 
     bands_dir = os.path.join(state_dir, "bands")
     flags_dir = os.path.join(state_dir, "flags")
@@ -397,14 +495,25 @@ def make_neardup_flush(spark: SparkSession, state_dir: str):
         try:
             bands = minhash_fs_bands(docs).persist()
             try:
-                try:
-                    hist = (
-                        spark.read.parquet(bands_dir)
-                        .filter(F.col("epoch") < F.lit(int(epoch_id)))
-                        .select("band", "bsig")
+                # coarse bucket ids of this batch's band keys: bounded by
+                # _BAND_MAXNB rows by construction, so the collect is a
+                # fixed-size driver scalar, not corpus traffic
+                coarse = [
+                    r[0]
+                    for r in bands.select(
+                        _band_bucket(_BAND_MAXNB).alias("cb")
                     )
-                except AnalysisException:
-                    hist = None  # first epoch: no index yet
+                    .distinct()
+                    .collect()
+                ]
+                hist_paths = history_probe_paths(
+                    bands_dir, int(epoch_id), coarse
+                )
+                hist = (
+                    spark.read.parquet(*hist_paths).select("band", "bsig")
+                    if hist_paths
+                    else None
+                )
                 w = Window.partitionBy("band", "bsig")
                 per_doc = (
                     bands.withColumn("first_id", F.min("doc_id").over(w))
@@ -431,10 +540,13 @@ def make_neardup_flush(spark: SparkSession, state_dir: str):
                 ).write.mode("overwrite").parquet(
                     os.path.join(flags_dir, f"epoch={int(epoch_id)}")
                 )
-                bands.groupBy("band", "bsig").agg(
+                agg = bands.groupBy("band", "bsig").agg(
                     F.min("doc_id").alias("first_id")
-                ).write.mode("overwrite").parquet(
-                    os.path.join(bands_dir, f"epoch={int(epoch_id)}")
+                )
+                # upper bound on the agg's rows — LSH_BANDS band rows per doc
+                nb = _nb_for_rows(LSH_BANDS * docs.count(), rows_per_bucket)
+                _write_band_epoch(
+                    agg, os.path.join(bands_dir, f"epoch={int(epoch_id)}"), nb
                 )
             finally:
                 bands.unpersist()
@@ -451,6 +563,7 @@ def neardup_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
 ):
     """Streaming first-seen MinHash-LSH dedup: the live form of batch
     x2_minhash_firstseen (extensions/dedup.py) — every arriving document is
@@ -476,65 +589,100 @@ def neardup_stream(
     Scale shape per micro-batch: the signature kernel is the batch op's
     (one tokenize pass, md5 double-hash family, map-side partial MINs); the
     history probe is a left-semi join of the batch's ~4 skinny band rows
-    per doc against the index — at 100 TB the index is bucketed by
-    (band, bsig) so the probe co-locates, and epochs compact like any
-    streaming lake table (otel/compact.py is the same machinery)."""
+    per doc against ONLY the index buckets those bands hash to (epoch dirs
+    are partitioned by bucket = xxhash64(band, bsig) % nb, see
+    history_probe_paths) — probe bytes are ~(batch band keys x
+    rows_per_bucket-sized buckets), independent of total index size once
+    compaction re-buckets (measured flat in BASELINE.md r8; before r8 the
+    probe scanned the whole corpus-sized index every micro-batch). Epochs
+    compact like any streaming lake table (compact_band_index)."""
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(landing_dir)
     )
     ws = stream.writeStream.foreachBatch(
-        make_neardup_flush(spark, state_dir)
+        make_neardup_flush(spark, state_dir, rows_per_bucket=rows_per_bucket)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         ws = ws.trigger(availableNow=True)
     return ws.start()
 
 
-def compact_band_index(spark: SparkSession, state_dir: str) -> int:
+def compact_band_index(
+    spark: SparkSession,
+    state_dir: str,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+) -> int:
     """Compact neardup_stream's epoch-partitioned band index: merge all
-    epochs STRICTLY BELOW the newest into one consolidated partition at
-    epoch = max - 1, keeping MIN(first_id) per (band, bsig) — the steady
-    low-volume ingest otherwise accretes one small parquet dir per
-    micro-batch, the same small-file tax otel/compact.py pays down for the
-    event sink.
+    epochs STRICTLY BELOW the newest into one consolidated partition,
+    keeping MIN(first_id) per (band, bsig) — the steady low-volume ingest
+    otherwise accretes one small parquet dir per micro-batch, the same
+    small-file tax otel/compact.py pays down for the event sink. The
+    consolidated epoch is re-bucketed at ~rows_per_bucket rows per bucket
+    (see _write_band_epoch), which is what keeps probe bytes per micro-batch
+    ~flat as the index grows: bucket size stays constant, only the bucket
+    COUNT grows with the corpus.
 
     Replay-safety of the epoch choice: foreachBatch can only replay the
     LAST processed epoch (earlier ones are committed the moment their
     successor ran), and a replayed epoch E reads history as epoch < E.
-    Consolidating only epochs <= max-1 into epoch = max-1 therefore never
-    moves a band ACROSS the replay boundary: a replay of max still sees
-    exactly the pre-compaction history, and every future epoch (> max)
-    sees everything. Returns the number of epoch partitions removed.
+    The consolidated partition lands at a fresh NEGATIVE epoch (one below
+    the current minimum; Spark epoch ids are >= 0, so no collision ever),
+    which every present and future probe orders below all real epochs: a
+    replay of max still sees exactly the pre-compaction history, and every
+    future epoch sees everything. Returns the number of epoch partitions
+    removed (net).
 
-    Same crash contract as compact_table: the consolidated partition is
-    written (to its own directory) before the stale ones are deleted, so a
-    crash in between leaves duplicated band rows — harmless for presence
-    semantics (flags never double-count) and converged by re-running."""
+    Crash contract (publish-before-delete): the merged partition is written
+    to an underscore-prefixed temp dir (invisible to readers), atomically
+    renamed into place as the fresh epoch, and ONLY THEN are the stale
+    epoch dirs removed. A crash before the rename leaves inert debris
+    (cleaned on the next run) with every input epoch intact; a crash after
+    it leaves duplicated band rows — harmless for presence/MIN semantics
+    and converged by re-running. No window loses history (round-7 review:
+    the previous delete-then-rename order could drop the merged epochs on
+    a crash between the two)."""
     import os
     import shutil
 
     bands_dir = os.path.join(state_dir, "bands")
-    epochs = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(bands_dir)
-        if d.startswith("epoch=")
-    )
+    tmp = os.path.join(bands_dir, "_compact_tmp")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # pre-publish crash debris; inputs are intact
+    epochs = _band_epochs(bands_dir)
+    if not epochs:
+        return 0  # no index yet (e.g. an empty landing dir never flushed)
     old = [e for e in epochs if e < epochs[-1]]
     if len(old) < 2:
         return 0  # nothing worth merging
-    target = old[-1]
+    leaves: list[str] = []
+    for e in old:
+        ed = os.path.join(bands_dir, f"epoch={e}")
+        nb = _epoch_nb(ed)
+        if nb is None:
+            leaves.append(ed)  # legacy unbucketed epoch
+        else:
+            leaves.extend(
+                os.path.join(ed, d)
+                for d in os.listdir(ed)
+                if d.startswith("bucket=")
+            )
     merged = (
-        spark.read.parquet(*[os.path.join(bands_dir, f"epoch={e}") for e in old])
+        spark.read.parquet(*leaves)
         .groupBy("band", "bsig")
         .agg(F.min("first_id").alias("first_id"))
+        .persist()
     )
-    tmp = os.path.join(bands_dir, f"_compact_epoch_{target}")
-    merged.write.mode("overwrite").parquet(tmp)
+    try:
+        nb = _nb_for_rows(merged.count(), rows_per_bucket)
+        _write_band_epoch(merged, tmp, nb)
+    finally:
+        merged.unpersist()
+    target = min(0, epochs[0]) - 1  # fresh, always below every live epoch
+    os.rename(tmp, os.path.join(bands_dir, f"epoch={target}"))  # publish
     for e in old:
         shutil.rmtree(os.path.join(bands_dir, f"epoch={e}"))
-    os.rename(tmp, os.path.join(bands_dir, f"epoch={target}"))
     return len(old) - 1
 
 
@@ -571,11 +719,16 @@ def ivfpq_index_stream(
     of the inputs with the same artifacts — across any micro-batch slicing
     and across stop/restart — because both run _ivfpq_residual_subs.
 
-    Crash/replay: the artifact bootstrap is idempotent (a replayed first
-    epoch finds the artifacts present and skips training — and retraining
-    would be deterministic from the same batch anyway); code writes are
-    per-epoch directory overwrites, the same file-level exactly-once
-    discipline as neardup_stream."""
+    Crash/replay: the artifact bootstrap commits via a marker file written
+    AFTER both artifact tables — a crash mid-write (or between the two
+    writes) leaves no marker, so the replayed first epoch retrains (mode
+    overwrite clears any partials; training is deterministic from the same
+    batch, so the artifacts come out identical). Gating on a directory's
+    existence instead was the round-7 review finding: the codebook dir
+    appears before the centroids land, so that window skipped training
+    with half-written artifacts. Code writes are per-epoch directory
+    overwrites, the same file-level exactly-once discipline as
+    neardup_stream."""
     import os
 
     from otlp2parquet_spark.extensions.similarity import (
@@ -586,14 +739,17 @@ def ivfpq_index_stream(
     cb_dir = os.path.join(index_path, "codebook")
     cent_dir = os.path.join(index_path, "centroids")
     codes_dir = os.path.join(index_path, "codes")
+    ready_marker = os.path.join(index_path, "_ARTIFACTS_READY")
 
     def flush(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.persist()
         try:
-            if not os.path.isdir(cb_dir):
+            if not os.path.isfile(ready_marker):
                 _, cb, cents = ivfpq_build(batch)
                 cb.write.mode("overwrite").parquet(cb_dir)
                 cents.write.mode("overwrite").parquet(cent_dir)
+                with open(ready_marker, "w") as f:
+                    f.write("ok")  # commit point: both artifacts complete
             cents = spark.read.parquet(cent_dir)
             cb = spark.read.parquet(cb_dir)
             ivfpq_encode(batch, cents, cb).write.mode("overwrite").parquet(

@@ -1,0 +1,138 @@
+"""Probe-cost bench for the T11 streaming near-dup lane (BASELINE.md r8).
+
+Measures WHAT THE PER-MICRO-BATCH HISTORY PROBE READS as the persistent band
+index grows: before r8 the probe scanned the whole corpus-sized index every
+micro-batch (linear in corpus size — the round-7 verdict's top carried
+limitation); after r8 the index is bucketed by xxhash64(band, bsig) % nb and
+the probe reads only the bucket dirs its batch's band keys fold onto, so
+probe bytes converge to ~(batch band keys x rows_per_bucket-sized buckets),
+independent of index size once compaction re-buckets.
+
+Protocol per factor F:
+1. build a SALTED Fx replica of the sf documents table (scale_bench's
+   replica machinery: replicas share zero trigrams, so the index holds Fx
+   distinct band keys — pure corpus growth, the realistic regime);
+2. flush it through make_neardup_flush as two epochs + one tiny tail epoch,
+   then compact_band_index (the steady-state layout: one big re-bucketed
+   consolidated epoch + the replayable tail);
+3. for a FIXED small probe batch (the same --probe-docs docs at every
+   factor), compute its coarse bucket ids and sum the file bytes under
+   history_probe_paths — exactly the bytes the probe's spark.read touches —
+   against the total index bytes (what the pre-r8 probe read).
+
+Prints one JSON line per factor:
+  {"factor", "index_rows", "index_bytes", "probe_paths", "probe_bytes",
+   "probe_frac", "nb_consolidated"}.
+Flatness claim = probe_bytes roughly constant across factors while
+index_bytes grows Fx.
+
+Usage:
+  python scripts/probe_bench.py [--factors 1,10,100] [--probe-docs 4]
+      [--rows-per-bucket 4096] [--base /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _tree_bytes(*paths: str) -> int:
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+            continue
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,10,100")
+    ap.add_argument("--probe-docs", type=int, default=4)
+    ap.add_argument("--rows-per-bucket", type=int, default=4096)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.extensions.dedup import minhash_fs_bands
+    from otlp2parquet_spark.session import get_spark
+    from otlp2parquet_spark.streaming import pipeline as P
+    from scripts.scale_bench import build_replica
+
+    spark = get_spark(app_name="otlp2parquet-probe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # the fixed probe batch: same docs at every factor, re-idd as arrivals
+    probe_docs = (
+        spark.read.parquet(os.path.join(args.base, "documents.parquet"))
+        .orderBy("doc_id")
+        .limit(args.probe_docs)
+        .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text")
+        .persist()
+    )
+    coarse = [
+        r[0]
+        for r in minhash_fs_bands(probe_docs)
+        .select(P._band_bucket(P._BAND_MAXNB).alias("cb"))
+        .distinct()
+        .collect()
+    ]
+
+    for factor in [int(x) for x in args.factors.split(",") if x.strip()]:
+        replica = tempfile.mkdtemp(prefix=f"probe{factor}x_")
+        state = tempfile.mkdtemp(prefix=f"probe_state{factor}x_")
+        try:
+            build_replica(args.base, replica, factor, salt_docs="token")
+            docs = spark.read.parquet(
+                os.path.join(replica, "documents.parquet")
+            ).select("doc_id", "text")
+            flush = P.make_neardup_flush(
+                spark, state, rows_per_bucket=args.rows_per_bucket
+            )
+            flush(docs.filter(F.col("doc_id") % 2 == 0), 0)
+            flush(docs.filter(F.col("doc_id") % 2 == 1), 1)
+            flush(docs.orderBy("doc_id").limit(1), 2)  # replayable tail
+            P.compact_band_index(
+                spark, state, rows_per_bucket=args.rows_per_bucket
+            )
+            bands = os.path.join(state, "bands")
+            paths = P.history_probe_paths(bands, 3, coarse)
+            index_rows = spark.read.parquet(bands).count()
+            probe_bytes = _tree_bytes(*paths)
+            index_bytes = _tree_bytes(bands)
+            print(
+                json.dumps(
+                    {
+                        "factor": factor,
+                        "index_rows": int(index_rows),
+                        "index_bytes": index_bytes,
+                        "probe_paths": len(paths),
+                        "probe_bytes": probe_bytes,
+                        "probe_frac": round(probe_bytes / max(index_bytes, 1), 4),
+                        "nb_consolidated": P._epoch_nb(
+                            os.path.join(bands, "epoch=-1")
+                        ),
+                        "load_1m": round(os.getloadavg()[0], 2),
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(replica, ignore_errors=True)
+            shutil.rmtree(state, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,9 +53,22 @@ OFFSET_COLS = {
 }
 
 
-def build_replica(base: str, out: str, factor: int, salt_docs: bool = False) -> None:
+def build_replica(
+    base: str, out: str, factor: int, salt_docs: bool | str = False
+) -> None:
     """Write an Fx replica of the x-op tables into `out`; other tables are
-    symlinked unchanged (the TPC-H side has its own sf ladder already)."""
+    symlinked unchanged (the TPC-H side has its own sf ladder already).
+
+    salt_docs modes:
+    - "gap" (or True, the historical BASELINE.md regime): every inter-word
+      gap gains a per-replica salt TOKEN — replicas share zero trigrams, but
+      intra-replica gram entropy drops (half the grams are drawn from the
+      salt-sandwich vocabulary), which collapses MinHash signatures: fine
+      for corpus-growth wall-time rows, WRONG for index-cardinality growth.
+    - "token": every token gains a per-replica alphanumeric SUFFIX (survives
+      the [^a-z0-9 ] normalizer) — replicas share zero trigrams AND each
+      replica's gram/signature structure is isomorphic to the base corpus,
+      so index cardinality genuinely grows ~Fx (probe_bench uses this)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -93,7 +106,14 @@ def build_replica(base: str, out: str, factor: int, salt_docs: bool = False) -> 
                 if salt_docs and name == "documents" and col == "text" and k > 0:
                     import pyarrow.compute as pc
 
-                    arr = pc.replace_substring(arr, pattern=" ", replacement=f" s{k:03d} ")
+                    if salt_docs == "token":
+                        arr = pc.replace_substring(
+                            arr, pattern=" ", replacement=f"s{k:03d} "
+                        )
+                    else:  # "gap" / True: the historical regime
+                        arr = pc.replace_substring(
+                            arr, pattern=" ", replacement=f" s{k:03d} "
+                        )
                 cols.append(arr)
             pq.write_table(
                 pa.table(dict(zip(t.schema.names, cols))),

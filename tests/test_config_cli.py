@@ -191,3 +191,32 @@ def test_cli_neardup_end_to_end(spark, tmp_path):
         for r in all_specs()["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
     }
     assert live == batch
+
+
+def test_cli_neardup_empty_landing_dir(spark, tmp_path, capsys):
+    """r8 (round-7 review): an empty landing dir must produce a zero-count
+    summary, not an AnalysisException on the never-created flags dir — and
+    --compact-index must be a no-op instead of crashing on the missing
+    bands dir."""
+    import json as _json
+
+    from otlp2parquet_spark import cli
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rc = cli.main(
+        [
+            "neardup",
+            str(landing),
+            "--state",
+            str(tmp_path / "state"),
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+            "--compact-index",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs_flagged_total"] == 0
+    assert out["near_dups"] == 0
+    assert out["index_epochs_compacted"] == 0

@@ -95,3 +95,28 @@ def test_ivfpq_stream_codes_equal_batch_encode_and_survive_restart(spark, dirs):
     s1 = sorted(map(tuple, ivfpq_search(e, streamed_codes, cb, cents).collect()))
     s2 = sorted(map(tuple, ivfpq_search(e, ivfpq_encode(e, cents, cb), cb, cents).collect()))
     assert s1 == s2 and s1
+
+
+def test_ivfpq_bootstrap_retrains_after_partial_artifact_crash(spark, dirs):
+    """r8 crash contract: the bootstrap gate is the _ARTIFACTS_READY marker
+    written AFTER both artifact tables — a crash that left the codebook dir
+    present but the centroids missing (the round-7 review window) must NOT
+    satisfy the gate; the replayed first epoch retrains, overwrites the
+    partial, and the lane converges to the batch encode."""
+    from otlp2parquet_spark.extensions.similarity import ivfpq_encode
+
+    src, idx, ckpt = dirs
+    # simulate the crash: codebook dir exists, centroids absent, no marker
+    os.makedirs(os.path.join(idx, "codebook"))
+    _write_slices(src, _vec_slices(spark, 2))
+    _drain(spark, src, idx, ckpt)
+
+    assert os.path.isfile(os.path.join(idx, "_ARTIFACTS_READY"))
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    cb = spark.read.parquet(os.path.join(idx, "codebook"))
+    e = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    expected = {
+        (r.vec_id, r.cluster_id, r.m, r.code)
+        for r in ivfpq_encode(e, cents, cb).collect()
+    }
+    assert _codes(spark, idx) == expected and expected

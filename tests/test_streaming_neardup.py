@@ -16,6 +16,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from otlp2parquet_spark.queries.registry import all_specs
 from otlp2parquet_spark.streaming import pipeline as P
@@ -199,3 +200,101 @@ def test_neardup_band_index_compaction_preserves_semantics(spark, dirs):
         for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
     }
     assert live == batch
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows], "doc_id long, text string"
+    )
+
+
+def test_bucketed_index_probe_prunes_and_matches_batch(spark, dirs):
+    """r8: epoch partitions are bucketed by xxhash64(band, bsig) % nb with a
+    _NB sidecar, and the history probe reads ONLY the bucket dirs its batch's
+    band keys fold onto — so a small batch against a large index touches a
+    small, bounded set of paths instead of the whole index. Bucketing must be
+    invisible to semantics: the flag union still equals the batch twin."""
+    src, state, ckpt = dirs
+    slices = _doc_slices(spark, 3)
+    # tiny rows_per_bucket so the fixture-sized epochs get nb > 1
+    flush = P.make_neardup_flush(spark, state, rows_per_bucket=8)
+    for i, s in enumerate(slices):
+        flush(_mkdf(spark, s), i)
+
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert _flags(spark, state) == batch
+
+    bands = os.path.join(state, "bands")
+    ed0 = os.path.join(bands, "epoch=0")
+    nb0 = P._epoch_nb(ed0)
+    assert nb0 is not None and nb0 > 1
+    bucket_dirs0 = [d for d in os.listdir(ed0) if d.startswith("bucket=")]
+    assert len(bucket_dirs0) > 1
+
+    # pruning: a 3-key probe must select strictly fewer dirs than the index
+    # holds, and only dirs its coarse ids fold onto
+    total_dirs = sum(
+        len([d for d in os.listdir(os.path.join(bands, e)) if d.startswith("bucket=")])
+        for e in os.listdir(bands)
+        if e.startswith("epoch=")
+    )
+    coarse = [0, 1, 2]
+    paths = P.history_probe_paths(bands, 3, coarse)
+    assert paths and len(paths) < total_dirs
+    for p in paths:
+        epoch_dir = os.path.dirname(p)
+        nb = P._epoch_nb(epoch_dir)
+        b = int(os.path.basename(p).split("=", 1)[1])
+        assert b in {v % nb for v in coarse}
+
+
+def test_compact_band_index_rebuckets_and_survives_crash_debris(spark, dirs):
+    """r8 crash contract: pre-publish debris (_compact_tmp left by a crash)
+    is cleaned on the next run with every input epoch intact; the
+    consolidated epoch lands at a fresh negative id, is re-bucketed with a
+    _NB sidecar, and holds exactly MIN(first_id) per (band, bsig) over the
+    merged epochs."""
+    import shutil
+
+    src, state, ckpt = dirs
+    slices = _doc_slices(spark, 3)
+    flush = P.make_neardup_flush(spark, state, rows_per_bucket=8)
+    for i, s in enumerate(slices):
+        flush(_mkdf(spark, s), i)
+
+    bands = os.path.join(state, "bands")
+    # expected consolidated content: MIN over epochs 0 and 1
+    expected = {
+        (r.band, r.bsig): r.mn
+        for r in (
+            spark.read.parquet(
+                *P.history_probe_paths(bands, 2, list(range(P._BAND_MAXNB)))
+            )
+            .groupBy("band", "bsig")
+            .agg(F.min("first_id").alias("mn"))
+            .collect()
+        )
+    }
+    # simulate a crash that died before publishing
+    debris = os.path.join(bands, "_compact_tmp")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    removed = P.compact_band_index(spark, state, rows_per_bucket=8)
+    assert removed == 1
+    assert not os.path.isdir(debris)
+    names = sorted(d for d in os.listdir(bands) if d.startswith("epoch="))
+    assert names == ["epoch=-1", "epoch=2"]
+    ed = os.path.join(bands, "epoch=-1")
+    assert P._epoch_nb(ed) == P._nb_for_rows(len(expected), 8)
+    got = {
+        (r.band, r.bsig): r.first_id
+        for r in spark.read.parquet(
+            *[os.path.join(ed, d) for d in os.listdir(ed) if d.startswith("bucket=")]
+        ).collect()
+    }
+    assert got == expected
