@@ -235,9 +235,30 @@ def _jvm_pb_metrics(spark) -> dict[str, float]:
     return {"ingest_jvm_pb_rows_per_s": round(rate)}
 
 
+# Load gate (r8, judge ask #3): headline numbers are only comparable at low
+# ambient load (measured ~70% per-query inflation at load>10; the r7 bench
+# regressions were ambient noise that cost a round of analysis). Rather than
+# refuse — the round driver must always get a BENCH file — the run WAITS for
+# the 1-minute load to drop below the gate (up to a bounded budget) and then
+# stamps the result "pass"/"exceeded" so a noisy run is machine-detectable.
+LOAD_GATE_MAX = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
+LOAD_GATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "600"))
+
+
+def _await_quiet() -> tuple[float, float, int]:
+    """(ambient_load, gated_load, waited_s): sleep in 15 s steps until the
+    1-minute load is under LOAD_GATE_MAX or the wait budget runs out."""
+    ambient = os.getloadavg()[0]
+    waited = 0
+    while os.getloadavg()[0] > LOAD_GATE_MAX and waited < LOAD_GATE_WAIT_S:
+        time.sleep(15)
+        waited += 15
+    return ambient, os.getloadavg()[0], waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_start = os.getloadavg()[0]  # ambient load, before Spark spins up
+    load_ambient, load_start, load_waited = _await_quiet()
     spark = get_spark(app_name="otlp2parquet-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
@@ -281,6 +302,12 @@ def main() -> None:
                 # started, and after the suite (includes our own burn)
                 "load_avg_1m_start": round(load_start, 2),
                 "load_avg_1m_end": round(os.getloadavg()[0], 2),
+                # load gate (r8): a run stamped "exceeded" started hot and
+                # its per-query walls are NOT round-over-round comparable
+                "load_gate": "pass" if load_start <= LOAD_GATE_MAX else "exceeded",
+                "load_gate_max": LOAD_GATE_MAX,
+                "load_gate_ambient": round(load_ambient, 2),
+                "load_gate_waited_s": load_waited,
             }
         )
     )

