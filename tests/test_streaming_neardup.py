@@ -298,3 +298,25 @@ def test_compact_band_index_rebuckets_and_survives_crash_debris(spark, dirs):
         ).collect()
     }
     assert got == expected
+
+
+def test_neardup_stream_e2e_with_bucketed_epochs(spark, dirs):
+    """End-to-end through the actual readStream/foreachBatch surface with
+    rows_per_bucket forced tiny, so the live lane itself (not just the
+    directly-driven flush) writes and probes multi-bucket epochs — the
+    production layout at scale."""
+    src, state, ckpt = dirs
+    _write_slice_files(src, _doc_slices(spark, 3))
+    q = P.neardup_stream(spark, src, state, ckpt, rows_per_bucket=8)
+    q.awaitTermination(180)
+    q.stop()
+    assert any(
+        (P._epoch_nb(os.path.join(state, "bands", d)) or 1) > 1
+        for d in os.listdir(os.path.join(state, "bands"))
+        if d.startswith("epoch=")
+    ), "no epoch was multi-bucket: vacuous"
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert _flags(spark, state) == batch
