@@ -116,6 +116,13 @@ _DUPLICATE_SCAN_ALLOWLIST = {
         "aggregates immediately: cheaper than materializing the windowed "
         "event frame just to avoid a 2-column second pass"
     ),
+    "t6_running_count": (
+        "two-level prefix scan (r8 hot-key fix): the intra-bucket window "
+        "and the per-bucket-totals aggregate each scan events once — two "
+        "narrow column-pruned scans beat materializing the windowed frame, "
+        "and deriving the totals FROM the window branch would re-execute "
+        "the window subtree at both join consumers"
+    ),
     "w8_funnel": "three disjoint event_type slices (view/click/purchase), "
     "each predicate pushed to its scan — the funnel's staged-MIN stages "
     "genuinely need three roles of events (same class as t8's two-slice "
