@@ -1145,3 +1145,97 @@ def x6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x6_fuzzy_decontam — MinHash-LSH benchmark decontamination (r8)
+
+
+def _fuzzy_decontam_sql() -> str:
+    """Oracle assembled from the dedup module's md5 Kirsch-Mitzenmacher
+    building blocks so BOTH decontamination axes (exact trigram =
+    x6_contamination, fuzzy LSH = this op) replay bit-for-bit in DuckDB."""
+    from otlp2parquet_spark.extensions.dedup import _MHFS_BANDS, _MHFS_MINS
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(gram), 17, 10)) AS BIGINT) AS h2
+      FROM grams
+    ), mins AS (
+      SELECT doc_id, {_MHFS_MINS}
+      FROM h GROUP BY doc_id
+    ), bands AS (
+      {_MHFS_BANDS}
+    ), bench AS (
+      SELECT DISTINCT band, bsig FROM bands WHERE doc_id % 97 = 0
+    ), flags AS (
+      SELECT t.doc_id, TRUE AS hit
+      FROM bands t JOIN bench b ON t.band = b.band AND t.bsig = b.bsig
+      WHERE t.doc_id % 97 <> 0
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, COALESCE(f.hit, FALSE) AS is_contaminated
+    FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 97 <> 0
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "x6_fuzzy_decontam",
+    oracle=_fuzzy_decontam_sql(),
+    tags=("X6", "X2", "J2", "F6"),
+)
+def x6_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag every training document whose
+    MinHash-LSH signature collides with ANY benchmark document (here the
+    doc_id % 97 == 0 slice standing in for the eval set) — the
+    paraphrase-robust sibling of x6_contamination's exact trigram overlap.
+    Exact matching misses eval items that were lightly reworded or
+    reformatted on the web before being crawled; whole-document LSH at the
+    x2_minhash_firstseen operating point catches any training doc whose
+    estimated trigram Jaccard to an eval item is high — the decontamination
+    step production pretraining pipelines run alongside the exact pass.
+
+    Hash-matched, not tolerance-gated: reuses the md5-derived
+    Kirsch-Mitzenmacher family (dedup.minhash_fs_bands) that DuckDB replays
+    bit-for-bit, so the LSH verdicts themselves are oracle-checked.
+
+    Scale shape: one corpus tokenize+signature pass (the x2 kernel: map-side
+    partial MINs, 4 skinny band rows per doc); the benchmark band set is
+    SMALL by construction (benchmarks are thousands of items) and distinct,
+    so it BROADCASTS and the training side streams map-only through a
+    left-semi broadcast join — no corpus-sized shuffle beyond the signature
+    agg, the same plan x6_contamination runs for exact grams. Gramless
+    (<3-token) docs produce no bands and surface is_contaminated = FALSE
+    via the final doc_id-co-partitioned left join."""
+    from otlp2parquet_spark.extensions.dedup import minhash_fs_bands
+
+    d = spread(T(spark, sf_dir, "documents"))
+    bands = minhash_fs_bands(d.select("doc_id", "text"))
+    bench = (
+        bands.filter(F.col("doc_id") % 97 == 0).select("band", "bsig").distinct()
+    )
+    hits = (
+        bands.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), ["band", "bsig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce("hit", F.lit(False)).alias("is_contaminated"))
+        .orderBy("doc_id")
+    )

@@ -91,3 +91,18 @@ def test_seq_pack_sharded_identical_output(spark):
     assert base.schema == sharded.schema
     assert base.exceptAll(sharded).count() == 0
     assert sharded.exceptAll(base).count() == 0
+
+
+def test_fuzzy_decontam_nonvacuous_and_broadcasts(spark):
+    """x6_fuzzy_decontam (r8): the sf0.01 fixture must actually produce
+    contaminated training docs (the corpus carries near-dups across the
+    %97 split, so an empty result would mean the op is broken, not clean),
+    and the benchmark band set must reach the probe as a broadcast."""
+    from otlp2parquet_spark.queries.registry import all_specs
+
+    df = all_specs()["x6_fuzzy_decontam"].build(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert rows and any(r.is_contaminated for r in rows)
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

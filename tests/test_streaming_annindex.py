@@ -120,3 +120,52 @@ def test_ivfpq_bootstrap_retrains_after_partial_artifact_crash(spark, dirs):
         for r in ivfpq_encode(e, cents, cb).collect()
     }
     assert _codes(spark, idx) == expected and expected
+
+
+def test_compact_codes_index_preserves_codes_and_search(spark, dirs):
+    """r8: codes-epoch compaction (the T12 sibling of compact_band_index)
+    must change the file layout only — codes set, search results, and a
+    continued stream all unchanged; the consolidated partition lands at a
+    fresh negative epoch and pre-publish debris is cleaned."""
+    import shutil
+
+    from otlp2parquet_spark.extensions.similarity import ivfpq_encode, ivfpq_search
+
+    src, idx, ckpt = dirs
+    slices = _vec_slices(spark, 4)
+    _write_slices(src, slices[:3])  # 3 epochs -> 2 compactable
+    _drain(spark, src, idx, ckpt)
+    pre_codes = _codes(spark, idx)
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    cb = spark.read.parquet(os.path.join(idx, "codebook"))
+
+    def _search():
+        codes = spark.read.parquet(os.path.join(idx, "codes")).select(
+            "vec_id", "cluster_id", "m", "code"
+        )
+        q = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+        return sorted(map(tuple, ivfpq_search(q, codes, cb, cents).collect()))
+
+    pre_search = _search()
+
+    debris = os.path.join(idx, "codes", "_compact_tmp")
+    os.makedirs(debris)
+    removed = P.compact_codes_index(spark, idx)
+    assert removed == 1
+    assert not os.path.isdir(debris)
+    names = sorted(
+        d for d in os.listdir(os.path.join(idx, "codes")) if d.startswith("epoch=")
+    )
+    assert names == ["epoch=-1", "epoch=2"]
+    assert _codes(spark, idx) == pre_codes
+    assert _search() == pre_search and pre_search
+
+    # the stream continues cleanly after compaction (frozen artifacts)
+    _write_slices(src, slices[3:], start_idx=3)
+    _drain(spark, src, idx, ckpt)
+    e = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    expected = {
+        (r.vec_id, r.cluster_id, r.m, r.code)
+        for r in ivfpq_encode(e, cents, cb).collect()
+    }
+    assert _codes(spark, idx) == expected
