@@ -87,6 +87,22 @@ def _build_parser() -> argparse.ArgumentParser:
         "(replay-safe: only epochs below the newest)",
     )
 
+    ann = sub.add_parser(
+        "annindex",
+        help="streaming ANN index maintenance (T12): train IVFPQ artifacts "
+        "on the first batch, encode every arriving embedding batch against "
+        "the frozen quantizer, append per-epoch codes under INDEX/codes",
+    )
+    ann.add_argument("landing_dir", help="dir of embeddings-schema parquet files")
+    ann.add_argument("--index", required=True, help="artifact + codes root")
+    ann.add_argument("--checkpoint", required=True)
+    ann.add_argument(
+        "--compact-codes",
+        action="store_true",
+        help="merge committed codes epochs after the drain "
+        "(replay-safe: only epochs below the newest)",
+    )
+
     sub.add_parser("validate-config", help="load, validate and print config")
     return p
 
@@ -208,6 +224,42 @@ def main(argv: list[str] | None = None) -> int:
                     "near_dups": int(n_dup or 0),
                     "index_epochs_compacted": compacted,
                     "state": args.state,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "annindex":
+        import os
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-annindex")
+        q = stream_pipeline.ivfpq_index_stream(
+            spark, args.landing_dir, args.index, args.checkpoint
+        )
+        q.awaitTermination()
+        compacted = 0
+        if args.compact_codes:
+            # returns 0 when no epoch ever flushed (empty landing dir)
+            compacted = stream_pipeline.compact_codes_index(spark, args.index)
+        codes_dir = os.path.join(args.index, "codes")
+        n_codes = n_vecs = 0
+        if os.path.isdir(codes_dir):
+            from pyspark.sql import functions as F
+
+            codes = spark.read.parquet(codes_dir)
+            n_codes, n_vecs = codes.agg(
+                F.count("*"), F.countDistinct("vec_id")
+            ).first()
+        print(
+            json.dumps(
+                {
+                    "vectors_encoded": int(n_vecs),
+                    "code_rows": int(n_codes),
+                    "codes_epochs_compacted": compacted,
+                    "index": args.index,
                 }
             )
         )

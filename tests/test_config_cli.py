@@ -220,3 +220,73 @@ def test_cli_neardup_empty_landing_dir(spark, tmp_path, capsys):
     assert out["docs_flagged_total"] == 0
     assert out["near_dups"] == 0
     assert out["index_epochs_compacted"] == 0
+
+
+def test_cli_annindex_end_to_end(spark, tmp_path, capsys):
+    """`annindex` subcommand (r8): embeddings landing dir -> frozen-quantizer
+    artifacts + per-epoch codes + compaction + summary JSON; streamed codes
+    equal the batch encode over the same artifacts."""
+    import json as _json
+
+    from otlp2parquet_spark import cli
+    from otlp2parquet_spark.extensions.similarity import ivfpq_encode
+    from tests.conftest import SF_SMOKE
+    from tests.test_streaming_annindex import _vec_slices, _write_slices
+
+    landing = str(tmp_path / "landing")
+    _write_slices(landing, _vec_slices(spark, 3))
+    idx = str(tmp_path / "idx")
+    rc = cli.main(
+        [
+            "annindex",
+            landing,
+            "--index",
+            idx,
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+            "--compact-codes",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["codes_epochs_compacted"] == 1
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert out["vectors_encoded"] == e.count()
+    cents = spark.read.parquet(f"{idx}/centroids")
+    cb = spark.read.parquet(f"{idx}/codebook")
+    got = {
+        (r.vec_id, r.cluster_id, r.m, r.code)
+        for r in spark.read.parquet(f"{idx}/codes").select(
+            "vec_id", "cluster_id", "m", "code"
+        ).collect()
+    }
+    expected = {
+        (r.vec_id, r.cluster_id, r.m, r.code)
+        for r in ivfpq_encode(e, cents, cb).collect()
+    }
+    assert got == expected
+
+
+def test_cli_annindex_empty_landing_dir(spark, tmp_path, capsys):
+    """annindex on an empty landing dir: zero-count summary, no crash."""
+    import json as _json
+
+    from otlp2parquet_spark import cli
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rc = cli.main(
+        [
+            "annindex",
+            str(landing),
+            "--index",
+            str(tmp_path / "idx"),
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+            "--compact-codes",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["vectors_encoded"] == 0
+    assert out["codes_epochs_compacted"] == 0
