@@ -320,3 +320,49 @@ def test_neardup_stream_e2e_with_bucketed_epochs(spark, dirs):
         for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
     }
     assert _flags(spark, state) == batch
+
+
+def test_probe_reads_legacy_unbucketed_epochs_whole(spark, dirs):
+    """Migration contract: an index written by the pre-r8 layout (flat
+    epoch dirs, no _NB sidecar) must keep working — the probe reads legacy
+    epochs whole (nb=None path), new epochs bucketed, and the combined
+    verdicts still equal the batch twin."""
+    src, state, ckpt = dirs
+    slices = _doc_slices(spark, 3)
+    flush = P.make_neardup_flush(spark, state, rows_per_bucket=8)
+
+    # epoch 0 in the LEGACY layout: flat parquet + flags, as r7 wrote them
+    from otlp2parquet_spark.extensions.dedup import minhash_fs_bands
+
+    docs0 = _mkdf(spark, slices[0])
+    bands0 = minhash_fs_bands(docs0)
+    bands0.groupBy("band", "bsig").agg(F.min("doc_id").alias("first_id")).write.parquet(
+        os.path.join(state, "bands", "epoch=0")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bsig")
+    per_doc = (
+        bands0.withColumn("first_id", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("doc_id") > F.col("first_id")).alias("dup"))
+    )
+    docs0.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce("dup", F.lit(False)).alias("is_neardup")
+    ).write.parquet(os.path.join(state, "flags", "epoch=0"))
+    assert P._epoch_nb(os.path.join(state, "bands", "epoch=0")) is None
+
+    # epochs 1-2 through the r8 bucketed flush
+    flush(_mkdf(spark, slices[1]), 1)
+    flush(_mkdf(spark, slices[2]), 2)
+
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert _flags(spark, state) == batch
+    # and compaction merges the mixed layouts into one bucketed epoch
+    assert P.compact_band_index(spark, state, rows_per_bucket=8) == 1
+    names = sorted(d for d in os.listdir(os.path.join(state, "bands")) if d.startswith("epoch="))
+    assert names == ["epoch=-1", "epoch=2"]
+    assert P._epoch_nb(os.path.join(state, "bands", "epoch=-1")) is not None
