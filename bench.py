@@ -91,6 +91,11 @@ HEADLINE = [
     "x6_dedup_funnel",  # r7 addendum: sequential 3-axis dedup retention ledger
     "w10_anomaly",  # r7 addendum: trailing z-score anomaly detection
     "x4_perplexity_buckets",  # r7 addendum: CCNet head/middle/tail split
+    # r8 (the 48-query r7-addendum subset above stays the round-over-round
+    # comparable):
+    "x6_fuzzy_decontam",  # r8: MinHash-LSH benchmark decontamination
+    "u4_mapinarrow",  # r8: Arrow-batch transform primitive, oracle row
+    "t6_running_count",  # r8: two-level parallel prefix scan (hot-key fix)
 ]
 
 RUNS_PER_QUERY = 3

@@ -417,14 +417,21 @@ def _band_epochs(bands_dir: str) -> list[int]:
 
 
 def _epoch_nb(epoch_dir: str) -> int | None:
-    """Bucket count of an epoch partition (None => legacy unbucketed dir)."""
+    """Bucket count of an epoch partition. None => treat the dir as
+    unbucketed and read it whole — for the legacy (pre-r8) flat layout AND
+    for a torn/unparsable sidecar (a crash mid-sidecar-write must degrade
+    to the safe over-read, never crash the probe or skip history)."""
     import os
 
     nb_path = os.path.join(epoch_dir, "_NB")
     if not os.path.isfile(nb_path):
         return None
-    with open(nb_path) as f:
-        return int(f.read().strip())
+    try:
+        with open(nb_path) as f:
+            nb = int(f.read().strip())
+        return nb if nb >= 1 else None
+    except (ValueError, OSError):
+        return None
 
 
 def _write_band_epoch(df: DataFrame, epoch_dir: str, nb: int) -> None:
@@ -459,13 +466,30 @@ def history_probe_paths(
         ed = os.path.join(bands_dir, f"epoch={e}")
         nb = _epoch_nb(ed)
         if nb is None:
-            paths.append(ed)  # legacy unbucketed epoch: read it whole
+            # legacy flat epoch OR torn sidecar: the safe over-read. A
+            # bucketed dir read whole must be read by its LEAF dirs (mixing
+            # a bucket=-partitioned path with flat paths in one
+            # read.parquet call trips partition discovery)
+            paths.extend(_epoch_leaves(ed))
             continue
         for b in sorted({v % nb for v in coarse_buckets}):
             p = os.path.join(ed, f"bucket={b}")
             if os.path.isdir(p):
                 paths.append(p)
     return paths
+
+
+def _epoch_leaves(epoch_dir: str) -> list[str]:
+    """The data paths of an epoch dir read WHOLE: its bucket= subdirs when
+    bucketed, else the dir itself (legacy flat layout)."""
+    import os
+
+    buckets = [
+        os.path.join(epoch_dir, d)
+        for d in os.listdir(epoch_dir)
+        if d.startswith("bucket=")
+    ]
+    return buckets or [epoch_dir]
 
 
 def make_neardup_flush(
@@ -658,16 +682,9 @@ def compact_band_index(
         return 0  # nothing worth merging
     leaves: list[str] = []
     for e in old:
-        ed = os.path.join(bands_dir, f"epoch={e}")
-        nb = _epoch_nb(ed)
-        if nb is None:
-            leaves.append(ed)  # legacy unbucketed epoch
-        else:
-            leaves.extend(
-                os.path.join(ed, d)
-                for d in os.listdir(ed)
-                if d.startswith("bucket=")
-            )
+        # leaf enumeration handles bucketed, legacy-flat AND torn-sidecar
+        # epochs uniformly (see _epoch_leaves)
+        leaves.extend(_epoch_leaves(os.path.join(bands_dir, f"epoch={e}")))
     merged = (
         spark.read.parquet(*leaves)
         .groupBy("band", "bsig")

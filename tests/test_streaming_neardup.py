@@ -366,3 +366,34 @@ def test_probe_reads_legacy_unbucketed_epochs_whole(spark, dirs):
     names = sorted(d for d in os.listdir(os.path.join(state, "bands")) if d.startswith("epoch="))
     assert names == ["epoch=-1", "epoch=2"]
     assert P._epoch_nb(os.path.join(state, "bands", "epoch=-1")) is not None
+
+
+def test_torn_nb_sidecar_degrades_to_safe_over_read(spark, dirs):
+    """A crash mid-sidecar-write (torn/garbage _NB) must degrade to reading
+    that epoch's buckets WHOLE — never crash the probe, never skip history —
+    and compaction must still consolidate it."""
+    src, state, ckpt = dirs
+    slices = _doc_slices(spark, 3)
+    flush = P.make_neardup_flush(spark, state, rows_per_bucket=8)
+    flush(_mkdf(spark, slices[0]), 0)
+    bands = os.path.join(state, "bands")
+    with open(os.path.join(bands, "epoch=0", "_NB"), "w") as f:
+        f.write("garbage")  # the torn write
+    assert P._epoch_nb(os.path.join(bands, "epoch=0")) is None
+
+    # probe for epoch 1 must cover ALL of epoch 0's buckets (over-read)
+    all_bucket_dirs = {
+        os.path.join(bands, "epoch=0", d)
+        for d in os.listdir(os.path.join(bands, "epoch=0"))
+        if d.startswith("bucket=")
+    }
+    assert set(P.history_probe_paths(bands, 1, [0])) == all_bucket_dirs
+
+    flush(_mkdf(spark, slices[1]), 1)
+    flush(_mkdf(spark, slices[2]), 2)
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert _flags(spark, state) == batch
+    assert P.compact_band_index(spark, state, rows_per_bucket=8) == 1
