@@ -83,7 +83,7 @@ def _build_parser() -> argparse.ArgumentParser:
     nd.add_argument(
         "--compact-index",
         action="store_true",
-        help="merge committed band-index epochs after the drain "
+        help="merge committed band-index AND flags epochs after the drain "
         "(replay-safe: only epochs below the newest)",
     )
 
@@ -206,8 +206,9 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         compacted = 0
         if args.compact_index:
-            # returns 0 when no epoch ever flushed (empty landing dir)
+            # both return 0 when no epoch ever flushed (empty landing dir)
             compacted = stream_pipeline.compact_band_index(spark, args.state)
+            compacted += stream_pipeline.compact_flags(spark, args.state)
         flags_dir = os.path.join(args.state, "flags")
         if os.path.isdir(flags_dir):
             flags = spark.read.parquet(flags_dir)

@@ -788,44 +788,66 @@ def ivfpq_index_stream(
     )
 
 
-def compact_codes_index(spark: SparkSession, index_path: str) -> int:
-    """Compact ivfpq_index_stream's epoch-partitioned codes table: merge all
-    epochs STRICTLY BELOW the newest into one consolidated partition — the
-    steady encode-at-ingest loop otherwise accretes one small parquet dir
-    per micro-batch, the same small-file tax compact_band_index pays down
-    for the T11 lane. Codes are append-only per-vector rows (each vec_id is
-    encoded by exactly one epoch), so consolidation is a plain union — no
-    reduction needed; rows are sorted within partitions by (cluster_id, m)
-    so probed-cell reads cluster into few row groups.
-
-    Replay-safety and crash contract are compact_band_index's, verbatim:
-    only epochs < max merge (a replayed newest epoch overwrites exactly its
-    own dir and never re-reads history — the artifacts are frozen); the
-    merged partition publishes by atomic rename to a fresh NEGATIVE epoch
-    BEFORE the stale dirs are removed, so no window loses codes and
-    pre-publish debris is cleaned on the next run. Returns the net number
-    of epoch partitions removed."""
+def _compact_union_epochs(
+    spark: SparkSession, table_dir: str, sort_cols: tuple[str, ...]
+) -> int:
+    """Shared epoch-consolidation for APPEND-ONLY epoch-partitioned tables
+    (each row belongs to exactly one epoch, so consolidation is a plain
+    union — no reduction): merge all epochs STRICTLY BELOW the newest into
+    one partition, sorted within partitions by sort_cols for row-group
+    locality. Replay-safety and crash contract are compact_band_index's,
+    verbatim: only epochs < max merge (a replayed newest epoch overwrites
+    exactly its own dir); the merged partition publishes by atomic rename
+    to a fresh NEGATIVE epoch BEFORE the stale dirs are removed, so no
+    window loses rows and pre-publish debris is cleaned on the next run.
+    Returns the net number of epoch partitions removed."""
     import os
     import shutil
 
-    codes_dir = os.path.join(index_path, "codes")
-    tmp = os.path.join(codes_dir, "_compact_tmp")
+    tmp = os.path.join(table_dir, "_compact_tmp")
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)  # pre-publish crash debris; inputs are intact
-    epochs = _band_epochs(codes_dir)  # generic epoch-dir lister
+    epochs = _band_epochs(table_dir)  # generic epoch-dir lister
     if not epochs:
         return 0
     old = [e for e in epochs if e < epochs[-1]]
     if len(old) < 2:
         return 0
     (
-        spark.read.parquet(*[os.path.join(codes_dir, f"epoch={e}") for e in old])
-        .sortWithinPartitions("cluster_id", "m")
+        spark.read.parquet(*[os.path.join(table_dir, f"epoch={e}") for e in old])
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .parquet(tmp)
     )
     target = min(0, epochs[0]) - 1
-    os.rename(tmp, os.path.join(codes_dir, f"epoch={target}"))  # publish
+    os.rename(tmp, os.path.join(table_dir, f"epoch={target}"))  # publish
     for e in old:
-        shutil.rmtree(os.path.join(codes_dir, f"epoch={e}"))
+        shutil.rmtree(os.path.join(table_dir, f"epoch={e}"))
     return len(old) - 1
+
+
+def compact_codes_index(spark: SparkSession, index_path: str) -> int:
+    """Compact ivfpq_index_stream's epoch-partitioned codes table — the
+    steady encode-at-ingest loop otherwise accretes one small parquet dir
+    per micro-batch, the same small-file tax compact_band_index pays down
+    for the T11 lane. Codes are append-only per-vector rows (each vec_id
+    is encoded by exactly one epoch); rows sort by (cluster_id, m) so
+    probed-cell reads cluster into few row groups. Contract:
+    _compact_union_epochs."""
+    import os
+
+    return _compact_union_epochs(
+        spark, os.path.join(index_path, "codes"), ("cluster_id", "m")
+    )
+
+
+def compact_flags(spark: SparkSession, state_dir: str) -> int:
+    """Compact neardup_stream's epoch-partitioned per-doc verdicts — flags
+    are append-only (each doc is verdicted by exactly one epoch), so the
+    same plain-union consolidation as the codes table applies; rows sort
+    by doc_id for range locality. Contract: _compact_union_epochs."""
+    import os
+
+    return _compact_union_epochs(
+        spark, os.path.join(state_dir, "flags"), ("doc_id",)
+    )

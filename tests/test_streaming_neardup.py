@@ -397,3 +397,27 @@ def test_torn_nb_sidecar_degrades_to_safe_over_read(spark, dirs):
     }
     assert _flags(spark, state) == batch
     assert P.compact_band_index(spark, state, rows_per_bucket=8) == 1
+
+
+def test_compact_flags_preserves_verdicts(spark, dirs):
+    """r8: flags-epoch compaction is a pure layout change — verdict map
+    unchanged, consolidated at a fresh negative epoch, replayable max epoch
+    left alone — and a continued stream still converges to the batch twin."""
+    src, state, ckpt = dirs
+    slices = _doc_slices(spark, 4)
+    flush = P.make_neardup_flush(spark, state)
+    for i, s in enumerate(slices[:3]):
+        flush(_mkdf(spark, s), i)
+    pre = _flags(spark, state)
+    assert P.compact_flags(spark, state) == 1
+    names = sorted(
+        d for d in os.listdir(os.path.join(state, "flags")) if d.startswith("epoch=")
+    )
+    assert names == ["epoch=-1", "epoch=2"]
+    assert _flags(spark, state) == pre
+    flush(_mkdf(spark, slices[3]), 3)
+    batch = {
+        r.doc_id: r.is_neardup
+        for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
+    }
+    assert _flags(spark, state) == batch
