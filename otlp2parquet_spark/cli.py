@@ -204,14 +204,20 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.landing_dir, args.state, args.checkpoint
         )
         q.awaitTermination()
-        compacted = 0
+        compacted = flags_compacted = 0
         if args.compact_index:
-            # both return 0 when no epoch ever flushed (empty landing dir)
+            # both return 0 when no epoch ever flushed (empty landing dir);
+            # reported as SEPARATE fields — summing them under the
+            # pre-existing key would silently change its meaning for
+            # round-over-round comparisons (round-8 review)
             compacted = stream_pipeline.compact_band_index(spark, args.state)
-            compacted += stream_pipeline.compact_flags(spark, args.state)
+            flags_compacted = stream_pipeline.compact_flags(spark, args.state)
         flags_dir = os.path.join(args.state, "flags")
         if os.path.isdir(flags_dir):
-            flags = spark.read.parquet(flags_dir)
+            # dropDuplicates: a compaction crash between publish and
+            # cleanup leaves transient duplicate verdict rows (full
+            # copies); the summary must not double-count them
+            flags = spark.read.parquet(flags_dir).dropDuplicates(["doc_id"])
             n_total, n_dup = flags.agg(
                 F.count("*"), F.sum(F.col("is_neardup").cast("long"))
             ).first()
@@ -224,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
                     "docs_flagged_total": int(n_total),
                     "near_dups": int(n_dup or 0),
                     "index_epochs_compacted": compacted,
+                    "flags_epochs_compacted": flags_compacted,
                     "state": args.state,
                 }
             )

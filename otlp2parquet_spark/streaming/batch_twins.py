@@ -307,8 +307,21 @@ def t6_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_total = F.when(
         F.col("v_in").isNull() & F.col("v_off").isNull(), F.lit(None)
     ).otherwise(F.coalesce("v_in", zero) + F.coalesce("v_off", zero))
+    # null-SAFE bucket equality: date_trunc(NULL ts) is NULL, and a plain
+    # equi-join would silently drop NULL-ts events that the single-window
+    # form (and the oracle) kept (round-8 review). NULL buckets order first
+    # in w_off, mirroring Spark's NULLS FIRST window ordering.
+    o = off.select(
+        F.col("user_id").alias("o_user"),
+        F.col("bkt").alias("o_bkt"),
+        "n_off",
+        "v_off",
+    )
     return (
-        intra.join(off, ["user_id", "bkt"])
+        intra.join(
+            o,
+            (intra.user_id == o.o_user) & intra.bkt.eqNullSafe(o.o_bkt),
+        )
         .select(
             "user_id",
             "event_id",

@@ -391,6 +391,26 @@ _BAND_MAXNB = 4096
 BAND_ROWS_PER_BUCKET = 100_000
 
 
+def _require_local_state(path: str, what: str) -> None:
+    """The T11/T12 persistent-state machinery (epoch-dir listing, _NB/marker
+    sidecars, publish-by-rename) uses POSIX file APIs. Before r8 the T11
+    history read went through Spark's Hadoop FS layer, so an s3a:// state
+    dir half-worked; the bucketed layout would instead silently find NO
+    history (os.listdir of a URI string sees nothing) and unflag every
+    cross-batch duplicate — far worse than failing. Refuse any URI-schemed
+    path loudly (round-8 review). The object-store deployment routes these
+    ops through the Hadoop FileSystem API (and needs an atomic-rename
+    store for the publish step), the same documented bound as
+    otel/compact.py's swap."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"{what} keeps epoch-partitioned state with POSIX file APIs and "
+            f"supports local paths only; got {path!r}. Mount the store or "
+            "port the listing/rename steps to the Hadoop FileSystem API "
+            "for object-store state."
+        )
+
+
 def _nb_for_rows(rows: int, rows_per_bucket: int = BAND_ROWS_PER_BUCKET) -> int:
     """Power-of-two bucket count targeting ~rows_per_bucket rows per bucket,
     clamped to [1, _BAND_MAXNB] so nb always divides _BAND_MAXNB."""
@@ -420,7 +440,16 @@ def _epoch_nb(epoch_dir: str) -> int | None:
     """Bucket count of an epoch partition. None => treat the dir as
     unbucketed and read it whole — for the legacy (pre-r8) flat layout AND
     for a torn/unparsable sidecar (a crash mid-sidecar-write must degrade
-    to the safe over-read, never crash the probe or skip history)."""
+    to the safe over-read, never crash the probe or skip history).
+
+    Validity requires a POWER OF TWO in [1, _BAND_MAXNB]: every writer
+    produces exactly that, and the check is what catches the dangerous
+    tear class — a torn '4096' read back as '4' IS a valid integer, and
+    trusting it would make the probe read the wrong buckets and silently
+    skip history (round-8 review). Non-power-of-two survivors of a tear
+    ('409', '40') fail the check and over-read instead. The sidecar is
+    also written atomically (_write_band_epoch: tmp + rename), so this is
+    defense in depth."""
     import os
 
     nb_path = os.path.join(epoch_dir, "_NB")
@@ -429,14 +458,19 @@ def _epoch_nb(epoch_dir: str) -> int | None:
     try:
         with open(nb_path) as f:
             nb = int(f.read().strip())
-        return nb if nb >= 1 else None
     except (ValueError, OSError):
         return None
+    if 1 <= nb <= _BAND_MAXNB and (nb & (nb - 1)) == 0:
+        return nb
+    return None
 
 
 def _write_band_epoch(df: DataFrame, epoch_dir: str, nb: int) -> None:
     """Bucketed epoch write + the `_NB` sidecar (underscore-prefixed, so
-    Spark partition discovery over the whole bands dir ignores it)."""
+    Spark partition discovery over the whole bands dir ignores it). The
+    sidecar is committed by atomic rename — a plain open/write can tear
+    ('4096' -> '4'), and a torn-but-integer value is the one corruption
+    _epoch_nb's power-of-two check alone might not catch."""
     import os
 
     (
@@ -445,8 +479,10 @@ def _write_band_epoch(df: DataFrame, epoch_dir: str, nb: int) -> None:
         .partitionBy("bucket")
         .parquet(epoch_dir)
     )
-    with open(os.path.join(epoch_dir, "_NB"), "w") as f:
+    tmp = os.path.join(epoch_dir, "._NB.tmp")
+    with open(tmp, "w") as f:
         f.write(str(nb))
+    os.rename(tmp, os.path.join(epoch_dir, "_NB"))
 
 
 def history_probe_paths(
@@ -511,6 +547,7 @@ def make_neardup_flush(
 
     from otlp2parquet_spark.extensions.dedup import LSH_BANDS, minhash_fs_bands
 
+    _require_local_state(state_dir, "make_neardup_flush")
     bands_dir = os.path.join(state_dir, "bands")
     flags_dir = os.path.join(state_dir, "flags")
 
@@ -670,6 +707,7 @@ def compact_band_index(
     import os
     import shutil
 
+    _require_local_state(state_dir, "compact_band_index")
     bands_dir = os.path.join(state_dir, "bands")
     tmp = os.path.join(bands_dir, "_compact_tmp")
     if os.path.isdir(tmp):
@@ -753,6 +791,7 @@ def ivfpq_index_stream(
         ivfpq_encode,
     )
 
+    _require_local_state(index_path, "ivfpq_index_stream")
     cb_dir = os.path.join(index_path, "codebook")
     cent_dir = os.path.join(index_path, "centroids")
     codes_dir = os.path.join(index_path, "codes")
@@ -789,18 +828,32 @@ def ivfpq_index_stream(
 
 
 def _compact_union_epochs(
-    spark: SparkSession, table_dir: str, sort_cols: tuple[str, ...]
+    spark: SparkSession,
+    table_dir: str,
+    key_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...],
 ) -> int:
     """Shared epoch-consolidation for APPEND-ONLY epoch-partitioned tables
-    (each row belongs to exactly one epoch, so consolidation is a plain
-    union — no reduction): merge all epochs STRICTLY BELOW the newest into
-    one partition, sorted within partitions by sort_cols for row-group
-    locality. Replay-safety and crash contract are compact_band_index's,
-    verbatim: only epochs < max merge (a replayed newest epoch overwrites
-    exactly its own dir); the merged partition publishes by atomic rename
-    to a fresh NEGATIVE epoch BEFORE the stale dirs are removed, so no
-    window loses rows and pre-publish debris is cleaned on the next run.
-    Returns the net number of epoch partitions removed."""
+    (each row belongs to exactly one epoch): merge all epochs STRICTLY
+    BELOW the newest into one partition, DEDUPLICATED on key_cols and
+    sorted within partitions by sort_cols for row-group locality.
+
+    The dedup is what makes the crash contract actually converge (round-8
+    review): a crash between the publish rename and the stale-dir removal
+    leaves every merged row duplicated, and a plain union on the next run
+    would bake those duplicates in forever. Duplicate rows are full copies
+    (same key => same content, the append-only invariant), so
+    dropDuplicates(key_cols) restores exactly the pre-crash row set — the
+    union-table analogue of compact_band_index's MIN-merge idempotence.
+    Until that next compaction runs, readers may see transient duplicates
+    (the same window compact_table documents).
+
+    Replay-safety is compact_band_index's, verbatim: only epochs < max
+    merge (a replayed newest epoch overwrites exactly its own dir); the
+    merged partition publishes by atomic rename to a fresh NEGATIVE epoch
+    BEFORE the stale dirs are removed, so no window loses rows and
+    pre-publish debris is cleaned on the next run. Returns the net number
+    of epoch partitions removed."""
     import os
     import shutil
 
@@ -815,6 +868,7 @@ def _compact_union_epochs(
         return 0
     (
         spark.read.parquet(*[os.path.join(table_dir, f"epoch={e}") for e in old])
+        .dropDuplicates(list(key_cols))
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .parquet(tmp)
@@ -836,8 +890,12 @@ def compact_codes_index(spark: SparkSession, index_path: str) -> int:
     _compact_union_epochs."""
     import os
 
+    _require_local_state(index_path, "compact_codes_index")
     return _compact_union_epochs(
-        spark, os.path.join(index_path, "codes"), ("cluster_id", "m")
+        spark,
+        os.path.join(index_path, "codes"),
+        key_cols=("vec_id", "m"),
+        sort_cols=("cluster_id", "m"),
     )
 
 
@@ -848,6 +906,10 @@ def compact_flags(spark: SparkSession, state_dir: str) -> int:
     by doc_id for range locality. Contract: _compact_union_epochs."""
     import os
 
+    _require_local_state(state_dir, "compact_flags")
     return _compact_union_epochs(
-        spark, os.path.join(state_dir, "flags"), ("doc_id",)
+        spark,
+        os.path.join(state_dir, "flags"),
+        key_cols=("doc_id",),
+        sort_cols=("doc_id",),
     )

@@ -421,3 +421,72 @@ def test_compact_flags_preserves_verdicts(spark, dirs):
         for r in SPECS["x2_minhash_firstseen"].build(spark, SF_SMOKE).collect()
     }
     assert _flags(spark, state) == batch
+
+
+def test_nb_sidecar_rejects_non_power_of_two(tmp_path):
+    """A torn sidecar that still parses as an integer ('4096' -> '40') must
+    NOT be trusted: only powers of two in [1, _BAND_MAXNB] are valid (the
+    writers produce exactly that), anything else degrades to the safe
+    over-read. (A torn '4096' -> '4' IS a power of two — which is why the
+    sidecar write itself commits by atomic rename.)"""
+    ed = tmp_path / "epoch=0"
+    ed.mkdir()
+    for content, want in (
+        ("64", 64),
+        ("1", 1),
+        ("4096", 4096),
+        ("40", None),  # torn '4096'
+        ("409", None),
+        ("0", None),
+        ("-8", None),
+        ("8192", None),  # above _BAND_MAXNB: no writer produces it
+        ("garbage", None),
+        ("", None),
+    ):
+        with open(ed / "_NB", "w") as f:
+            f.write(content)
+        assert P._epoch_nb(str(ed)) == want, content
+
+
+def test_state_machinery_refuses_uri_schemed_paths(spark, tmp_path):
+    """os.listdir of an s3a:// URI silently sees no history — the failure
+    mode must be a loud refusal at entry, not unflagged duplicates."""
+    for fn in (
+        lambda: P.make_neardup_flush(spark, "s3a://bucket/state"),
+        lambda: P.compact_band_index(spark, "s3a://bucket/state"),
+        lambda: P.compact_flags(spark, "hdfs://nn/state"),
+        lambda: P.compact_codes_index(spark, "s3a://bucket/idx"),
+    ):
+        with pytest.raises(NotImplementedError):
+            fn()
+
+
+def test_union_compaction_converges_after_publish_crash(spark, dirs):
+    """Crash between the publish rename and the stale-dir removal leaves
+    every merged flag row duplicated. The summary dedupe and the NEXT
+    compaction's dropDuplicates must both absorb that: counts stay right
+    and re-compacting restores exactly the pre-crash verdict set."""
+    import shutil
+
+    src, state, ckpt = dirs
+    slices = _doc_slices(spark, 3)
+    flush = P.make_neardup_flush(spark, state)
+    for i, s in enumerate(slices):
+        flush(_mkdf(spark, s), i)
+    pre = _flags(spark, state)
+    fdir = os.path.join(state, "flags")
+    # snapshot the to-be-merged epochs, compact, then restore them:
+    # exactly the on-disk state of a crash after publish, before cleanup
+    for e in (0, 1):
+        shutil.copytree(os.path.join(fdir, f"epoch={e}"), str(dirs[0]) + f"_snap{e}")
+    assert P.compact_flags(spark, state) == 1
+    for e in (0, 1):
+        shutil.copytree(str(dirs[0]) + f"_snap{e}", os.path.join(fdir, f"epoch={e}"))
+    # duplicated rows on disk now; the keyed view still equals pre
+    dup_rows = spark.read.parquet(fdir).count()
+    assert dup_rows > len(pre)
+    assert _flags(spark, state) == pre  # dict build collapses dup copies
+    # next compaction converges: row count back to exact, verdicts intact
+    assert P.compact_flags(spark, state) == 2
+    assert spark.read.parquet(fdir).count() == len(pre)
+    assert _flags(spark, state) == pre

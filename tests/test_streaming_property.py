@@ -466,3 +466,37 @@ def test_t10_live_matches_batch_twin_directly(spark, stream_root, tmp_path_facto
     )
     twin = canon(t10_capped_session(spark, sf_dir).collect())
     assert live == twin
+
+
+def test_t6_keeps_null_ts_events(spark, tmp_path):
+    """r8 review: the two-level prefix scan joins on the hour bucket, and
+    date_trunc(NULL ts) is NULL — a null-UNSAFE join would silently drop
+    NULL-ts events that the single-window form kept. Pin: every input row
+    surfaces exactly once, including the NULL-ts ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from otlp2parquet_spark.queries.registry import all_specs
+
+    n = 20
+    ts = [1_700_000_000_000_000 + i * 60_000_000 for i in range(n)]
+    ts[3] = None
+    ts[17] = None
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([float(i) if i % 4 else None for i in range(n)]),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(t, f"{sf_dir}/events.parquet")
+    rows = all_specs()["t6_running_count"].build(spark, sf_dir).collect()
+    assert len(rows) == n
+    assert {r.event_id for r in rows} == set(range(n))
+    by_id = {r.event_id: r for r in rows}
+    # NULL-ts rows carry real running totals, not nulls/garbage
+    assert by_id[3].n_events >= 1 and by_id[17].n_events >= 1
