@@ -1210,23 +1210,29 @@ def x6_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kirsch-Mitzenmacher family (dedup.minhash_fs_bands) that DuckDB replays
     bit-for-bit, so the LSH verdicts themselves are oracle-checked.
 
-    Scale shape: one corpus tokenize+signature pass (the x2 kernel: map-side
-    partial MINs, 4 skinny band rows per doc); the benchmark band set is
-    SMALL by construction (benchmarks are thousands of items) and distinct,
-    so it BROADCASTS and the training side streams map-only through a
-    left-semi broadcast join — no corpus-sized shuffle beyond the signature
-    agg, the same plan x6_contamination runs for exact grams. Gramless
-    (<3-token) docs produce no bands and surface is_contaminated = FALSE
-    via the final doc_id-co-partitioned left join."""
+    Scale shape: the bench and training sides are DISJOINT doc_id slices,
+    so each is tokenized+signature-hashed exactly once from its own
+    filter-pushed scan (total kernel work = one corpus pass; signing the
+    whole corpus once and branching would instead re-execute the kernel at
+    both join consumers or force a corpus-sized cache — the r4 bug class).
+    The benchmark band set is SMALL by construction (benchmarks are
+    thousands of items) and distinct, so it BROADCASTS and the training
+    side streams map-only through a left-semi broadcast join — no
+    corpus-sized shuffle beyond the signature agg, the same plan
+    x6_contamination runs for exact grams. Gramless (<3-token) docs
+    produce no bands and surface is_contaminated = FALSE via the final
+    doc_id-only (zero data columns) left join."""
     from otlp2parquet_spark.extensions.dedup import minhash_fs_bands
 
     d = spread(T(spark, sf_dir, "documents"))
-    bands = minhash_fs_bands(d.select("doc_id", "text"))
+    corpus = d.select("doc_id", "text")
     bench = (
-        bands.filter(F.col("doc_id") % 97 == 0).select("band", "bsig").distinct()
+        minhash_fs_bands(corpus.filter(F.col("doc_id") % 97 == 0))
+        .select("band", "bsig")
+        .distinct()
     )
     hits = (
-        bands.filter(F.col("doc_id") % 97 != 0)
+        minhash_fs_bands(corpus.filter(F.col("doc_id") % 97 != 0))
         .join(F.broadcast(bench), ["band", "bsig"], "left_semi")
         .select("doc_id")
         .distinct()
@@ -1237,5 +1243,191 @@ def x6_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .join(hits, "doc_id", "left")
         .select("doc_id", F.coalesce("hit", F.lit(False)).alias("is_contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x6_dsir_sample — DSIR hashed-n-gram importance resampling (r8)
+
+# feature-space size: hashed unigram buckets (the DSIR paper uses 10k
+# buckets of hashed bigrams at web scale; 1024 keeps every fixture's model
+# broadcast-tiny while leaving real collision behavior to test)
+_DSIR_B = 1024
+# log-ratio quantum: 1e-8 per unit. FLOOR(ln * 1e8 + 0.5) of the identical
+# double is the identical BIGINT in both engines, and all downstream
+# arithmetic is exact int64 (bounds: |lr_i| <= ~2e9 only if a bucket ratio
+# reached e^20 — impossible with add-one smoothing below ~1e8 total tokens;
+# per-doc sums stay < 2^53 let alone 2^63)
+_DSIR_MICRO = "100000000.0"
+# target-set share kept by the resampling gate
+_DSIR_KEEP_Q = 0.8
+
+_DSIR_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                                t -> length(t) > 0)) AS t
+      FROM documents
+    ), bt AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {_DSIR_B} AS bk
+      FROM tok
+    ), raw_c AS (
+      SELECT bk, COUNT(*) AS c_r FROM bt GROUP BY bk
+    ), tgt_c AS (
+      SELECT bk, COUNT(*) AS c_t FROM bt
+      WHERE CAST(substr(source, 4) AS INT) % 4 = 0 GROUP BY bk
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM bt) AS tot_r,
+             (SELECT COUNT(*) FROM bt
+              WHERE CAST(substr(source, 4) AS INT) % 4 = 0) AS tot_t
+    ), model AS (
+      SELECT bk,
+             CAST(FLOOR(ln(
+               CAST((COALESCE(c_t, 0) + 1) * (tot_r + {_DSIR_B}) AS DOUBLE)
+               / CAST((c_r + 1) * (tot_t + {_DSIR_B}) AS DOUBLE)
+             ) * {_DSIR_MICRO} + 0.5) AS BIGINT) AS lr_i
+      FROM raw_c LEFT JOIN tgt_c USING (bk), tot
+    ), docb AS (
+      SELECT doc_id, source, bk, COUNT(*) AS cnt FROM bt GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT doc_id, source,
+             CAST(SUM(cnt * lr_i) AS BIGINT) AS liw_micro,
+             CAST(SUM(cnt) AS BIGINT) AS n_tok
+      FROM docb JOIN model USING (bk) GROUP BY doc_id, source
+    ), pool AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(s.liw_micro, 0) AS liw_micro,
+             COALESCE(s.n_tok, 0) AS n_tok
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    ), th AS (
+      SELECT quantile_cont(CAST(liw_micro AS DOUBLE), {_DSIR_KEEP_Q}) AS q
+      FROM pool
+    )
+    SELECT doc_id, source, liw_micro, n_tok,
+           CAST(liw_micro AS DOUBLE) >= q AS keep
+    FROM pool, th
+    ORDER BY doc_id
+    """
+
+
+def _dsir_full(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """The per-doc DSIR weight frame (doc_id, source, liw_micro, n_tok) —
+    x6_dsir_sample minus the percentile gate. `checkpoint=False` exposes
+    the raw lineage so plan tests can assert the internal shapes that the
+    materialization boundaries otherwise hide behind RDD scans."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = with_tokens(d, ("doc_id", "source"))
+    bt = tok.select(
+        "doc_id",
+        "source",
+        F.explode(F.filter(F.col("toks"), lambda t: F.length(t) > 0)).alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("bk"),
+    )
+    # the (doc,bucket) count frame is the single corpus pass BOTH the model
+    # build and the scoring consume — materialized once (lazy checkpoint:
+    # feeding two consumers from the raw lineage would re-run the tokenize
+    # kernel at each, the r4 duplicate-subtree bug class). It is the
+    # compact counts representation: <= B rows per doc, no text.
+    docb = bt.groupBy("doc_id", "source", "bk").agg(F.count("*").alias("cnt"))
+    if checkpoint:
+        docb = docb.localCheckpoint(eager=False)
+    is_target = F.substring(F.col("source"), 4, 16).cast("int") % 4 == 0
+    # model build: B-bounded conditional agg over the counts frame
+    counts = docb.groupBy("bk").agg(
+        F.sum("cnt").alias("c_r"),
+        F.sum(F.when(is_target, F.col("cnt")).otherwise(0)).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("tot_r"), F.sum("c_t").alias("tot_t")
+    )
+    lr_num = ((F.col("c_t") + 1) * (F.col("tot_r") + _DSIR_B)).cast("double")
+    lr_den = ((F.col("c_r") + 1) * (F.col("tot_t") + _DSIR_B)).cast("double")
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bk",
+        F.floor(F.log(lr_num / lr_den) * float(_DSIR_MICRO) + 0.5)
+        .cast("long")
+        .alias("lr_i"),
+    )
+    scored = (
+        docb.join(F.broadcast(model), "bk")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr_i")).alias("liw_micro"),
+            F.sum("cnt").alias("n_tok"),
+        )
+    )
+    full = d.select("doc_id", "source").join(
+        scored.drop("source"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("liw_micro", F.lit(0)).alias("liw_micro"),
+        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+    )
+    if checkpoint:
+        full = full.localCheckpoint(eager=False)  # threshold + output read it
+    return full
+
+
+@query(
+    "x6_dsir_sample",
+    oracle=_DSIR_SQL,
+    tags=("X6", "X4", "A1", "J1", "F6"),
+)
+def x6_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw document by its
+    log importance weight under hashed-unigram bag-of-words models of a
+    TARGET distribution (the curated source band — the x6_data_mix band-0
+    convention) vs the RAW pool, then keep the top {1-q} fraction — the
+    published continued-pretraining data-selection method (FineWeb-class
+    pipelines run exactly this shape with a quality target set).
+
+    weight(d) = sum over d's tokens of ln(p_target(bucket)/p_raw(bucket)),
+    add-one smoothed over B=1024 md5 buckets. Hash-matched end to end:
+    each bucket's log-ratio is ln() of ONE rational whose numerator and
+    denominator are exact int64 products (identical double in both
+    engines), immediately quantized to int64 micro-units; per-doc weights
+    are then pure integer SUM(cnt * lr_i) — order-free, engine-free. The
+    keep gate compares against the exact 0.8 percentile of the integer
+    weights (the x4_perplexity_buckets one-row-threshold pattern).
+
+    Scale shape (the reason DSIR beats classifier selection at 100 TB per
+    the paper): the corpus collapses ONCE to the compact (doc,bucket)
+    count frame (map-side combined, <= B rows per doc, no text —
+    materialized so the model build and the scoring don't re-run the
+    tokenize kernel); the MODEL is a B-bounded agg over that frame,
+    BROADCAST back, so scoring is a map-only join + one doc-keyed agg over
+    counts, never raw tokens. The threshold is ONE percentile row
+    broadcast back — no global sort, no driver-sized collect. Tokenless
+    docs surface liw_micro = 0 via the final doc-keyed left join
+    (mirrored in the oracle).
+
+    Reference parity: the reference has no selection surface (it delegates
+    all querying, docs/querying.md:1-9); this extends the engine's
+    training-data tier alongside x6_data_mix/x6_curriculum."""
+    full = _dsir_full(spark, sf_dir)
+    th = full.agg(
+        F.expr(f"percentile(liw_micro, {_DSIR_KEEP_Q})").alias("q")
+    )
+    return (
+        full.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            "source",
+            "liw_micro",
+            "n_tok",
+            (F.col("liw_micro").cast("double") >= F.col("q")).alias("keep"),
+        )
         .orderBy("doc_id")
     )

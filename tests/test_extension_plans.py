@@ -143,6 +143,10 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "computed in the ONE corpus-streaming pass",
     "x3_knn_join": "blocked exact self-join: both sides required",
     "x6_contamination": "bench slice (1/97) vs corpus slice: disjoint",
+    "x6_fuzzy_decontam": "bench slice (1/97) + training slice: DISJOINT "
+    "%97 predicates, each signature-hashed once from its own filter-pushed "
+    "scan, plus a doc_id-only re-attach scan for gramless docs (zero data "
+    "columns — the x2_minhash_firstseen class)",
     "x6_mix_temperature": "rate side scan is column-pruned to (source, "
     "n_chars) and aggregates immediately into a source-sized table — "
     "rates inherently need a global agg before the probe pass (same "

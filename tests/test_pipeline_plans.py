@@ -106,3 +106,55 @@ def test_fuzzy_decontam_nonvacuous_and_broadcasts(spark):
     assert all(r.doc_id % 97 != 0 for r in rows)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_model_broadcasts_and_partial_aggregates(spark):
+    """x6_dsir_sample (r8): the B-bounded bucket model and the one-row
+    percentile threshold must both reach the corpus as broadcasts (never a
+    corpus-sized shuffle join), and the (doc,bucket) count must partial-
+    aggregate map-side before its shuffle. The scoring lineage is checked
+    un-checkpointed (the materialization boundary otherwise hides the
+    interesting subtree behind an RDD scan); the threshold broadcast is
+    visible in the registry query's own final plan."""
+    from otlp2parquet_spark.extensions.pipeline import _dsir_full
+
+    lineage = (
+        _dsir_full(spark, SF_ORACLE, checkpoint=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in lineage  # model join on bk
+    assert "partial_count" in lineage  # (doc,bucket) map-side combine
+    final = _plan(spark, "x6_dsir_sample")
+    assert "BroadcastNestedLoopJoin" in final  # 1-row threshold crossJoin
+
+
+def test_dsir_upweights_target_like_docs(spark, tmp_path):
+    """Planted-signal gate (the synthetic driver corpus has a uniform
+    vocabulary, so exactness is proven by the DuckDB oracle and MEANING is
+    proven here): target-band sources draw from vocab pool A, the raw pool
+    from pool B, and held-out pool-A docs planted in a NON-target source
+    must outscore every pool-B doc — DSIR's defining property (importance
+    weights rank target-like text first regardless of provenance)."""
+    pool_a = "alpha beta gamma delta epsilon zeta eta theta"
+    pool_b = "rock paper stone cloth iron copper zinc lead"
+    rows = []
+    for i in range(10):  # target band (src0): pool A
+        rows.append((i, f"{pool_a} {pool_a}", "en", "src0", 0))
+    for i in range(10, 15):  # planted A-like docs in a non-target source
+        rows.append((i, f"{pool_a} {pool_a}", "en", "src1", 0))
+    for i in range(15, 50):  # bulk raw pool: pool B
+        rows.append((i, f"{pool_b} {pool_b}", "en", f"src{1 + i % 3}", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = SPECS["x6_dsir_sample"].build(spark, str(tmp_path)).collect()
+    liw = {r.doc_id: r.liw_micro for r in out}
+    keep = {r.doc_id: r.keep for r in out}
+    a_like = [liw[i] for i in range(10, 15)]
+    b_docs = [liw[i] for i in range(15, 50)]
+    assert min(a_like) > max(b_docs)
+    assert all(keep[i] for i in range(10, 15))  # planted docs survive the gate
+    assert not any(keep[i] for i in range(15, 50))
