@@ -96,6 +96,8 @@ HEADLINE = [
     "x6_fuzzy_decontam",  # r8: MinHash-LSH benchmark decontamination
     "u4_mapinarrow",  # r8: Arrow-batch transform primitive, oracle row
     "t6_running_count",  # r8: two-level parallel prefix scan (hot-key fix)
+    "x6_dsir_sample",  # r8: DSIR hashed-n-gram importance resampling
+    "x4_quality_classifier",  # r8: IPM-trained linear quality filter
 ]
 
 RUNS_PER_QUERY = 3

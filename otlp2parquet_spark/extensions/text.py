@@ -1120,3 +1120,199 @@ def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x4_quality_classifier — distributed fastText-style quality classifier
+# trained by iterative parameter mixing (McDonald, Hall & Mann 2010,
+# "Distributed Training Strategies for the Structured Perceptron")
+
+_QC_B = 1024  # hashed-unigram feature buckets (+1 bias slot at index B)
+_QC_ROUNDS = 5
+_QC_SHARDS = 8  # FIXED shard count: IPM's result depends on the sharding,
+# so reproducibility requires pinning it (the kmeans-init class of
+# determinism); production raises it to the cluster's parallelism and
+# re-anchors its reference run
+_QC_STOP = ("the", "a", "and", "of", "to")  # the x4_quality_score stop set
+
+
+def _qc_features(docs: DataFrame) -> DataFrame:
+    """Per-doc integer feature frame for the quality classifier:
+    (doc_id, y, shard, bks, cnts) — hashed-unigram count arrays sorted by
+    bucket id, plus the C4/Gopher stopword-density label
+    y = [10 * stopword_count >= n_tokens] (the real quality-filter rule the
+    classifier distills; it is linear in count space, so the concept is
+    learnable by construction). One tokenize pass, one (doc,bucket) count
+    shuffle, one doc-keyed array assembly — all map-side combined."""
+    tok = with_tokens(docs, ("doc_id",))
+    toks = F.filter(F.col("toks"), lambda t: F.length(t) > 0)
+    stop_arr = F.array(*[F.lit(s) for s in _QC_STOP])
+    base = tok.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stop"
+        ),
+        F.size(toks).alias("n_tok"),
+        F.explode(toks).alias("t"),
+    )
+    bt = base.select(
+        "doc_id",
+        (10 * F.col("n_stop") >= F.col("n_tok")).cast("int").alias("y"),
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+            % _QC_B
+        ).alias("bk"),
+    )
+    return (
+        bt.groupBy("doc_id", "y", "bk")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "y")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bk"), F.col("cnt")))
+            ).alias("bc")
+        )
+        .select(
+            "doc_id",
+            "y",
+            (F.col("doc_id") % _QC_SHARDS).cast("int").alias("shard"),
+            F.col("bc.bk").alias("bks"),
+            F.col("bc.cnt").alias("cnts"),
+        )
+    )
+
+
+def _qc_trunc_div(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division — ONE definition shared by
+    the Spark kernel and the pure-Python reference replay, so weight
+    mixing is bit-identical (Python's // floors, which differs on
+    negatives)."""
+    q = abs(int(a)) // b
+    return q if a >= 0 else -q
+
+
+def quality_classifier_train(feat: DataFrame, rounds: int = _QC_ROUNDS):
+    """Distributed averaged-mixing perceptron (McDonald et al. 2010 IPM):
+    each round, every shard runs ONE sequential perceptron epoch locally
+    (docs in doc_id order) starting from the mixed weights, then the
+    driver mixes the shard weight vectors by truncated mean. Returns the
+    final mixed weight list (len B+1; index B = bias).
+
+    Everything is exact int64 — counts, scores, updates, truncated-mean
+    mixing — so training is deterministic and replayable bit-for-bit by
+    a pure-Python reference (tests/test_quality_classifier.py), the
+    x4_bpe_train discipline applied to model training.
+
+    Scale shape: the feature frame shuffles ONCE to shards; each round is
+    one applyInPandas pass (per-shard state = one (B+1) int64 vector) and
+    a SHARDS x (B+1) driver mix — bounded driver traffic, corpus never
+    leaves the executors. IPM's convergence-vs-parallelism tradeoff is
+    the published one: shard count is pinned (_QC_SHARDS) for
+    reproducibility; a production run raises it and re-anchors."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("shard", IntegerType(), False),
+            StructField("w", ArrayType(LongType()), False),
+        ]
+    )
+    feat = feat.persist()
+    try:
+        w = [0] * (_QC_B + 1)
+        for _ in range(rounds):
+            w0 = np.asarray(w, dtype=np.int64)
+
+            def epoch(pdf: pd.DataFrame) -> pd.DataFrame:
+                lw = w0.copy()
+                pdf = pdf.sort_values("doc_id")  # arrival order is arbitrary
+                for bks, cnts, y in zip(pdf["bks"], pdf["cnts"], pdf["y"]):
+                    b = np.asarray(bks, dtype=np.int64)
+                    c = np.asarray(cnts, dtype=np.int64)
+                    z = int((lw[b] * c).sum()) + int(lw[_QC_B])
+                    pred = 1 if z >= 0 else 0
+                    if pred != y:
+                        s = int(y) - pred
+                        lw[b] += s * c
+                        lw[_QC_B] += s
+                return pd.DataFrame(
+                    {"shard": [int(pdf["shard"].iloc[0])], "w": [lw.tolist()]}
+                )
+
+            rows = (
+                feat.groupBy("shard").applyInPandas(epoch, out_schema).collect()
+            )  # bounded: SHARDS rows of B+1 ints
+            acc = [0] * (_QC_B + 1)
+            for r in rows:
+                for i, v in enumerate(r.w):
+                    acc[i] += v
+            # empty shards (possible on tiny fixtures) contribute w0: mix
+            # over the FULL pinned shard count so the result is independent
+            # of which shards happened to hold docs
+            for _ in range(_QC_SHARDS - len(rows)):
+                for i in range(_QC_B + 1):
+                    acc[i] += w[i]
+            w = [_qc_trunc_div(acc[i], _QC_SHARDS) for i in range(_QC_B + 1)]
+        return w
+    finally:
+        feat.unpersist()
+
+
+@query(
+    "x4_quality_classifier",
+    oracle=None,  # iterative distributed training: rows-only + bit-identical
+    # pure-Python IPM replay + planted-concept recovery gates
+    # (tests/test_quality_classifier.py)
+    tags=("X4", "U2", "A1"),
+)
+def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter: train a fastText-style linear classifier
+    over hashed-unigram counts to distill the C4/Gopher stopword-density
+    quality rule, then score every document — the "quality classifier"
+    stage of a pretraining pipeline (DCLM/FineWeb-Edu train exactly this
+    shape: cheap linear model over hashed bags, applied corpus-wide).
+
+    Trained on the doc_id % 5 != 0 split by distributed iterative
+    parameter mixing (see quality_classifier_train); scoring is one
+    map-only pass: the (B+1)-int weight vector joins the exploded count
+    frame as a broadcast, z is an exact integer dot product, pred = z >= 0.
+    Output: (doc_id, y, is_train, z, pred) — all integers, deterministic
+    bit-for-bit across runs, engines and partitionings."""
+    d = spread(T(spark, sf_dir, "documents"))
+    feat = _qc_features(d).localCheckpoint(eager=False)
+    w = quality_classifier_train(feat.filter(F.col("doc_id") % 5 != 0))
+    wdf = F.broadcast(
+        feat.sparkSession.createDataFrame(
+            [(i, int(v)) for i, v in enumerate(w)], "bk long, wv long"
+        )
+    )
+    exploded = feat.select(
+        "doc_id",
+        "y",
+        F.explode(F.arrays_zip(F.col("bks"), F.col("cnts"))).alias("e"),
+    ).select(
+        "doc_id", "y", F.col("e.bks").alias("bk"), F.col("e.cnts").alias("cnt")
+    )
+    bias = int(w[_QC_B])
+    return (
+        exploded.join(wdf, "bk")
+        .groupBy("doc_id", "y")
+        .agg((F.sum(F.col("cnt") * F.col("wv")) + bias).alias("z"))
+        .select(
+            "doc_id",
+            "y",
+            (F.col("doc_id") % 5 != 0).alias("is_train"),
+            "z",
+            (F.col("z") >= 0).cast("int").alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
