@@ -1431,3 +1431,78 @@ def x6_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x6_zorder_layout — Morton z-value clustering key (r8)
+
+
+def _zorder_sql() -> str:
+    from otlp2parquet_spark.layout import zorder_sql_bits
+
+    return f"""
+    WITH ext AS (
+      SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+             MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+      FROM events
+    ), g AS (
+      SELECT event_id,
+             ((user_id - umin) * 65536) // (umax - umin + 1) AS ux,
+             ((epoch_us(ts) - tmin) * 65536) // (tmax - tmin + 1) AS tx
+      FROM events, ext
+    )
+    SELECT event_id, ux, tx,
+           CAST({zorder_sql_bits('ux', 'tx')} AS BIGINT) AS zval
+    FROM g
+    ORDER BY event_id
+    """
+
+
+@query(
+    "x6_zorder_layout",
+    oracle=_zorder_sql(),
+    tags=("X6", "F3", "F6"),
+)
+def x6_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value for every event over the (user_id, ts) plane — the
+    clustering key behind multi-dimensional row-group skipping (the
+    Delta/Iceberg OPTIMIZE ZORDER technique). The reference's layout story
+    prunes on one dimension tree (service dirs, then time partitions —
+    src/writer/write.rs:118-129); z-ordering is what a 100 TB events table
+    needs for (user x time) box queries: rows close in BOTH dimensions
+    land in the same row groups, so footer min/max stats prune boxes in
+    either or both dimensions (measured in BASELINE.md r8 via
+    layout.zorder_write + scripts/layout_bench.py; skipping gates in
+    tests/test_zorder_layout.py).
+
+    Hash-matched: grid coordinates are exact int64 arithmetic against ONE
+    extremes aggregate broadcast back (non-negative operands, so DIV ==
+    floor division in both engines), and the 32-term bit interleave is the
+    identical shift/mask formula in Spark and DuckDB. Scale shape: one
+    map-side-combined extremes agg -> 1 broadcast row; the z-value itself
+    is map-only whole-stage-codegen integer work next to the scan. The
+    clustered WRITE (zorder_write) adds exactly one range shuffle."""
+    from otlp2parquet_spark.layout import grid16, zvalue16
+
+    e = T(spark, sf_dir, "events")
+    ext = e.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("tmin"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("tmax"),
+    )
+    g = (
+        e.select("event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "event_id",
+            grid16("user_id", "umin", "umax").alias("ux"),
+            grid16("ts_us", "tmin", "tmax").alias("tx"),
+        )
+    )
+    return g.select(
+        "event_id",
+        "ux",
+        "tx",
+        zvalue16(F.col("ux"), F.col("tx")).cast("long").alias("zval"),
+    ).orderBy("event_id")

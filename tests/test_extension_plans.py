@@ -143,6 +143,9 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "computed in the ONE corpus-streaming pass",
     "x3_knn_join": "blocked exact self-join: both sides required",
     "x6_contamination": "bench slice (1/97) vs corpus slice: disjoint",
+    "x6_zorder_layout": "extremes side scan is column-pruned to (user_id, "
+    "ts) and aggregates immediately to ONE broadcast row (the "
+    "x6_mix_temperature class); the z-value pass itself is map-only",
     "x6_fuzzy_decontam": "bench slice (1/97) + training slice: DISJOINT "
     "%97 predicates, each signature-hashed once from its own filter-pushed "
     "scan, plus a doc_id-only re-attach scan for gramless docs (zero data "
