@@ -103,6 +103,23 @@ def _build_parser() -> argparse.ArgumentParser:
         "(replay-safe: only epochs below the newest)",
     )
 
+    zo = sub.add_parser(
+        "zorder",
+        help="re-cluster a parquet table by the Morton z-value of two "
+        "integer/timestamp columns so 2-D box predicates prune at row-group "
+        "granularity (OPTIMIZE ZORDER)",
+    )
+    zo.add_argument("input_dir", help="parquet table to re-cluster")
+    zo.add_argument("output_dir", help="destination for the clustered copy")
+    zo.add_argument(
+        "--by",
+        required=True,
+        metavar="COL1,COL2",
+        help="two columns to interleave; timestamp columns are gridded on "
+        "epoch-micros",
+    )
+    zo.add_argument("--files", type=int, default=32, help="output file count")
+
     sub.add_parser("validate-config", help="load, validate and print config")
     return p
 
@@ -268,6 +285,55 @@ def main(argv: list[str] | None = None) -> int:
                     "code_rows": int(n_codes),
                     "codes_epochs_compacted": compacted,
                     "index": args.index,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "zorder":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as SQLT
+
+        from otlp2parquet_spark.layout import grid16, zorder_write, zvalue16
+        from otlp2parquet_spark.session import get_spark
+
+        cols = [c.strip() for c in args.by.split(",")]
+        if len(cols) != 2:
+            print(json.dumps({"error": "--by needs exactly two columns"}))
+            return 2
+        spark = get_spark(app_name="otlp2parquet-zorder")
+        df = spark.read.parquet(args.input_dir)
+
+        def as_int(c: str):
+            f = dict((fld.name, fld.dataType) for fld in df.schema.fields).get(c)
+            if f is None:
+                raise SystemExit(f"column {c!r} not in {args.input_dir}")
+            if isinstance(f, (SQLT.TimestampType, SQLT.TimestampNTZType)):
+                return F.unix_micros(F.col(c).cast("timestamp"))
+            return F.col(c).cast("long")
+
+        x, y = as_int(cols[0]), as_int(cols[1])
+        # extremes are ONE bounded driver row, inlined as literals so the
+        # grid arithmetic is the registry operator's exact integer DIV
+        xmin, xmax, ymin, ymax = df.agg(
+            F.min(x), F.max(x), F.min(y), F.max(y)
+        ).first()
+        zed = df.withColumn("_zx", x).withColumn("_zy", y)
+        zcol = zvalue16(
+            grid16("_zx", int(xmin), int(xmax)),
+            grid16("_zy", int(ymin), int(ymax)),
+        ).cast("long")
+        zorder_write(
+            zed, zcol, args.output_dir, n_files=args.files, drop=("_zx", "_zy")
+        )
+        n = spark.read.parquet(args.output_dir).count()
+        print(
+            json.dumps(
+                {
+                    "rows": int(n),
+                    "by": cols,
+                    "files": args.files,
+                    "output": args.output_dir,
                 }
             )
         )

@@ -64,7 +64,12 @@ def zorder_sql_bits(ux_expr: str, uy_expr: str) -> str:
 
 
 def zorder_write(
-    df: DataFrame, zcol, path: str, n_files: int = 32, **writer_opts
+    df: DataFrame,
+    zcol,
+    path: str,
+    n_files: int = 32,
+    drop: tuple[str, ...] = (),
+    **writer_opts,
 ) -> None:
     """Cluster `df` by the given z-value column into `n_files` range
     buckets, sorted by z within each bucket, and write parquet. Range
@@ -72,13 +77,15 @@ def zorder_write(
     within-file sort gives every ROW GROUP a tight interval — so a 2-D box
     predicate prunes at both the file level (footer min/max) and the
     row-group level. One range shuffle (sampled boundaries), no global
-    sort. writer_opts pass through (e.g. parquet.block.size to control
-    row-group granularity)."""
+    sort. `drop` names helper columns (e.g. the CLI's epoch-micros
+    projections zcol references) stripped from the output after
+    clustering; writer_opts pass through (e.g. parquet.block.size to
+    control row-group granularity)."""
     w = (
         df.withColumn("_z", zcol)
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", *drop)
         .write.mode("overwrite")
     )
     for k, v in writer_opts.items():

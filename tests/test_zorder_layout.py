@@ -114,3 +114,34 @@ def test_zorder_prunes_2d_boxes_linear_layout_cannot(spark, tmp_path):
         assert expect and run(zpath) == expect and run(lpath) == expect
     finally:
         ez.unpersist()
+
+
+def test_cli_zorder_end_to_end(spark, tmp_path, capsys):
+    """The zorder CLI re-clusters a parquet table by two columns (one a
+    timestamp, gridded on epoch-micros), preserves the exact input schema
+    and row multiset, and reports the row count."""
+    import json
+
+    from otlp2parquet_spark import cli
+
+    src = load_table(spark, SF, "events").limit(5000)
+    src.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    rc = cli.main(
+        [
+            "zorder",
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            "--by",
+            "user_id,ts",
+            "--files",
+            "4",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 5000
+    out = spark.read.parquet(str(tmp_path / "out"))
+    inp = spark.read.parquet(str(tmp_path / "in"))
+    assert set(out.columns) == set(inp.columns)
+    assert out.count() == 5000
+    assert inp.exceptAll(out.select(*inp.columns)).count() == 0
