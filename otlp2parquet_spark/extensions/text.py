@@ -1136,7 +1136,7 @@ _QC_SHARDS = 8  # FIXED shard count: IPM's result depends on the sharding,
 _QC_STOP = ("the", "a", "and", "of", "to")  # the x4_quality_score stop set
 
 
-def _qc_features(docs: DataFrame) -> DataFrame:
+def _qc_features(docs: DataFrame, shards: int = _QC_SHARDS) -> DataFrame:
     """Per-doc integer feature frame for the quality classifier:
     (doc_id, y, shard, bks, cnts) — hashed-unigram count arrays sorted by
     bucket id, plus the C4/Gopher stopword-density label
@@ -1175,7 +1175,7 @@ def _qc_features(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "y",
-            (F.col("doc_id") % _QC_SHARDS).cast("int").alias("shard"),
+            (F.col("doc_id") % shards).cast("int").alias("shard"),
             F.col("bc.bk").alias("bks"),
             F.col("bc.cnt").alias("cnts"),
         )
@@ -1191,7 +1191,9 @@ def _qc_trunc_div(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
-def quality_classifier_train(feat: DataFrame, rounds: int = _QC_ROUNDS):
+def quality_classifier_train(
+    feat: DataFrame, rounds: int = _QC_ROUNDS, shards: int = _QC_SHARDS
+):
     """Distributed averaged-mixing perceptron (McDonald et al. 2010 IPM):
     each round, every shard runs ONE sequential perceptron epoch locally
     (docs in doc_id order) starting from the mixed weights, then the
@@ -1258,10 +1260,10 @@ def quality_classifier_train(feat: DataFrame, rounds: int = _QC_ROUNDS):
             # empty shards (possible on tiny fixtures) contribute w0: mix
             # over the FULL pinned shard count so the result is independent
             # of which shards happened to hold docs
-            for _ in range(_QC_SHARDS - len(rows)):
+            for _ in range(shards - len(rows)):
                 for i in range(_QC_B + 1):
                     acc[i] += w[i]
-            w = [_qc_trunc_div(acc[i], _QC_SHARDS) for i in range(_QC_B + 1)]
+            w = [_qc_trunc_div(acc[i], shards) for i in range(_QC_B + 1)]
         return w
     finally:
         feat.unpersist()
