@@ -1292,8 +1292,31 @@ def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     feat = _qc_features(d).localCheckpoint(eager=False)
     w = quality_classifier_train(feat.filter(F.col("doc_id") % 5 != 0))
+    return (
+        qc_score(d, w, feat=feat)
+        .select(
+            "doc_id",
+            "y",
+            (F.col("doc_id") % 5 != 0).alias("is_train"),
+            "z",
+            "pred",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def qc_score(docs: DataFrame, w: list[int], feat: DataFrame | None = None) -> DataFrame:
+    """Score a documents frame with a FROZEN weight vector: the shared
+    kernel of the batch registry op and the T13 streaming lane (both MUST
+    score identically or the live==batch equivalence proof is vacuous).
+    Map-only modulo the feature build: exploded (doc,bucket) counts join
+    the broadcast (B+1)-row weight table; z is an exact integer dot
+    product, pred = z >= 0. Returns (doc_id, y, z, pred). Pass a
+    prebuilt (e.g. checkpointed) `feat` frame to skip re-tokenizing."""
+    if feat is None:
+        feat = _qc_features(docs)
     wdf = F.broadcast(
-        feat.sparkSession.createDataFrame(
+        docs.sparkSession.createDataFrame(
             [(i, int(v)) for i, v in enumerate(w)], "bk long, wv long"
         )
     )
@@ -1309,12 +1332,23 @@ def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.join(wdf, "bk")
         .groupBy("doc_id", "y")
         .agg((F.sum(F.col("cnt") * F.col("wv")) + bias).alias("z"))
-        .select(
-            "doc_id",
-            "y",
-            (F.col("doc_id") % 5 != 0).alias("is_train"),
-            "z",
-            (F.col("z") >= 0).cast("int").alias("pred"),
-        )
-        .orderBy("doc_id")
+        .select("doc_id", "y", "z", (F.col("z") >= 0).cast("int").alias("pred"))
     )
+
+
+def qc_write_model(spark: SparkSession, w: list[int], path: str) -> None:
+    """Persist a trained weight vector as a (bk, wv) parquet table — the
+    x3 persisted-index lifecycle applied to the classifier: train once
+    offline, deploy the artifact to the streaming scorer
+    (streaming/pipeline.py quality_score_stream)."""
+    spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(w)], "bk long, wv long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def qc_read_model(spark: SparkSession, path: str) -> list[int]:
+    """Reload a persisted weight vector; round-trips qc_write_model
+    byte-identically (plain int64 rows, ordered by bucket id)."""
+    rows = spark.read.parquet(path).orderBy("bk").collect()
+    assert len(rows) == _QC_B + 1, f"model at {path} has {len(rows)} rows"
+    return [int(r.wv) for r in rows]

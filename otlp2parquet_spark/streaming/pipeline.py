@@ -17,6 +17,7 @@ availableNow must reproduce the batch twin's results exactly).
 | T10| gap+count-capped sessions         | capped_sessions (applyInPandasWithState, event-time timeout) |
 | T11| streaming near-dup dedup at ingest| neardup_stream (foreachBatch + persistent LSH band index) |
 | T12| streaming ANN index maintenance   | ivfpq_index_stream (frozen-quantizer encode-at-ingest) |
+| T13| streaming quality scoring at ingest| quality_score_stream (frozen persisted classifier)     |
 """
 
 from __future__ import annotations
@@ -912,4 +913,73 @@ def compact_flags(spark: SparkSession, state_dir: str) -> int:
         os.path.join(state_dir, "flags"),
         key_cols=("doc_id",),
         sort_cols=("doc_id",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T13: streaming quality scoring at ingest (frozen classifier deploy)
+# ---------------------------------------------------------------------------
+
+
+def quality_score_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    model_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Deploy a trained quality classifier to the ingest path: every
+    arriving documents batch is scored map-only against the FROZEN weight
+    vector persisted by qc_write_model (extensions/text.py) — the
+    train-offline / score-at-ingest loop a production pipeline runs
+    (T12's frozen-quantizer pattern applied to the x4_quality_classifier
+    artifact). Verdicts (doc_id, y, z, pred) land per-epoch under
+    out_dir/epoch=N.
+
+    Equivalence contract (tests/test_streaming_quality.py): scores are
+    exact integer dot products against a frozen artifact, so the union of
+    all epoch partitions is BIT-IDENTICAL to batch qc_score over the
+    union of the inputs — across any micro-batch slicing and any
+    stop/restart. Writes are per-epoch directory overwrites (the
+    neardup_stream file-level exactly-once discipline); epochs compact
+    like any append-only verdict table (compact_quality_scores).
+
+    Scale shape per micro-batch: one tokenize pass over the batch, one
+    batch-sized (doc,bucket) count agg, a broadcast join against the
+    (B+1)-row weight table — no state beyond the frozen model, no
+    corpus-sized anything."""
+    import os
+
+    from otlp2parquet_spark.extensions.text import qc_read_model, qc_score
+
+    _require_local_state(out_dir, "quality_score_stream")
+    w = qc_read_model(spark, model_path)  # frozen artifact, read once
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        qc_score(batch_df.select("doc_id", "text"), w).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}"))
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_quality_scores(spark: SparkSession, out_dir: str) -> int:
+    """Compact quality_score_stream's epoch-partitioned verdicts — the
+    same append-only consolidation as the T11 flags table (each doc is
+    scored by exactly one epoch); rows sort by doc_id for range locality.
+    Contract: _compact_union_epochs."""
+    _require_local_state(out_dir, "compact_quality_scores")
+    return _compact_union_epochs(
+        spark, out_dir, key_cols=("doc_id",), sort_cols=("doc_id",)
     )

@@ -1,0 +1,106 @@
+"""T13 gates: the streaming quality scorer must be BIT-IDENTICAL to batch
+qc_score over the union of its inputs — across micro-batch slicings and a
+stop/restart — because both run the same integer kernel against the same
+frozen persisted model. Also proves the model artifact round-trips and the
+epoch table compacts under the shared union-epoch contract."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from otlp2parquet_spark.extensions.text import (
+    _qc_features,
+    qc_read_model,
+    qc_score,
+    qc_write_model,
+    quality_classifier_train,
+)
+from otlp2parquet_spark.session import load_table
+from otlp2parquet_spark.streaming.pipeline import (
+    compact_quality_scores,
+    quality_score_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=300):
+    return (
+        load_table(spark, SF, "documents")
+        .orderBy("doc_id")
+        .limit(n)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+def _train_and_persist(spark, tmp_path) -> tuple[str, list[int]]:
+    docs = _docs(spark)
+    w = quality_classifier_train(_qc_features(docs))
+    model = str(tmp_path / "model")
+    qc_write_model(spark, w, model)
+    assert qc_read_model(spark, model) == w  # byte-identical round-trip
+    return model, w
+
+
+def _landing(spark, tmp_path, n_files: int) -> str:
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing, exist_ok=True)
+    docs = _docs(spark).collect()
+    per = (len(docs) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = docs[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(
+                chunk, "doc_id long, text string, lang string, source string, n_chars long"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{i}")
+    # flatten: the stream reads a flat dir of parquet files
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    k = 0
+    for f in sorted(glob.glob(f"{landing}/f*/part-*.parquet")):
+        os.link(f, f"{flat}/{k:05d}.parquet")
+        k += 1
+    return flat
+
+
+def test_stream_scores_bit_identical_to_batch_and_compact(spark, tmp_path):
+    model, w = _train_and_persist(spark, tmp_path)
+    flat = _landing(spark, tmp_path, n_files=5)
+    out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    q = quality_score_stream(spark, flat, model, out, ckpt)
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "y", "z", "pred").collect()))
+    want = sorted(map(tuple, qc_score(_docs(spark), w).collect()))
+    assert got == want
+    # multiple epochs accreted; compaction preserves the exact verdict set
+    epochs = {d for d in os.listdir(out) if d.startswith("epoch=")}
+    assert len(epochs) >= 3
+    removed = compact_quality_scores(spark, out)
+    assert removed >= 1
+    assert sorted(map(tuple, spark.read.parquet(out).select("doc_id", "y", "z", "pred").collect())) == want
+
+
+def test_stream_restart_resumes_exactly(spark, tmp_path):
+    """Stop after the first file, restart over the full landing dir: the
+    final union must still equal batch — the checkpoint replays nothing
+    and skips nothing."""
+    model, w = _train_and_persist(spark, tmp_path)
+    flat = _landing(spark, tmp_path, n_files=4)
+    # phase 1: only the first file visible
+    part = str(tmp_path / "part")
+    os.makedirs(part, exist_ok=True)
+    files = sorted(glob.glob(f"{flat}/*.parquet"))
+    os.link(files[0], f"{part}/00000.parquet")
+    out, ckpt = str(tmp_path / "scores"), str(tmp_path / "ckpt")
+    quality_score_stream(spark, part, model, out, ckpt).awaitTermination()
+    n_first = spark.read.parquet(out).count()
+    assert 0 < n_first < 300
+    # phase 2: the rest arrive; same checkpoint
+    for i, f in enumerate(files[1:], start=1):
+        os.link(f, f"{part}/{i:05d}.parquet")
+    quality_score_stream(spark, part, model, out, ckpt).awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "y", "z", "pred").collect()))
+    want = sorted(map(tuple, qc_score(_docs(spark), w).collect()))
+    assert got == want
