@@ -103,6 +103,31 @@ def _build_parser() -> argparse.ArgumentParser:
         "(replay-safe: only epochs below the newest)",
     )
 
+    qt = sub.add_parser(
+        "qtrain",
+        help="train the linear quality classifier (IPM perceptron) on a "
+        "documents-schema parquet dir and persist the weight artifact",
+    )
+    qt.add_argument("corpus_dir", help="documents-schema parquet table")
+    qt.add_argument("--model", required=True, help="weight artifact destination")
+    qt.add_argument("--rounds", type=int, default=None, help="IPM rounds")
+
+    qsc = sub.add_parser(
+        "qscore",
+        help="streaming quality scoring (T13): drain available files, score "
+        "each doc map-only against the frozen persisted classifier, append "
+        "per-epoch verdicts under OUT",
+    )
+    qsc.add_argument("landing_dir", help="dir of documents-schema parquet files")
+    qsc.add_argument("--model", required=True, help="qtrain weight artifact")
+    qsc.add_argument("--out", required=True, help="verdicts root")
+    qsc.add_argument("--checkpoint", required=True)
+    qsc.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge committed verdict epochs after the drain",
+    )
+
     zo = sub.add_parser(
         "zorder",
         help="re-cluster a parquet table by the Morton z-value of two "
@@ -285,6 +310,73 @@ def main(argv: list[str] | None = None) -> int:
                     "code_rows": int(n_codes),
                     "codes_epochs_compacted": compacted,
                     "index": args.index,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "qtrain":
+        from pyspark.sql import functions as F
+
+        from otlp2parquet_spark.extensions.text import (
+            _qc_features,
+            qc_write_model,
+            quality_classifier_train,
+        )
+        from otlp2parquet_spark.session import get_spark
+
+        spark = get_spark(app_name="otlp2parquet-qtrain")
+        docs = spark.read.parquet(args.corpus_dir).select("doc_id", "text")
+        feat = _qc_features(docs).localCheckpoint(eager=False)
+        kwargs = {"rounds": args.rounds} if args.rounds else {}
+        w = quality_classifier_train(feat, **kwargs)
+        qc_write_model(spark, w, args.model)
+        n, n_pos = feat.agg(F.count("*"), F.sum("y")).first()
+        print(
+            json.dumps(
+                {
+                    "docs_trained": int(n),
+                    "label_balance": int(n_pos or 0),
+                    "nonzero_weights": sum(1 for v in w if v),
+                    "model": args.model,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "qscore":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-qscore")
+        q = stream_pipeline.quality_score_stream(
+            spark, args.landing_dir, args.model, args.out, args.checkpoint
+        )
+        q.awaitTermination()
+        compacted = 0
+        if args.compact:
+            compacted = stream_pipeline.compact_quality_scores(spark, args.out)
+        n_total = n_keep = 0
+        if os.path.isdir(args.out) and any(
+            d.startswith("epoch=") for d in os.listdir(args.out)
+        ):
+            # dropDuplicates: a compaction crash between publish and cleanup
+            # leaves transient duplicate verdict rows (full copies)
+            scores = spark.read.parquet(args.out).dropDuplicates(["doc_id"])
+            n_total, n_keep = scores.agg(
+                F.count("*"), F.sum(F.col("pred").cast("long"))
+            ).first()
+        print(
+            json.dumps(
+                {
+                    "docs_scored": int(n_total),
+                    "predicted_quality": int(n_keep or 0),
+                    "score_epochs_compacted": compacted,
+                    "out": args.out,
                 }
             )
         )

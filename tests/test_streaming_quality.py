@@ -104,3 +104,33 @@ def test_stream_restart_resumes_exactly(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "y", "z", "pred").collect()))
     want = sorted(map(tuple, qc_score(_docs(spark), w).collect()))
     assert got == want
+
+
+def test_cli_qtrain_then_qscore_end_to_end(spark, tmp_path, capsys):
+    """The qtrain -> qscore CLI pair reproduces the in-process pipeline:
+    train + persist on a corpus dir, stream-score a landing dir against
+    the artifact, and the reported verdict counts match a batch re-score."""
+    import json
+
+    from otlp2parquet_spark import cli
+
+    corpus = str(tmp_path / "corpus")
+    _docs(spark).write.mode("overwrite").parquet(corpus)
+    model = str(tmp_path / "model")
+    rc = cli.main(["qtrain", corpus, "--model", model])
+    assert rc == 0
+    t_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert t_summary["docs_trained"] == 300
+    assert t_summary["nonzero_weights"] > 0
+
+    flat = _landing(spark, tmp_path, n_files=3)
+    out, ckpt = str(tmp_path / "scores"), str(tmp_path / "ckpt")
+    rc = cli.main(
+        ["qscore", flat, "--model", model, "--out", out, "--checkpoint", ckpt, "--compact"]
+    )
+    assert rc == 0
+    s_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s_summary["docs_scored"] == 300
+    w = qc_read_model(spark, model)
+    want_keep = qc_score(_docs(spark), w).agg({"pred": "sum"}).first()[0]
+    assert s_summary["predicted_quality"] == int(want_keep)
