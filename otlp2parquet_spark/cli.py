@@ -396,11 +396,14 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="otlp2parquet-zorder")
         df = spark.read.parquet(args.input_dir)
 
+        types = {fld.name: fld.dataType for fld in df.schema.fields}
+        missing = [c for c in cols if c not in types]
+        if missing:
+            print(json.dumps({"error": f"columns not in input: {missing}"}))
+            return 2
+
         def as_int(c: str):
-            f = dict((fld.name, fld.dataType) for fld in df.schema.fields).get(c)
-            if f is None:
-                raise SystemExit(f"column {c!r} not in {args.input_dir}")
-            if isinstance(f, (SQLT.TimestampType, SQLT.TimestampNTZType)):
+            if isinstance(types[c], (SQLT.TimestampType, SQLT.TimestampNTZType)):
                 return F.unix_micros(F.col(c).cast("timestamp"))
             return F.col(c).cast("long")
 
@@ -410,6 +413,10 @@ def main(argv: list[str] | None = None) -> int:
         xmin, xmax, ymin, ymax = df.agg(
             F.min(x), F.max(x), F.min(y), F.max(y)
         ).first()
+        if xmin is None or ymin is None:
+            # empty table (or all-null cluster keys): nothing to cluster
+            print(json.dumps({"error": "no rows with non-null cluster keys"}))
+            return 2
         zed = df.withColumn("_zx", x).withColumn("_zy", y)
         zcol = zvalue16(
             grid16("_zx", int(xmin), int(xmax)),

@@ -1143,7 +1143,13 @@ def _qc_features(docs: DataFrame, shards: int = _QC_SHARDS) -> DataFrame:
     y = [10 * stopword_count >= n_tokens] (the real quality-filter rule the
     classifier distills; it is linear in count space, so the concept is
     learnable by construction). One tokenize pass, one (doc,bucket) count
-    shuffle, one doc-keyed array assembly — all map-side combined."""
+    shuffle, one doc-keyed array assembly — all map-side combined.
+
+    Tokenless docs survive as EMPTY feature arrays (explode_outer + null-
+    bucket filter): a plain explode would silently drop them from both
+    training and scoring, diverging from the pure-Python reference, which
+    keeps every doc (such a doc scores z = bias with y = 1, since
+    10*0 >= 0)."""
     tok = with_tokens(docs, ("doc_id",))
     toks = F.filter(F.col("toks"), lambda t: F.length(t) > 0)
     stop_arr = F.array(*[F.lit(s) for s in _QC_STOP])
@@ -1153,7 +1159,7 @@ def _qc_features(docs: DataFrame, shards: int = _QC_SHARDS) -> DataFrame:
             "n_stop"
         ),
         F.size(toks).alias("n_tok"),
-        F.explode(toks).alias("t"),
+        F.explode_outer(toks).alias("t"),
     )
     bt = base.select(
         "doc_id",
@@ -1161,17 +1167,17 @@ def _qc_features(docs: DataFrame, shards: int = _QC_SHARDS) -> DataFrame:
         (
             F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
             % _QC_B
-        ).alias("bk"),
+        ).alias("bk"),  # NULL for the explode_outer sentinel row
+    )
+    bc = F.filter(
+        F.array_sort(F.collect_list(F.struct(F.col("bk"), F.col("cnt")))),
+        lambda x: x["bk"].isNotNull(),
     )
     return (
         bt.groupBy("doc_id", "y", "bk")
         .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id", "y")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("bk"), F.col("cnt")))
-            ).alias("bc")
-        )
+        .agg(bc.alias("bc"))
         .select(
             "doc_id",
             "y",
@@ -1312,7 +1318,11 @@ def qc_score(docs: DataFrame, w: list[int], feat: DataFrame | None = None) -> Da
     Map-only modulo the feature build: exploded (doc,bucket) counts join
     the broadcast (B+1)-row weight table; z is an exact integer dot
     product, pred = z >= 0. Returns (doc_id, y, z, pred). Pass a
-    prebuilt (e.g. checkpointed) `feat` frame to skip re-tokenizing."""
+    prebuilt (e.g. checkpointed) `feat` frame to skip re-tokenizing.
+
+    Tokenless docs score z = bias (explode_outer keeps their sentinel row;
+    the left join + null-safe sum keep them through the agg) — matching
+    the pure-Python reference, which scores every doc."""
     if feat is None:
         feat = _qc_features(docs)
     wdf = F.broadcast(
@@ -1323,15 +1333,19 @@ def qc_score(docs: DataFrame, w: list[int], feat: DataFrame | None = None) -> Da
     exploded = feat.select(
         "doc_id",
         "y",
-        F.explode(F.arrays_zip(F.col("bks"), F.col("cnts"))).alias("e"),
+        F.explode_outer(F.arrays_zip(F.col("bks"), F.col("cnts"))).alias("e"),
     ).select(
         "doc_id", "y", F.col("e.bks").alias("bk"), F.col("e.cnts").alias("cnt")
     )
     bias = int(w[_QC_B])
     return (
-        exploded.join(wdf, "bk")
+        exploded.join(wdf, "bk", "left")
         .groupBy("doc_id", "y")
-        .agg((F.sum(F.col("cnt") * F.col("wv")) + bias).alias("z"))
+        .agg(
+            (
+                F.coalesce(F.sum(F.col("cnt") * F.col("wv")), F.lit(0)) + bias
+            ).alias("z")
+        )
         .select("doc_id", "y", "z", (F.col("z") >= 0).cast("int").alias("pred"))
     )
 

@@ -140,3 +140,34 @@ def test_recovers_planted_concept(spark, tmp_path):
     for r in out:
         assert r.y == (1 if r.doc_id % 2 == 0 else 0)
         assert r.pred == r.y, (r.doc_id, r.z)
+
+
+def test_tokenless_docs_survive_training_and_scoring(spark, tmp_path):
+    """Docs whose text normalizes to zero tokens must flow through both
+    training and scoring (explode_outer keeps their sentinel row) and
+    match the pure-Python reference exactly — a plain explode silently
+    dropped them (round-8 self-review)."""
+    rows = [
+        (0, "", "en", "src0", 0),  # empty text
+        (1, "!!! ... ???", "en", "src1", 0),  # normalizes to zero tokens
+        (2, "the a and of to the a", "en", "src0", 0),
+        (3, "rock paper stone cloth iron", "en", "src1", 0),
+        (4, "the of to and a the of", "en", "src2", 0),
+        (5, "copper zinc lead iron rock", "en", "src3", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.y, r.z, r.pred)
+        for r in SPECS["x4_quality_classifier"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 5}  # nothing dropped
+    docs = _py_docs([(i, t) for i, t, *_ in rows])
+    w = _py_ipm_train([d for d in docs if d[0] % 5 != 0])
+    for doc_id, cnts, y in docs:
+        z = _py_z(cnts, w)
+        assert got[doc_id] == (y, z, 1 if z >= 0 else 0), doc_id
+    # tokenless docs score exactly the bias with the y = 1 vacuous label
+    assert got[0] == (1, w[-1], 1 if w[-1] >= 0 else 0)
+    assert got[1] == got[0]

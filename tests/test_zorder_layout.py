@@ -145,3 +145,29 @@ def test_cli_zorder_end_to_end(spark, tmp_path, capsys):
     assert set(out.columns) == set(inp.columns)
     assert out.count() == 5000
     assert inp.exceptAll(out.select(*inp.columns)).count() == 0
+
+
+def test_cli_zorder_guards(spark, tmp_path, capsys):
+    """Missing cluster columns and empty inputs fail LOUDLY with a JSON
+    error and rc 2 — never a stack trace, never a silent empty output."""
+    import json
+
+    from otlp2parquet_spark import cli
+
+    load_table(spark, SF, "events").limit(10).write.mode("overwrite").parquet(
+        str(tmp_path / "in")
+    )
+    rc = cli.main(
+        ["zorder", str(tmp_path / "in"), str(tmp_path / "o1"), "--by", "nope,ts"]
+    )
+    assert rc == 2
+    assert "nope" in json.loads(capsys.readouterr().out.strip().splitlines()[-1])["error"]
+
+    load_table(spark, SF, "events").limit(0).write.mode("overwrite").parquet(
+        str(tmp_path / "empty")
+    )
+    rc = cli.main(
+        ["zorder", str(tmp_path / "empty"), str(tmp_path / "o2"), "--by", "user_id,ts"]
+    )
+    assert rc == 2
+    assert "error" in json.loads(capsys.readouterr().out.strip().splitlines()[-1])
