@@ -59,6 +59,7 @@ def build_replica(
     factor: int,
     salt_docs: bool | str = False,
     zipf_events: bool = False,
+    zipf_sources: bool = False,
 ) -> None:
     """Write an Fx replica of the x-op tables into `out`; other tables are
     symlinked unchanged (the TPC-H side has its own sf ladder already).
@@ -83,7 +84,15 @@ def build_replica(
     key distributions are Zipfian, and this is the regime that exposes
     hot-key pathologies in user-keyed shuffles, windows, stateful
     sessionization and stream-stream joins (AQE skew-join splitting must
-    engage, not be argued)."""
+    engage, not be argued).
+
+    zipf_sources (r8 addendum): same construction over documents.source —
+    rank = floor(n_sources ** u) with u hashed from the replica-offset
+    doc_id, so the hottest source absorbs ~ln(2)/ln(n_sources) (~23% at the
+    base corpus's 20 sources) of ALL docs. Real corpora ARE source-skewed
+    (one crawl dwarfs every curated set); this is the regime for the
+    source-keyed pipeline ops (per-source windows/quotas/packing). The
+    src{N} naming is preserved so the band conventions stay valid."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -114,6 +123,24 @@ def build_replica(
             cols = []
             for col in t.schema.names:
                 arr = t.column(col)
+                if zipf_sources and name == "documents" and col == "source":
+                    import numpy as np
+
+                    dids = np.asarray(
+                        t.column("doc_id"), dtype=np.int64
+                    ) + k * ID_SPAN
+                    h = (dids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
+                        0xFFFFFFFF
+                    )
+                    u = h.astype(np.float64) / 2.0**32
+                    import pyarrow.compute as pc
+
+                    n_src = int(pc.count_distinct(t.column("source")).as_py())
+                    rank = np.power(float(n_src), u).astype(np.int64)
+                    rank = np.minimum(rank, n_src) - 1
+                    arr = pa.array([f"src{r}" for r in rank], pa.string())
+                    cols.append(arr)
+                    continue
                 if zipf_events and name == "events" and col == "user_id":
                     import numpy as np
 
@@ -170,6 +197,12 @@ def main() -> None:
         "duplication rate instead of F-fold per-doc duplication",
     )
     ap.add_argument(
+        "--zipf-sources",
+        action="store_true",
+        help="Zipf(s=1) source remap for documents: the hot-source regime "
+        "for source-keyed pipeline ops (see build_replica)",
+    )
+    ap.add_argument(
         "--zipf-events",
         action="store_true",
         help="Zipf(s=1) user_id remap for events: the hot-key regime for "
@@ -193,6 +226,7 @@ def main() -> None:
         args.factor,
         salt_docs=args.salt_docs,
         zipf_events=args.zipf_events,
+        zipf_sources=args.zipf_sources,
     )
 
     # adversarial plain-replication factors make broadcast/collect stages
