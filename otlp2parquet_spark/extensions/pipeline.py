@@ -1506,3 +1506,75 @@ def x6_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tx",
         zvalue16(F.col("ux"), F.col("tx")).cast("long").alias("zval"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# x6_hilbert_layout — Hilbert-curve clustering key (r8)
+
+
+def _hilbert_sql() -> str:
+    from otlp2parquet_spark.layout import hilbert16_sql
+
+    return f"""
+    WITH ext AS (
+      SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+             MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+      FROM events
+    ), g AS (
+      SELECT event_id,
+             ((user_id - umin) * 65536) // (umax - umin + 1) AS ux,
+             ((epoch_us(ts) - tmin) * 65536) // (tmax - tmin + 1) AS tx
+      FROM events, ext
+    ),
+    {hilbert16_sql('g', 'ux', 'tx', 'event_id')}
+    SELECT event_id, CAST(hd AS BIGINT) AS hval
+    FROM h0
+    ORDER BY event_id
+    """
+
+
+@query(
+    "x6_hilbert_layout",
+    oracle=_hilbert_sql(),
+    tags=("X6", "F3", "P4"),
+)
+def x6_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve distance for every event over the (user_id, ts)
+    plane — the better-locality sibling of x6_zorder_layout (a contiguous
+    Hilbert range is one connected region, so 2-D boxes touch fewer
+    false-positive row groups than under Morton's quadrant seams; measured
+    head-to-head in BASELINE.md r8 via scripts/layout_bench.py --hilbert).
+
+    Hash-matched: the 16 rot/swap levels run as named intermediate columns
+    (layout.hilbert16) and the oracle's CTE chain (layout.hilbert16_sql)
+    is GENERATED from the same recurrence — one construction, two engines,
+    pure integer CASE/AND/XOR arithmetic throughout. Scale shape: one
+    extremes agg broadcast back, then map-only integer work; the chain of
+    16 projections stays inside one whole-stage-codegen span."""
+    from otlp2parquet_spark.layout import grid16, hilbert16
+
+    e = T(spark, sf_dir, "events")
+    ext = e.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("tmin"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("tmax"),
+    )
+    g = (
+        e.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "event_id",
+            grid16("user_id", "umin", "umax").alias("ux"),
+            grid16("ts_us", "tmin", "tmax").alias("tx"),
+        )
+    )
+    return (
+        hilbert16(g, "ux", "tx", out="hval")
+        .select("event_id", "hval")
+        .orderBy("event_id")
+    )

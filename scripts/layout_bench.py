@@ -24,7 +24,7 @@ import pyarrow.parquet as pq  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from otlp2parquet_spark.layout import grid16, zorder_write, zvalue16  # noqa: E402
+from otlp2parquet_spark.layout import grid16, hilbert16, zorder_write, zvalue16  # noqa: E402
 from otlp2parquet_spark.session import load_table  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,13 +86,19 @@ def main() -> None:
             .withColumn("ux", grid16("user_id", "umin", "umax"))
             .withColumn("tx", grid16("ts_us", "tmin", "tmax"))
             .withColumn("zval", zvalue16(F.col("ux"), F.col("tx")).cast("long"))
-            .drop("umin", "umax", "tmin", "tmax", "ux", "tx")
+        )
+        ez = hilbert16(ez, "ux", "tx", out="hval").drop(
+            "umin", "umax", "tmin", "tmax", "ux", "tx"
         )
         zpath, lpath = f"/tmp/layout_z_{fx}", f"/tmp/layout_t_{fx}"
+        hpath = f"/tmp/layout_h_{fx}"
         n_files = max(8, 8 * fx)
         t0 = time.perf_counter()
-        zorder_write(ez, F.col("zval"), zpath, n_files=n_files)
+        zorder_write(ez, F.col("zval"), zpath, n_files=n_files, drop=("hval",))
         z_write = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        zorder_write(ez, F.col("hval"), hpath, n_files=n_files, drop=("zval",))
+        h_write = time.perf_counter() - t0
         t0 = time.perf_counter()
         (
             ez.repartitionByRange(n_files, "ts_us")
@@ -107,6 +113,7 @@ def main() -> None:
             "ts_us": (tmin + span_t // 4, tmin + span_t // 2),
         }
         zc = candidate_fraction(zpath, boxes)
+        hc = candidate_fraction(hpath, boxes)
         lc = candidate_fraction(lpath, boxes)
 
         def scan(path):
@@ -127,13 +134,17 @@ def main() -> None:
         out[str(fx)] = {
             "rows": e.count(),
             "z_rowgroups": f"{zc[0]}/{zc[1]}",
+            "h_rowgroups": f"{hc[0]}/{hc[1]}",
             "t_rowgroups": f"{lc[0]}/{lc[1]}",
             "z_frac": round(zc[0] / zc[1], 4),
+            "h_frac": round(hc[0] / hc[1], 4),
             "t_frac": round(lc[0] / lc[1], 4),
             "prune_gain": round((lc[0] / lc[1]) / (zc[0] / zc[1]), 2),
+            "hilbert_vs_z": round((zc[0] / zc[1]) / (hc[0] / hc[1]), 2),
             "z_scan_s": round(zt, 2),
             "t_scan_s": round(lt, 2),
             "z_write_s": round(z_write, 2),
+            "h_write_s": round(h_write, 2),
             "t_write_s": round(l_write, 2),
             "box_rows": zn,
         }

@@ -146,6 +146,8 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "x6_zorder_layout": "extremes side scan is column-pruned to (user_id, "
     "ts) and aggregates immediately to ONE broadcast row (the "
     "x6_mix_temperature class); the z-value pass itself is map-only",
+    "x6_hilbert_layout": "same extremes-scan class as x6_zorder_layout; "
+    "the 16-level rot/swap chain is map-only named projections",
     "x6_fuzzy_decontam": "bench slice (1/97) + training slice: DISJOINT "
     "%97 predicates, each signature-hashed once from its own filter-pushed "
     "scan, plus a doc_id-only re-attach scan for gramless docs (zero data "
