@@ -1234,7 +1234,12 @@ def quality_classifier_train(
             StructField("w", ArrayType(LongType()), False),
         ]
     )
-    feat = feat.persist()
+    # pre-shuffle ONCE onto the shard key and cache THAT: the cached plan's
+    # hash partitioning satisfies every round's applyInPandas clustering
+    # requirement, so the per-round exchange is elided — R rounds cost ONE
+    # corpus shuffle instead of R (visible in the executed plan: rounds > 1
+    # show no Exchange above the InMemoryTableScan)
+    feat = feat.repartition(F.col("shard")).persist()
     try:
         w = [0] * (_QC_B + 1)
         for _ in range(rounds):
