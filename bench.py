@@ -98,6 +98,8 @@ HEADLINE = [
     "t6_running_count",  # r8: two-level parallel prefix scan (hot-key fix)
     "x6_dsir_sample",  # r8: DSIR hashed-n-gram importance resampling
     "x4_quality_classifier",  # r8: IPM-trained linear quality filter
+    "x6_zorder_layout",  # r8: Morton clustering key (layout tier)
+    "x3_hard_negatives",  # r8: contrastive hard-negative mining
 ]
 
 RUNS_PER_QUERY = 3

@@ -1601,3 +1601,77 @@ def ivfpq_search(e: DataFrame, codes: DataFrame, cb: DataFrame, cents: DataFrame
         .select("q_id", "neighbor_id", F.round("l2_sq", 4).alias("l2_sq"), "rank")
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# x3_hard_negatives — contrastive hard-negative mining (r8)
+
+
+@query(
+    "x3_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+             list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos_raw
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.q_id AND e.label <> q.q_label
+    ), ranked AS (
+      SELECT q_id, q_label, neg_id, neg_label, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neg_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, q_label, neg_id, neg_label, ROUND(cos_raw, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+    tags=("X3", "F4", "J5", "W6"),
+)
+def x3_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (the vec_id < 5 query slice), the top-5 most-similar vectors whose
+    LABEL differs — the examples that maximize contrastive gradient signal
+    (the data-prep step behind every dual-encoder/embedding training run;
+    random negatives are too easy, so pipelines mine the near-miss
+    negatives with exactly this query). The label-mismatch predicate rides
+    INSIDE the broadcast join condition, so same-label pairs never
+    materialize.
+
+    Scale shape: x3_cosine_topk's — anchors broadcast, the corpus streams
+    map-only through the join, only (anchor, negative, score) rows reach
+    the per-anchor group-limit window. At a billion-vector corpus the
+    brute-force pass swaps for the IVFPQ shortlist (x3_ivfpq_ann) with
+    the label filter applied at re-rank; this is the exact-oracle anchor
+    of that composition."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("q_id")) & (F.col("label") != F.col("q_label")),
+    ).select(
+        "q_id",
+        "q_label",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        cosine_expr(F.col("q_emb"), F.col("embedding")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "q_label",
+            "neg_id",
+            "neg_label",
+            F.round("cos_raw", 4).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )

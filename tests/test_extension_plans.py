@@ -135,6 +135,9 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "re-keyed %10 duplicate-injection slice (two disjoint predicates on "
     "documents); the corpus build scan ran eagerly before this plan",
     "x3_cosine_topk": "query slice vs corpus: two roles of embeddings",
+    "x3_hard_negatives": "query slice (vec_id<5, broadcast) vs corpus: "
+    "two roles of embeddings, the x3_cosine_topk class; the label-mismatch "
+    "predicate rides inside the broadcast join",
     "x3_mmr_rerank": "query slice (vec_id<5, broadcast) vs corpus: two "
     "roles of embeddings, same shape as x3_cosine_topk; the MMR kernel "
     "itself runs on shortlist-sized groups only",
