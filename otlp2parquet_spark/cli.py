@@ -103,6 +103,31 @@ def _build_parser() -> argparse.ArgumentParser:
         "(replay-safe: only epochs below the newest)",
     )
 
+    dt = sub.add_parser(
+        "dsirtrain",
+        help="train the DSIR selection model (hashed-unigram importance "
+        "log-ratios + frozen keep threshold) on a documents-schema parquet "
+        "dir and persist the artifact",
+    )
+    dt.add_argument("corpus_dir", help="documents-schema parquet table")
+    dt.add_argument("--model", required=True, help="model artifact destination")
+
+    ds = sub.add_parser(
+        "dsirselect",
+        help="streaming DSIR selection (T14): drain available files, score "
+        "each doc map-only against the frozen selection model, append "
+        "per-epoch keep/drop verdicts under OUT",
+    )
+    ds.add_argument("landing_dir", help="dir of documents-schema parquet files")
+    ds.add_argument("--model", required=True, help="dsirtrain artifact")
+    ds.add_argument("--out", required=True, help="verdicts root")
+    ds.add_argument("--checkpoint", required=True)
+    ds.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge committed verdict epochs after the drain",
+    )
+
     qt = sub.add_parser(
         "qtrain",
         help="train the linear quality classifier (IPM perceptron) on a "
@@ -310,6 +335,64 @@ def main(argv: list[str] | None = None) -> int:
                     "code_rows": int(n_codes),
                     "codes_epochs_compacted": compacted,
                     "index": args.index,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "dsirtrain":
+        from otlp2parquet_spark.extensions.pipeline import (
+            dsir_build_model,
+            dsir_write_model,
+        )
+        from otlp2parquet_spark.session import get_spark
+
+        spark = get_spark(app_name="otlp2parquet-dsirtrain")
+        docs = spark.read.parquet(args.corpus_dir)
+        model, th = dsir_build_model(docs)
+        dsir_write_model(spark, model, th, args.model)
+        print(
+            json.dumps(
+                {
+                    "model_buckets": model.count(),
+                    "threshold_micro": int(th),
+                    "model": args.model,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "dsirselect":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-dsirselect")
+        q = stream_pipeline.dsir_select_stream(
+            spark, args.landing_dir, args.model, args.out, args.checkpoint
+        )
+        q.awaitTermination()
+        compacted = 0
+        if args.compact:
+            compacted = stream_pipeline.compact_dsir_verdicts(spark, args.out)
+        n_total = n_keep = 0
+        if os.path.isdir(args.out) and any(
+            d.startswith("epoch=") for d in os.listdir(args.out)
+        ):
+            v = spark.read.parquet(args.out).dropDuplicates(["doc_id"])
+            n_total, n_keep = v.agg(
+                F.count("*"), F.sum(F.col("keep").cast("long"))
+            ).first()
+        print(
+            json.dumps(
+                {
+                    "docs_scored": int(n_total),
+                    "selected": int(n_keep or 0),
+                    "verdict_epochs_compacted": compacted,
+                    "out": args.out,
                 }
             )
         )

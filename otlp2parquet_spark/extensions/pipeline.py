@@ -1578,3 +1578,121 @@ def x6_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "hval")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR frozen-model deploy (r8): train the selection model offline on a
+# reference corpus, persist it, score arriving batches at ingest (T14).
+
+
+def _dsir_bucket_expr(tcol):
+    """The shared md5 unigram bucket (one definition for the registry op's
+    inline model and the frozen deploy path — both MUST bucket identically
+    or the deploy==registry equivalence gate is vacuous)."""
+    return (
+        F.conv(F.substring(F.md5(tcol), 1, 8), 16, 10).cast("long") % _DSIR_B
+    )
+
+
+def _dsir_doc_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, source?, bk, cnt) bucket counts for a documents frame —
+    one tokenize pass, one map-side-combined count shuffle."""
+    cols = [c for c in ("doc_id", "source") if c in docs.columns]
+    tok = with_tokens(docs, tuple(cols))
+    bt = tok.select(
+        *cols,
+        F.explode(F.filter(F.col("toks"), lambda t: F.length(t) > 0)).alias("t"),
+    ).select(*cols, _dsir_bucket_expr(F.col("t")).alias("bk"))
+    return bt.groupBy(*cols, "bk").agg(F.count("*").alias("cnt"))
+
+
+def dsir_build_model(docs: DataFrame) -> tuple[DataFrame, int]:
+    """Train the DSIR selection model on a reference corpus: returns the
+    B-row (bk, lr_i) log-ratio table and the frozen keep threshold (the
+    corpus's 0.8-percentile integer weight). The arithmetic is
+    x6_dsir_sample's exactly (exact int64 rationals, micro-quantized ln,
+    integer sums), so scoring any doc with this model reproduces the
+    registry op bit-for-bit when trained on the same corpus
+    (tests/test_streaming_dsir.py pins that equality)."""
+    docb = _dsir_doc_buckets(docs).localCheckpoint(eager=False)
+    is_target = F.substring(F.col("source"), 4, 16).cast("int") % 4 == 0
+    counts = docb.groupBy("bk").agg(
+        F.sum("cnt").alias("c_r"),
+        F.sum(F.when(is_target, F.col("cnt")).otherwise(0)).alias("c_t"),
+    )
+    totals = counts.agg(F.sum("c_r").alias("tot_r"), F.sum("c_t").alias("tot_t"))
+    lr_num = ((F.col("c_t") + 1) * (F.col("tot_r") + _DSIR_B)).cast("double")
+    lr_den = ((F.col("c_r") + 1) * (F.col("tot_t") + _DSIR_B)).cast("double")
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bk",
+        F.floor(F.log(lr_num / lr_den) * float(_DSIR_MICRO) + 0.5)
+        .cast("long")
+        .alias("lr_i"),
+    )
+    scored = (
+        docb.join(F.broadcast(model), "bk")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lr_i")).alias("liw_micro"))
+    )
+    pool = (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(F.coalesce("liw_micro", F.lit(0)).alias("liw_micro"))
+    )
+    th = pool.agg(
+        F.expr(f"percentile(liw_micro, {_DSIR_KEEP_Q})").alias("q")
+    ).first()[0]
+    # ceil to int micro-units: keep == (liw_micro >= q) must survive the
+    # integer freeze, and every integer >= q iff it is >= ceil(q)
+    import math
+
+    return model, int(math.ceil(th))
+
+
+def dsir_write_model(
+    spark: SparkSession, model: DataFrame, threshold_micro: int, path: str
+) -> None:
+    """Persist the selection model: the B-row bucket table plus a one-row
+    meta table carrying the frozen threshold — the x3 persisted-index
+    lifecycle applied to data selection."""
+    model.coalesce(1).write.mode("overwrite").parquet(f"{path}/buckets")
+    spark.createDataFrame(
+        [(int(threshold_micro),)], "threshold_micro long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def dsir_read_model(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """Reload a persisted selection model (round-trips dsir_write_model)."""
+    model = spark.read.parquet(f"{path}/buckets")
+    th = spark.read.parquet(f"{path}/meta").first()[0]
+    return model, int(th)
+
+
+def dsir_score(
+    docs: DataFrame, model: DataFrame, threshold_micro: int
+) -> DataFrame:
+    """Score a documents frame against a FROZEN selection model: exact
+    integer weights, map-only against the broadcast B-row table — the
+    shared kernel of the T14 streaming lane and the deploy==registry
+    equivalence gate. Returns (doc_id, liw_micro, n_tok, keep)."""
+    docb = _dsir_doc_buckets(docs.select("doc_id", "text"))
+    scored = (
+        docb.join(F.broadcast(model), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr_i")).alias("liw_micro"),
+            F.sum("cnt").alias("n_tok"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("liw_micro", F.lit(0)).alias("liw_micro"),
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            (
+                F.coalesce("liw_micro", F.lit(0)) >= F.lit(threshold_micro)
+            ).alias("keep"),
+        )
+    )

@@ -18,6 +18,7 @@ availableNow must reproduce the batch twin's results exactly).
 | T11| streaming near-dup dedup at ingest| neardup_stream (foreachBatch + persistent LSH band index) |
 | T12| streaming ANN index maintenance   | ivfpq_index_stream (frozen-quantizer encode-at-ingest) |
 | T13| streaming quality scoring at ingest| quality_score_stream (frozen persisted classifier)     |
+| T14| streaming DSIR selection at ingest | dsir_select_stream (frozen persisted selection model)  |
 """
 
 from __future__ import annotations
@@ -980,6 +981,77 @@ def compact_quality_scores(spark: SparkSession, out_dir: str) -> int:
     scored by exactly one epoch); rows sort by doc_id for range locality.
     Contract: _compact_union_epochs."""
     _require_local_state(out_dir, "compact_quality_scores")
+    return _compact_union_epochs(
+        spark, out_dir, key_cols=("doc_id",), sort_cols=("doc_id",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T14: streaming DSIR selection at ingest (frozen selection-model deploy)
+# ---------------------------------------------------------------------------
+
+
+def dsir_select_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    model_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Deploy a trained DSIR selection model to the ingest path: every
+    arriving documents batch is scored map-only against the FROZEN
+    (bk, lr_i) table + threshold persisted by dsir_write_model
+    (extensions/pipeline.py) and keep/drop verdicts land per-epoch under
+    out_dir/epoch=N — the selection-at-ingest loop a continued-pretraining
+    pipeline runs (the paper trains the importance model once on a
+    reference pool, then filters the incoming crawl with it).
+
+    Equivalence contract (tests/test_streaming_dsir.py): weights are exact
+    integer sums against frozen artifacts, so the union of epoch
+    partitions is BIT-IDENTICAL to batch dsir_score over the union of the
+    inputs, across slicings and restarts; and dsir_score with a model
+    built from a corpus reproduces the registry op x6_dsir_sample's
+    (liw_micro, keep) on that corpus — deploy == registry, structurally.
+
+    Scale shape per micro-batch: one tokenize pass, one batch-sized
+    (doc,bucket) count agg, one broadcast join against the B-row model —
+    no state beyond the frozen artifacts. Writes are per-epoch directory
+    overwrites (the file-level exactly-once discipline); epochs compact
+    via compact_dsir_verdicts."""
+    import os
+
+    from otlp2parquet_spark.extensions.pipeline import (
+        dsir_read_model,
+        dsir_score,
+    )
+
+    _require_local_state(out_dir, "dsir_select_stream")
+    model, th = dsir_read_model(spark, model_path)
+    model = model.persist()  # frozen B-row artifact, read once
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        dsir_score(batch_df.select("doc_id", "text"), model, th).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}"))
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_dsir_verdicts(spark: SparkSession, out_dir: str) -> int:
+    """Compact dsir_select_stream's epoch-partitioned verdicts — append-only
+    per-doc rows, same contract as the T13 score table."""
+    _require_local_state(out_dir, "compact_dsir_verdicts")
     return _compact_union_epochs(
         spark, out_dir, key_cols=("doc_id",), sort_cols=("doc_id",)
     )

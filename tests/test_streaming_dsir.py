@@ -1,0 +1,126 @@
+"""T14 gates: (1) deploy == registry — dsir_score with a model built from a
+corpus reproduces x6_dsir_sample's (liw_micro, keep) on that corpus
+bit-for-bit; (2) live == batch — the streamed verdicts equal batch
+dsir_score over the union of inputs across slicings and a restart; (3) the
+persisted model round-trips and the verdict epochs compact."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from otlp2parquet_spark.extensions.pipeline import (
+    dsir_build_model,
+    dsir_read_model,
+    dsir_score,
+    dsir_write_model,
+)
+from otlp2parquet_spark.queries.registry import all_specs
+from otlp2parquet_spark.session import load_table
+from otlp2parquet_spark.streaming.pipeline import (
+    compact_dsir_verdicts,
+    dsir_select_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def test_deploy_kernel_equals_registry_op(spark):
+    model, th = dsir_build_model(_docs(spark))
+    got = {
+        r.doc_id: (r.liw_micro, r.n_tok, r.keep)
+        for r in dsir_score(_docs(spark), model, th).collect()
+    }
+    want = {
+        r.doc_id: (r.liw_micro, r.n_tok, r.keep)
+        for r in all_specs()["x6_dsir_sample"].build(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_stream_verdicts_bit_identical_and_restartable(spark, tmp_path):
+    docs = _docs(spark).orderBy("doc_id").limit(300)
+    model_path = str(tmp_path / "model")
+    model, th = dsir_build_model(_docs(spark))
+    dsir_write_model(spark, model, th, model_path)
+    m2, th2 = dsir_read_model(spark, model_path)
+    assert th2 == th
+    assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, model.collect()))
+
+    # landing dir of 4 files
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    rows = docs.collect()
+    per = (len(rows) + 3) // 4
+    for i in range(4):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(
+                chunk,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"f{i}"))
+    k = 0
+    for f in sorted(glob.glob(str(tmp_path / "f*/part-*.parquet"))):
+        os.link(f, f"{flat}/{k:05d}.parquet")
+        k += 1
+
+    # phase 1: first file only, then restart over the full dir
+    part = str(tmp_path / "part")
+    os.makedirs(part, exist_ok=True)
+    files = sorted(glob.glob(f"{flat}/*.parquet"))
+    os.link(files[0], f"{part}/00000.parquet")
+    out, ckpt = str(tmp_path / "verdicts"), str(tmp_path / "ckpt")
+    dsir_select_stream(spark, part, model_path, out, ckpt).awaitTermination()
+    assert 0 < spark.read.parquet(out).count() < 300
+    for i, f in enumerate(files[1:], start=1):
+        os.link(f, f"{part}/{i:05d}.parquet")
+    dsir_select_stream(spark, part, model_path, out, ckpt).awaitTermination()
+
+    cols = ["doc_id", "liw_micro", "n_tok", "keep"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(map(tuple, dsir_score(docs, model, th).select(*cols).collect()))
+    assert got == want
+    # epochs accreted; compaction preserves the exact verdict set
+    removed = compact_dsir_verdicts(spark, out)
+    assert removed >= 1
+    assert sorted(map(tuple, spark.read.parquet(out).select(*cols).collect())) == want
+
+
+def test_cli_dsirtrain_then_dsirselect_end_to_end(spark, tmp_path, capsys):
+    """The dsirtrain -> dsirselect CLI pair reproduces the in-process
+    pipeline and its reported selection counts match a batch re-score."""
+    import json
+
+    from otlp2parquet_spark import cli
+
+    corpus = str(tmp_path / "corpus")
+    _docs(spark).write.mode("overwrite").parquet(corpus)
+    model_path = str(tmp_path / "model")
+    rc = cli.main(["dsirtrain", corpus, "--model", model_path])
+    assert rc == 0
+    t_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert t_summary["model_buckets"] > 0
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    _docs(spark).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    k = 0
+    for f in sorted(glob.glob(str(tmp_path / "one/part-*.parquet"))):
+        os.link(f, f"{flat}/{k:05d}.parquet")
+        k += 1
+    out, ckpt = str(tmp_path / "verdicts"), str(tmp_path / "ckpt")
+    rc = cli.main(
+        ["dsirselect", flat, "--model", model_path, "--out", out, "--checkpoint", ckpt]
+    )
+    assert rc == 0
+    s_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    model, th = dsir_read_model(spark, model_path)
+    want = dsir_score(_docs(spark), model, th)
+    assert s_summary["docs_scored"] == want.count()
+    assert s_summary["selected"] == want.filter("keep").count()
