@@ -1642,6 +1642,10 @@ def dsir_build_model(docs: DataFrame) -> tuple[DataFrame, int]:
     th = pool.agg(
         F.expr(f"percentile(liw_micro, {_DSIR_KEEP_Q})").alias("q")
     ).first()[0]
+    if th is None:
+        # empty training corpus: fail loudly — a silent 0-threshold model
+        # would keep everything downstream
+        raise ValueError("dsir_build_model: empty training corpus")
     # ceil to int micro-units: keep == (liw_micro >= q) must survive the
     # integer freeze, and every integer >= q iff it is >= ceil(q)
     import math
