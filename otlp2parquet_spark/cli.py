@@ -19,6 +19,13 @@ import json
 import sys
 
 
+def _positive_int(s: str) -> int:
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="otlp2parquet-spark")
     p.add_argument("--config", metavar="FILE", help="TOML config file")
@@ -135,7 +142,9 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     qt.add_argument("corpus_dir", help="documents-schema parquet table")
     qt.add_argument("--model", required=True, help="weight artifact destination")
-    qt.add_argument("--rounds", type=int, default=None, help="IPM rounds")
+    qt.add_argument(
+        "--rounds", type=_positive_int, default=None, help="IPM rounds (>= 1)"
+    )
 
     qsc = sub.add_parser(
         "qscore",
@@ -411,7 +420,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="otlp2parquet-qtrain")
         docs = spark.read.parquet(args.corpus_dir).select("doc_id", "text")
         feat = _qc_features(docs).localCheckpoint(eager=False)
-        kwargs = {"rounds": args.rounds} if args.rounds else {}
+        kwargs = {"rounds": args.rounds} if args.rounds is not None else {}
         w = quality_classifier_train(feat, **kwargs)
         qc_write_model(spark, w, args.model)
         n, n_pos = feat.agg(F.count("*"), F.sum("y")).first()

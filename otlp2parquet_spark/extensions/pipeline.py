@@ -1608,12 +1608,21 @@ def _dsir_doc_buckets(docs: DataFrame) -> DataFrame:
 
 def dsir_build_model(docs: DataFrame) -> tuple[DataFrame, int]:
     """Train the DSIR selection model on a reference corpus: returns the
-    B-row (bk, lr_i) log-ratio table and the frozen keep threshold (the
+    (bk, lr_i) log-ratio table and the frozen keep threshold (the
     corpus's 0.8-percentile integer weight). The arithmetic is
     x6_dsir_sample's exactly (exact int64 rationals, micro-quantized ln,
     integer sums), so scoring any doc with this model reproduces the
     registry op bit-for-bit when trained on the same corpus
-    (tests/test_streaming_dsir.py pins that equality)."""
+    (tests/test_streaming_dsir.py pins that equality).
+
+    Out-of-vocabulary coverage: alongside the observed buckets, ONE
+    sentinel row bk = -1 carries the smoothed unseen-bucket log-ratio
+    ln((tot_r + B) / (tot_t + B)) — exactly the add-one formula at
+    c_t = c_r = 0, quantized through the identical floor-micro path —
+    so dsir_score can weight tokens hashing to buckets the training
+    corpus never saw (T14 scoring new data against a small/old model)
+    instead of silently dropping them. bk = -1 can never collide with a
+    real md5 bucket (those live in [0, B))."""
     docb = _dsir_doc_buckets(docs).localCheckpoint(eager=False)
     is_target = F.substring(F.col("source"), 4, 16).cast("int") % 4 == 0
     counts = docb.groupBy("bk").agg(
@@ -1628,6 +1637,16 @@ def dsir_build_model(docs: DataFrame) -> tuple[DataFrame, int]:
         F.floor(F.log(lr_num / lr_den) * float(_DSIR_MICRO) + 0.5)
         .cast("long")
         .alias("lr_i"),
+    )
+    oov_num = (F.col("tot_r") + _DSIR_B).cast("double")
+    oov_den = (F.col("tot_t") + _DSIR_B).cast("double")
+    model = model.unionByName(
+        totals.select(
+            F.lit(-1).cast("long").alias("bk"),
+            F.floor(F.log(oov_num / oov_den) * float(_DSIR_MICRO) + 0.5)
+            .cast("long")
+            .alias("lr_i"),
+        )
     )
     scored = (
         docb.join(F.broadcast(model), "bk")
@@ -1656,9 +1675,10 @@ def dsir_build_model(docs: DataFrame) -> tuple[DataFrame, int]:
 def dsir_write_model(
     spark: SparkSession, model: DataFrame, threshold_micro: int, path: str
 ) -> None:
-    """Persist the selection model: the B-row bucket table plus a one-row
-    meta table carrying the frozen threshold — the x3 persisted-index
-    lifecycle applied to data selection."""
+    """Persist the selection model: the bucket table (observed buckets
+    plus the bk = -1 OOV sentinel) and a one-row meta table carrying the
+    frozen threshold — the x3 persisted-index lifecycle applied to data
+    selection."""
     model.coalesce(1).write.mode("overwrite").parquet(f"{path}/buckets")
     spark.createDataFrame(
         [(int(threshold_micro),)], "threshold_micro long"
@@ -1678,13 +1698,32 @@ def dsir_score(
     """Score a documents frame against a FROZEN selection model: exact
     integer weights, map-only against the broadcast B-row table — the
     shared kernel of the T14 streaming lane and the deploy==registry
-    equivalence gate. Returns (doc_id, liw_micro, n_tok, keep)."""
+    equivalence gate. Returns (doc_id, liw_micro, n_tok, keep).
+
+    Tokens hashing to buckets absent from the model (possible whenever the
+    scored data differs from the training corpus) take the smoothed
+    unseen-bucket log-ratio from the model's bk = -1 sentinel row (written
+    by dsir_build_model since r9); legacy sentinel-less models fall back
+    to weight 0 — the pre-r9 behavior, preserved so old artifacts keep
+    scoring identically. n_tok counts EVERY token, join-independent.
+    On the training corpus every bucket is in-vocabulary, so the
+    deploy==registry bit-equality gate is untouched by either path."""
     docb = _dsir_doc_buckets(docs.select("doc_id", "text"))
+    # 1-row OOV default, broadcast-literal idiom: 0 when the sentinel is
+    # absent (legacy artifact), else the persisted smoothed log-ratio
+    oov = model.agg(
+        F.coalesce(
+            F.min(F.when(F.col("bk") == -1, F.col("lr_i"))), F.lit(0)
+        ).alias("lr_oov")
+    )
     scored = (
-        docb.join(F.broadcast(model), "bk")
+        docb.join(F.broadcast(model.filter(F.col("bk") >= 0)), "bk", "left")
+        .crossJoin(F.broadcast(oov))
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("cnt") * F.col("lr_i")).alias("liw_micro"),
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("lr_i"), F.col("lr_oov"))
+            ).alias("liw_micro"),
             F.sum("cnt").alias("n_tok"),
         )
     )

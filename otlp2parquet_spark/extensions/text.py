@@ -1369,5 +1369,12 @@ def qc_read_model(spark: SparkSession, path: str) -> list[int]:
     """Reload a persisted weight vector; round-trips qc_write_model
     byte-identically (plain int64 rows, ordered by bucket id)."""
     rows = spark.read.parquet(path).orderBy("bk").collect()
-    assert len(rows) == _QC_B + 1, f"model at {path} has {len(rows)} rows"
+    if len(rows) != _QC_B + 1:
+        # a truncated/corrupt artifact would mis-score every doc through
+        # bk/weight index misalignment — fail loudly (assert would be
+        # stripped under python -O)
+        raise ValueError(
+            f"quality model at {path} has {len(rows)} rows, "
+            f"expected {_QC_B + 1}"
+        )
     return [int(r.wv) for r in rows]

@@ -1027,8 +1027,15 @@ def dsir_select_stream(
     )
 
     _require_local_state(out_dir, "dsir_select_stream")
-    model, th = dsir_read_model(spark, model_path)
-    model = model.persist()  # frozen B-row artifact, read once
+    # Frozen artifact, read ONCE: collect the <= B+1 row table to the
+    # driver and recreate it as a local relation (the T13 weight-vector
+    # discipline) — no executor-storage persist to leak across repeated
+    # stream invocations in one session (the restart pattern).
+    persisted, th = dsir_read_model(spark, model_path)
+    model = spark.createDataFrame(
+        [(int(r.bk), int(r.lr_i)) for r in persisted.collect()],
+        "bk long, lr_i long",
+    )
 
     def flush(batch_df: DataFrame, epoch_id: int) -> None:
         dsir_score(batch_df.select("doc_id", "text"), model, th).write.mode(

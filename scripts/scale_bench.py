@@ -136,7 +136,11 @@ def build_replica(
                     import pyarrow.compute as pc
 
                     n_src = int(pc.count_distinct(t.column("source")).as_py())
-                    rank = np.power(float(n_src), u).astype(np.int64)
+                    # base n+1 so floor spans [1, n] and the -1 shift yields
+                    # ranks covering EVERY source id [0, n-1] (base n capped
+                    # rank at n-2, silently dropping the last source and
+                    # skewing the %4 band populations)
+                    rank = np.power(float(n_src) + 1.0, u).astype(np.int64)
                     rank = np.minimum(rank, n_src) - 1
                     arr = pa.array([f"src{r}" for r in rank], pa.string())
                     cols.append(arr)
@@ -156,7 +160,9 @@ def build_replica(
                     import pyarrow.compute as pc
 
                     n_users = int(pc.count_distinct(t.column("user_id")).as_py())
-                    rank = np.power(float(n_users), u).astype(np.int64)
+                    # base n+1 for full [0, n-1] rank coverage (see the
+                    # zipf_sources note above)
+                    rank = np.power(float(n_users) + 1.0, u).astype(np.int64)
                     arr = pa.array(np.minimum(rank, n_users) - 1, pa.int64())
                     cols.append(arr)
                     continue

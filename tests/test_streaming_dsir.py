@@ -92,6 +92,47 @@ def test_stream_verdicts_bit_identical_and_restartable(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(out).select(*cols).collect())) == want
 
 
+def test_oov_buckets_take_smoothed_default(spark):
+    """Tokens hashing to buckets the training corpus never saw must score
+    with the model's bk = -1 smoothed unseen-bucket log-ratio (not be
+    silently dropped), n_tok must count EVERY token, and a legacy
+    sentinel-less artifact must preserve the pre-r9 weight-0 behavior."""
+    import hashlib
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta alpha", "src0"), (2, "beta gamma", "src1")],
+        "doc_id long, text string, source string",
+    )
+    model, th = dsir_build_model(train)
+    mrows = {int(r.bk): int(r.lr_i) for r in model.collect()}
+    assert -1 in mrows
+    # sentinel == the add-one formula at c_t = c_r = 0, micro-quantized:
+    # 5 train tokens, 3 of them in the target band (src0, 0 % 4 == 0)
+    assert mrows[-1] == math.floor(
+        math.log((5 + 1024) / (3 + 1024)) * 1e8 + 0.5
+    )
+
+    def bk(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024
+
+    toks = ["delta", "epsilon", "delta"]
+    vocab = {k for k in mrows if k >= 0}
+    assert any(bk(t) not in vocab for t in toks)  # genuinely exercises OOV
+    new = spark.createDataFrame(
+        [(10, "delta epsilon delta")], "doc_id long, text string"
+    )
+    got = dsir_score(new, model, th).collect()[0]
+    assert got.n_tok == 3
+    assert got.liw_micro == sum(mrows.get(bk(t), mrows[-1]) for t in toks)
+    # legacy artifact (no sentinel row): OOV tokens weigh 0, n_tok intact
+    legacy = dsir_score(new, model.filter("bk >= 0"), th).collect()[0]
+    assert legacy.n_tok == 3
+    assert legacy.liw_micro == sum(
+        mrows[bk(t)] for t in toks if bk(t) in vocab
+    )
+
+
 def test_cli_dsirtrain_then_dsirselect_end_to_end(spark, tmp_path, capsys):
     """The dsirtrain -> dsirselect CLI pair reproduces the in-process
     pipeline and its reported selection counts match a batch re-score."""
