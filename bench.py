@@ -253,6 +253,36 @@ def _jvm_pb_metrics(spark) -> dict[str, float]:
 LOAD_GATE_MAX = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
 LOAD_GATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "600"))
 
+# In-run CPU calibration kernel (r9, judge ask #3): the load gate bounds
+# GUEST noise but cannot see HOST neighbors (r8: gate passed at load 1.77,
+# run ended at 7.9 with ~1.2-1.5x uniform per-query inflation and zero plan
+# changes; the builder's idle-guest afternoon runs showed +25-58%). A fixed
+# single-threaded SHA-256 pass over a deterministic buffer, timed before
+# and after the suite, turns ambient contention into a measured
+# coefficient: noise_index = mean(two kernel walls) / CAL_REF_S, with
+# CAL_REF_S the same kernel's wall measured on this box at load < 0.5 (r9
+# quiet anchor). Round-over-round comparisons cite
+# value_noise_normalized = value / noise_index, so "the box was busy" is a
+# number, never prose. Best-of-3 inside each measurement filters transient
+# spikes while keeping sustained contention visible.
+CAL_KERNEL_MB = 512
+CAL_REF_S = 0.386  # r9 quiet anchor (load_1m 0.15), this container
+
+
+def _cal_kernel() -> float:
+    import hashlib
+
+    buf = bytes(range(256)) * 4096  # 1 MiB, deterministic
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(CAL_KERNEL_MB):
+            h.update(buf)
+        h.hexdigest()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
 
 def _await_quiet() -> tuple[float, float, int]:
     """(ambient_load, gated_load, waited_s): sleep in 15 s steps until the
@@ -268,6 +298,7 @@ def _await_quiet() -> tuple[float, float, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_ambient, load_start, load_waited = _await_quiet()
+    cal_before = _cal_kernel()
     spark = get_spark(app_name="otlp2parquet-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
@@ -296,6 +327,8 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    cal_after = _cal_kernel()
+    noise_index = round((cal_before + cal_after) / 2.0 / CAL_REF_S, 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -303,6 +336,13 @@ def main() -> None:
                 "metric": f"headline suite wall sec (best-of-{RUNS_PER_QUERY} per query, noop-write forced)",
                 "value": total,
                 "unit": "sec",
+                # host-noise coefficient (see _cal_kernel): 1.0 = the quiet
+                # anchor; compare rounds on value_noise_normalized
+                "noise_index": noise_index,
+                "value_noise_normalized": round(total / noise_index, 3),
+                "cal_kernel_s_before": round(cal_before, 4),
+                "cal_kernel_s_after": round(cal_after, 4),
+                "cal_ref_s": CAL_REF_S,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **ingest_metrics,

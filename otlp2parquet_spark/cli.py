@@ -411,7 +411,9 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from otlp2parquet_spark.extensions.text import (
+            _QC_ROUNDS,
             _qc_features,
+            qc_shards_for,
             qc_write_model,
             quality_classifier_train,
         )
@@ -419,10 +421,12 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(app_name="otlp2parquet-qtrain")
         docs = spark.read.parquet(args.corpus_dir).select("doc_id", "text")
-        feat = _qc_features(docs).localCheckpoint(eager=False)
-        kwargs = {"rounds": args.rounds} if args.rounds is not None else {}
-        w = quality_classifier_train(feat, **kwargs)
-        qc_write_model(spark, w, args.model)
+        # corpus-derived shard count (metadata-only parquet count)
+        shards = qc_shards_for(docs.count())
+        feat = _qc_features(docs, shards=shards).localCheckpoint(eager=False)
+        rounds = args.rounds if args.rounds is not None else _QC_ROUNDS
+        w = quality_classifier_train(feat, rounds=rounds, shards=shards)
+        qc_write_model(spark, w, args.model, shards=shards, rounds=rounds)
         n, n_pos = feat.agg(F.count("*"), F.sum("y")).first()
         print(
             json.dumps(
@@ -430,6 +434,7 @@ def main(argv: list[str] | None = None) -> int:
                     "docs_trained": int(n),
                     "label_balance": int(n_pos or 0),
                     "nonzero_weights": sum(1 for v in w if v),
+                    "shards": shards,
                     "model": args.model,
                 }
             )

@@ -1129,11 +1129,29 @@ def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QC_B = 1024  # hashed-unigram feature buckets (+1 bias slot at index B)
 _QC_ROUNDS = 5
-_QC_SHARDS = 8  # FIXED shard count: IPM's result depends on the sharding,
-# so reproducibility requires pinning it (the kmeans-init class of
-# determinism); production raises it to the cluster's parallelism and
-# re-anchors its reference run
+_QC_SHARDS = 8  # MINIMUM shard count — the anchor-fixture regime: IPM's
+# result depends on the sharding, so reproducibility requires the count be
+# a deterministic function of the corpus (qc_shards_for), never of the
+# cluster; corpora small enough that 8 shards already bound the per-shard
+# sequential epoch keep the historical pinned 8, so every replay /
+# equivalence gate stays bit-identical
+_QC_DOCS_PER_SHARD = 2500  # per-shard sequential-epoch budget: within a
+# round each shard is an inherently serial Python loop over its docs, so
+# this constant is the training-time critical path — corpus growth beyond
+# it is absorbed by MORE shards (more cores), not longer loops (the
+# _semantic_k corpus-derived-parameter medicine applied to IPM sharding)
 _QC_STOP = ("the", "a", "and", "of", "to")  # the x4_quality_score stop set
+
+
+def qc_shards_for(n_docs: int) -> int:
+    """Corpus-derived IPM shard count: ceil(n / _QC_DOCS_PER_SHARD),
+    floored at the historical _QC_SHARDS so anchor fixtures (< 20k docs)
+    train bit-identically to every prior round. Deterministic in the
+    corpus alone — two clusters of different sizes derive the same count
+    and therefore the same model (the kmeans-init class of determinism);
+    persisted artifacts stamp the count (qc_write_model meta) so replays
+    and audits key on it."""
+    return max(_QC_SHARDS, -(-int(n_docs) // _QC_DOCS_PER_SHARD))
 
 
 def _qc_features(docs: DataFrame, shards: int = _QC_SHARDS) -> DataFrame:
@@ -1215,8 +1233,11 @@ def quality_classifier_train(
     one applyInPandas pass (per-shard state = one (B+1) int64 vector) and
     a SHARDS x (B+1) driver mix — bounded driver traffic, corpus never
     leaves the executors. IPM's convergence-vs-parallelism tradeoff is
-    the published one: shard count is pinned (_QC_SHARDS) for
-    reproducibility; a production run raises it and re-anchors."""
+    the published one: callers derive the shard count from the corpus
+    size (qc_shards_for) so the per-shard sequential epoch stays bounded
+    at _QC_DOCS_PER_SHARD docs and training absorbs corpus growth by
+    adding shards; the count is a pure function of n_docs, so the model
+    stays deterministic and replayable."""
     import numpy as np
     import pandas as pd
 
@@ -1301,8 +1322,14 @@ def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, y, is_train, z, pred) — all integers, deterministic
     bit-for-bit across runs, engines and partitionings."""
     d = spread(T(spark, sf_dir, "documents"))
-    feat = _qc_features(d).localCheckpoint(eager=False)
-    w = quality_classifier_train(feat.filter(F.col("doc_id") % 5 != 0))
+    # corpus-derived shard count (parquet count() is row-group-metadata
+    # only — no data scan); fixtures below 8 * _QC_DOCS_PER_SHARD docs
+    # derive the historical 8, keeping every replay gate bit-identical
+    shards = qc_shards_for(T(spark, sf_dir, "documents").count())
+    feat = _qc_features(d, shards=shards).localCheckpoint(eager=False)
+    w = quality_classifier_train(
+        feat.filter(F.col("doc_id") % 5 != 0), shards=shards
+    )
     return (
         qc_score(d, w, feat=feat)
         .select(
@@ -1355,20 +1382,37 @@ def qc_score(docs: DataFrame, w: list[int], feat: DataFrame | None = None) -> Da
     )
 
 
-def qc_write_model(spark: SparkSession, w: list[int], path: str) -> None:
-    """Persist a trained weight vector as a (bk, wv) parquet table — the
-    x3 persisted-index lifecycle applied to the classifier: train once
-    offline, deploy the artifact to the streaming scorer
-    (streaming/pipeline.py quality_score_stream)."""
+def qc_write_model(
+    spark: SparkSession,
+    w: list[int],
+    path: str,
+    shards: int = _QC_SHARDS,
+    rounds: int = _QC_ROUNDS,
+) -> None:
+    """Persist a trained weight vector as a (bk, wv) parquet table under
+    path/weights plus a one-row path/meta stamping the training
+    provenance (shards, rounds) — the x3 persisted-index lifecycle
+    applied to the classifier: train once offline, deploy the artifact
+    to the streaming scorer (streaming/pipeline.py quality_score_stream).
+    Scoring needs only the weights; the stamped shard count is what lets
+    a replay/audit reproduce the training run bit-for-bit (IPM's result
+    depends on the sharding)."""
     spark.createDataFrame(
         [(i, int(v)) for i, v in enumerate(w)], "bk long, wv long"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/weights")
+    spark.createDataFrame(
+        [(int(shards), int(rounds))], "shards int, rounds int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def qc_read_model(spark: SparkSession, path: str) -> list[int]:
     """Reload a persisted weight vector; round-trips qc_write_model
-    byte-identically (plain int64 rows, ordered by bucket id)."""
-    rows = spark.read.parquet(path).orderBy("bk").collect()
+    byte-identically (plain int64 rows, ordered by bucket id). Accepts
+    the legacy pre-r9 flat layout (part files directly under path)."""
+    import os
+
+    wpath = f"{path}/weights" if os.path.isdir(f"{path}/weights") else path
+    rows = spark.read.parquet(wpath).orderBy("bk").collect()
     if len(rows) != _QC_B + 1:
         # a truncated/corrupt artifact would mis-score every doc through
         # bk/weight index misalignment — fail loudly (assert would be
@@ -1378,3 +1422,14 @@ def qc_read_model(spark: SparkSession, path: str) -> list[int]:
             f"expected {_QC_B + 1}"
         )
     return [int(r.wv) for r in rows]
+
+
+def qc_read_meta(spark: SparkSession, path: str) -> dict:
+    """Training provenance stamped by qc_write_model; legacy flat
+    artifacts (no meta table) report the historical pinned defaults."""
+    import os
+
+    if not os.path.isdir(f"{path}/meta"):
+        return {"shards": _QC_SHARDS, "rounds": _QC_ROUNDS}
+    r = spark.read.parquet(f"{path}/meta").first()
+    return {"shards": int(r.shards), "rounds": int(r.rounds)}

@@ -137,6 +137,58 @@ def histogram_p95(spark: SparkSession) -> DataFrame:
     )
 
 
+def exp_histogram_p95(spark: SparkSession) -> DataFrame:
+    """Exponential-histogram p95 (r9): the base-2 sibling of histogram_p95
+    over otel_metrics_exp_histogram — per row, walk ZeroCount +
+    PositiveBucketCounts to the bucket covering rank ceil(0.95 * Count)
+    and report its OTel upper boundary base^(PositiveOffset + i + 1) with
+    base = 2^(2^-Scale) (the OTLP exponential-histogram mapping; reference
+    schema docs/reference.md metrics exponential_histogram section, golden
+    testdata/parquet/metrics_exponential_histogram.parquet). Pure HOFs,
+    no UDF — the same cumulative walk as Q8, with the bound computed from
+    the scale instead of read from ExplicitBounds. Rows whose rank lands
+    in the zero bucket report 0.0 (the zero region has no exponential
+    upper bound)."""
+    h = spark.table("otel_metrics_exponential_histogram")
+    cum = F.expr(
+        """
+        transform(PositiveBucketCounts,
+                  (c, i) -> ZeroCount + aggregate(
+                      slice(PositiveBucketCounts, 1, i + 1),
+                      0L, (a, x) -> a + x))
+        """
+    )
+    first_idx = F.expr(
+        "array_position(transform(__cum, c -> c >= cast(ceil(0.95 * Count) as bigint)), true)"
+    )
+    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col("Scale").cast("double")))
+    return (
+        h.withColumn("__cum", cum)
+        .withColumn("__idx", first_idx)
+        .withColumn(
+            "p95_upper_bound",
+            F.when(F.col("Count") == 0, F.lit(None).cast("double"))
+            # rank inside the zero bucket: no exponential boundary
+            .when(
+                F.col("ZeroCount")
+                >= F.expr("cast(ceil(0.95 * Count) as bigint)"),
+                F.lit(0.0),
+            )
+            # bucket i (1-based) upper bound = base^(PositiveOffset + i):
+            # 0-based index (i - 1), OTel upper exponent = offset + (i-1) + 1
+            .when(
+                F.col("__idx").isNotNull(),
+                F.pow(base, (F.col("PositiveOffset") + F.col("__idx")).cast("double")),
+            )
+            .otherwise(F.lit(None).cast("double")),
+        )
+        .select(
+            "Timestamp", "MetricName", "Count", "Scale", "ZeroCount", "p95_upper_bound"
+        )
+        .orderBy("MetricName", "Timestamp")
+    )
+
+
 def logs_with_traces(spark: SparkSession) -> DataFrame:
     """Q9 (docs/querying.md:112-124): logs ⋈ traces on TraceId. Logs carry
     binary ids, traces carry lowercase hex (§1.3.7) — the bridge is

@@ -232,6 +232,88 @@ def q08_histogram_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q08_exp_histogram_p95",
+    oracle="""
+    WITH buckets AS (
+      SELECT event_type,
+             CASE WHEN value <= 1.0 THEN -100000
+                  ELSE CAST(CEIL(4 * log2(value)) AS BIGINT) - 1 END AS idx,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, idx
+    ), cum AS (
+      SELECT event_type, idx, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM buckets
+    )
+    SELECT event_type,
+           CAST(MAX(CASE WHEN idx = -100000 THEN cnt ELSE 0 END) AS BIGINT)
+             AS zero_count,
+           CAST(MAX(total) AS BIGINT) AS total,
+           CAST(MIN(CASE WHEN 20 * cum_cnt >= 19 * total THEN
+             CASE WHEN idx = -100000 THEN 1.0
+                  ELSE ROUND(POWER(2.0, (idx + 1) / 4.0), 4) END
+           END) AS DOUBLE) AS p95_upper_bound
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("Q8", "W3", "A1", "F3"),
+    doc="Exponential-histogram p95 (r9): the base-2 twin of q08 — OTel "
+    "exp-histogram bucketing at scale 2 (base = 2^(2^-2), bucket i covers "
+    "(base^i, base^(i+1)], zero bucket holds value <= 1.0), then the same "
+    "cumulative-distribution walk to the 0.95 rank; the reported bound is "
+    "the OTel boundary 2^((idx+1)/4). The same computation runs per-row "
+    "over otel_metrics_exponential_histogram's Scale/ZeroCount/"
+    "PositiveBucketCounts columns (queries/otel.py exp_histogram_p95, "
+    "value-tested against the reference golden fixture).",
+)
+def q08_exp_histogram_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to q08 — one map-side-combined bucket agg
+    (events collapse to |event_types| x |buckets| rows), tiny windows over
+    the bucket frame, no corpus-sized shuffle beyond the first agg. The
+    zero bucket rides as sentinel idx -100000 so the cumulative ordering
+    puts it first in BOTH engines without NULLS FIRST/LAST divergence.
+    Exactness: idx is integer ceil of 4*log2(value) (both engines evaluate
+    libm log2 on the identical double — the DSIR ln-parity precedent) and
+    the rank test is the integer 20*cum >= 19*total, never a 0.95 float;
+    the boundary is ROUND(·,4)-pinned like every float surface."""
+    e = T(spark, sf_dir, "events")
+    idx = F.when(F.col("value") <= 1.0, F.lit(-100000)).otherwise(
+        F.ceil(4 * F.log2("value")).cast("bigint") - 1
+    )
+    buckets = e.groupBy("event_type", idx.alias("idx")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("idx")
+    w_all = Window.partitionBy("event_type")
+    cum = buckets.select(
+        "event_type",
+        "idx",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    bound = F.when(F.col("idx") == -100000, F.lit(1.0)).otherwise(
+        F.round(F.pow(F.lit(2.0), (F.col("idx") + 1) / 4.0), 4)
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("idx") == -100000, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("zero_count"),
+            F.max("total").alias("total"),
+            F.min(
+                F.when(20 * F.col("cum_cnt") >= 19 * F.col("total"), bound)
+            ).alias("p95_upper_bound"),
+        )
+        .select("event_type", "zero_count", "total", "p95_upper_bound")
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q09_hex_bridge_join",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n, """

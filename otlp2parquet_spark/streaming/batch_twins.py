@@ -541,31 +541,123 @@ def t10_capped_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     the event budget, so per-key state stays bounded no matter how long a
     key stays hot (the reason metering sinks cap segments at all).
 
-    Scale shape: ONE per-user sort carries every window function (the
-    session flag, the global row number, and the running session-first-rn
-    all share the same partition+order), then segments aggregate on the
-    already-partitioned rows — no second shuffle. At 100 TB user_id is the
-    natural uniform shuffle key; the cap bounds segment row counts, so no
-    aggregate group exceeds CAP rows."""
+    TWO-LEVEL PREFIX SCAN (r9): the r8 form hung every per-user window off
+    ONE per-user sort — elegant, but a single hot key serializes into one
+    task (Zipf at 100x measured 7.23x wall vs 4.9x uniform; the t6 failure
+    class one level up). Both serial pieces here are associative prefix
+    operations, so they split exactly like t6: (1) the global row number
+    rn = intra-bucket row_number + an EXCLUSIVE per-user prefix count of
+    bucket sizes; (2) the session-start marker sess_first_rn = running max
+    of flagged rns = coalesce(intra-bucket running max, carried per-bucket
+    prefix max) — coalesce is exact because rn is monotone, so any
+    in-bucket flag beats every earlier bucket's. The gap flag needs each
+    row's PREDECESSOR ts; hour(ts) bucketing is monotone in the
+    (ts, event_id) sort order, so a bucket's first row's predecessor is
+    the previous bucket's max ts, carried on the same bucket frame (rows
+    after the first use the intra-bucket lag — keyed on rn_in == 1, not
+    on lag NULL-ness, so a genuine NULL-ts predecessor row is never
+    confused with a bucket boundary). Every carried quantity — the row
+    count offset, the predecessor ts, and the flagged-rn prefix max
+    (whose per-bucket term is itself assembled bucket-locally: the
+    intra-bucket flagged max s_rel, else rank 1 when the bucket's FIRST
+    row opens a session) — rides ONE hours-x-users bucket frame, so the
+    corpus sees ONE (user, hour) shuffle and ONE join. The hot user's
+    work spreads across its ~720 hours; the only per-user-serial window
+    is bucket-counted. Re-measured under Zipf: see BASELINE.md r9.
+
+    Scale shape: ONE corpus shuffle onto (user_id, hour) carries the
+    intra-bucket window, the bucket stats (computed FROM the partitioned
+    frame — partial-agg), the single bucket-frame join, and the joined
+    frame's running-max window (partitioning preserved). The final
+    segment agg shuffles on (user, session, seg_idx) — the cap bounds
+    every group at CAP rows, and the composite key spreads a hot user
+    across its segments."""
     e = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # ts is TIMESTAMP_NTZ (events.parquet nanos) — interval arithmetic is the
     # type-agnostic gap check (unix_micros rejects NTZ)
-    prev = F.lag("ts").over(w)
-    is_new = (
-        prev.isNull()
-        | (F.col("ts") > prev + F.expr(f"INTERVAL {CAPPED_SESSION_GAP_US // 1_000_000} SECONDS"))
-    ).cast("int")
-    marked = (
-        e.select("user_id", "ts", "event_id", "value")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("is_new", is_new)
-        .withColumn(
-            "sess_first_rn",
-            F.max(F.when(F.col("is_new") == 1, F.col("rn"))).over(run),
-        )
+    gap = F.expr(f"INTERVAL {CAPPED_SESSION_GAP_US // 1_000_000} SECONDS")
+    b = e.select("user_id", "ts", "event_id", "value").withColumn(
+        "bkt", F.date_trunc("hour", F.col("ts"))
     )
+    w_in = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    in_flag = (F.col("rn_in") > 1) & (
+        F.col("prev_in").isNull() | (F.col("ts") > F.col("prev_in") + gap)
+    )
+    intra = b.select(
+        "user_id",
+        "bkt",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w_in).alias("rn_in"),
+        F.lag("ts").over(w_in).alias("prev_in"),
+    )
+    # ONE bucket frame carries every cross-bucket quantity; the groupBy
+    # reuses the window's (user, bkt) hash partitioning
+    bstats = intra.groupBy("user_id", "bkt").agg(
+        F.count("*").alias("n_b"),
+        F.max("ts").alias("last_ts"),
+        F.min("ts").alias("first_ts"),
+        F.max(F.when(in_flag, F.col("rn_in"))).alias("s_rel"),
+    )
+    w_bk = Window.partitionBy("user_id").orderBy("bkt")
+    w_bk_ex = w_bk.rowsBetween(Window.unboundedPreceding, -1)
+    b1 = bstats.select(
+        "user_id",
+        "bkt",
+        "first_ts",
+        "s_rel",
+        F.coalesce(F.sum("n_b").over(w_bk_ex), F.lit(0)).alias("n_off"),
+        F.lag("last_ts").over(w_bk).alias("prev_last"),
+    )
+    # is_new of the bucket's FIRST row, bucket-locally (first_ts == that
+    # row's ts: the bucket order is (ts, event_id))
+    first_flag = F.col("prev_last").isNull() | (
+        F.col("first_ts") > F.col("prev_last") + gap
+    )
+    b2 = b1.select(
+        "user_id",
+        "bkt",
+        "n_off",
+        "prev_last",
+        # absolute rn of the bucket's LAST session-opening row (NULL when
+        # the bucket opens none): intra flags beat the first-row flag
+        (
+            F.col("n_off")
+            + F.coalesce(F.col("s_rel"), F.when(first_flag, F.lit(1)))
+        ).alias("s_b_abs"),
+    )
+    off = b2.select(
+        F.col("user_id").alias("o_user"),
+        F.col("bkt").alias("o_bkt"),
+        "n_off",
+        "prev_last",
+        F.max("s_b_abs").over(w_bk_ex).alias("s_carry"),
+    )
+    # null-SAFE bucket equality (the t6 discipline): date_trunc(NULL ts) is
+    # NULL, and NULL buckets order first in w_bk, mirroring Spark's NULLS
+    # FIRST window ordering
+    j = intra.join(
+        off,
+        (intra.user_id == off.o_user) & intra.bkt.eqNullSafe(off.o_bkt),
+    )
+    prev = F.when(F.col("rn_in") == 1, F.col("prev_last")).otherwise(
+        F.col("prev_in")
+    )
+    step = j.select(
+        "user_id",
+        "bkt",
+        "ts",
+        "event_id",
+        "value",
+        "s_carry",
+        (F.col("rn_in") + F.col("n_off")).alias("rn"),
+        (prev.isNull() | (F.col("ts") > prev + gap)).cast("int").alias("is_new"),
+    )
+    run_in = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = step.withColumn(
+        "m_in", F.max(F.when(F.col("is_new") == 1, F.col("rn"))).over(run_in)
+    ).withColumn("sess_first_rn", F.coalesce("m_in", "s_carry"))
     seg_idx = ((F.col("rn") - F.col("sess_first_rn")) / CAPPED_SESSION_MAX_EVENTS).cast(
         "bigint"
     )

@@ -104,6 +104,45 @@ def test_q8_p95_walk_is_correct(spark, otel_root):
         assert got[r.Count] == expect
 
 
+def test_exp_histogram_p95_walk_is_correct(spark, otel_root):
+    """Check the exponential-histogram cumulative walk against a hand
+    computation per golden row: rank = ceil(0.95*Count) lands in the zero
+    bucket -> 0.0, else in positive bucket i -> base^(offset+i+1) with
+    base = 2^(2^-Scale)."""
+    import math
+
+    import pytest as _pt
+
+    h = spark.table("otel_metrics_exponential_histogram").select(
+        "Count", "Scale", "ZeroCount", "PositiveOffset", "PositiveBucketCounts"
+    ).collect()
+    assert h  # the golden fixture ingested rows
+    got = {
+        (r.Count, r.ZeroCount): r.p95_upper_bound
+        for r in oq.exp_histogram_p95(spark).collect()
+    }
+    for r in h:
+        rank = math.ceil(0.95 * r.Count)
+        if r.Count == 0:
+            expect = None
+        elif r.ZeroCount >= rank:
+            expect = 0.0
+        else:
+            expect = None
+            cum = r.ZeroCount
+            base = 2.0 ** (2.0 ** -r.Scale)
+            for i, c in enumerate(r.PositiveBucketCounts):
+                cum += c
+                if cum >= rank:
+                    expect = base ** (r.PositiveOffset + i + 1)
+                    break
+        key = (r.Count, r.ZeroCount)
+        if expect is None:
+            assert got[key] is None, key
+        else:
+            assert got[key] == _pt.approx(expect, rel=1e-12), key
+
+
 def test_q9_hex_bridge_join(spark, otel_root):
     """logs(binary TraceId) ⋈ traces(hex TraceId) via lower(hex()) bridge.
 

@@ -12,10 +12,12 @@ import re
 
 from otlp2parquet_spark.extensions.text import (
     _QC_B,
+    _QC_DOCS_PER_SHARD,
     _QC_ROUNDS,
     _QC_SHARDS,
     _QC_STOP,
     _qc_trunc_div,
+    qc_shards_for,
 )
 from otlp2parquet_spark.queries.registry import all_specs
 
@@ -140,6 +142,82 @@ def test_recovers_planted_concept(spark, tmp_path):
     for r in out:
         assert r.y == (1 if r.doc_id % 2 == 0 else 0)
         assert r.pred == r.y, (r.doc_id, r.z)
+
+
+def test_shard_count_derives_from_corpus_size():
+    """qc_shards_for is the _semantic_k medicine applied to IPM sharding:
+    anchor fixtures keep the historical pinned 8, larger corpora derive
+    ceil(n / budget) so the per-shard sequential epoch stays bounded."""
+    cap = _QC_SHARDS * _QC_DOCS_PER_SHARD  # largest corpus still at 8
+    assert qc_shards_for(0) == _QC_SHARDS
+    assert qc_shards_for(500) == _QC_SHARDS  # sf0.001 / sf0.01 fixtures
+    assert qc_shards_for(5000) == _QC_SHARDS  # sf0.1 (the bench anchor)
+    assert qc_shards_for(cap) == _QC_SHARDS
+    assert qc_shards_for(cap + 1) == _QC_SHARDS + 1
+    assert qc_shards_for(500_000) == 200  # the 100x sf0.1 replica
+    # linear-in-n: doubling the corpus doubles the shard count (and so
+    # holds the per-shard critical path constant)
+    assert qc_shards_for(1_000_000) == 400
+
+
+def test_derived_shards_flow_through_and_replay(spark, tmp_path, monkeypatch):
+    """With the per-shard budget shrunk, the registry op must DERIVE a
+    shard count above the pinned floor and still replay bit-identically
+    in pure Python at that derived count — proving the derivation reaches
+    both the feature sharding and the mix denominator."""
+    import otlp2parquet_spark.extensions.text as text_mod
+
+    rows = []
+    stopful = "the a and of to " * 3
+    content = "rock paper stone cloth iron copper zinc lead " * 2
+    for i in range(60):
+        rows.append((i, stopful if i % 2 == 0 else content, "en", f"src{i % 4}", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(text_mod, "_QC_DOCS_PER_SHARD", 4)
+    derived = qc_shards_for(60)
+    assert derived == 15  # above the pinned floor
+    got = {
+        r.doc_id: (r.y, r.z, r.pred)
+        for r in SPECS["x4_quality_classifier"].build(spark, str(tmp_path)).collect()
+    }
+    docs = _py_docs([(i, t) for i, t, *_ in rows])
+    w = _py_ipm_train([d for d in docs if d[0] % 5 != 0], shards=derived)
+    for doc_id, cnts, y in docs:
+        z = _py_z(cnts, w)
+        assert got[doc_id] == (y, z, 1 if z >= 0 else 0), doc_id
+    # and the derived count differs from the pinned-8 model somewhere,
+    # i.e. this test would catch a derivation that silently stayed at 8
+    w8 = _py_ipm_train([d for d in docs if d[0] % 5 != 0], shards=_QC_SHARDS)
+    assert w != w8
+
+
+def test_model_meta_stamps_shards_and_legacy_layout_reads(spark, tmp_path):
+    """qc_write_model stamps (shards, rounds) into the artifact;
+    qc_read_model round-trips the new weights/ layout AND the legacy
+    flat layout, and qc_read_meta reports pinned defaults for legacy."""
+    from otlp2parquet_spark.extensions.text import (
+        qc_read_meta,
+        qc_read_model,
+        qc_write_model,
+    )
+
+    w = [i % 7 - 3 for i in range(_QC_B + 1)]
+    new_path = str(tmp_path / "model_new")
+    qc_write_model(spark, w, new_path, shards=200, rounds=5)
+    assert qc_read_model(spark, new_path) == w
+    assert qc_read_meta(spark, new_path) == {"shards": 200, "rounds": 5}
+    # legacy: flat (bk, wv) part files directly under path
+    legacy = str(tmp_path / "model_legacy")
+    spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(w)], "bk long, wv long"
+    ).coalesce(1).write.mode("overwrite").parquet(legacy)
+    assert qc_read_model(spark, legacy) == w
+    assert qc_read_meta(spark, legacy) == {
+        "shards": _QC_SHARDS,
+        "rounds": _QC_ROUNDS,
+    }
 
 
 def test_tokenless_docs_survive_training_and_scoring(spark, tmp_path):
