@@ -145,10 +145,11 @@ def x5_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x5_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extraction pipeline over ARBITRARY binary media columns
     via Arrow-batched mapInPandas — the generic-binary fallback lane. The
-    REAL decode path is x5_media_meta (WAV/PNG/AVI container parsers over
-    spec-valid payloads, oracle-matched); this op keeps the
-    deterministic-stub kernel for payloads with no in-container codec
-    (JPEG/H.264 frame pixels) so the plumbing — schema, batching,
+    REAL decode paths are x5_media_meta (WAV/PNG/AVI container parsers over
+    spec-valid payloads, oracle-matched) and x5_jpeg_blocks (r9: full
+    baseline-JPEG pixel decode, per-block oracle-matched); this op keeps
+    the deterministic-stub kernel for the ONE codec with no in-container
+    lane left (H.264 frame pixels) so the plumbing — schema, batching,
     partitioning — stays exercised for that case too."""
     return decode_features(media_table(spark, sf_dir)).orderBy("media_id")
 
@@ -472,8 +473,9 @@ def x5_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zlib for the pixel stream). The fixture synthesizes genuine spec-valid
 # PNGs (signature, IHDR, zlib IDAT, CRCs); the kernel walks the chunk
 # stream, validates CRCs, inflates the IDAT and checks the scanline math —
-# a real image-container decode, not a stub. Only lossy codecs (JPEG/H.264)
-# remain out of reach in this environment.
+# a real image-container decode, not a stub. The lossy image codec got its
+# own real lane in r9 (x5_jpeg_blocks below); only H.264 remains
+# env-stubbed.
 
 PNG_SCHEMA = StructType(
     [
@@ -844,6 +846,454 @@ MEDIA_META_SCHEMA = StructType(
         StructField("duration_ms", LongType(), True),
     ]
 )
+
+
+# --- real decode: baseline JPEG modality (r9) -------------------------------
+# The last image codec leaves the stub: baseline JFIF needs no image lib —
+# it is markers + canonical Huffman + dequantization + 8x8 IDCT + level
+# shift, all expressible in stdlib struct + numpy. The fixture synthesizes
+# genuine spec-valid baseline JPEGs (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, standard
+# Annex-K DC tables, byte-stuffed entropy stream); the decode kernel is a
+# GENERAL baseline decoder (segment walk, canonical Huffman built from the
+# DHT payload, 0xFF00 unstuffing, per-component DC prediction, dequant,
+# basis-matrix IDCT). Exactness: blocks are synthesized flat with a unit
+# quant table, so the decoded pixel plane is bit-exactly the synthesis
+# formula and the DuckDB oracle predicts EVERY block's decoded value — any
+# Huffman/stuffing/dequant/IDCT/predictor error breaks the hash match.
+# Out of scope (documented, not hidden): chroma subsampling != 4:4:4,
+# progressive scans, restart markers — and H.264 remains the one
+# env-stubbed codec (x5_decode_features).
+
+JPEG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+JPEG_BLOCKS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("block_idx", IntegerType(), True),
+        StructField("n_components", IntegerType(), True),
+        StructField("y", IntegerType(), True),
+        StructField("cb", IntegerType(), True),
+        StructField("cr", IntegerType(), True),
+    ]
+)
+
+# standard JPEG (ITU T.81 Annex K) DC Huffman tables; AC tables here are
+# minimal spec-valid optimized tables (one 1-bit code for EOB — all the
+# fixture's blocks are DC-only), which real encoders are allowed to emit;
+# the DECODER builds its tables from the DHT segment, so it is general
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_EOB = ([1] + [0] * 15, [0x00])
+
+
+def _huff_encode_table(bits, vals):
+    """symbol -> (code, length) from a canonical (BITS, HUFFVAL) pair."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF -> 0xFF 0x00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0xFF, 8 - self.n)  # 1-pad to byte per spec
+        return bytes(self.out)
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _encode_dc(w: _JpegBitWriter, table, diff: int) -> None:
+    s = abs(diff).bit_length()
+    code, ln = table[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _synth_jpeg(doc_id: int) -> bytes:
+    """Spec-valid baseline JFIF: flat 8x8 blocks whose per-block values are
+    the oracle formulas (y = (id*31+bi*17)%256, cb = (id*7+bi*3)%256,
+    cr = (id*11+bi*5)%256); unit quant table so DC-only blocks round-trip
+    bit-exactly. Grayscale for even ids, 3-component 4:4:4 for odd."""
+    import struct
+
+    wb = 2 + doc_id % 6
+    hb = 2 + doc_id % 5
+    width, height = 8 * wb, 8 * hb
+    ncomp = 1 if doc_id % 2 == 0 else 3
+    nb = wb * hb
+
+    segs = [b"\xff\xd8"]
+    segs.append(
+        _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    )
+    segs.append(_jpeg_seg(0xFFDB, b"\x00" + b"\x01" * 64))  # Tq0, all-1s
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)  # 1x1 sampling, Tq0
+    segs.append(_jpeg_seg(0xFFC0, sof))
+    dht = bytes([0x00]) + bytes(_JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1])
+    dht += bytes([0x10]) + bytes(_JPEG_AC_EOB[0]) + bytes(_JPEG_AC_EOB[1])
+    if ncomp == 3:
+        dht += bytes([0x01]) + bytes(_JPEG_DC_CHROMA[0]) + bytes(_JPEG_DC_CHROMA[1])
+        dht += bytes([0x11]) + bytes(_JPEG_AC_EOB[0]) + bytes(_JPEG_AC_EOB[1])
+    segs.append(_jpeg_seg(0xFFC4, dht))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"  # Ss/Se/AhAl
+    segs.append(_jpeg_seg(0xFFDA, sos))
+
+    dc_l = _huff_encode_table(*_JPEG_DC_LUMA)
+    dc_c = _huff_encode_table(*_JPEG_DC_CHROMA)
+    eob_l = _huff_encode_table(*_JPEG_AC_EOB)[0x00]
+    w = _JpegBitWriter()
+    pred = [0] * ncomp
+    for bi in range(nb):
+        vals = [(doc_id * 31 + bi * 17) % 256]
+        if ncomp == 3:
+            vals += [(doc_id * 7 + bi * 3) % 256, (doc_id * 11 + bi * 5) % 256]
+        for c, v in enumerate(vals):
+            dc = 8 * (v - 128)  # FDCT of a flat block: DC only, exact
+            _encode_dc(w, dc_l if c == 0 else dc_c, dc - pred[c])
+            pred[c] = dc
+            w.put(*eob_l)  # all 63 ACs zero
+    segs.append(w.flush())
+    segs.append(b"\xff\xd9")
+    return b"".join(segs)
+
+
+def jpeg_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image fixture, lossy-codec edition: one spec-valid baseline JPEG per
+    image-typed media row (doc_id % 3 == 0, the media_table modality
+    convention); geometry and per-block planes derived from doc_id so the
+    oracle predicts the DECODED pixels without parsing binaries."""
+    d = spread(T(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 0)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [_synth_jpeg(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return d.select("doc_id").mapInPandas(synth, schema=JPEG_SCHEMA)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF 0x00
+    unstuffing; raises on any bare marker inside the scan."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def get(self, length: int) -> int:
+        while self.n < length:
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos]
+                if nxt != 0x00:
+                    raise ValueError("marker inside entropy scan")
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        return v
+
+
+def _huff_decode_table(bits, vals):
+    """(length, code) -> symbol canonical decoding map."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(r: _JpegBitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.get(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _receive_extend(r: _JpegBitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.get(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_basis():
+    import math
+
+    import numpy as np
+
+    c = np.ones(8) / 2.0
+    c[0] = 1.0 / (2.0 * math.sqrt(2.0))
+    n = np.arange(8)
+    return np.array(
+        [[c[k] * math.cos((2 * int(x) + 1) * k * math.pi / 16.0) for x in n] for k in n]
+    )
+
+
+def parse_jpeg_blocks(payload: bytes):
+    """General baseline-JFIF decoder: returns (width, height, n_components,
+    per-component list of per-block integer pixel means). Walks the marker
+    segments, builds canonical Huffman tables from DHT, entropy-decodes
+    every MCU (DC prediction + AC run/size with EOB and ZRL), dequantizes
+    against the DQT table, applies the 8x8 basis-matrix IDCT, level-shifts
+    and rounds — the full baseline pipeline minus subsampling/progressive/
+    restart (rejected explicitly, never misdecoded). A block mean that
+    lands non-integral reports None (visible as a hash break, never a
+    silent round)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad SOI")
+    pos = 2
+    qt = {}
+    huff = {}
+    dims = None
+    comps = []
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = payload[pos + 1]
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(data[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(data[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise ValueError("non-8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comps.append((cid, tq))
+            dims = (w, h, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline SOF")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            nc = data[0]
+            scan = [(data[1 + 2 * c], data[2 + 2 * c]) for c in range(nc)]
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if dims is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    w, h, nc = dims
+    if w % 8 or h % 8:
+        raise ValueError("partial-MCU edges unsupported")
+    basis = _idct_basis()
+    r = _JpegBitReader(payload, pos)
+    nb = (w // 8) * (h // 8)
+    pred = [0] * nc
+    means: list[list] = [[] for _ in range(nc)]
+    for _bi in range(nb):
+        for c in range(nc):
+            td, ta = scan[c][1] >> 4, scan[c][1] & 0xF
+            q = qt[comps[c][1]]
+            coef = [0] * 64
+            s = _huff_read(r, huff[(0, td)])
+            pred[c] += _receive_extend(r, s)
+            coef[0] = pred[c] * q[0]
+            k = 1
+            while k < 64:
+                rs = _huff_read(r, huff[(1, ta)])
+                rrrr, ssss = rs >> 4, rs & 0xF
+                if ssss == 0:
+                    if rrrr == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rrrr
+                coef[_ZIGZAG[k]] = _receive_extend(r, ssss) * q[k]
+                k += 1
+            # coef holds natural-order coefficients (AC positions mapped
+            # through the zigzag; DC at 0), dequantized
+            fmat = np.array(coef, dtype=np.float64).reshape(8, 8)
+            pix = basis.T @ fmat @ basis + 128.0
+            pix = np.clip(np.round(pix), 0, 255)
+            m = float(pix.mean())
+            means[c].append(int(m) if m == int(m) else None)
+    return w, h, nc, means
+
+
+def decode_jpeg_blocks(media: DataFrame) -> DataFrame:
+    """Arrow-batched baseline-JPEG decode: one row per 8x8 block per media
+    with the decoded per-plane integer values. Malformed/unsupported
+    payloads yield a single null row (D25 posture, column edition)."""
+
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "block_idx": [], "n_components": [],
+                "y": [], "cb": [], "cr": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _w, _h, nc, means = parse_jpeg_blocks(bytes(payload or b""))
+                except (ValueError, KeyError, IndexError, struct.error):
+                    out["media_id"].append(int(mid))
+                    for k in ("block_idx", "n_components", "y", "cb", "cr"):
+                        out[k].append(None)
+                    continue
+                for bi in range(len(means[0])):
+                    out["media_id"].append(int(mid))
+                    out["block_idx"].append(bi)
+                    out["n_components"].append(nc)
+                    out["y"].append(means[0][bi])
+                    out["cb"].append(means[1][bi] if nc == 3 else None)
+                    out["cr"].append(means[2][bi] if nc == 3 else None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=JPEG_BLOCKS_SCHEMA)
+
+
+@query(
+    "x5_jpeg_blocks",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS n_comp,
+             (2 + doc_id % 6) * (2 + doc_id % 5) AS nb
+      FROM documents WHERE doc_id % 3 = 0
+    ), g AS (
+      SELECT doc_id, n_comp, CAST(t.bi AS INT) AS bi
+      FROM m, UNNEST(generate_series(0, nb - 1)) AS t(bi)
+    )
+    SELECT doc_id AS media_id, bi AS block_idx,
+           CAST(n_comp AS INT) AS n_components,
+           CAST((doc_id*31 + bi*17) % 256 AS INT) AS y,
+           CASE WHEN n_comp = 3 THEN CAST((doc_id*7 + bi*3) % 256 AS INT) END AS cb,
+           CASE WHEN n_comp = 3 THEN CAST((doc_id*11 + bi*5) % 256 AS INT) END AS cr,
+           CASE WHEN n_comp = 3 THEN ROUND(
+             CAST((doc_id*31 + bi*17) % 256 AS DOUBLE)
+             + CAST(1.402 AS DOUBLE) * (CAST((doc_id*11 + bi*5) % 256 AS DOUBLE) - 128), 4) END AS r,
+           CASE WHEN n_comp = 3 THEN ROUND(
+             CAST((doc_id*31 + bi*17) % 256 AS DOUBLE)
+             - CAST(0.344136 AS DOUBLE) * (CAST((doc_id*7 + bi*3) % 256 AS DOUBLE) - 128)
+             - CAST(0.714136 AS DOUBLE) * (CAST((doc_id*11 + bi*5) % 256 AS DOUBLE) - 128), 4) END AS g,
+           CASE WHEN n_comp = 3 THEN ROUND(
+             CAST((doc_id*31 + bi*17) % 256 AS DOUBLE)
+             + CAST(1.772 AS DOUBLE) * (CAST((doc_id*7 + bi*3) % 256 AS DOUBLE) - 128), 4) END AS b
+    FROM g
+    ORDER BY media_id, block_idx
+    """,
+    tags=("X5", "U4", "F3"),
+)
+def x5_jpeg_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG pixel decode, oracle-matched per BLOCK: spec-valid
+    JFIF payloads (standard Annex-K DC Huffman tables, byte-stuffed scan,
+    unit quant) decode through a GENERAL baseline pipeline — canonical
+    Huffman from DHT, DC prediction, dequant, basis-matrix IDCT, level
+    shift — and every block's decoded Y/Cb/Cr value must equal the
+    synthesis formula; the JFIF YCbCr->RGB conversion then runs JVM-side
+    as a DataFrame expression over the DECODED integers (identical double
+    arithmetic in the oracle). This closes the r8 gap: of the lossy
+    codecs only H.264 frame pixels remain env-stubbed
+    (x5_decode_features). Scale shape: embarrassingly parallel map-only
+    Arrow-batched decode, one row per block, no shuffle before the
+    presentation sort."""
+    blocks = decode_jpeg_blocks(jpeg_media_table(spark, sf_dir))
+    yd = F.col("y").cast("double")
+    cbd = F.col("cb").cast("double") - 128
+    crd = F.col("cr").cast("double") - 128
+    return blocks.select(
+        "media_id",
+        "block_idx",
+        "n_components",
+        "y",
+        "cb",
+        "cr",
+        F.round(yd + 1.402 * crd, 4).alias("r"),
+        F.round(yd - 0.344136 * cbd - 0.714136 * crd, 4).alias("g"),
+        F.round(yd + 1.772 * cbd, 4).alias("b"),
+    ).orderBy("media_id", "block_idx")
 
 
 def media_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:

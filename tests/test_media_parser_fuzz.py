@@ -22,9 +22,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from otlp2parquet_spark.extensions.multimodal import (
+    _synth_jpeg,
     average_hash,
     parse_avi_frames,
     parse_avi_meta,
+    parse_jpeg_blocks,
     parse_png_meta,
     parse_png_pixels,
     parse_wav_meta,
@@ -42,6 +44,7 @@ _AVI_META_OK = (ValueError, struct.error)
 # slicing + int.from_bytes, so ValueError is provably its complete set;
 # the fuzz property must be exactly as strict as the kernel clause
 _AVI_FRAMES_OK = (ValueError,)
+_JPEG_OK = (ValueError, KeyError, IndexError, struct.error)
 
 
 def _wav_bytes(doc_id: int = 7) -> bytes:
@@ -122,6 +125,7 @@ def test_parsers_never_crash_on_arbitrary_bytes(data):
         (parse_png_pixels, _PNG_OK),
         (parse_avi_meta, _AVI_META_OK),
         (parse_avi_frames, _AVI_FRAMES_OK),
+        (parse_jpeg_blocks, _JPEG_OK),
     ):
         try:
             parse(data)
@@ -138,6 +142,8 @@ def test_parsers_never_crash_on_corrupted_containers(muts, cut):
         (_png_bytes(), parse_png_pixels, _PNG_OK),
         (_avi_bytes(), parse_avi_meta, _AVI_META_OK),
         (_avi_bytes(), parse_avi_frames, _AVI_FRAMES_OK),
+        (_synth_jpeg(3), parse_jpeg_blocks, _JPEG_OK),
+        (_synth_jpeg(6), parse_jpeg_blocks, _JPEG_OK),
     ):
         try:
             parse(_mutate(good, muts, cut))
@@ -152,6 +158,9 @@ def test_fixture_containers_roundtrip():
     assert parse_png_meta(_png_bytes())[:2] == (4, 3)
     assert parse_avi_meta(_avi_bytes())[:2] == (64, 48)
     assert len(parse_avi_frames(_avi_bytes())) == 3
+    w, h, nc, means = parse_jpeg_blocks(_synth_jpeg(3))
+    assert (w, h, nc) == (40, 40, 3)
+    assert means[0][0] == (3 * 31) % 256 and means[2][1] == (3 * 11 + 5) % 256
 
 
 def _png_filtered(pix, ftype: int, channels: int = 1) -> bytes:
