@@ -42,6 +42,9 @@ from otlp2parquet_spark.session import get_spark
 # x1_bloom_dedup (broadcast-bitmap membership probe), x3_mmr_rerank
 # (shortlist-local diversification) and x6_source_overlap (source-pair
 # gram Jaccard) — the 36-query pre-addendum subset remains comparable.
+# r9 adds x5_jpeg_blocks (real baseline-JPEG pixel decode) and
+# q08_exp_histogram_p95 (exponential-histogram percentile walk) — the
+# r8 48-query subset stays the round-over-round comparable.
 HEADLINE = [
     "a1_tpch_q1",
     "p1_project_compute",
@@ -100,6 +103,8 @@ HEADLINE = [
     "x4_quality_classifier",  # r8: IPM-trained linear quality filter
     "x6_zorder_layout",  # r8: Morton clustering key (layout tier)
     "x3_hard_negatives",  # r8: contrastive hard-negative mining
+    "x5_jpeg_blocks",  # r9: real baseline-JPEG pixel decode (per-block oracle)
+    "q08_exp_histogram_p95",  # r9: exp-histogram percentile walk
 ]
 
 RUNS_PER_QUERY = 3

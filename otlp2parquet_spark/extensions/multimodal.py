@@ -1310,7 +1310,10 @@ def media_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     avi = avi_media_table(spark, sf_dir).select(
         "media_id", "payload", F.lit("video/avi").alias("media_type")
     )
-    return wav.unionByName(png).unionByName(avi)
+    jpg = jpeg_media_table(spark, sf_dir).select(
+        "media_id", "payload", F.lit("image/jpeg").alias("media_type")
+    )
+    return wav.unionByName(png).unionByName(avi).unionByName(jpg)
 
 
 def decode_media_meta(media: DataFrame) -> DataFrame:
@@ -1344,9 +1347,13 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                     elif mt == "video/avi":
                         w, h, n_frames, fps, dur = parse_avi_meta(b)
                         vals = (w, h, n_frames, fps, dur)
+                    elif mt == "image/jpeg":
+                        w, h, _nc, means = parse_jpeg_blocks(b)
+                        vals = (w, h, len(means[0]), None, None)
                 except (
                     ValueError,
                     KeyError,
+                    IndexError,  # JPEG truncated-scan path
                     wave.Error,
                     EOFError,
                     RuntimeError,  # wave's corrupt-fmt path (fuzz-found)
@@ -1391,14 +1398,22 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                                             WHEN 2 THEN 24 ELSE 30 END)
                 // 1000000 AS BIGINT)
     FROM documents WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id, 'image/jpeg',
+           CAST(8 * (2 + doc_id % 6) AS INT), CAST(8 * (2 + doc_id % 5) AS INT),
+           CAST((2 + doc_id % 6) * (2 + doc_id % 5) AS BIGINT),
+           CAST(NULL AS INT), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 0
     ORDER BY media_id
     """,
     tags=("X5", "U4"),
 )
 def x5_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified multimodal metadata extraction: ONE dispatch kernel over a
-    mixed WAV/PNG/AVI corpus, every modality decoded by a REAL parser (no
-    stub anywhere in this path). The oracle predicts all three modalities'
+    mixed WAV/PNG/AVI/JPEG corpus, every modality decoded by a REAL parser
+    (no stub anywhere in this path; JPEG joined in r9 — its n_units is the
+    decoded 8x8 block count, so the dispatch exercises the full baseline
+    pipeline, not just the headers). The oracle predicts all four formats'
     metadata from the synthesis formulas, so a wrong parser, a wrong
     dispatch, or a dropped modality breaks the hash match."""
     return decode_media_meta(media_meta_table(spark, sf_dir)).orderBy("media_id")
