@@ -52,6 +52,18 @@ def payload_format(path: str) -> str | None:
     return ext if ext in _FORMATS else None
 
 
+def payload_format_col(path_col) -> "F.Column":
+    """JVM-side column twin of payload_format: one regexp_extract inside
+    whole-stage codegen instead of a row-at-a-time Python UDF (the scan
+    runs once per landing FILE, so this was never hot — but it was the
+    package's last remaining F.udf, and the two forms are property-tested
+    equal over adversarial paths in tests/test_otel_ingest.py)."""
+    ext = F.regexp_extract(
+        F.lower(path_col), r"\.(" + "|".join(_FORMATS) + r")(\.gz)?$", 1
+    )
+    return F.when(ext == "", F.lit(None)).otherwise(ext)
+
+
 def _landing_scan(
     spark: SparkSession, path: str, max_payload_bytes: int, size_col, select_cols
 ) -> tuple[DataFrame, DataFrame]:
@@ -59,13 +71,12 @@ def _landing_scan(
     binaryFile options, the format dispatch, and the D4/D3 rejection rules,
     so the content lane and the locality lane can never drift apart
     (test_locality_lane_matches_content_lane holds by construction)."""
-    fmt_udf = F.udf(payload_format, StringType())
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*")
         .option("recursiveFileLookup", "true")
         .load(path)
-        .select(*select_cols, fmt_udf(F.col("path")).alias("fmt"))
+        .select(*select_cols, payload_format_col(F.col("path")).alias("fmt"))
     )
     # binaryFile yields >= 1 scan partition per payload file, so the
     # CPU-bound decode already parallelizes across files; no repartition

@@ -609,3 +609,28 @@ def test_corrupt_gzip_and_bad_utf8_quarantine_not_crash(spark, tmp_path):
     assert len(sidecars) == 2 and any("trunc" in s for s in sidecars) and any(
         "bad_utf8" in s for s in sidecars
     ), sidecars
+
+
+def test_payload_format_col_equals_python_twin(spark):
+    """The JVM-side regexp format tagger (payload_format_col) must agree
+    with the Python reference (payload_format) over adversarial paths —
+    the scan lane replaced the package's last row-at-a-time F.udf with
+    the column form in r9, so their equality IS the scan's correctness."""
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.otel.ingest import payload_format, payload_format_col
+
+    paths = [
+        "a.pb", "a.json", "a.jsonl", "A.JSONL", "a.pb.gz", "A.PB.GZ",
+        "a.pb.gz.gz", "a.gz", "a.tar.gz", "a", "pb", ".pb", ".pb.gz",
+        "a.pbx", "a.xpb", "a.json5", "dir/x.y.pb", "dir.pb/x", "s3://b/k.jsonl.gz",
+        "a.", "a..pb", "a.pb.", "a.PB", "weird .pb", "tab\t.json",
+    ]
+    want = [payload_format(p) for p in paths]
+    got = [
+        r.fmt
+        for r in spark.createDataFrame([(p,) for p in paths], "path string")
+        .select(payload_format_col(F.col("path")).alias("fmt"))
+        .collect()
+    ]
+    assert got == want, list(zip(paths, got, want))
