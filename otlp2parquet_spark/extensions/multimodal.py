@@ -232,10 +232,121 @@ def resize_media(media: DataFrame, max_side: int = 128) -> DataFrame:
 def x5_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize metadata, oracle-matched: DuckDB recomputes the stub decoder's
     hash-derived dimensions and the aspect-preserving clamp — validating the
-    whole decode->resize dataflow, payload excluded (binary stub)."""
+    whole decode->resize dataflow, payload excluded (binary stub; the REAL
+    pixel-resize lane is x5_png_resize)."""
     return (
         resize_media(media_table(spark, sf_dir))
         .select("media_id", "out_width", "out_height")
+        .orderBy("media_id")
+    )
+
+
+PNG_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", IntegerType(), True),
+        StructField("out_height", IntegerType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("px_min", IntegerType(), True),
+        StructField("px_max", IntegerType(), True),
+    ]
+)
+
+
+def resize_png_pixels(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """REAL pixel resize: full PNG decode (parse_png_pixels — CRC walk,
+    inflate, unfilter) then nearest-neighbor resampling to clamp the longer
+    side at max_side (integer source indices sx = x*w//ow, sy = y*h//oh,
+    the canonical floor NN map), emitting exact integer pixel stats of the
+    RESIZED plane. Malformed payloads null out (D25 posture)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("out_width", "out_height", "px_sum", "px_min", "px_max")
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], **{c: [] for c in cols}}
+            for payload in pdf["payload"]:
+                try:
+                    g = parse_png_pixels(bytes(payload or b""))
+                except (ValueError, KeyError, zlib.error, struct.error):
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                h, w = g.shape
+                m = max(w, h)
+                ow, oh = (
+                    (w, h)
+                    if m <= max_side
+                    else (w * max_side // m, h * max_side // m)
+                )
+                r = g[np.ix_((np.arange(oh) * h) // oh, (np.arange(ow) * w) // ow)]
+                vals = (ow, oh, int(r.sum()), int(r.min()), int(r.max()))
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=PNG_RESIZE_SCHEMA)
+
+
+@query(
+    "x5_png_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             16 + doc_id % 48 AS w,
+             16 + doc_id % 37 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             sha256(CAST(doc_id AS VARCHAR)) AS dg
+      FROM documents WHERE doc_id % 3 = 0
+    ), sized AS (
+      SELECT *,
+             CASE WHEN greatest(w, h) <= 16 THEN w
+                  ELSE (w * 16) // greatest(w, h) END AS ow,
+             CASE WHEN greatest(w, h) <= 16 THEN h
+                  ELSE (h * 16) // greatest(w, h) END AS oh
+      FROM dims
+    ), px AS (
+      SELECT doc_id, ow, oh,
+             CASE WHEN ch = 1 THEN
+               CAST(('0x' || substr(dg, 2 * (((tx.x * w) // ow + (ty.y * h) // oh) % 32) + 1, 2)) AS INT)
+             ELSE (
+               CAST(('0x' || substr(dg, 2 * ((3 * ((tx.x * w) // ow) + (ty.y * h) // oh) % 32) + 1, 2)) AS INT)
+             + CAST(('0x' || substr(dg, 2 * ((3 * ((tx.x * w) // ow) + 1 + (ty.y * h) // oh) % 32) + 1, 2)) AS INT)
+             + CAST(('0x' || substr(dg, 2 * ((3 * ((tx.x * w) // ow) + 2 + (ty.y * h) // oh) % 32) + 1, 2)) AS INT)
+             ) // 3 END AS g
+      FROM sized,
+           UNNEST(generate_series(0, ow - 1)) AS tx(x),
+           UNNEST(generate_series(0, oh - 1)) AS ty(y)
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(ow) AS INT) AS out_width,
+           CAST(MAX(oh) AS INT) AS out_height,
+           CAST(SUM(g) AS BIGINT) AS px_sum,
+           CAST(MIN(g) AS INT) AS px_min,
+           CAST(MAX(g) AS INT) AS px_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY media_id
+    """,
+    tags=("X5", "U4", "F3"),
+)
+def x5_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracle-matched at the PIXEL level (r9): spec-valid
+    PNGs whose scanlines rotate with the row index (pixel byte (y, i) =
+    digest[(i + y) % 32], so the image varies in BOTH axes), decoded by the
+    full unfiltering pixel parser, nearest-neighbor-resampled to a 16-px
+    clamp, and the resized plane's exact integer stats (sum/min/max) must
+    equal DuckDB's re-derivation of the sampled pixels from the synthesis
+    formula — a wrong sx/sy floor map, a transposed axis, an off-by-one
+    in the clamp, or any decode defect breaks the hash. This retires the
+    resize stub for the format with a real decoder; x5_resize keeps the
+    generic-binary fallback shape. Scale: embarrassingly parallel map-only
+    Arrow-batched kernel, no shuffle before the presentation sort."""
+    return (
+        resize_png_pixels(png_media_table(spark, sf_dir, y_shift=True))
         .orderBy("media_id")
     )
 
@@ -511,10 +622,19 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def png_media_table(
+    spark: SparkSession, sf_dir: str, y_shift: bool = False
+) -> DataFrame:
     """Image fixture: one spec-valid PNG per image-typed media row
     (doc_id % 3 == 0), dimensions/color type derived from doc_id so the
-    oracle predicts them without parsing binaries."""
+    oracle predicts them without parsing binaries.
+
+    y_shift=True rotates each scanline's byte stream by its row index
+    (pixel byte (y, i) = digest[(i + y) % 32]) so the image VARIES in both
+    axes — the fixture x5_png_resize needs to pin 2-D resampling math
+    (the default all-rows-identical form would let a wrong y-mapping pass
+    unnoticed). The historical oracles (x5_png_meta etc.) keep the
+    default."""
     import struct
     import zlib
 
@@ -532,8 +652,14 @@ def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
                 stream = hashlib.sha256(str(doc_id).encode()).digest()
                 row_len = width * channels
-                pix = (stream * (row_len // len(stream) + 1))[:row_len]
-                raw = (b"\x00" + pix) * height  # filter 0 per scanline
+                tiled = stream * (row_len // len(stream) + 2)
+                if y_shift:
+                    raw = b"".join(
+                        b"\x00" + tiled[y % 32 : y % 32 + row_len]
+                        for y in range(height)
+                    )
+                else:
+                    raw = (b"\x00" + tiled[:row_len]) * height
                 payloads.append(
                     _PNG_SIG
                     + _png_chunk(b"IHDR", ihdr)
