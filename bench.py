@@ -271,7 +271,7 @@ LOAD_GATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "600"))
 # number, never prose. Best-of-3 inside each measurement filters transient
 # spikes while keeping sustained contention visible.
 CAL_KERNEL_MB = 512
-CAL_REF_S = 0.386  # r9 quiet anchor (load_1m 0.15), this container
+CAL_REF_S = 0.334  # r9 quiet anchor (load_1m 0.12, best-of-5), this container
 
 
 def _cal_kernel() -> float:

@@ -591,7 +591,11 @@ def t10_capped_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.row_number().over(w_in).alias("rn_in"),
         F.lag("ts").over(w_in).alias("prev_in"),
-    )
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint: the windowed frame has TWO consumers (the bucket
+    # stats and the final join) and Spark does no CSE across join inputs —
+    # unchecked, each branch would re-run the scan AND the window sort
+    # (unlike t6, whose side branch needs no window and re-scans cheaply).
     # ONE bucket frame carries every cross-bucket quantity; the groupBy
     # reuses the window's (user, bkt) hash partitioning
     bstats = intra.groupBy("user_id", "bkt").agg(

@@ -47,6 +47,11 @@ def main() -> None:
         for shards in shard_counts:
             t0 = time.perf_counter()
             feat = _qc_features(docs, shards=shards).localCheckpoint(eager=False)
+            feat.count()  # force the checkpoint: tokenize+label is
+            # shard-INDEPENDENT work — time it apart from the IPM rounds,
+            # which are what the shard count parallelizes
+            t_feat = time.perf_counter() - t0
+            t0 = time.perf_counter()
             w = quality_classifier_train(
                 feat.filter(F.col("doc_id") % 5 != 0), shards=shards
             )
@@ -62,6 +67,7 @@ def main() -> None:
                         "factor": factor,
                         "docs": n,
                         "shards": shards,
+                        "feat_s": round(t_feat, 2),
                         "train_s": round(t_train, 2),
                         "score_s": round(t_score, 2),
                         "nonzero_weights": sum(1 for v in w if v),
