@@ -271,7 +271,11 @@ LOAD_GATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "600"))
 # number, never prose. Best-of-3 inside each measurement filters transient
 # spikes while keeping sustained contention visible.
 CAL_KERNEL_MB = 512
-CAL_REF_S = 0.334  # r9 quiet anchor (load_1m 0.12, best-of-5), this container
+CAL_REF_S = 0.288  # r9 quiet anchor: best observed on this container at
+# true idle (load_1m 0.2, pre-suite). A post-burn "quiet" measurement read
+# 0.334 — the kernel sees frequency scaling, which is part of what it is
+# for: noise_index > 1 means the suite ran on effectively slower cores,
+# whatever the cause (neighbors, thermal, scheduling).
 
 
 def _cal_kernel() -> float:

@@ -1433,3 +1433,109 @@ def qc_read_meta(spark: SparkSession, path: str) -> dict:
         return {"shards": _QC_SHARDS, "rounds": _QC_ROUNDS}
     r = spark.read.parquet(f"{path}/meta").first()
     return {"shards": int(r.shards), "rounds": int(r.rounds)}
+
+
+# ---------------------------------------------------------------------------
+# x4_heavy_hitters — sketch-pruned EXACT frequent tokens (r9)
+
+_HH_K = 255  # per-partition candidate budget; threshold phi = 1/(K+1)
+
+
+def _hh_sketch_schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("t", StringType(), True),
+            StructField("cnt", LongType(), True),
+        ]
+    )
+
+
+def _hh_candidates(tok: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Pass 1 of the heavy-hitter op, split out so the pruning bound is
+    independently gateable: per partition, emit the tokens whose LOCAL
+    count clears c_p(t)*(K+1) > n_p (<= K rows by pigeonhole) plus one
+    t = NULL row carrying the partition's token count. Returns
+    (candidate-token frame, 1-row corpus-total frame) — both tiny."""
+    import pandas as pd
+
+    def sketch(batches):
+        acc = None
+        n = 0
+        for pdf in batches:
+            n += int(len(pdf))
+            vc = pdf["t"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+        ts: list = []
+        cs: list = []
+        if acc is not None:
+            heavy = acc[acc * (_HH_K + 1) > n]
+            ts = [str(i) for i in heavy.index]
+            cs = [None] * len(ts)
+        ts.append(None)
+        cs.append(n)
+        yield pd.DataFrame({"t": ts, "cnt": pd.array(cs, dtype="Int64")})
+
+    part = tok.mapInPandas(sketch, schema=_hh_sketch_schema())
+    cands = part.filter(F.col("t").isNotNull()).select("t").distinct()
+    total = part.filter(F.col("t").isNull()).agg(F.sum("cnt").alias("n"))
+    return cands, total
+
+
+@query(
+    "x4_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                                t -> length(t) > 0)) AS t
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok, tot
+    GROUP BY t, n
+    HAVING COUNT(*) * {_HH_K + 1} > n
+    ORDER BY cnt DESC, token
+    """,
+    tags=("X4", "A1", "U4"),
+)
+def x4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (every token with frequency > 1/(K+1) of the
+    corpus, K = 255) found at sketch cost: pass 1 is a per-partition
+    frequent-items summary — each partition emits ONLY the tokens whose
+    local count clears the local threshold c_p(t)*(K+1) > n_p, at most K
+    per partition by pigeonhole, plus its token count; pass 2 recounts
+    exactly over the candidate set alone (broadcast semi-join) and keeps
+    tokens clearing the global integer test cnt*(K+1) > N.
+
+    Coverage theorem (what the ORACLE hash actually checks): if
+    c(t)*(K+1) > N then by averaging some partition has
+    c_p(t)*(K+1) > n_p, so every true heavy hitter is a candidate — a
+    sketch that drops one breaks the hash match against DuckDB's exact
+    HAVING. The candidate set varies with partitioning; the OUTPUT never
+    does (pass 2 is exact arithmetic).
+
+    Scale shape — why not one exact groupBy: at 100 TB the token vocab
+    (n-grams, ids, typos) is billions of keys, so the full-vocab shuffle
+    is the cost; here pass 1 is map-only (pandas value_counts per
+    partition, vectorized, no Python per-row loop) emitting <= K rows per
+    partition, and pass 2's map-side combine only materializes candidate
+    keys (<= K x partitions, broadcastable), so shuffled bytes are
+    candidate-bounded, never vocab-bounded. Two narrow corpus passes by
+    construction (allowlisted in the duplicate-scan audit). The corpus
+    total N rides the SAME pass-1 summaries (t = NULL rows), not a third
+    pass."""
+    tok = (
+        with_tokens(T(spark, sf_dir, "documents"))
+        .select(F.explode(F.filter(F.col("toks"), lambda t: F.length(t) > 0)).alias("t"))
+    )
+    cands, total = _hh_candidates(tok)
+    return (
+        tok.join(F.broadcast(cands), "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (_HH_K + 1) > F.col("n"))
+        .select(F.col("t").alias("token"), "cnt")
+        .orderBy(F.desc("cnt"), "token")
+    )

@@ -1059,3 +1059,55 @@ def test_semantic_dedup_routes_to_corpus_sized_k(spark, tmp_path):
     assert local_drops <= global_drops  # no false drop, ever
     recall = len(local_drops & global_drops) / len(global_drops)
     assert recall >= 0.95, f"routed drop recall {recall:.3f} < 0.95"
+
+
+def test_heavy_hitters_prunes_longtail_and_stays_exact(spark, tmp_path):
+    """On a long-tail corpus (vocab >> K) the heavy-hitter op's candidate
+    set must (a) stay candidate-bounded — orders of magnitude below the
+    vocabulary — while (b) covering every true heavy hitter, and the final
+    output must equal brute force exactly. The driver corpus can't gate
+    (a): its vocab is ~31 tokens, all heavy."""
+    from otlp2parquet_spark.extensions.dedup import with_tokens
+    from otlp2parquet_spark.extensions.text import _HH_K, _hh_candidates
+    from pyspark.sql import functions as SF
+
+    rows = []
+    for i in range(2000):
+        # one genuinely heavy token + five unique long-tail tokens per doc
+        filler = " ".join(f"u{i}x{j}" for j in range(5))
+        rows.append((i, f"hot{i % 5} {filler}", "en", f"src{i % 4}", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    tok = (
+        with_tokens(
+            spark.read.parquet(str(tmp_path / "documents.parquet")).select(
+                "doc_id", "text"
+            )
+        )
+        .select(SF.explode(SF.filter(SF.col("toks"), lambda t: SF.length(t) > 0)).alias("t"))
+    )
+    cands = {r.t for r in _hh_candidates(tok)[0].collect()}
+    vocab = tok.distinct().count()
+    assert vocab > 10_000  # genuinely long-tail
+    # coverage: all five planted heavy tokens are candidates
+    assert {f"hot{k}" for k in range(5)} <= cands
+    # pruning: candidate-bounded, not vocab-bounded
+    assert len(cands) <= _HH_K * 64 and len(cands) < vocab / 10, (
+        len(cands), vocab
+    )
+    # exactness of the full op vs brute force
+    got = [
+        (r.token, r.cnt)
+        for r in SPECS["x4_heavy_hitters"].build(spark, str(tmp_path)).collect()
+    ]
+    want = sorted(
+        (
+            (r.t, r.cnt)
+            for r in tok.groupBy("t").agg(SF.count("*").alias("cnt")).collect()
+            if r.cnt * (_HH_K + 1) > 12000
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want and len(got) == 5

@@ -116,6 +116,14 @@ _DUPLICATE_SCAN_ALLOWLIST = {
         "aggregates immediately: cheaper than materializing the windowed "
         "event frame just to avoid a 2-column second pass"
     ),
+    "x4_heavy_hitters": (
+        "sketch-then-verify by construction: pass 1 is the per-partition "
+        "frequent-items summary (<= K rows out per partition), pass 2 "
+        "recounts exactly over the candidate set alone — two narrow "
+        "map-side-combined passes ARE the algorithm; materializing the "
+        "exploded token frame to avoid the second scan would cost more "
+        "than the scan at any corpus size"
+    ),
     "t6_running_count": (
         "two-level prefix scan (r8 hot-key fix): the intra-bucket window "
         "and the per-bucket-totals aggregate each scan events once — two "
