@@ -1739,3 +1739,112 @@ def dsir_score(
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x6_stratified_sample — EXACT per-source quotas without per-stratum sorts (r9)
+
+_STRAT_BKT_SHIFT = 36  # 48-bit md5 prefix -> 4096 order-preserving buckets
+
+
+@query(
+    "x6_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+               AS hv
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM h
+    )
+    SELECT doc_id, source FROM r WHERE 10 * rk <= n_s + 9
+    ORDER BY doc_id
+    """,
+    tags=("X6", "W1", "F6"),
+)
+def x6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified sample: per source, precisely ceil(n_s / 10) docs —
+    the q_s smallest (md5-hash, doc_id) pairs — deterministic across
+    engines, runs and partitionings (the x6_hash_sample content-addressed
+    discipline, upgraded from expected-rate Bernoulli to exact quotas:
+    balanced mixes and eval splits need counts, not rates).
+
+    THE SCALE SHAPE IS THE POINT: the naive form (the oracle) is a
+    ROW_NUMBER per source — one sort per stratum, and a hot source (the
+    Zipf regime: one crawl dwarfs every curated set) serializes into one
+    task, the t6/t10 failure class on the source key. Instead, selection
+    by distributed threshold search: the 48-bit hash's top 12 bits give
+    4096 ORDER-PRESERVING coarse buckets; one map-side-combined
+    (source, bucket) count frame (<= sources x 4096 rows) locates each
+    source's threshold bucket B_s (first with cumulative >= q_s, windows
+    over the bounded frame only); rows BELOW B_s are selected by a
+    map-only broadcast-join filter, and only the ~n_s/4096 rows INSIDE
+    B_s see a row_number — per-source serial work shrank 4096x, no
+    corpus-sized sort anywhere. Selected set provably equals the naive
+    form's (both take the q_s smallest (hv, doc_id) per source), so the
+    oracle hash pins the scalable plan to the simple spec. Two narrow
+    scans by construction (count pass + select pass — allowlisted in the
+    duplicate-scan audit like x4_heavy_hitters)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+    )
+    base = d.select("doc_id", "source", hv.alias("hv")).withColumn(
+        "bkt", (F.col("hv") / (1 << _STRAT_BKT_SHIFT)).cast("long")
+    )
+    # the bucket-count frame is tiny (<= sources x 4096) but DERIVING it is
+    # a corpus pass — checkpoint it so the threshold search's two window
+    # consumers never re-scan the corpus
+    bc = (
+        base.groupBy("source", "bkt")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = bc.select(
+        "source",
+        "bkt",
+        "cnt",
+        F.sum("cnt").over(w_run).alias("cum"),
+        F.expr("div(sum(cnt) OVER (PARTITION BY source) + 9, 10)").alias("q_s"),
+    )
+    th = (
+        cum.filter(F.col("cum") >= F.col("q_s"))
+        .groupBy("source")
+        .agg(F.min("bkt").alias("b_th"))
+        .join(
+            cum.select("source", "bkt", "cnt", "cum", "q_s"),
+            ["source"],
+        )
+        .filter(F.col("bkt") == F.col("b_th"))
+        .select(
+            "source",
+            "b_th",
+            # rows still needed from INSIDE the threshold bucket
+            (F.col("q_s") - (F.col("cum") - F.col("cnt"))).alias("need"),
+        )
+    )
+    joined_low = (
+        base.join(F.broadcast(th), "source")
+        .filter(F.col("bkt") < F.col("b_th"))
+        .select("doc_id", "source")
+    )
+    w_edge = Window.partitionBy("source").orderBy("hv", "doc_id")
+    joined_edge = (
+        base.join(F.broadcast(th), "source")
+        .filter(F.col("bkt") == F.col("b_th"))
+        .withColumn("rk", F.row_number().over(w_edge))
+        .filter(F.col("rk") <= F.col("need"))
+        .select("doc_id", "source")
+    )
+    return joined_low.unionByName(joined_edge).sortWithinPartitions("doc_id")

@@ -1111,3 +1111,39 @@ def test_heavy_hitters_prunes_longtail_and_stays_exact(spark, tmp_path):
         key=lambda x: (-x[1], x[0]),
     )
     assert got == want and len(got) == 5
+
+
+def test_stratified_sample_exact_quotas_with_dominant_source(spark, tmp_path):
+    """Per-source quotas must be EXACTLY ceil(n_s/10) even when one source
+    dwarfs the rest (the Zipf regime the threshold-search construction
+    exists for), and the selected set must equal the naive smallest-hash
+    spec per source."""
+    import hashlib
+    import math
+
+    rows = []
+    for i in range(3000):
+        src = "src0" if i % 10 != 0 else f"src{1 + i % 3}"  # src0 dominates
+        rows.append((i, f"text {i}", "en", src, 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r.doc_id, r.source)
+        for r in SPECS["x6_stratified_sample"].build(spark, str(tmp_path)).collect()
+    ]
+    by_src: dict = {}
+    for i, _t, _l, src, _n in rows:
+        hv = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        by_src.setdefault(src, []).append((hv, i))
+    want = set()
+    quotas = {}
+    for src, hs in by_src.items():
+        q = math.ceil(len(hs) / 10)
+        quotas[src] = q
+        want |= {(i, src) for _hv, i in sorted(hs)[:q]}
+    assert set(got) == want
+    from collections import Counter
+
+    per_src = Counter(s for _i, s in got)
+    assert dict(per_src) == quotas  # exact counts, not rates

@@ -116,6 +116,14 @@ _DUPLICATE_SCAN_ALLOWLIST = {
         "aggregates immediately: cheaper than materializing the windowed "
         "event frame just to avoid a 2-column second pass"
     ),
+    "x6_stratified_sample": (
+        "distributed threshold search by construction: one map-side-"
+        "combined bucket-count pass (checkpointed: its two window "
+        "consumers never re-derive it), then two map-only broadcast-"
+        "join filter passes (below-threshold + inside-threshold-bucket); "
+        "three narrow scans replace the naive per-stratum corpus sort "
+        "that serializes a hot source"
+    ),
     "x4_heavy_hitters": (
         "sketch-then-verify by construction: pass 1 is the per-partition "
         "frequent-items summary (<= K rows out per partition), pass 2 "
