@@ -1704,10 +1704,13 @@ def dsir_score(
     scored data differs from the training corpus) take the smoothed
     unseen-bucket log-ratio from the model's bk = -1 sentinel row (written
     by dsir_build_model since r9); legacy sentinel-less models fall back
-    to weight 0 — the pre-r9 behavior, preserved so old artifacts keep
-    scoring identically. n_tok counts EVERY token, join-independent.
-    On the training corpus every bucket is in-vocabulary, so the
-    deploy==registry bit-equality gate is untouched by either path."""
+    to weight 0, preserving their pre-r9 liw_micro/keep verdicts exactly.
+    n_tok counts EVERY token, join-independent — for a legacy artifact
+    scoring OOV-bearing docs this is a deliberate semantic CHANGE from the
+    pre-r9 inner join, which undercounted n_tok to the in-vocabulary
+    tokens (the r8 ADVICE defect this fixes). On the training corpus every
+    bucket is in-vocabulary, so the deploy==registry bit-equality gate is
+    untouched by either path."""
     docb = _dsir_doc_buckets(docs.select("doc_id", "text"))
     # 1-row OOV default, broadcast-literal idiom: 0 when the sentinel is
     # absent (legacy artifact), else the persisted smoothed log-ratio

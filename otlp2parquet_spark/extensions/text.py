@@ -1408,11 +1408,17 @@ def qc_write_model(
 def qc_read_model(spark: SparkSession, path: str) -> list[int]:
     """Reload a persisted weight vector; round-trips qc_write_model
     byte-identically (plain int64 rows, ordered by bucket id). Accepts
-    the legacy pre-r9 flat layout (part files directly under path)."""
-    import os
+    the legacy pre-r9 flat layout (part files directly under path).
+    Layout detection goes through Spark's filesystem layer (try the
+    weights/ subdir, fall back to flat) so URI-schemed storage (s3a://,
+    hdfs://) works the same as local paths — os.path probing would
+    silently misroute those (r9 review finding)."""
+    from pyspark.errors import AnalysisException
 
-    wpath = f"{path}/weights" if os.path.isdir(f"{path}/weights") else path
-    rows = spark.read.parquet(wpath).orderBy("bk").collect()
+    try:
+        rows = spark.read.parquet(f"{path}/weights").orderBy("bk").collect()
+    except AnalysisException:  # no weights/ subdir: legacy flat layout
+        rows = spark.read.parquet(path).orderBy("bk").collect()
     if len(rows) != _QC_B + 1:
         # a truncated/corrupt artifact would mis-score every doc through
         # bk/weight index misalignment — fail loudly (assert would be
@@ -1426,12 +1432,14 @@ def qc_read_model(spark: SparkSession, path: str) -> list[int]:
 
 def qc_read_meta(spark: SparkSession, path: str) -> dict:
     """Training provenance stamped by qc_write_model; legacy flat
-    artifacts (no meta table) report the historical pinned defaults."""
-    import os
+    artifacts (no meta table) report the historical pinned defaults.
+    Probes through Spark's filesystem layer (URI-schemed storage works)."""
+    from pyspark.errors import AnalysisException
 
-    if not os.path.isdir(f"{path}/meta"):
+    try:
+        r = spark.read.parquet(f"{path}/meta").first()
+    except AnalysisException:  # legacy artifact: no meta table
         return {"shards": _QC_SHARDS, "rounds": _QC_ROUNDS}
-    r = spark.read.parquet(f"{path}/meta").first()
     return {"shards": int(r.shards), "rounds": int(r.rounds)}
 
 
@@ -1454,23 +1462,40 @@ def _hh_sketch_schema():
 
 def _hh_candidates(tok: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Pass 1 of the heavy-hitter op, split out so the pruning bound is
-    independently gateable: per partition, emit the tokens whose LOCAL
-    count clears c_p(t)*(K+1) > n_p (<= K rows by pigeonhole) plus one
-    t = NULL row carrying the partition's token count. Returns
-    (candidate-token frame, 1-row corpus-total frame) — both tiny."""
+    independently gateable: per partition, a batched Misra-Gries summary
+    with K counters — worker memory is O(K + one Arrow batch's vocab),
+    NEVER partition-vocab-bounded (the r9 review finding: a plain
+    value_counts accumulator grows with the distinct-token count, which
+    at the op's own target regime is billions). Each Arrow batch's counts
+    fold in vectorized; whenever the counter table exceeds K entries, the
+    (K+1)-th largest count d is subtracted from EVERY counter and
+    non-positive ones drop — the top K+1 counters each lose exactly d, so
+    total mass removed >= (K+1) * sum(d) while removal <= insertion = n_p,
+    giving sum(d) <= n_p/(K+1); hence est(t) >= c_p(t) - sum(d) and the
+    undercount-compensated emission test (est + sum(d))*(K+1) > n_p keeps
+    every true local heavy hitter. Emits <= K candidate rows per
+    partition plus one t = NULL row carrying the partition's token count.
+    Returns (candidate-token frame, 1-row corpus-total frame) — both
+    tiny."""
     import pandas as pd
 
     def sketch(batches):
         acc = None
         n = 0
+        d_total = 0
         for pdf in batches:
             n += int(len(pdf))
             vc = pdf["t"].value_counts()
             acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > _HH_K:
+                d = int(acc.nlargest(_HH_K + 1).iloc[-1])
+                acc = acc - d
+                acc = acc[acc > 0]
+                d_total += d
         ts: list = []
         cs: list = []
-        if acc is not None:
-            heavy = acc[acc * (_HH_K + 1) > n]
+        if acc is not None and len(acc):
+            heavy = acc[(acc + d_total) * (_HH_K + 1) > n]
             ts = [str(i) for i in heavy.index]
             cs = [None] * len(ts)
         ts.append(None)
@@ -1502,29 +1527,32 @@ def _hh_candidates(tok: DataFrame) -> tuple[DataFrame, DataFrame]:
 def x4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters (every token with frequency > 1/(K+1) of the
     corpus, K = 255) found at sketch cost: pass 1 is a per-partition
-    frequent-items summary — each partition emits ONLY the tokens whose
-    local count clears the local threshold c_p(t)*(K+1) > n_p, at most K
-    per partition by pigeonhole, plus its token count; pass 2 recounts
-    exactly over the candidate set alone (broadcast semi-join) and keeps
-    tokens clearing the global integer test cnt*(K+1) > N.
+    batched Misra-Gries summary with K counters (O(K + batch-vocab)
+    worker memory — see _hh_candidates for the trim algebra) emitting the
+    tokens whose undercount-compensated local estimate clears
+    (est + sum(d))*(K+1) > n_p — a guaranteed superset of the local
+    heavies, at most K rows per partition — plus its token count; pass 2
+    recounts exactly over the candidate set alone (broadcast semi-join)
+    and keeps tokens clearing the global integer test cnt*(K+1) > N.
 
     Coverage theorem (what the ORACLE hash actually checks): if
     c(t)*(K+1) > N then by averaging some partition has
-    c_p(t)*(K+1) > n_p, so every true heavy hitter is a candidate — a
-    sketch that drops one breaks the hash match against DuckDB's exact
-    HAVING. The candidate set varies with partitioning; the OUTPUT never
-    does (pass 2 is exact arithmetic).
+    c_p(t)*(K+1) > n_p; there est + sum(d) >= c_p (MG undercount bound),
+    so t is emitted — a sketch that drops one true heavy hitter breaks
+    the hash match against DuckDB's exact HAVING. The candidate set
+    varies with partitioning; the OUTPUT never does (pass 2 is exact
+    arithmetic).
 
     Scale shape — why not one exact groupBy: at 100 TB the token vocab
     (n-grams, ids, typos) is billions of keys, so the full-vocab shuffle
-    is the cost; here pass 1 is map-only (pandas value_counts per
-    partition, vectorized, no Python per-row loop) emitting <= K rows per
+    is the cost; here pass 1 is map-only (vectorized value_counts folds +
+    O(K) summaries, no Python per-row loop) emitting <= K rows per
     partition, and pass 2's map-side combine only materializes candidate
-    keys (<= K x partitions, broadcastable), so shuffled bytes are
-    candidate-bounded, never vocab-bounded. Two narrow corpus passes by
-    construction (allowlisted in the duplicate-scan audit). The corpus
-    total N rides the SAME pass-1 summaries (t = NULL rows), not a third
-    pass."""
+    keys (<= K x partitions, broadcastable), so shuffled bytes AND worker
+    memory are candidate-bounded, never vocab-bounded. Two narrow corpus
+    passes by construction (allowlisted in the duplicate-scan audit). The
+    corpus total N rides the SAME pass-1 summaries (t = NULL rows), not a
+    third pass."""
     tok = (
         with_tokens(T(spark, sf_dir, "documents"))
         .select(F.explode(F.filter(F.col("toks"), lambda t: F.length(t) > 0)).alias("t"))

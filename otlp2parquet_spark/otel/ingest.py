@@ -58,8 +58,11 @@ def payload_format_col(path_col) -> "F.Column":
     runs once per landing FILE, so this was never hot — but it was the
     package's last remaining F.udf, and the two forms are property-tested
     equal over adversarial paths in tests/test_otel_ingest.py)."""
+    # \z, not $: Java's $ also matches before a trailing line terminator,
+    # which would route a 'x.pb\n' path to the decode lane while the
+    # Python twin quarantines it (r9 review finding)
     ext = F.regexp_extract(
-        F.lower(path_col), r"\.(" + "|".join(_FORMATS) + r")(\.gz)?$", 1
+        F.lower(path_col), r"\.(" + "|".join(_FORMATS) + r")(\.gz)?\z", 1
     )
     return F.when(ext == "", F.lit(None)).otherwise(ext)
 

@@ -137,44 +137,77 @@ def histogram_p95(spark: SparkSession) -> DataFrame:
     )
 
 
-def exp_histogram_p95(spark: SparkSession) -> DataFrame:
+def exp_histogram_p95(spark: SparkSession, df: DataFrame | None = None) -> DataFrame:
     """Exponential-histogram p95 (r9): the base-2 sibling of histogram_p95
-    over otel_metrics_exp_histogram — per row, walk ZeroCount +
-    PositiveBucketCounts to the bucket covering rank ceil(0.95 * Count)
-    and report its OTel upper boundary base^(PositiveOffset + i + 1) with
-    base = 2^(2^-Scale) (the OTLP exponential-histogram mapping; reference
-    schema docs/reference.md metrics exponential_histogram section, golden
-    testdata/parquet/metrics_exponential_histogram.parquet). Pure HOFs,
-    no UDF — the same cumulative walk as Q8, with the bound computed from
-    the scale instead of read from ExplicitBounds. Rows whose rank lands
-    in the zero bucket report 0.0 (the zero region has no exponential
-    upper bound)."""
-    h = spark.table("otel_metrics_exponential_histogram")
-    cum = F.expr(
+    over otel_metrics_exp_histogram — per row, walk the buckets in VALUE
+    order (negative buckets from most- to least-negative, then the zero
+    bucket, then positive buckets) to the bucket covering rank
+    ceil(0.95 * Count), and report its OTel upper boundary with
+    base = 2^(2^-Scale): -base^(NegativeOffset + j) for negative bucket j
+    (its least-negative edge), 0.0 inside the zero region, and
+    base^(PositiveOffset + i + 1) for positive bucket i (the OTLP
+    exponential-histogram mapping; reference schema docs/reference.md
+    metrics exponential_histogram section, golden
+    testdata/parquet/metrics_exponential_histogram.parquet — whose rows
+    carry empty negative arrays, so the negative branch is pinned by the
+    synthetic-frame unit test instead). Pure HOFs, no UDF — the same
+    cumulative walk as Q8, with the bound computed from the scale instead
+    of read from ExplicitBounds.
+
+    Negative-walk algebra: ascending value order is DESCENDING negative
+    index, and the suffix sum counts[j..] is monotone decreasing in j, so
+    the covering bucket is the LARGEST j whose suffix sum still reaches
+    the rank = (number of indices whose suffix sum reaches it) - 1 — a
+    size(filter(...)) instead of a second walk. `df` overrides the table
+    lookup so tests can pin crafted bucket layouts."""
+    h = df if df is not None else spark.table("otel_metrics_exponential_histogram")
+    rank = "cast(ceil(0.95 * Count) as bigint)"
+    neg_total = F.expr("aggregate(NegativeBucketCounts, 0L, (a, x) -> a + x)")
+    # suffix sums of the negative counts: __nsuf[j] = sum(counts[j..end])
+    nsuf = F.expr(
         """
+        transform(NegativeBucketCounts,
+                  (c, j) -> aggregate(
+                      slice(NegativeBucketCounts, j + 1,
+                            size(NegativeBucketCounts) - j),
+                      0L, (a, x) -> a + x))
+        """
+    )
+    cum = F.expr(
+        f"""
         transform(PositiveBucketCounts,
-                  (c, i) -> ZeroCount + aggregate(
+                  (c, i) -> __neg + ZeroCount + aggregate(
                       slice(PositiveBucketCounts, 1, i + 1),
                       0L, (a, x) -> a + x))
         """
     )
     first_idx = F.expr(
-        "array_position(transform(__cum, c -> c >= cast(ceil(0.95 * Count) as bigint)), true)"
+        f"array_position(transform(__cum, c -> c >= {rank}), true)"
     )
+    # largest negative index whose suffix sum reaches the rank (0-based)
+    neg_idx = F.expr(f"size(filter(__nsuf, c -> c >= {rank})) - 1")
     base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col("Scale").cast("double")))
     return (
-        h.withColumn("__cum", cum)
+        h.withColumn("__neg", neg_total)
+        .withColumn("__nsuf", nsuf)
+        .withColumn("__cum", cum)
         .withColumn("__idx", first_idx)
+        .withColumn("__nidx", neg_idx)
         .withColumn(
             "p95_upper_bound",
             F.when(F.col("Count") == 0, F.lit(None).cast("double"))
+            # rank inside the negative region: the covering bucket's
+            # least-negative edge, -base^(NegativeOffset + j)
+            .when(
+                F.col("__neg") >= F.expr(rank),
+                -F.pow(base, (F.col("NegativeOffset") + F.col("__nidx")).cast("double")),
+            )
             # rank inside the zero bucket: no exponential boundary
             .when(
-                F.col("ZeroCount")
-                >= F.expr("cast(ceil(0.95 * Count) as bigint)"),
+                F.col("__neg") + F.col("ZeroCount") >= F.expr(rank),
                 F.lit(0.0),
             )
-            # bucket i (1-based) upper bound = base^(PositiveOffset + i):
+            # positive bucket i (1-based) upper bound = base^(offset + i):
             # 0-based index (i - 1), OTel upper exponent = offset + (i-1) + 1
             .when(
                 F.col("__idx").isNotNull(),

@@ -54,6 +54,7 @@ def main() -> int:
     from otlp2parquet_spark.queries.registry import all_specs
     from otlp2parquet_spark.session import get_spark, load_table
 
+    own_replica = args.replica_dir is None
     replica = args.replica_dir or tempfile.mkdtemp(
         prefix=f"annrecall{args.factor}x_"
     )
@@ -133,7 +134,9 @@ def main() -> int:
                 }
             )
         )
-    if not args.keep:
+    # only remove a tempdir WE created — never a caller-provided
+    # --replica-dir, --keep or not (r9 review finding)
+    if own_replica and not args.keep:
         import shutil
 
         shutil.rmtree(replica, ignore_errors=True)

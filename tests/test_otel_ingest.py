@@ -625,6 +625,9 @@ def test_payload_format_col_equals_python_twin(spark):
         "a.pb.gz.gz", "a.gz", "a.tar.gz", "a", "pb", ".pb", ".pb.gz",
         "a.pbx", "a.xpb", "a.json5", "dir/x.y.pb", "dir.pb/x", "s3://b/k.jsonl.gz",
         "a.", "a..pb", "a.pb.", "a.PB", "weird .pb", "tab\t.json",
+        # trailing line terminators: Java's $ matches BEFORE a final \n,
+        # so the column form must anchor with \z to agree with Python
+        "x.pb\n", "x.json\r\n", "x.pb.gz\n", "x\n.pb",
     ]
     want = [payload_format(p) for p in paths]
     got = [

@@ -104,17 +104,40 @@ def test_q8_p95_walk_is_correct(spark, otel_root):
         assert got[r.Count] == expect
 
 
-def test_exp_histogram_p95_walk_is_correct(spark, otel_root):
-    """Check the exponential-histogram cumulative walk against a hand
-    computation per golden row: rank = ceil(0.95*Count) lands in the zero
-    bucket -> 0.0, else in positive bucket i -> base^(offset+i+1) with
-    base = 2^(2^-Scale)."""
+def _py_exp_hist_p95(r):
+    """Pure-Python reference: walk negatives (value-ascending = index-
+    descending), zero bucket, positives to rank ceil(0.95*Count)."""
     import math
 
+    rank = math.ceil(0.95 * r.Count)
+    if r.Count == 0:
+        return None
+    base = 2.0 ** (2.0 ** -r.Scale)
+    neg = list(r.NegativeBucketCounts or [])
+    neg_total = sum(neg)
+    if neg_total >= rank:
+        for j in range(len(neg) - 1, -1, -1):
+            if sum(neg[j:]) >= rank:
+                return -(base ** (r.NegativeOffset + j))
+    if neg_total + r.ZeroCount >= rank:
+        return 0.0
+    cum = neg_total + r.ZeroCount
+    for i, c in enumerate(r.PositiveBucketCounts):
+        cum += c
+        if cum >= rank:
+            return base ** (r.PositiveOffset + i + 1)
+    return None
+
+
+def test_exp_histogram_p95_walk_is_correct(spark, otel_root):
+    """Check the exponential-histogram cumulative walk against the pure
+    Python reference per golden row (the golden rows carry empty negative
+    arrays — the negative branch is pinned by the synthetic test below)."""
     import pytest as _pt
 
     h = spark.table("otel_metrics_exponential_histogram").select(
-        "Count", "Scale", "ZeroCount", "PositiveOffset", "PositiveBucketCounts"
+        "Count", "Scale", "ZeroCount", "PositiveOffset", "PositiveBucketCounts",
+        "NegativeOffset", "NegativeBucketCounts",
     ).collect()
     assert h  # the golden fixture ingested rows
     got = {
@@ -122,25 +145,62 @@ def test_exp_histogram_p95_walk_is_correct(spark, otel_root):
         for r in oq.exp_histogram_p95(spark).collect()
     }
     for r in h:
-        rank = math.ceil(0.95 * r.Count)
-        if r.Count == 0:
-            expect = None
-        elif r.ZeroCount >= rank:
-            expect = 0.0
-        else:
-            expect = None
-            cum = r.ZeroCount
-            base = 2.0 ** (2.0 ** -r.Scale)
-            for i, c in enumerate(r.PositiveBucketCounts):
-                cum += c
-                if cum >= rank:
-                    expect = base ** (r.PositiveOffset + i + 1)
-                    break
+        expect = _py_exp_hist_p95(r)
         key = (r.Count, r.ZeroCount)
         if expect is None:
             assert got[key] is None, key
         else:
             assert got[key] == _pt.approx(expect, rel=1e-12), key
+
+
+def test_exp_histogram_p95_negative_buckets(spark):
+    """Mostly-negative / mixed / zero-heavy crafted datapoints: the walk
+    must traverse negative buckets in VALUE order (descending index) and
+    report the covering bucket's least-negative edge -base^(negOffset+j);
+    a negative-blind walk (the r9 review finding) reports 0.0 or a wrong
+    positive bound on every one of these."""
+    import datetime as _dt
+
+    import pytest as _pt
+
+    rows = [
+        # (Count, Scale, Zero, PosOff, Pos[], NegOff, Neg[])
+        (100, 0, 0, 0, [], 1, [10, 20, 70]),      # all negative
+        (100, 1, 5, 0, [3], 0, [60, 32]),         # rank 95 in negatives
+        (100, 0, 60, 0, [10], 0, [25]),           # rank in zero bucket
+        (100, 0, 10, 2, [50, 35], 0, [5]),        # rank in positives
+        (0, 0, 0, 0, [], 0, []),                  # empty -> NULL
+    ]
+    ts = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (ts, f"m{k}", c, s, z, po, p, no, n)
+            for k, (c, s, z, po, p, no, n) in enumerate(rows)
+        ],
+        "Timestamp timestamp, MetricName string, Count long, Scale int, "
+        "ZeroCount long, PositiveOffset int, PositiveBucketCounts array<long>, "
+        "NegativeOffset int, NegativeBucketCounts array<long>",
+    )
+    got = {
+        r.MetricName: r.p95_upper_bound
+        for r in oq.exp_histogram_p95(spark, df=df).collect()
+    }
+    import collections
+
+    Row = collections.namedtuple(
+        "Row",
+        "Count Scale ZeroCount PositiveOffset PositiveBucketCounts "
+        "NegativeOffset NegativeBucketCounts",
+    )
+    for k, (c, s, z, po, p, no, n) in enumerate(rows):
+        expect = _py_exp_hist_p95(Row(c, s, z, po, p, no, n))
+        if expect is None:
+            assert got[f"m{k}"] is None, k
+        else:
+            assert got[f"m{k}"] == _pt.approx(expect, rel=1e-12), k
+    # spot-check the hand math: m0 rank 95, suffix sums [100, 90, 70] ->
+    # largest j with suf >= 95 is j=0 -> bound = -(2^(1+0)) = -2.0
+    assert got["m0"] == _pt.approx(-2.0)
 
 
 def test_q9_hex_bridge_join(spark, otel_root):
