@@ -94,6 +94,21 @@ def _build_parser() -> argparse.ArgumentParser:
         "(replay-safe: only epochs below the newest)",
     )
 
+    xd = sub.add_parser(
+        "xdedup",
+        help="streaming EXACT dedup over a documents landing dir (T15): "
+        "drain available files, flag each doc against the persistent "
+        "content-hash index, append per-epoch verdicts under STATE/flags",
+    )
+    xd.add_argument("landing_dir", help="dir of documents-schema parquet files")
+    xd.add_argument("--state", required=True, help="hash index + flags root")
+    xd.add_argument("--checkpoint", required=True)
+    xd.add_argument(
+        "--compact-index",
+        action="store_true",
+        help="merge committed hash-index AND flags epochs after the drain",
+    )
+
     ann = sub.add_parser(
         "annindex",
         help="streaming ANN index maintenance (T12): train IVFPQ artifacts "
@@ -305,6 +320,47 @@ def main(argv: list[str] | None = None) -> int:
                 {
                     "docs_flagged_total": int(n_total),
                     "near_dups": int(n_dup or 0),
+                    "index_epochs_compacted": compacted,
+                    "flags_epochs_compacted": flags_compacted,
+                    "state": args.state,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "xdedup":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-xdedup")
+        q = stream_pipeline.exactdedup_stream(
+            spark, args.landing_dir, args.state, args.checkpoint
+        )
+        q.awaitTermination()
+        compacted = flags_compacted = 0
+        if args.compact_index:
+            compacted = stream_pipeline.compact_hash_index(spark, args.state)
+            flags_compacted = stream_pipeline.compact_dedup_flags(
+                spark, args.state
+            )
+        flags_dir = os.path.join(args.state, "flags")
+        if os.path.isdir(flags_dir):
+            flags = spark.read.parquet(flags_dir).dropDuplicates(["doc_id"])
+            n_total, n_dup = flags.agg(
+                F.count("*"), F.sum(F.col("is_duplicate").cast("long"))
+            ).first()
+        else:
+            # empty landing dir: no epoch flushed, nothing to summarize
+            n_total, n_dup = 0, 0
+        print(
+            json.dumps(
+                {
+                    "docs_flagged_total": int(n_total),
+                    "exact_dups": int(n_dup or 0),
                     "index_epochs_compacted": compacted,
                     "flags_epochs_compacted": flags_compacted,
                     "state": args.state,

@@ -19,6 +19,7 @@ availableNow must reproduce the batch twin's results exactly).
 | T12| streaming ANN index maintenance   | ivfpq_index_stream (frozen-quantizer encode-at-ingest) |
 | T13| streaming quality scoring at ingest| quality_score_stream (frozen persisted classifier)     |
 | T14| streaming DSIR selection at ingest | dsir_select_stream (frozen persisted selection model)  |
+| T15| streaming exact dedup at ingest    | exactdedup_stream (persistent bucketed content-hash index) |
 """
 
 from __future__ import annotations
@@ -426,6 +427,12 @@ def _band_bucket(nb: int):
     return F.pmod(F.xxhash64(F.col("band"), F.col("bsig")), F.lit(nb))
 
 
+def _hash_bucket(nb: int):
+    """Bucket expression for the T15 exact-dedup content-hash index —
+    the _band_bucket discipline keyed on the single hash column."""
+    return F.pmod(F.xxhash64(F.col("h")), F.lit(nb))
+
+
 def _band_epochs(bands_dir: str) -> list[int]:
     import os
 
@@ -467,16 +474,18 @@ def _epoch_nb(epoch_dir: str) -> int | None:
     return None
 
 
-def _write_band_epoch(df: DataFrame, epoch_dir: str, nb: int) -> None:
+def _write_band_epoch(df: DataFrame, epoch_dir: str, nb: int, bucket_expr=None) -> None:
     """Bucketed epoch write + the `_NB` sidecar (underscore-prefixed, so
     Spark partition discovery over the whole bands dir ignores it). The
     sidecar is committed by atomic rename — a plain open/write can tear
     ('4096' -> '4'), and a torn-but-integer value is the one corruption
-    _epoch_nb's power-of-two check alone might not catch."""
+    _epoch_nb's power-of-two check alone might not catch. bucket_expr
+    picks the index's key hash (default: the T11 band bucket; T15 passes
+    the content-hash bucket)."""
     import os
 
     (
-        df.withColumn("bucket", _band_bucket(nb))
+        df.withColumn("bucket", (bucket_expr or _band_bucket)(nb))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(epoch_dir)
@@ -706,15 +715,40 @@ def compact_band_index(
     and converged by re-running. No window loses history (round-7 review:
     the previous delete-then-rename order could drop the merged epochs on
     a crash between the two)."""
+    return _compact_epoch_index(
+        spark,
+        state_dir,
+        "bands",
+        ("band", "bsig"),
+        _band_bucket,
+        rows_per_bucket,
+        "compact_band_index",
+    )
+
+
+def _compact_epoch_index(
+    spark: SparkSession,
+    state_dir: str,
+    subdir: str,
+    key_cols: tuple[str, ...],
+    bucket_expr,
+    rows_per_bucket: int,
+    what: str,
+) -> int:
+    """Shared epoch-index compactor (T11 bands / T15 hashes): merge all
+    epochs strictly below the newest into one MIN(first_id)-per-key
+    consolidated partition at a fresh negative epoch, publish-by-rename
+    BEFORE deleting inputs. See compact_band_index's docstring for the
+    replay-safety and crash contracts — they are properties of this core."""
     import os
     import shutil
 
-    _require_local_state(state_dir, "compact_band_index")
-    bands_dir = os.path.join(state_dir, "bands")
-    tmp = os.path.join(bands_dir, "_compact_tmp")
+    _require_local_state(state_dir, what)
+    index_dir = os.path.join(state_dir, subdir)
+    tmp = os.path.join(index_dir, "_compact_tmp")
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)  # pre-publish crash debris; inputs are intact
-    epochs = _band_epochs(bands_dir)
+    epochs = _band_epochs(index_dir)
     if not epochs:
         return 0  # no index yet (e.g. an empty landing dir never flushed)
     old = [e for e in epochs if e < epochs[-1]]
@@ -724,22 +758,22 @@ def compact_band_index(
     for e in old:
         # leaf enumeration handles bucketed, legacy-flat AND torn-sidecar
         # epochs uniformly (see _epoch_leaves)
-        leaves.extend(_epoch_leaves(os.path.join(bands_dir, f"epoch={e}")))
+        leaves.extend(_epoch_leaves(os.path.join(index_dir, f"epoch={e}")))
     merged = (
         spark.read.parquet(*leaves)
-        .groupBy("band", "bsig")
+        .groupBy(*key_cols)
         .agg(F.min("first_id").alias("first_id"))
         .persist()
     )
     try:
         nb = _nb_for_rows(merged.count(), rows_per_bucket)
-        _write_band_epoch(merged, tmp, nb)
+        _write_band_epoch(merged, tmp, nb, bucket_expr=bucket_expr)
     finally:
         merged.unpersist()
     target = min(0, epochs[0]) - 1  # fresh, always below every live epoch
-    os.rename(tmp, os.path.join(bands_dir, f"epoch={target}"))  # publish
+    os.rename(tmp, os.path.join(index_dir, f"epoch={target}"))  # publish
     for e in old:
-        shutil.rmtree(os.path.join(bands_dir, f"epoch={e}"))
+        shutil.rmtree(os.path.join(index_dir, f"epoch={e}"))
     return len(old) - 1
 
 
@@ -1061,4 +1095,163 @@ def compact_dsir_verdicts(spark: SparkSession, out_dir: str) -> int:
     _require_local_state(out_dir, "compact_dsir_verdicts")
     return _compact_union_epochs(
         spark, out_dir, key_cols=("doc_id",), sort_cols=("doc_id",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T15: streaming EXACT dedup at ingest (live first-seen content hash — r9)
+# ---------------------------------------------------------------------------
+
+
+def make_exactdedup_flush(
+    spark: SparkSession,
+    state_dir: str,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+):
+    """The foreachBatch body of exactdedup_stream, exposed so tests can
+    drive it with explicit (batch, epoch_id) pairs — including replays
+    (the per-epoch-overwrite idempotence contract, same as T11's).
+
+    Per batch: sha-256 every doc; probe ONLY the history buckets the
+    batch's hashes fold onto (history_probe_paths — the T11 pruning,
+    keyed on xxhash64(h)); a duplicate's keeper is the SMALLEST doc_id
+    that ever emitted the hash — min over the history index and the
+    batch's own first-seen window. Verdicts
+    (doc_id, content_hash, is_duplicate, dup_of) land per-epoch under
+    {state_dir}/flags; the (h, first_id) index accretes per-epoch under
+    {state_dir}/hashes, bucketed + `_NB`-sidecar'd like the band index."""
+    import os
+
+    from pyspark.sql import Window
+
+    _require_local_state(state_dir, "make_exactdedup_flush")
+    hashes_dir = os.path.join(state_dir, "hashes")
+    flags_dir = os.path.join(state_dir, "flags")
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        hashed = batch_df.select(
+            "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h")
+        ).persist()
+        try:
+            coarse = [
+                r[0]
+                for r in hashed.select(_hash_bucket(_BAND_MAXNB).alias("cb"))
+                .distinct()
+                .collect()
+            ]
+            hist_paths = history_probe_paths(hashes_dir, int(epoch_id), coarse)
+            w = Window.partitionBy("h")
+            out = hashed.withColumn("first_intra", F.min("doc_id").over(w))
+            if hist_paths:
+                hist = (
+                    spark.read.parquet(*hist_paths)
+                    .groupBy("h")
+                    .agg(F.min("first_id").alias("first_hist"))
+                )
+                out = out.join(hist, "h", "left")
+            else:
+                out = out.withColumn("first_hist", F.lit(None).cast("long"))
+            keeper = F.least("first_hist", "first_intra")  # least skips NULLs
+            (
+                out.select(
+                    "doc_id",
+                    F.col("h").alias("content_hash"),
+                    (keeper < F.col("doc_id")).alias("is_duplicate"),
+                    F.when(keeper < F.col("doc_id"), keeper).alias("dup_of"),
+                ).write.mode("overwrite")
+                .parquet(os.path.join(flags_dir, f"epoch={int(epoch_id)}"))
+            )
+            agg = hashed.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+            nb = _nb_for_rows(hashed.count(), rows_per_bucket)
+            _write_band_epoch(
+                agg,
+                os.path.join(hashes_dir, f"epoch={int(epoch_id)}"),
+                nb,
+                bucket_expr=_hash_bucket,
+            )
+        finally:
+            hashed.unpersist()
+
+    return flush
+
+
+def exactdedup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+):
+    """Streaming first-seen EXACT dedup: the live form of batch
+    x1_exact_dedup/x1_incremental_dedup (extensions/dedup.py) — every
+    arriving document is flagged is_duplicate when its content hash was
+    already emitted by an earlier document, across all previous
+    micro-batches and runs, with dup_of = the keeper (smallest emitting
+    doc_id). The T11 lane catches NEAR-duplicates via LSH bands; this one
+    is the exact tier a production ingest runs FIRST (cheapest filter,
+    zero false positives), against the same epoch-partitioned, bucketed,
+    compactable index machinery.
+
+    Equivalence contract (tests/test_streaming_exactdedup.py): when
+    documents arrive in doc_id order, the union of all flag partitions —
+    across any micro-batch slicing, stop/restart cycle, or crash-replay —
+    equals first-seen exact dedup over the union of the inputs (keeper =
+    MIN doc_id per hash). Writes are per-epoch directory overwrites
+    (file-level exactly-once); the history read filters epoch < current so
+    a replayed batch never sees its own half-written index as history.
+
+    Scale shape per micro-batch: one sha-256 pass (JVM-side, codegen), a
+    batch-local first-seen window, and a left join against ONLY the index
+    buckets the batch's hashes fold onto (xxhash64(h) % nb dirs via
+    history_probe_paths) — probe bytes ~(batch hash count x
+    rows_per_bucket-sized buckets), independent of total index size once
+    compaction re-buckets (the measured-flat T11 property; the index and
+    probe layouts are the same code paths). Epochs compact via
+    compact_hash_index."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    ws = stream.writeStream.foreachBatch(
+        make_exactdedup_flush(spark, state_dir, rows_per_bucket=rows_per_bucket)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        ws = ws.trigger(availableNow=True)
+    return ws.start()
+
+
+def compact_hash_index(
+    spark: SparkSession,
+    state_dir: str,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+) -> int:
+    """Compact exactdedup_stream's epoch-partitioned content-hash index —
+    MIN(first_id) per hash, re-bucketed at ~rows_per_bucket rows per
+    bucket. Same replay-safety and publish-before-delete crash contracts
+    as compact_band_index (shared core: _compact_epoch_index)."""
+    return _compact_epoch_index(
+        spark,
+        state_dir,
+        "hashes",
+        ("h",),
+        _hash_bucket,
+        rows_per_bucket,
+        "compact_hash_index",
+    )
+
+
+def compact_dedup_flags(spark: SparkSession, state_dir: str) -> int:
+    """Compact exactdedup_stream's epoch-partitioned verdicts — append-only
+    per-doc rows, the T11 flags contract."""
+    import os
+
+    _require_local_state(state_dir, "compact_dedup_flags")
+    return _compact_union_epochs(
+        spark,
+        os.path.join(state_dir, "flags"),
+        key_cols=("doc_id",),
+        sort_cols=("doc_id",),
     )

@@ -1,0 +1,229 @@
+"""T15 gates (the T11 discipline on the exact content-hash tier):
+(1) live == batch — the union of streamed verdicts across any slicing and
+a restart equals first-seen exact dedup over the union of inputs (keeper =
+MIN doc_id per sha-256); (2) replayed epochs rewrite exactly their own
+partitions (idempotence); (3) index compaction preserves every verdict;
+(4) the bucketed history probe reads only the buckets a batch's hashes
+fold onto."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.session import load_table
+from otlp2parquet_spark.streaming.pipeline import (
+    _BAND_MAXNB,
+    _hash_bucket,
+    compact_dedup_flags,
+    compact_hash_index,
+    exactdedup_stream,
+    history_probe_paths,
+    make_exactdedup_flush,
+)
+
+SF = "/root/testdata/sf0.001"
+COLS = ["doc_id", "content_hash", "is_duplicate", "dup_of"]
+
+
+def _docs(spark, n=300):
+    """Fixture docs with PLANTED exact duplicates (the synthetic corpus has
+    none): every doc_id % 7 == 3 doc carries the same text, so duplicates
+    straddle every batch slicing."""
+    return (
+        load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 3, F.lit("planted duplicate payload r9")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .orderBy("doc_id")
+        .limit(n)
+    )
+
+
+def _want(docs):
+    """First-seen exact dedup over the whole frame, keeper = MIN doc_id."""
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    keeper = F.min("doc_id").over(w)
+    return hashed.select(
+        "doc_id",
+        "content_hash",
+        (F.col("doc_id") > keeper).alias("is_duplicate"),
+        F.when(F.col("doc_id") > keeper, keeper).alias("dup_of"),
+    )
+
+
+def test_live_equals_batch_across_slicings_and_restart(spark, tmp_path):
+    docs = _docs(spark)
+    rows = docs.collect()
+    # landing dir of 4 files in doc_id order
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    per = (len(rows) + 3) // 4
+    for i in range(4):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(
+                chunk,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"f{i}"))
+    k = 0
+    for f in sorted(glob.glob(str(tmp_path / "f*/part-*.parquet"))):
+        os.link(f, f"{flat}/{k:05d}.parquet")
+        k += 1
+
+    # phase 1: first file only, then restart over the full dir
+    part = str(tmp_path / "part")
+    os.makedirs(part, exist_ok=True)
+    files = sorted(glob.glob(f"{flat}/*.parquet"))
+    os.link(files[0], f"{part}/00000.parquet")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    exactdedup_stream(spark, part, state, ckpt, rows_per_bucket=16).awaitTermination()
+    n1 = spark.read.parquet(f"{state}/flags").count()
+    assert 0 < n1 < len(rows)
+    for i, f in enumerate(files[1:], start=1):
+        os.link(f, f"{part}/{i:05d}.parquet")
+    exactdedup_stream(spark, part, state, ckpt, rows_per_bucket=16).awaitTermination()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{state}/flags").select(*COLS).collect())
+    )
+    want = sorted(map(tuple, _want(docs).select(*COLS).collect()))
+    assert got == want
+    # the fixture actually contains cross-batch duplicates (else vacuous)
+    assert any(r[2] for r in want)
+
+    # flag compaction preserves the exact verdict set
+    removed = compact_dedup_flags(spark, state)
+    assert removed >= 1
+    assert (
+        sorted(map(tuple, spark.read.parquet(f"{state}/flags").select(*COLS).collect()))
+        == want
+    )
+
+
+def test_flush_replay_idempotent_and_history_excludes_self(spark, tmp_path):
+    docs = _docs(spark, 120).collect()
+    state = str(tmp_path / "state")
+    flush = make_exactdedup_flush(spark, state, rows_per_bucket=8)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame(docs[:60], schema)
+    b1 = spark.createDataFrame(docs[60:], schema)
+    flush(b0, 0)
+    flush(b1, 1)
+    after_first = sorted(
+        map(tuple, spark.read.parquet(f"{state}/flags").select(*COLS).collect())
+    )
+    # crash-replay of the LAST epoch: rewrites its own partitions only and
+    # must not see its own index as history (verdicts bit-identical)
+    flush(b1, 1)
+    assert (
+        sorted(map(tuple, spark.read.parquet(f"{state}/flags").select(*COLS).collect()))
+        == after_first
+    )
+
+
+def test_hash_index_compaction_preserves_future_verdicts(spark, tmp_path):
+    docs = _docs(spark, 200).collect()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    state_a, state_b = str(tmp_path / "a"), str(tmp_path / "b")
+    chunks = [docs[:50], docs[50:100], docs[100:150]]
+    tail = docs[150:]
+    for state in (state_a, state_b):
+        flush = make_exactdedup_flush(spark, state, rows_per_bucket=8)
+        for e, c in enumerate(chunks):
+            flush(spark.createDataFrame(c, schema), e)
+    # compact only A's index, then feed both the same tail epoch
+    removed = compact_hash_index(spark, state_a, rows_per_bucket=8)
+    assert removed >= 1
+    for state in (state_a, state_b):
+        make_exactdedup_flush(spark, state, rows_per_bucket=8)(
+            spark.createDataFrame(tail, schema), 3
+        )
+    va = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{state_a}/flags/epoch=3").select(*COLS).collect(),
+        )
+    )
+    vb = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{state_b}/flags/epoch=3").select(*COLS).collect(),
+        )
+    )
+    assert va == vb  # compaction is invisible to verdict semantics
+
+
+def test_history_probe_prunes_to_matching_buckets(spark, tmp_path):
+    docs = _docs(spark, 200).collect()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    state = str(tmp_path / "state")
+    flush = make_exactdedup_flush(spark, state, rows_per_bucket=8)
+    flush(spark.createDataFrame(docs, schema), 0)
+    # a single-doc probe batch folds onto exactly ONE bucket per epoch
+    one = spark.createDataFrame(docs[:1], schema)
+    coarse = [
+        r[0]
+        for r in one.select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("h")
+        )
+        .select(_hash_bucket(_BAND_MAXNB).alias("cb"))
+        .distinct()
+        .collect()
+    ]
+    paths = history_probe_paths(f"{state}/hashes", 1, coarse)
+    all_buckets = [
+        d
+        for d in os.listdir(f"{state}/hashes/epoch=0")
+        if d.startswith("bucket=")
+    ]
+    assert len(all_buckets) > 1  # multi-bucket epoch (tiny rows_per_bucket)
+    assert len(paths) == 1 and paths[0].startswith(f"{state}/hashes/epoch=0")
+
+
+def test_cli_xdedup_end_to_end(spark, tmp_path, capsys):
+    """The xdedup CLI drains a landing dir, compacts, and its reported
+    counts match the batch first-seen reference."""
+    import json
+
+    from otlp2parquet_spark import cli
+
+    docs = _docs(spark, 200)
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    rows = docs.collect()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    for i in range(3):
+        chunk = rows[i * 70 : (i + 1) * 70]
+        if chunk:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp_path / f"f{i}"))
+    k = 0
+    for f in sorted(glob.glob(str(tmp_path / "f*/part-*.parquet"))):
+        os.link(f, f"{flat}/{k:05d}.parquet")
+        k += 1
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    rc = cli.main(
+        ["xdedup", flat, "--state", state, "--checkpoint", ckpt, "--compact-index"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = _want(docs)
+    assert summary["docs_flagged_total"] == want.count()
+    assert summary["exact_dups"] == want.filter("is_duplicate").count()
+    assert summary["flags_epochs_compacted"] >= 1
