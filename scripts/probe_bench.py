@@ -83,6 +83,12 @@ def main() -> None:
         help="plant a near-dup clique of this fraction of the replica "
         "rows, all sharing one band-signature set (hot band buckets)",
     )
+    ap.add_argument(
+        "--exact",
+        action="store_true",
+        help="measure the T15 exact-dedup content-hash index instead of "
+        "the T11 band index (same bucketed layout, keyed on xxhash64(h))",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -103,13 +109,24 @@ def main() -> None:
         .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text")
         .persist()
     )
-    coarse = [
-        r[0]
-        for r in minhash_fs_bands(probe_docs)
-        .select(P._band_bucket(P._BAND_MAXNB).alias("cb"))
-        .distinct()
-        .collect()
-    ]
+    if args.exact:
+        coarse = [
+            r[0]
+            for r in probe_docs.select(
+                F.sha2(F.col("text").cast("binary"), 256).alias("h")
+            )
+            .select(P._hash_bucket(P._BAND_MAXNB).alias("cb"))
+            .distinct()
+            .collect()
+        ]
+    else:
+        coarse = [
+            r[0]
+            for r in minhash_fs_bands(probe_docs)
+            .select(P._band_bucket(P._BAND_MAXNB).alias("cb"))
+            .distinct()
+            .collect()
+        ]
 
     for factor in [int(x) for x in args.factors.split(",") if x.strip()]:
         replica = tempfile.mkdtemp(prefix=f"probe{factor}x_")
@@ -140,16 +157,26 @@ def main() -> None:
                     .distinct()
                     .collect()
                 ]
-            flush = P.make_neardup_flush(
-                spark, state, rows_per_bucket=args.rows_per_bucket
-            )
+            if args.exact:
+                flush = P.make_exactdedup_flush(
+                    spark, state, rows_per_bucket=args.rows_per_bucket
+                )
+            else:
+                flush = P.make_neardup_flush(
+                    spark, state, rows_per_bucket=args.rows_per_bucket
+                )
             flush(docs.filter(F.col("doc_id") % 2 == 0), 0)
             flush(docs.filter(F.col("doc_id") % 2 == 1), 1)
             flush(docs.orderBy("doc_id").limit(1), 2)  # replayable tail
-            P.compact_band_index(
-                spark, state, rows_per_bucket=args.rows_per_bucket
-            )
-            bands = os.path.join(state, "bands")
+            if args.exact:
+                P.compact_hash_index(
+                    spark, state, rows_per_bucket=args.rows_per_bucket
+                )
+            else:
+                P.compact_band_index(
+                    spark, state, rows_per_bucket=args.rows_per_bucket
+                )
+            bands = os.path.join(state, "hashes" if args.exact else "bands")
             paths = P.history_probe_paths(bands, 3, coarse)
             index_rows = spark.read.parquet(bands).count()
             probe_bytes = _tree_bytes(*paths)
