@@ -42,9 +42,12 @@ from otlp2parquet_spark.session import get_spark
 # x1_bloom_dedup (broadcast-bitmap membership probe), x3_mmr_rerank
 # (shortlist-local diversification) and x6_source_overlap (source-pair
 # gram Jaccard) — the 36-query pre-addendum subset remains comparable.
-# r9 adds x5_jpeg_blocks (real baseline-JPEG pixel decode) and
-# q08_exp_histogram_p95 (exponential-histogram percentile walk) — the
-# r8 48-query subset stays the round-over-round comparable.
+# r9 adds x5_jpeg_blocks (real baseline-JPEG pixel decode),
+# q08_exp_histogram_p95 (exponential-histogram percentile walk),
+# x4_heavy_hitters (MG-sketch-pruned exact frequent tokens),
+# x5_png_resize (real pixel resize) and x6_stratified_sample (exact
+# per-source quotas) — the r8 48-query subset stays the round-over-round
+# comparable.
 HEADLINE = [
     "a1_tpch_q1",
     "p1_project_compute",
@@ -105,6 +108,9 @@ HEADLINE = [
     "x3_hard_negatives",  # r8: contrastive hard-negative mining
     "x5_jpeg_blocks",  # r9: real baseline-JPEG pixel decode (per-block oracle)
     "q08_exp_histogram_p95",  # r9: exp-histogram percentile walk
+    "x4_heavy_hitters",  # r9: MG-sketch-pruned exact frequent tokens
+    "x5_png_resize",  # r9: real PNG pixel decode + NN resample
+    "x6_stratified_sample",  # r9: exact per-source quotas, threshold search
 ]
 
 RUNS_PER_QUERY = 3
