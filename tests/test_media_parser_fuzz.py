@@ -247,3 +247,28 @@ def test_average_hash_contract():
     assert bin(int(hx, 16) ^ int(hx2, 16)).count("1") <= 4
     with pytest.raises(ValueError):
         average_hash(np.zeros((4, 40), dtype=np.int64))
+
+
+@given(doc_id=st.integers(min_value=0, max_value=2**60))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_synth_decode_roundtrip_property(doc_id):
+    """Every synthesizable doc_id must round-trip bit-exactly through the
+    general baseline decoder: geometry from the formula, every block's
+    decoded Y/Cb/Cr equal to the synthesis values — the per-example form
+    of the x5_jpeg_blocks oracle, over a far wider id space than the
+    fixtures reach (DC deltas spanning the full category range, byte
+    stuffing, both component layouts)."""
+    from otlp2parquet_spark.extensions.multimodal import (
+        _synth_jpeg,
+        parse_jpeg_blocks,
+    )
+
+    w, h, nc, means = parse_jpeg_blocks(_synth_jpeg(doc_id))
+    wb, hb = 2 + doc_id % 6, 2 + doc_id % 5
+    assert (w, h) == (8 * wb, 8 * hb)
+    assert nc == (1 if doc_id % 2 == 0 else 3)
+    for bi in range(wb * hb):
+        assert means[0][bi] == (doc_id * 31 + bi * 17) % 256
+        if nc == 3:
+            assert means[1][bi] == (doc_id * 7 + bi * 3) % 256
+            assert means[2][bi] == (doc_id * 11 + bi * 5) % 256
