@@ -1147,3 +1147,39 @@ def test_stratified_sample_exact_quotas_with_dominant_source(spark, tmp_path):
 
     per_src = Counter(s for _i, s in got)
     assert dict(per_src) == quotas  # exact counts, not rates
+
+
+def test_stratified_sample_bucket_extremes(spark, tmp_path, monkeypatch):
+    """The threshold search must stay exact at both bucketing extremes:
+    shift 48 folds EVERY doc into bucket 0 (the edge window does all the
+    work), tiny shift spreads docs one-per-bucket (the below-threshold
+    filter does all the work). Both must equal the naive smallest-hash
+    spec."""
+    import hashlib
+    import math
+
+    import otlp2parquet_spark.extensions.pipeline as pipe_mod
+
+    rows = [
+        (i, f"text {i}", "en", f"src{i % 3}", 0) for i in range(97)
+    ]  # prime-ish count: quotas don't divide evenly
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    by_src: dict = {}
+    for i, *_ in rows:
+        hv = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        by_src.setdefault(f"src{i % 3}", []).append((hv, i))
+    want = set()
+    for src, hs in by_src.items():
+        q = math.ceil(len(hs) / 10)
+        want |= {(i, src) for _hv, i in sorted(hs)[:q]}
+
+    for shift in (48, 4):
+        monkeypatch.setattr(pipe_mod, "_STRAT_BKT_SHIFT", shift)
+        got = {
+            (r.doc_id, r.source)
+            for r in SPECS["x6_stratified_sample"].build(spark, str(tmp_path)).collect()
+        }
+        assert got == want, shift
