@@ -907,6 +907,190 @@ def a9_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+@query(
+    "a10_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           """
+    + sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    + """,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-30'
+      AND l_shipdate > TIMESTAMP '1998-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J1", "A1", "O2", "P2"),
+)
+def a10_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the synthetic schema
+    (o_orderpriority stands in for the missing o_shippriority): unshipped
+    high-revenue orders for one market segment. The reference delegates
+    exactly this class of multi-join top-k to external engines
+    (reference docs/querying.md:1-9).
+
+    Scale shape: all three filters reach their scans as PushedFilters
+    (segment on customer, date on orders, date on lineitem) so every join
+    input is pre-shrunk; the join keys are the natural shuffle keys
+    (custkey, then orderkey) and the revenue aggregate rides the
+    lineitem-orders shuffle already partitioned by orderkey. No static
+    broadcast: customer-filtered is 1/5 of a table that is 15M rows at
+    TPC-H SF100 — AQE re-plans it to broadcast at runtime when it is
+    actually small, which is the right call in both regimes. The top-10
+    is TakeOrderedAndProject (per-partition heap + driver merge of 10-row
+    heads), never a global sort."""
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    ords = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-30").cast("timestamp_ntz")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.select("c_custkey")
+        .join(ords.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"),
+              cust.c_custkey == ords.o_custkey)
+        .join(li.select("l_orderkey", "l_extendedprice", "l_discount"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "a11_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           """
+    + sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    + """
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("J1", "J5", "A1", "P2"),
+)
+def a11_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation where customer
+    and supplier share a nation inside one region — the 6-table join the
+    benchmark uses to stress join ordering.
+
+    Scale shape: region and nation are constant-size dimensions (5 / 25
+    rows at every SF) — statically broadcast, and the region filter
+    applied BEFORE the broadcast so the nation build side carries only
+    ASIA nations, turning the region predicate into a semi-filter on
+    supplier's shuffle input. The fact-fact joins (orders-customer on
+    custkey, lineitem-orders on orderkey, lineitem-supplier on suppkey)
+    shuffle on their keys; the locality predicate c_nationkey =
+    s_nationkey is attached to the supplier join as a non-key conjunct so
+    it filters during the probe instead of materializing mismatched
+    pairs. Final aggregate is |nations|-bounded — map-side combine
+    collapses it before the last exchange."""
+    asia_nations = (
+        T(spark, sf_dir, "nation")
+        .join(
+            T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    ords = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(ords.select("o_custkey", "o_orderkey"),
+                  F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "a12_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             """
+    + sql_dsum("l_quantity", "sum_qty")
+    + """
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("A4", "J1", "A1", "O2"),
+)
+def a12_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line quantity
+    exceeds a threshold, with their customer. The spec text re-scans
+    lineitem for the outer sum; since the HAVING subquery already computes
+    exactly that sum per qualifying order, this plan aggregates lineitem
+    ONCE and carries sum_qty through the joins — half the spec's lineitem
+    traffic, identical result (the oracle CTE states the same reuse).
+
+    Scale shape: the quantity aggregate partial-aggregates map-side onto
+    the orderkey shuffle; the HAVING filter cuts the frame to the rare
+    heavy orders BEFORE any join, so the orders/customer joins probe with
+    a tiny build side that AQE demotes to broadcast at runtime. Top-100 is
+    TakeOrderedAndProject."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("_exact_qty"),
+        )
+        .filter(F.col("_exact_qty") > 250)
+        .drop("_exact_qty")
+    )
+    ords = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 # ===========================================================================
 # W group — window functions
 # ===========================================================================
