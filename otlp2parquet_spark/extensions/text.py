@@ -374,6 +374,128 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x4_kn_lm_score — interpolated Kneser-Ney bigram scoring
+
+_KN_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                         t -> length(t) > 0) AS toks
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, source, toks[g.i] AS w1, toks[g.i + 1] AS w2
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+      WHERE len(toks) >= 2
+    ), model AS (
+      SELECT source, w1, w2, COUNT(*) AS c_bg FROM bi GROUP BY source, w1, w2
+    ), enriched AS (
+      SELECT source, w1, w2, c_bg,
+             SUM(c_bg) OVER (PARTITION BY source, w1) AS c_w1,
+             COUNT(*) OVER (PARTITION BY source, w1) AS n1_fwd,
+             COUNT(*) OVER (PARTITION BY source, w2) AS n1_bwd,
+             COUNT(*) OVER (PARTITION BY source) AS n1_total
+      FROM model
+    ), scored AS (
+      SELECT b.doc_id, b.source,
+             ln((GREATEST(CAST(e.c_bg AS DOUBLE) - 0.75, 0.0)
+                 + (0.75 * e.n1_fwd)
+                   * (CAST(e.n1_bwd AS DOUBLE) / e.n1_total))
+                / CAST(e.c_w1 AS DOUBLE)) AS lp
+      FROM bi b
+      JOIN enriched e ON e.source = b.source AND e.w1 = b.w1 AND e.w2 = b.w2
+    )
+    SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {_LM_Q4.format(x='CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)')}
+             AS kn_avg_logprob
+    FROM scored
+    GROUP BY doc_id, source
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "x4_kn_lm_score",
+    oracle=_KN_SQL,
+    tags=("X4", "A1", "J1", "F3"),
+)
+def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999, both public): the smoothing the CCNet-class quality
+    filters actually ship, upgrading x4_ngram_lm_score's add-one model.
+    P(w2|w1) = (max(c(w1,w2)-D, 0) + D * N1+(w1*) * Pcont(w2)) / c(w1)
+    with D = 0.75 and Pcont(w2) = N1+(*w2)/N1+(**) — the continuation
+    probability that makes KN discount frequent-but-unproductive words
+    ("francisco" follows only "san") instead of raw-frequency smoothing.
+
+    Scale shape (same contract as x4_ngram_lm_score): the MODEL is
+    vocabulary²-bounded — the corpus collapses to distinct (source,w1,w2)
+    counts via one map-side-combined shuffle, and every KN statistic
+    (prefix total c_w1, forward type count N1+(w1*), continuation count
+    N1+(*w2), type total N1+(**)) is a window over that MODEL frame, so
+    the continuation counts cost zero corpus traffic. The enriched model
+    broadcasts back over the corpus bigrams; the only corpus-sized
+    shuffle is the per-doc aggregate, partial-aggregated map-side.
+    Determinism: both engines evaluate the identical parenthesized IEEE
+    expression on identical integer counts, and the per-doc sum runs in
+    DECIMAL(38,18) before one 4-dp quantization — accumulation order
+    cannot reach the result."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok_df = with_tokens(d, ("doc_id", "source"))
+    n = F.size("toks")
+    bi = (
+        tok_df.filter(n >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.col("toks").getItem(i).alias("w1"),
+                        F.col("toks").getItem(i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    from pyspark.sql import Window as _W
+
+    model = bi.groupBy("source", "w1", "w2").agg(F.count("*").alias("c_bg"))
+    one = F.count(F.lit(1))
+    enriched = (
+        model.withColumn("c_w1", F.sum("c_bg").over(_W.partitionBy("source", "w1")))
+        .withColumn("n1_fwd", one.over(_W.partitionBy("source", "w1")))
+        .withColumn("n1_bwd", one.over(_W.partitionBy("source", "w2")))
+        .withColumn("n1_total", one.over(_W.partitionBy("source")))
+        .localCheckpoint(eager=False)  # model materializes once, then broadcasts
+    )
+    # identical parenthesization to the oracle's lp expression (see there)
+    lp = F.log(
+        (
+            F.greatest(F.col("c_bg").cast("double") - 0.75, F.lit(0.0))
+            + (F.lit(0.75) * F.col("n1_fwd"))
+            * (F.col("n1_bwd").cast("double") / F.col("n1_total"))
+        )
+        / F.col("c_w1").cast("double")
+    )
+    scored = bi.join(F.broadcast(enriched), ["source", "w1", "w2"]).select(
+        "doc_id", "source", lp.alias("lp")
+    )
+    avg_lp = (
+        F.sum(F.col("lp").cast("decimal(38,18)")).cast("double") / F.count("*")
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.floor(avg_lp * 10000.0 + 0.5) / 10000.0).alias("kn_avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # x4_pii_scrub — PII detection + redaction (emails / IPv4 / phone-shaped)
 
 # Patterns restricted to the RE2-compatible subset (no lookaround, no
