@@ -334,10 +334,10 @@ def _local_cc_min_labels(edges) -> list[tuple[int, int]]:
     return [(x, find(x)) for x in parent]
 
 
-@query(
-    "x2_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE norm AS (
+# the Jaccard-candidate-graph CTE chain, shared by the x2_dedup_clusters
+# oracle and the x2_cluster_keeper oracle (which extends it with the
+# survivorship decision)
+_CC_SQL_CTES = f"""norm AS (
       SELECT doc_id, source, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
       FROM documents
     ), grams AS (
@@ -369,16 +369,35 @@ def _local_cc_min_labels(edges) -> list[tuple[int, int]]:
       SELECT doc_id AS node, doc_id AS reachable FROM documents
       UNION
       SELECT r.node, b.dst FROM reach r JOIN bidir b ON b.src = r.reachable
-    )
+    )"""
+
+
+@query(
+    "x2_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CC_SQL_CTES}
     SELECT node AS doc_id, MIN(reachable) AS cluster_id
     FROM reach GROUP BY node ORDER BY doc_id
     """,
     tags=("X2", "X1", "J1", "A1"),
 )
 def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment (see cluster_assignments for the
+    algorithm and scale shape); x2_cluster_keeper composes the
+    survivorship decision on the same kernel."""
+    return cluster_assignments(spark, sf_dir).orderBy("doc_id")
+
+
+def cluster_assignments(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components over the Jaccard
     candidate graph — the survivorship step of a corpus-dedup pipeline
-    (each cluster keeps `cluster_id` = its smallest doc_id).
+    (each cluster keeps `cluster_id` = its smallest doc_id). Returns the
+    UNORDERED (doc_id, cluster_id) frame; when `base` is given (a frame
+    carrying doc_id plus caller columns, e.g. x2_cluster_keeper's quality
+    features) labels are attached to IT, saving the extra documents scan
+    a join-after-the-fact would cost.
 
     Alternating large-star/small-star (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14 — public algorithm):
@@ -451,25 +470,108 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         his = mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
         E = lows.union(his).distinct().localCheckpoint(eager=False)
+    labels = base if base is not None else d.select("doc_id")
+    extra = [c for c in labels.columns if c != "doc_id"]
     if mapping is not None:
         # bounded node -> component-min table, broadcast against the corpus
         map_df = spark.createDataFrame(
             mapping, schema="doc_id long, cluster_min long"
         )
         return (
-            d.select("doc_id")
-            .join(F.broadcast(map_df), "doc_id", "left")
+            labels.join(F.broadcast(map_df), "doc_id", "left")
             .select(
                 "doc_id",
                 F.coalesce(F.col("cluster_min"), F.col("doc_id")).alias("cluster_id"),
+                *extra,
             )
-            .orderBy("doc_id")
         )
     # star forest: hi -> component min; isolated docs label themselves
     return (
-        d.select("doc_id")
-        .join(E.hint("merge"), d.doc_id == E.hi, "left")
-        .select("doc_id", F.coalesce(F.col("lo"), F.col("doc_id")).alias("cluster_id"))
+        labels.join(E.hint("merge"), labels.doc_id == E.hi, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lo"), F.col("doc_id")).alias("cluster_id"),
+            *extra,
+        )
+    )
+
+
+@query(
+    "x2_cluster_keeper",
+    oracle=f"""
+    WITH RECURSIVE {_CC_SQL_CTES}, assign AS (
+      SELECT node AS doc_id, MIN(reachable) AS cluster_id
+      FROM reach GROUP BY node
+    ), feat AS (
+      -- feature parity with x4_quality_score (see there)
+      SELECT doc_id,
+             len(string_split({SQL_NORM.format(c='text')}, ' ')) AS n_tokens,
+             (length(text) >= 200
+              AND len(string_split({SQL_NORM.format(c='text')}, ' ')) >= 30
+              AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                  / length(text) < 0.1) AS passes
+      FROM documents
+    ), keep AS (
+      SELECT a.doc_id, a.cluster_id,
+             FIRST_VALUE(a.doc_id) OVER (
+               PARTITION BY a.cluster_id
+               ORDER BY f.passes DESC, f.n_tokens DESC, a.doc_id ASC
+             ) AS keeper_id
+      FROM assign a JOIN feat f ON f.doc_id = a.doc_id
+    )
+    SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_keeper
+    FROM keep ORDER BY doc_id
+    """,
+    tags=("X2", "X4", "W6", "J1"),
+)
+def x2_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: which member of each near-dup cluster to KEEP — the
+    decision a production dedup pipeline makes after clustering, and the
+    one min-doc-id labeling gets wrong (it keeps the first-crawled copy,
+    not the best one). Keeper = the quality-maximal member: passes the
+    x4_quality_score gate first, then most tokens, then smallest doc_id —
+    an integer-exact total order, so the choice is reproducible across
+    engines and partitionings.
+
+    Scale shape: cluster assignment reuses the large-star/small-star
+    kernel (cluster_assignments); the quality features are map-only
+    column math on the document scan; the argmax is ONE unordered window
+    MAX of a packed struct over the cluster_id partition — lexicographic
+    struct comparison encodes the (passes, n_tokens, -doc_id) priority,
+    so no per-cluster sort ever runs (the ordered-window alternative
+    sorts every partition; the hot cluster of a boilerplate-heavy corpus
+    would serialize exactly like the t6/t10 hot keys did). Two
+    corpus-keyed shuffles total: the feature join on doc_id and the
+    window on cluster_id."""
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = F.split(normalized_text(F.col("text")), " ")
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9\\s]"), 0))
+    passes = (
+        (n_chars >= 200) & (n_tokens >= 30) & (n_punct.cast("double") / n_chars < 0.1)
+    )
+    feat = d.select(
+        "doc_id", n_tokens.alias("n_tokens"), passes.alias("passes")
+    )
+    # labels attach straight onto the feature frame — one documents scan
+    # covers both the features and the label base
+    assign = cluster_assignments(spark, sf_dir, base=feat)
+    best = F.max(
+        F.struct(
+            F.col("passes").cast("int").alias("p"),
+            F.col("n_tokens").alias("nt"),
+            (-F.col("doc_id")).alias("nid"),
+        )
+    ).over(Window.partitionBy("cluster_id"))
+    return (
+        assign.withColumn("keeper_id", -best.getField("nid"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+        )
         .orderBy("doc_id")
     )
 

@@ -202,14 +202,16 @@ _DUPLICATE_SCAN_ALLOWLIST = {
 
 
 @pytest.mark.parametrize(
-    "name", [n for n in sorted(SPECS) if n != "x2_dedup_clusters"]
+    "name",
+    [n for n in sorted(SPECS) if n not in ("x2_dedup_clusters", "x2_cluster_keeper")],
 )
 def test_no_unintended_duplicate_scans(spark, name):
     """Regression guard for the r4 plan audit: no query may scan the same
     source table from multiple plan branches unless the duplication is a
     declared, justified shape. Catches reintroduced subtree re-execution
     (the bug class fixed in tfidf/jaccard/minhash/ivf/resize/seq-pack).
-    x2_dedup_clusters is excluded: building it runs the CC loop eagerly."""
+    x2_dedup_clusters (and x2_cluster_keeper, which composes on it) is
+    excluded: building it runs the CC loop eagerly."""
     import collections
     import re
 
