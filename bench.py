@@ -111,6 +111,13 @@ HEADLINE = [
     "x4_heavy_hitters",  # r9: MG-sketch-pruned exact frequent tokens
     "x5_png_resize",  # r9: real PNG pixel decode + NN resample
     "x6_stratified_sample",  # r9: exact per-source quotas, threshold search
+    # r9 addendum (the 57-query subset above stays the round-over-round
+    # comparable):
+    "a10_tpch_q3",  # r9 addendum: 3-table top-k analytics
+    "a11_tpch_q5",  # r9 addendum: 6-table local-supplier volume
+    "a12_tpch_q18",  # r9 addendum: HAVING-gated large orders
+    "x4_kn_lm_score",  # r9 addendum: interpolated Kneser-Ney bigram scoring
+    "x2_cluster_keeper",  # r9 addendum: quality-aware cluster survivorship
 ]
 
 RUNS_PER_QUERY = 3

@@ -52,6 +52,20 @@ OFFSET_COLS = {
     "events": ("event_id", "user_id"),
 }
 
+# --tpch regime (r9): replicate the relational fact/dim tables too, with
+# CONSISTENT key offsets on both sides of every join the a10-a12 analytics
+# exercise (orderkey across lineitem/orders, custkey across orders/customer,
+# suppkey across lineitem/supplier) — F replicas = F disjoint sub-economies
+# of the base scale, i.e. more customers/orders at constant per-key density,
+# the realistic growth mode. nation/region stay constant-size dims.
+TPCH_TABLES = ("lineitem", "orders", "customer", "supplier")
+TPCH_OFFSET_COLS = {
+    "lineitem": ("l_orderkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+}
+
 
 def build_replica(
     base: str,
@@ -60,6 +74,7 @@ def build_replica(
     salt_docs: bool | str = False,
     zipf_events: bool = False,
     zipf_sources: bool = False,
+    tpch: bool = False,
 ) -> None:
     """Write an Fx replica of the x-op tables into `out`; other tables are
     symlinked unchanged (the TPC-H side has its own sf ladder already).
@@ -96,13 +111,15 @@ def build_replica(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    tables = TABLES + (TPCH_TABLES if tpch else ())
+    offset_cols = {**OFFSET_COLS, **(TPCH_OFFSET_COLS if tpch else {})}
     os.makedirs(out, exist_ok=True)
     for fn in os.listdir(base):
         if not fn.endswith(".parquet"):
             continue
         name = fn[: -len(".parquet")]
         dst = os.path.join(out, fn)
-        if name not in TABLES:
+        if name not in tables:
             if not os.path.exists(dst):
                 os.symlink(os.path.join(base, fn), dst)
             continue
@@ -166,7 +183,7 @@ def build_replica(
                     arr = pa.array(np.minimum(rank, n_users) - 1, pa.int64())
                     cols.append(arr)
                     continue
-                if col in OFFSET_COLS[name] and k > 0:
+                if col in offset_cols[name] and k > 0:
                     import pyarrow.compute as pc
 
                     arr = pc.add(arr, k * ID_SPAN)
@@ -214,6 +231,12 @@ def main() -> None:
         help="Zipf(s=1) user_id remap for events: the hot-key regime for "
         "user-keyed shuffles/windows/joins (see build_replica)",
     )
+    ap.add_argument(
+        "--tpch",
+        action="store_true",
+        help="also replicate lineitem/orders/customer/supplier with "
+        "consistent join-key offsets (for the a10-a12 analytics)",
+    )
     args = ap.parse_args()
 
     from otlp2parquet_spark.queries.registry import all_specs
@@ -233,6 +256,7 @@ def main() -> None:
         salt_docs=args.salt_docs,
         zipf_events=args.zipf_events,
         zipf_sources=args.zipf_sources,
+        tpch=args.tpch,
     )
 
     # adversarial plain-replication factors make broadcast/collect stages
