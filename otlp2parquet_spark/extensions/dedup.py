@@ -53,6 +53,54 @@ def token_count_expr(col):
     toks = F.split(normalized_text(col), " ")
     return F.size(F.filter(toks, lambda t: F.length(t) > 0))
 
+# Quality-gate features shared by x4_quality_score (text.py) and
+# x2_cluster_keeper — ONE definition of the gate in each engine dialect, so
+# the keeper's documented parity with the quality filter cannot silently
+# drift. (Lives here, not text.py: text.py already imports this module, so
+# the shared direction is fixed by the existing import graph.)
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "to")
+_QUALITY_PUNCT_RE = "[^a-zA-Z0-9\\s]"
+
+
+def quality_feature_exprs() -> dict[str, "F.Column"]:
+    """Spark expressions over a documents frame: n_chars / n_tokens /
+    n_punct / n_stop / punct_ratio plus the boolean `passes` gate
+    (>=200 chars, >=30 tokens, punct ratio < 0.1 — the canonical
+    pre-training heuristic filter)."""
+    toks = F.split(normalized_text(F.col("text")), " ")
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(_QUALITY_PUNCT_RE), 0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS)))
+    punct_ratio = n_punct.cast("double") / n_chars
+    passes = (n_chars >= 200) & (n_tokens >= 30) & (punct_ratio < 0.1)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "n_stop": n_stop,
+        "punct_ratio": punct_ratio,
+        "passes": passes,
+    }
+
+
+# DuckDB twin: a per-doc feature SELECT (compose into a CTE) + the gate
+# predicate over its output columns
+SQL_QUALITY_FEAT = (
+    "SELECT doc_id,\n"
+    "       length(text) AS n_chars_m,\n"
+    f"       len(string_split({SQL_NORM.format(c='text')}, ' ')) AS n_tokens,\n"
+    "       len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,\n"
+    f"       len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),\n"
+    "                       t -> list_contains(['the','a','and','of','to'], t))) AS n_stop\n"
+    "FROM documents"
+)
+SQL_QUALITY_PASSES = (
+    "(n_chars_m >= 200 AND n_tokens >= 30"
+    " AND CAST(n_punct AS DOUBLE) / n_chars_m < 0.1)"
+)
+
+
 # Per-source document-frequency cap on grams entering the exact-Jaccard
 # self-join. A gram shared by d docs produces O(d^2) join rows — one
 # boilerplate trigram in 10^6 docs of a source is 10^12 rows. Grams above
@@ -413,7 +461,6 @@ def cluster_assignments(
     distributed CC engine uses (each avoided round is a multi-stage job
     whose data no longer justifies cluster scheduling). Non-SQL-expressible
     (iterative); the DuckDB twin is a recursive reachability CTE."""
-    d = T(spark, sf_dir, "documents")
     # star edges always point (hi -> lo); seed by canonicalizing the pairs
     E = (
         jaccard_pairs(spark, sf_dir, _CLUSTER_EDGE_THRESHOLD)
@@ -470,7 +517,11 @@ def cluster_assignments(
         )
         his = mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
         E = lows.union(his).distinct().localCheckpoint(eager=False)
-    labels = base if base is not None else d.select("doc_id")
+    # the documents scan happens here ONLY when no caller base is given —
+    # x2_cluster_keeper's feature frame doubles as the label side
+    labels = (
+        base if base is not None else T(spark, sf_dir, "documents").select("doc_id")
+    )
     extra = [c for c in labels.columns if c != "doc_id"]
     if mapping is not None:
         # bounded node -> component-min table, broadcast against the corpus
@@ -502,15 +553,10 @@ def cluster_assignments(
     WITH RECURSIVE {_CC_SQL_CTES}, assign AS (
       SELECT node AS doc_id, MIN(reachable) AS cluster_id
       FROM reach GROUP BY node
+    ), feat0 AS (
+      {SQL_QUALITY_FEAT}
     ), feat AS (
-      -- feature parity with x4_quality_score (see there)
-      SELECT doc_id,
-             len(string_split({SQL_NORM.format(c='text')}, ' ')) AS n_tokens,
-             (length(text) >= 200
-              AND len(string_split({SQL_NORM.format(c='text')}, ' ')) >= 30
-              AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
-                  / length(text) < 0.1) AS passes
-      FROM documents
+      SELECT doc_id, n_tokens, {SQL_QUALITY_PASSES} AS passes FROM feat0
     ), keep AS (
       SELECT a.doc_id, a.cluster_id,
              FIRST_VALUE(a.doc_id) OVER (
@@ -544,15 +590,9 @@ def x2_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-keyed shuffles total: the feature join on doc_id and the
     window on cluster_id."""
     d = spread(T(spark, sf_dir, "documents"))
-    toks = F.split(normalized_text(F.col("text")), " ")
-    n_chars = F.length("text")
-    n_tokens = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9\\s]"), 0))
-    passes = (
-        (n_chars >= 200) & (n_tokens >= 30) & (n_punct.cast("double") / n_chars < 0.1)
-    )
+    q = quality_feature_exprs()
     feat = d.select(
-        "doc_id", n_tokens.alias("n_tokens"), passes.alias("passes")
+        "doc_id", q["n_tokens"].alias("n_tokens"), q["passes"].alias("passes")
     )
     # labels attach straight onto the feature frame — one documents scan
     # covers both the features and the label base

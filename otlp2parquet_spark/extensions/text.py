@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 
 from otlp2parquet_spark.extensions.dedup import (
     SQL_NORM,
+    SQL_QUALITY_FEAT,
+    SQL_QUALITY_PASSES,
     gram3_expr,
     normalized_text,
+    quality_feature_exprs,
     token_count_expr,
     with_tokens,
 )
@@ -176,19 +179,12 @@ def x4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x4_quality_score",
     oracle=f"""
     WITH feat AS (
-      SELECT doc_id,
-             length(text) AS n_chars_m,
-             len(string_split({SQL_NORM.format(c='text')}, ' ')) AS n_tokens,
-             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
-             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
-                             t -> list_contains(['the','a','and','of','to'], t))) AS n_stop
-      FROM documents
+      {SQL_QUALITY_FEAT}
     )
     SELECT doc_id, n_chars_m, n_tokens,
            FLOOR(CAST(n_punct AS DOUBLE) / n_chars_m * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
            FLOOR(CAST(n_stop AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
-           (n_chars_m >= 200 AND n_tokens >= 30
-            AND CAST(n_punct AS DOUBLE) / n_chars_m < 0.1) AS passes_quality
+           {SQL_QUALITY_PASSES} AS passes_quality
     FROM feat
     ORDER BY doc_id
     """,
@@ -196,21 +192,19 @@ def x4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate: length / punctuation-ratio / stopword-ratio features and
-    a boolean filter decision — the canonical pre-training quality filter."""
+    a boolean filter decision — the canonical pre-training quality filter.
+    The features and gate are the shared quality_feature_exprs /
+    SQL_QUALITY_FEAT pair (dedup.py), which x2_cluster_keeper's
+    survivorship priority also consumes — one definition per engine."""
     d = spread(T(spark, sf_dir, "documents"))
-    toks = F.split(normalized_text(F.col("text")), " ")
-    n_chars = F.length("text")
-    n_tokens = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9\\s]"), 0))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to")))
-    punct_ratio = n_punct.cast("double") / n_chars
+    q = quality_feature_exprs()
     return d.select(
         "doc_id",
-        n_chars.alias("n_chars_m"),
-        n_tokens.alias("n_tokens"),
-        quant4(punct_ratio).alias("punct_ratio"),
-        quant4(n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
-        ((n_chars >= 200) & (n_tokens >= 30) & (punct_ratio < 0.1)).alias("passes_quality"),
+        q["n_chars"].alias("n_chars_m"),
+        q["n_tokens"].alias("n_tokens"),
+        quant4(q["punct_ratio"]).alias("punct_ratio"),
+        quant4(q["n_stop"].cast("double") / q["n_tokens"]).alias("stopword_ratio"),
+        q["passes"].alias("passes_quality"),
     ).orderBy("doc_id")
 
 

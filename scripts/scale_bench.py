@@ -120,6 +120,11 @@ def build_replica(
         name = fn[: -len(".parquet")]
         dst = os.path.join(out, fn)
         if name not in tables:
+            # a reused --replica-dir may carry this table in REPLICATED form
+            # from a prior --tpch run — a stale Fx directory read here would
+            # silently corrupt every factor measured against it
+            if os.path.isdir(dst) and not os.path.islink(dst):
+                shutil.rmtree(dst)
             if not os.path.exists(dst):
                 os.symlink(os.path.join(base, fn), dst)
             continue
@@ -130,10 +135,13 @@ def build_replica(
         # single-core throughput, not the plan (observed: map-only
         # x6_data_mix at 6.3x wall for 10x data purely from the 1-split scan)
         t = pq.read_table(os.path.join(base, fn))
-        # clear stale part files from a previous (possibly higher-factor)
-        # run into the same replica dir — leftovers would silently inflate
-        # the replica and corrupt the measured factor
-        if os.path.isdir(dst):
+        # clear stale state from a previous run into the same replica dir —
+        # leftover part files (possibly higher-factor) would silently inflate
+        # the replica, and a non---tpch run leaves this table as a SYMLINK
+        # that makedirs would trip over
+        if os.path.islink(dst):
+            os.unlink(dst)
+        elif os.path.isdir(dst):
             shutil.rmtree(dst)
         os.makedirs(dst, exist_ok=True)
         for k in range(factor):

@@ -69,15 +69,17 @@ def test_exact_dedup_partial_aggregation(spark):
     [
         n
         for n in sorted(SPECS)
-        if n.startswith("x") and n != "x2_dedup_clusters"
+        if n.startswith("x")
+        and n not in ("x2_dedup_clusters", "x2_cluster_keeper")
     ],
 )
 def test_no_cartesian_product_in_extensions(spark, name):
     """No extension operator may plan a CartesianProduct: every candidate
     generator (gram bucket, LSH band, label block, IVF list, broadcast
-    probe) must stay equi-join shaped. (x2_dedup_clusters is excluded only
-    because building it executes the iterative CC loop eagerly; its edge
-    generator is jaccard_pairs, covered via x2_ngram_jaccard.)"""
+    probe) must stay equi-join shaped. (x2_dedup_clusters — and
+    x2_cluster_keeper, which composes on it — is excluded only because
+    building it executes the iterative CC loop eagerly; its edge generator
+    is jaccard_pairs, covered via x2_ngram_jaccard.)"""
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
 
