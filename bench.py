@@ -116,6 +116,8 @@ HEADLINE = [
     "a10_tpch_q3",  # r9 addendum: 3-table top-k analytics
     "a11_tpch_q5",  # r9 addendum: 6-table local-supplier volume
     "a12_tpch_q18",  # r9 addendum: HAVING-gated large orders
+    "a13_tpch_q7",  # r9 addendum: bilateral nation-pair volume
+    "a14_tpch_q10",  # r9 addendum: returned-item top-20 customers
     "x4_kn_lm_score",  # r9 addendum: interpolated Kneser-Ney bigram scoring
     "x2_cluster_keeper",  # r9 addendum: quality-aware cluster survivorship
 ]

@@ -1091,6 +1091,126 @@ def a12_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a13_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           """
+    + sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    + """
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey < 4 AND n2.n_nationkey < 4
+      AND n1.n_nationkey <> n2.n_nationkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("J1", "J5", "A1", "F2"),
+)
+def a13_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping), adapted: bilateral trade volume by
+    (supplier nation, customer nation, ship year) inside a 4-nation bloc
+    — the spec's single nation pair is empty at the smallest fixture, so
+    the bloc keeps the query sf-agnostic while preserving the shape (two
+    independent nation dimensions on one fact row).
+
+    Scale shape: the SAME tiny nation table broadcasts twice under two
+    aliases (supplier side, customer side) — each a map-only semi-filter;
+    the nationkey predicates prune both probe streams before the fact-fact
+    shuffles on suppkey/orderkey/custkey. The aggregate collapses to
+    (4 x 3 x 2 years) groups map-side."""
+    n1 = T(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 4).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 4).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ords = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(li, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), (F.col("c_nationkey") == F.col("n2_key"))
+              & (F.col("n2_key") != F.col("n1_key")))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(rev, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "a14_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           """
+    + sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    + """,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("J1", "J5", "A1", "O2"),
+)
+def a14_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the top-20 customers by revenue
+    lost to returns in one half-year — the canonical churn-analysis join.
+
+    Scale shape: the returnflag filter prunes lineitem AT THE SCAN
+    (PushedFilters carries the string equality), the date filter prunes
+    orders likewise; nation broadcasts; the custkey aggregate partial-
+    aggregates map-side onto the customer join's shuffle; top-20 is
+    TakeOrderedAndProject."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # W group — window functions
 # ===========================================================================
