@@ -118,6 +118,11 @@ HEADLINE = [
     "a12_tpch_q18",  # r9 addendum: HAVING-gated large orders
     "a13_tpch_q7",  # r9 addendum: bilateral nation-pair volume
     "a14_tpch_q10",  # r9 addendum: returned-item top-20 customers
+    "a15_tpch_q6",  # r9 addendum: pure scan-pushdown global aggregate
+    "a16_tpch_q13",  # r9 addendum: outer-join order distribution
+    "a17_tpch_q14",  # r9 addendum: promo-share conditional aggregate
+    "a18_tpch_q17",  # r9 addendum: integer-exact correlated threshold
+    "a19_tpch_q22",  # r9 addendum: lapsed-customer anti-join
     "x4_kn_lm_score",  # r9 addendum: interpolated Kneser-Ney bigram scoring
     "x2_cluster_keeper",  # r9 addendum: quality-aware cluster survivorship
 ]

@@ -1211,6 +1211,239 @@ def a14_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a15_tpch_q6",
+    oracle="""
+    SELECT """
+    + sql_dsum("l_extendedprice * l_discount", "revenue")
+    + """
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("A1", "P2"),
+)
+def a15_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): THE filter-pushdown benchmark —
+    a single global aggregate behind three conjunctive scan predicates.
+
+    Scale shape: all three predicates reach the parquet scan as
+    PushedFilters (date range, discount range, quantity bound), so the
+    scan emits only qualifying rows of the two needed columns; the global
+    sum partial-aggregates to ONE row per task. At 100 TB this query is
+    pure scan bandwidth — exactly what the plan shows. (Discount bounds
+    compare the same parquet doubles against the same literals in both
+    engines — no arithmetic, no divergence.)"""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return spread(li.select("l_extendedprice", "l_discount")).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")
+    )
+
+
+@query(
+    "a16_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("J2", "A1", "O1"),
+)
+def a16_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution), minus the spec's o_comment
+    filter (the synthetic orders table carries no comment column): how
+    many customers placed k orders, INCLUDING the zero-order customers the
+    left outer join preserves — the histogram an inner join silently
+    truncates.
+
+    Scale shape: one custkey shuffle for the outer join + count (COUNT of
+    a nullable key counts only matches — the standard outer-join-count
+    idiom), then the distribution aggregate collapses to |distinct k|
+    rows, map-side combined. No broadcast: both sides are corpus-scale at
+    100 TB."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    ords = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "a17_tpch_q14",
+    oracle="""
+    SELECT """
+    + sql_quant4(
+        "100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' "
+        "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) "
+        "ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) "
+        "/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)"
+    )
+    + """ AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-12-01'
+    """,
+    tags=("J1", "A5", "P4"),
+)
+def a17_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of a quarter's revenue from
+    PROMO-type parts — a conditional aggregate over a fact-dim join (the
+    synthetic p_type is a 6-value enum, so the spec's LIKE 'PROMO%%'
+    becomes equality).
+
+    Scale shape: the date filter pushes to the lineitem scan; part is a
+    true dimension (200 rows per 6k lineitems at every SF) broadcast
+    explicitly; both sums accumulate in DECIMAL so the one double
+    division is order-free and cross-engine identical."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-12-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    ratio = (
+        F.lit(100.0)
+        * F.sum(promo).cast("double")
+        / F.sum(rev).cast("double")
+    )
+    return joined.agg(quant4(ratio).alias("promo_revenue"))
+
+
+@query(
+    "a18_tpch_q17",
+    oracle="""
+    WITH pl AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#13'
+    ), stats AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pl GROUP BY l_partkey
+    )
+    SELECT """
+    + sql_quant4(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0"
+    )
+    + """ AS avg_yearly
+    FROM pl JOIN stats USING (l_partkey)
+    WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < tot
+    """,
+    tags=("J1", "A4", "A1"),
+)
+def a18_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) for one brand, minus the
+    absent container predicate: revenue lost if orders below 20%% of a
+    part's average order quantity were not taken.
+
+    The correlated threshold l_quantity < 0.2 * AVG(l_quantity) is
+    rewritten INTEGER-EXACT: quantities are integral, so the comparison
+    becomes 5 * l_quantity * count < total — no engine-specific AVG
+    accumulation can flip a boundary row (the double-average form is a
+    real cross-engine hazard: a half-ulp difference in the mean moves the
+    cut). Scale shape: the brand filter prunes part to a handful of keys,
+    broadcast into the lineitem scan; the per-part stats ride ONE
+    partkey-partitioned window over the already-joined frame — no second
+    lineitem scan, no self-join re-execution."""
+    part = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey"
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pl = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    pl = pl.withColumn("tot", F.sum(F.col("l_quantity").cast("long")).over(w))
+    pl = pl.withColumn("cnt", F.count(F.lit(1)).over(w))
+    small = pl.filter(
+        5 * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("tot")
+    )
+    avg_yearly = F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0
+    return small.agg(quant4(avg_yearly).alias("avg_yearly"))
+
+
+@query(
+    "a19_tpch_q22",
+    oracle="""
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+               AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           """
+    + sql_dsum("c_acctbal", "totacctbal")
+    + """
+    FROM customer c, thresh
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("J4", "A1", "A4"),
+)
+def a19_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to the synthetic
+    schema: rich-but-lapsed customers — above-average account balance and
+    NO order since 2000 — grouped by nation (the spec's phone-prefix
+    country code is absent; every synthetic customer has old orders, so
+    the anti-join is against RECENT orders, preserving the spec's
+    "positive balance, no sales contact" shape).
+
+    Scale shape: the balance threshold is ONE decimal-exact global
+    aggregate broadcast back as a 1-row frame (the cross-join-literal
+    idiom), so the comparison is identical IEEE math in both engines; the
+    lapsed test is a LEFT ANTI join shuffled on custkey against
+    date-pruned orders; the final aggregate collapses to |nations|."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    thresh = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # ===========================================================================
 # W group — window functions
 # ===========================================================================
