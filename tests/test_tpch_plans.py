@@ -1,0 +1,71 @@
+"""Plan-shape guards for the TPC-H classics (a10-a19): the scale properties
+their docstrings claim must hold in the executed plan, not just in prose —
+pushdown reaching the scan, top-k as a heap (never a global sort), and no
+silent re-execution of the lineitem subtree."""
+
+from __future__ import annotations
+
+import re
+
+from otlp2parquet_spark.queries.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def _executed(spark, name: str) -> str:
+    # default maxMetadataStringLength truncates PushedFilters at 100 chars,
+    # hiding the later predicates from the assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = SPECS[name].build(spark, SF_SMOKE)
+    df.collect()  # let AQE finalize so the plan is the one that actually ran
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==" — keep
+    # only the plan that ran, or scan/operator counts double
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_q6_all_three_predicates_reach_the_scan(spark):
+    plan = _executed(spark, "a15_tpch_q6")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    filters = pushed.group(1)
+    assert "l_shipdate" in filters and "l_discount" in filters and "l_quantity" in filters, filters
+
+
+def test_topk_queries_plan_heaps_not_global_sorts(spark):
+    # Q3 top-10, Q18 top-100, Q10 top-20: TakeOrderedAndProject = per-partition
+    # heap + driver merge; a Sort+GlobalLimit pair would be the scale bug
+    for name in ("a10_tpch_q3", "a12_tpch_q18", "a14_tpch_q10"):
+        plan = _executed(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q17_scans_lineitem_once(spark):
+    # the correlated-threshold rewrite must NOT re-execute the lineitem
+    # subtree (the r4 duplicate-scan bug class): per-part stats ride a
+    # window over the one joined frame
+    plan = _executed(spark, "a18_tpch_q17")
+    assert len(re.findall(r"sf0\.001/lineitem\.parquet", plan)) == 1, plan
+
+
+def test_q7_broadcasts_nation_twice(spark):
+    # both nation aliases must be broadcast joins; Spark goes one better
+    # and REUSES a single broadcast exchange for both (1 scan + a
+    # ReusedExchange) — accept either form, reject anything that scans
+    # nation more than the two aliases
+    plan = _executed(spark, "a13_tpch_q7")
+    scans = len(re.findall(r"sf0\.001/nation\.parquet", plan))
+    assert scans in (1, 2), plan
+    if scans == 1:
+        assert "ReusedExchange" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q22_threshold_is_broadcast_not_recomputed(spark):
+    # the 1-row threshold frame joins via a broadcast nested loop (the
+    # broadcast-literal idiom), and customer is scanned exactly twice:
+    # once for the threshold aggregate, once for the candidate stream
+    plan = _executed(spark, "a19_tpch_q22")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"sf0\.001/customer\.parquet", plan)) == 2, plan
