@@ -124,6 +124,7 @@ HEADLINE = [
     "a18_tpch_q17",  # r9 addendum: integer-exact correlated threshold
     "a19_tpch_q22",  # r9 addendum: lapsed-customer anti-join
     "x4_kn_lm_score",  # r9 addendum: interpolated Kneser-Ney bigram scoring
+    "x4_kn3_lm_score",  # r9 addendum: KN trigram with the full backoff recursion
     "x2_cluster_keeper",  # r9 addendum: quality-aware cluster survivorship
 ]
 

@@ -490,6 +490,151 @@ def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x4_kn3_lm_score — interpolated Kneser-Ney TRIGRAM scoring (full backoff)
+
+_KN3_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                         t -> length(t) > 0) AS toks
+      FROM documents
+    ), tri AS (
+      SELECT doc_id, source,
+             toks[g.i] AS w1, toks[g.i + 1] AS w2, toks[g.i + 2] AS w3
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+      WHERE len(toks) >= 3
+    ), t3 AS (
+      SELECT source, w1, w2, w3, COUNT(*) AS c123
+      FROM tri GROUP BY source, w1, w2, w3
+    ), t3e AS (
+      SELECT source, w1, w2, w3, c123,
+             SUM(c123) OVER (PARTITION BY source, w1, w2) AS c12,
+             COUNT(*) OVER (PARTITION BY source, w1, w2) AS n1f12
+      FROM t3
+    ), m23 AS (
+      SELECT source, w2, w3, COUNT(*) AS n1b23
+      FROM t3 GROUP BY source, w2, w3
+    ), m23e AS (
+      SELECT source, w2, w3, n1b23,
+             SUM(n1b23) OVER (PARTITION BY source, w2) AS nmid_w2,
+             COUNT(*) OVER (PARTITION BY source, w2) AS nf_w2,
+             COUNT(*) OVER (PARTITION BY source, w3) AS n1b3,
+             COUNT(*) OVER (PARTITION BY source) AS ntot
+      FROM m23
+    ), model AS (
+      SELECT e.source, e.w1, e.w2, e.w3, e.c123, e.c12, e.n1f12,
+             m.n1b23, m.nmid_w2, m.nf_w2, m.n1b3, m.ntot
+      FROM t3e e JOIN m23e m
+        ON m.source = e.source AND m.w2 = e.w2 AND m.w3 = e.w3
+    ), scored AS (
+      SELECT t.doc_id, t.source,
+             ln((GREATEST(CAST(mo.c123 AS DOUBLE) - 0.75, 0.0)
+                 + (0.75 * mo.n1f12)
+                   * ((GREATEST(CAST(mo.n1b23 AS DOUBLE) - 0.75, 0.0)
+                       + (0.75 * mo.nf_w2)
+                         * (CAST(mo.n1b3 AS DOUBLE) / mo.ntot))
+                      / CAST(mo.nmid_w2 AS DOUBLE)))
+                / CAST(mo.c12 AS DOUBLE)) AS lp
+      FROM tri t
+      JOIN model mo ON mo.source = t.source AND mo.w1 = t.w1
+                   AND mo.w2 = t.w2 AND mo.w3 = t.w3
+    )
+    SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           {_LM_Q4.format(x='CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)')}
+             AS kn3_avg_logprob
+    FROM scored
+    GROUP BY doc_id, source
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "x4_kn3_lm_score",
+    oracle=_KN3_SQL,
+    tags=("X4", "A1", "J1", "F3"),
+)
+def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM scoring with the full backoff
+    recursion (Chen & Goodman 1999 §4.1.6 — the construction KN is named
+    for, which x4_kn_lm_score's single bigram level cannot show):
+      P3(w3|w1w2) = (max(c123-D,0) + D*N1+(w1w2*)*P2(w3|w2)) / c(w1w2)
+      P2(w3|w2)   = (max(N1+(*w2w3)-D,0) + D*N1+(w2*)*P1(w3)) / N1+(*w2*)
+      P1(w3)      = N1+(*w3) / N1+(**)
+    with D = 0.75. The middle and bottom layers use TYPE (continuation)
+    counts, not raw frequencies — all derived here from the trigram type
+    table (a deliberate, documented estimator choice: boundary bigrams
+    with no preceding token contribute no type; both engines share it).
+
+    Scale shape: ONE corpus-sized shuffle total (the trigram count); every
+    other statistic is a window or aggregate over the vocab³-bounded type
+    table and its (w2,w3) contraction, joined model-side before ONE
+    broadcast back over the corpus trigrams. The per-doc aggregate
+    partial-aggregates map-side. Determinism: nested identical IEEE
+    parenthesization over exact integer counts, DECIMAL(38,18) per-doc
+    accumulation, one 4-dp quantization."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok_df = with_tokens(d, ("doc_id", "source"))
+    n = F.size("toks")
+    tri = (
+        tok_df.filter(n >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 3),
+                    lambda i: F.struct(
+                        F.col("toks").getItem(i).alias("w1"),
+                        F.col("toks").getItem(i + 1).alias("w2"),
+                        F.col("toks").getItem(i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", "g.w1", "g.w2", "g.w3")
+    )
+    from pyspark.sql import Window as _W
+
+    one = F.count(F.lit(1))
+    t3 = tri.groupBy("source", "w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    t3e = t3.withColumn(
+        "c12", F.sum("c123").over(_W.partitionBy("source", "w1", "w2"))
+    ).withColumn("n1f12", one.over(_W.partitionBy("source", "w1", "w2")))
+    m23 = t3.groupBy("source", "w2", "w3").agg(F.count("*").alias("n1b23"))
+    m23e = (
+        m23.withColumn("nmid_w2", F.sum("n1b23").over(_W.partitionBy("source", "w2")))
+        .withColumn("nf_w2", one.over(_W.partitionBy("source", "w2")))
+        .withColumn("n1b3", one.over(_W.partitionBy("source", "w3")))
+        .withColumn("ntot", one.over(_W.partitionBy("source")))
+    )
+    model = t3e.join(m23e, ["source", "w2", "w3"]).localCheckpoint(eager=False)
+    # identical nested parenthesization to the oracle's lp (see there)
+    p1 = F.col("n1b3").cast("double") / F.col("ntot")
+    p2 = (
+        F.greatest(F.col("n1b23").cast("double") - 0.75, F.lit(0.0))
+        + (F.lit(0.75) * F.col("nf_w2")) * p1
+    ) / F.col("nmid_w2").cast("double")
+    p3 = (
+        F.greatest(F.col("c123").cast("double") - 0.75, F.lit(0.0))
+        + (F.lit(0.75) * F.col("n1f12")) * p2
+    ) / F.col("c12").cast("double")
+    scored = tri.join(F.broadcast(model), ["source", "w1", "w2", "w3"]).select(
+        "doc_id", "source", F.log(p3).alias("lp")
+    )
+    avg_lp = (
+        F.sum(F.col("lp").cast("decimal(38,18)")).cast("double") / F.count("*")
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            (F.floor(avg_lp * 10000.0 + 0.5) / 10000.0).alias("kn3_avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # x4_pii_scrub — PII detection + redaction (emails / IPv4 / phone-shaped)
 
 # Patterns restricted to the RE2-compatible subset (no lookaround, no

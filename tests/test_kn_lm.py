@@ -91,6 +91,63 @@ def test_kn_matches_pure_python_replay(spark, tmp_path):
     assert got == _kn_replay(_DOCS)
 
 
+def _kn3_replay(docs: list[tuple[int, str, str]]) -> dict[int, tuple[int, float]]:
+    """Pure-Python interpolated-KN TRIGRAM replay (stats from the trigram
+    type table, mirroring x4_kn3_lm_score's documented estimator)."""
+    t3: Counter = Counter()
+    tris_by_doc: dict[int, tuple[str, list[tuple[str, str, str]]]] = {}
+    for did, src, text in docs:
+        toks = text.split()
+        tris = list(zip(toks, toks[1:], toks[2:]))
+        if tris:
+            tris_by_doc[did] = (src, tris)
+            for t in tris:
+                t3[(src, *t)] += 1
+    c12: Counter = Counter()
+    n1f12: Counter = Counter()
+    m23: Counter = Counter()
+    for (src, w1, w2, w3), c in t3.items():
+        c12[(src, w1, w2)] += c
+        n1f12[(src, w1, w2)] += 1
+        m23[(src, w2, w3)] += 1
+    nmid: Counter = Counter()
+    nf: Counter = Counter()
+    n1b3: Counter = Counter()
+    ntot: Counter = Counter()
+    for (src, w2, w3), nb in m23.items():
+        nmid[(src, w2)] += nb
+        nf[(src, w2)] += 1
+        n1b3[(src, w3)] += 1
+        ntot[src] += 1
+    out = {}
+    for did, (src, tris) in tris_by_doc.items():
+        total = Decimal(0)
+        for w1, w2, w3 in tris:
+            p1 = float(n1b3[(src, w3)]) / ntot[src]
+            p2 = (
+                max(float(m23[(src, w2, w3)]) - _D, 0.0) + (_D * nf[(src, w2)]) * p1
+            ) / float(nmid[(src, w2)])
+            p3 = (
+                max(float(t3[(src, w1, w2, w3)]) - _D, 0.0)
+                + (_D * n1f12[(src, w1, w2)]) * p2
+            ) / float(c12[(src, w1, w2)])
+            total += Decimal(math.log(p3)).quantize(
+                Decimal("1e-18"), rounding=ROUND_HALF_UP
+            )
+        avg = float(total) / len(tris)
+        out[did] = (len(tris), math.floor(avg * 10000.0 + 0.5) / 10000.0)
+    return out
+
+
+def test_kn3_matches_pure_python_replay(spark, tmp_path):
+    sf_dir = _write_documents(tmp_path)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["kn3_avg_logprob"])
+        for r in all_specs()["x4_kn3_lm_score"].build(spark, sf_dir).collect()
+    }
+    assert got == _kn3_replay(_DOCS)
+
+
 def test_kn_continuation_discounts_single_predecessor_words(spark, tmp_path):
     # in _DOCS source "s": "francisco" occurs 4x, ALWAYS after "san";
     # "york" occurs 4x after 3 distinct predecessors (new/old/big).
