@@ -137,7 +137,7 @@ def gram3_expr(toks) -> "F.Column":
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 3),
             lambda i: F.concat_ws(
-                " ", toks.getItem(i), toks.getItem(i + 1), toks.getItem(i + 2)
+                " ", toks[i], toks[i + 1], toks[i + 2]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))

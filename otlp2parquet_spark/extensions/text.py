@@ -326,9 +326,9 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.sequence(F.lit(0), n - 2),
                     lambda i: F.struct(
-                        F.col("toks").getItem(i).alias("w1"),
+                        F.col("toks")[i].alias("w1"),
                         F.concat_ws(
-                            " ", F.col("toks").getItem(i), F.col("toks").getItem(i + 1)
+                            " ", F.col("toks")[i], F.col("toks")[i + 1]
                         ).alias("bg"),
                     ),
                 )
@@ -445,8 +445,8 @@ def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.sequence(F.lit(0), n - 2),
                     lambda i: F.struct(
-                        F.col("toks").getItem(i).alias("w1"),
-                        F.col("toks").getItem(i + 1).alias("w2"),
+                        F.col("toks")[i].alias("w1"),
+                        F.col("toks")[i + 1].alias("w2"),
                     ),
                 )
             ).alias("g"),
@@ -584,9 +584,9 @@ def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.sequence(F.lit(0), n - 3),
                     lambda i: F.struct(
-                        F.col("toks").getItem(i).alias("w1"),
-                        F.col("toks").getItem(i + 1).alias("w2"),
-                        F.col("toks").getItem(i + 2).alias("w3"),
+                        F.col("toks")[i].alias("w1"),
+                        F.col("toks")[i + 1].alias("w2"),
+                        F.col("toks")[i + 2].alias("w3"),
                     ),
                 )
             ).alias("g"),

@@ -11,6 +11,8 @@ from otlp2parquet_spark.queries.registry import all_specs
 from tests.conftest import SF_SMOKE
 
 SPECS = all_specs()
+# scan-count regexes must track the SF the plans are built against
+_SF_FRAG = re.escape(SF_SMOKE.rstrip("/").rsplit("/", 1)[-1])
 
 
 def _executed(spark, name: str) -> str:
@@ -46,7 +48,7 @@ def test_q17_scans_lineitem_once(spark):
     # subtree (the r4 duplicate-scan bug class): per-part stats ride a
     # window over the one joined frame
     plan = _executed(spark, "a18_tpch_q17")
-    assert len(re.findall(r"sf0\.001/lineitem\.parquet", plan)) == 1, plan
+    assert len(re.findall(rf"{_SF_FRAG}/lineitem\.parquet", plan)) == 1, plan
 
 
 def test_q7_broadcasts_nation_twice(spark):
@@ -55,7 +57,7 @@ def test_q7_broadcasts_nation_twice(spark):
     # ReusedExchange) — accept either form, reject anything that scans
     # nation more than the two aliases
     plan = _executed(spark, "a13_tpch_q7")
-    scans = len(re.findall(r"sf0\.001/nation\.parquet", plan))
+    scans = len(re.findall(rf"{_SF_FRAG}/nation\.parquet", plan))
     assert scans in (1, 2), plan
     if scans == 1:
         assert "ReusedExchange" in plan, plan
@@ -68,4 +70,4 @@ def test_q22_threshold_is_broadcast_not_recomputed(spark):
     # once for the threshold aggregate, once for the candidate stream
     plan = _executed(spark, "a19_tpch_q22")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
-    assert len(re.findall(r"sf0\.001/customer\.parquet", plan)) == 2, plan
+    assert len(re.findall(rf"{_SF_FRAG}/customer\.parquet", plan)) == 2, plan
