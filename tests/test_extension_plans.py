@@ -200,6 +200,15 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "x2_semantic_dedup": "inherits x3_kmeans's fixed 2-pass Lloyd round "
     "(two corpus assignment streams + a LIMIT-8 seed scan) via "
     "kmeans_refined_assign; the dedup stage adds no further scans",
+    "a13_tpch_q7": "nation scanned once per alias (supplier side, customer "
+    "side) — two genuine dimension roles on a 25-row table; the EXECUTED "
+    "plan reuses one broadcast exchange for both "
+    "(tests/test_tpch_plans.py::test_q7_broadcasts_nation_twice pins it)",
+    "a19_tpch_q22": "customer scanned twice by construction: the 1-row "
+    "balance-threshold aggregate and the candidate stream it gates — the "
+    "spec's correlated scalar subquery, decorrelated "
+    "(tests/test_tpch_plans.py::test_q22_threshold_is_broadcast_not_recomputed "
+    "pins the exact count)",
 }
 
 
