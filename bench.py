@@ -125,6 +125,7 @@ HEADLINE = [
     "a19_tpch_q22",  # r9 addendum: lapsed-customer anti-join
     "x4_kn_lm_score",  # r9 addendum: interpolated Kneser-Ney bigram scoring
     "x4_kn3_lm_score",  # r9 addendum: KN trigram with the full backoff recursion
+    "t16_windowed_exp_p95",  # r9 addendum: windowed mergeable-sketch percentiles
     "x2_cluster_keeper",  # r9 addendum: quality-aware cluster survivorship
 ]
 

@@ -679,3 +679,71 @@ def t10_capped_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "seg_start", "seg_idx")
     )
+
+
+@query(
+    "t16_windowed_exp_p95",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+             time_bucket(INTERVAL '5 minutes', ts) + INTERVAL 5 MINUTE
+               AS window_end,
+             event_type,
+             CASE WHEN value <= 1.0 THEN -100000
+                  ELSE CAST(CEIL(4 * log2(value)) AS BIGINT) - 1 END AS idx,
+             COUNT(*) AS cnt
+      FROM events GROUP BY window_start, window_end, event_type, idx
+    ), cum AS (
+      SELECT window_start, window_end, event_type, idx, cnt,
+             SUM(cnt) OVER (PARTITION BY window_start, event_type
+                            ORDER BY idx) AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY window_start, event_type) AS total
+      FROM buckets
+    )
+    SELECT window_start, window_end, event_type,
+           CAST(MAX(CASE WHEN idx = -100000 THEN cnt ELSE 0 END) AS BIGINT)
+             AS zero_count,
+           CAST(MAX(total) AS BIGINT) AS total,
+           CAST(MIN(CASE WHEN 20 * cum_cnt >= 19 * total THEN
+             CASE WHEN idx = -100000 THEN 1.0
+                  ELSE ROUND(POWER(2.0, (idx + 1) / 4.0), 4) END
+           END) AS DOUBLE) AS p95_upper_bound
+    FROM cum
+    GROUP BY window_start, window_end, event_type
+    ORDER BY window_start, event_type
+    """,
+    tags=("T16", "Q8", "W3", "A1", "F2"),
+)
+def t16_windowed_exp_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 batch twin: per-(5-min tumbling window, event_type) p95 from
+    OTel exponential-histogram buckets — the windowed form of
+    q08_exp_histogram_p95, and the exact recomputation the live lane
+    (streaming/pipeline.py exp_hist_buckets + exp_p95_from_buckets) must
+    reproduce on a closed input (tests/test_streaming_pipeline.py).
+
+    Scale shape: ONE map-side-combined aggregate collapses the event
+    stream to |windows| x |types| x |buckets| rows; the rank walk runs as
+    tiny windows over that bucket frame. The live half shuffles only
+    bucket partial counts (a mergeable sketch — fixed state per window
+    regardless of event volume) and defers the walk to the read side,
+    the sketch-maintenance/quantile-extraction split an observability
+    pipeline makes at 100 TB."""
+    from otlp2parquet_spark.streaming import pipeline as P
+
+    e = T(spark, sf_dir, "events")
+    buckets = (
+        e.groupBy(
+            F.window("ts", "5 minutes").alias("w"),
+            "event_type",
+            P.exp_idx(F.col("value")).alias("idx"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "idx",
+            "cnt",
+        )
+    )
+    return P.exp_p95_from_buckets(buckets).orderBy("window_start", "event_type")

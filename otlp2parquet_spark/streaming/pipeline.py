@@ -83,6 +83,81 @@ def sliding_counts(stream: DataFrame, watermark: str = "10 seconds") -> DataFram
     )
 
 
+def exp_idx(value_col) -> "F.Column":
+    """OTel exponential-histogram bucket index at scale 2 (base = 2^(2^-2):
+    bucket i covers (base^i, base^(i+1)]; values <= 1.0 ride the zero
+    bucket as sentinel idx -100000 so ascending order puts it first in
+    both engines with no NULLS FIRST/LAST dependence). Shared by
+    q08_exp_histogram_p95, the T16 batch twin and the T16 live lane."""
+    return F.when(value_col <= 1.0, F.lit(-100000)).otherwise(
+        F.ceil(4 * F.log2(value_col)).cast("bigint") - 1
+    )
+
+
+def exp_hist_buckets(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """T16 live half: per-(5-min tumbling window, event_type, bucket)
+    counts with late-data drop. Bucket counts are a MERGEABLE sketch —
+    the streaming state per (window, type) is |buckets| longs regardless
+    of event volume, partial counts combine map-side in any order, and
+    the percentile itself is deferred to the read side
+    (exp_p95_from_buckets) because a rank walk needs the window's full
+    bucket set, which only exists once the watermark seals it. This is
+    the split every observability pipeline makes at scale: sketch
+    maintenance in the stream, quantile extraction at query time."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "5 minutes").alias("w"),
+            "event_type",
+            exp_idx(F.col("value")).alias("idx"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "idx",
+            "cnt",
+        )
+    )
+
+
+def exp_p95_from_buckets(buckets: DataFrame) -> DataFrame:
+    """T16 read half: the cumulative-rank walk from bucket counts to the
+    p95 upper bound, per (window, event_type) — runs identically over a
+    live-drained bucket table and the batch twin's aggregate (that
+    identity is the live==batch gate). Windows are over the bucket frame
+    (|windows| x |types| x |buckets| rows), never the event stream."""
+    from pyspark.sql import Window as _W
+
+    w_cum = _W.partitionBy("window_start", "event_type").orderBy("idx")
+    w_all = _W.partitionBy("window_start", "event_type")
+    cum = buckets.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "idx",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    bound = F.when(F.col("idx") == -100000, F.lit(1.0)).otherwise(
+        F.round(F.pow(F.lit(2.0), (F.col("idx") + 1) / 4.0), 4)
+    )
+    return (
+        cum.groupBy("window_start", "window_end", "event_type")
+        .agg(
+            F.max(
+                F.when(F.col("idx") == -100000, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("zero_count"),
+            F.max("total").alias("total"),
+            F.min(
+                F.when(20 * F.col("cum_cnt") >= 19 * F.col("total"), bound)
+            ).alias("p95_upper_bound"),
+        )
+    )
+
+
 def dedup_events(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """T5: exactly-once by event_id within the watermark horizon — state
     expires with the watermark, so memory is bounded by (horizon x rate),

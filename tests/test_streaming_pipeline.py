@@ -173,3 +173,59 @@ def test_t9_stream_static_join_live(spark, events_dir):
         for r in P.enrich_events(e, dim).collect()
     }
     assert live == batch and live
+
+
+def test_t16_exp_p95_live_matches_batch_twin(spark, events_dir):
+    """T16: the live bucket sketch drained complete + the shared read-side
+    walk must equal the batch twin exactly (same walk over the same
+    mergeable bucket counts — the identity IS the gate)."""
+    stream = P.events_stream(spark, events_dir)
+    P.run_to_memory(P.exp_hist_buckets(stream), "t16_live", output_mode="complete")
+    live = {
+        (r.window_start, r.event_type): (r.zero_count, r.total, r.p95_upper_bound)
+        for r in P.exp_p95_from_buckets(spark.sql("SELECT * FROM t16_live")).collect()
+    }
+    batch_buckets = (
+        _batch_events(spark, events_dir)
+        .groupBy(
+            F.window("ts", "5 minutes").alias("w"),
+            "event_type",
+            P.exp_idx(F.col("value")).alias("idx"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "idx", "cnt",
+        )
+    )
+    batch = {
+        (r.window_start, r.event_type): (r.zero_count, r.total, r.p95_upper_bound)
+        for r in P.exp_p95_from_buckets(batch_buckets).collect()
+    }
+    assert live == batch and live
+
+
+def test_t16_append_mode_seals_windows_like_t4(spark, events_dir):
+    """T16 watermark evidence: append mode emits only sealed windows; every
+    sealed window's walk equals the batch twin's row for that window."""
+    stream = P.events_stream(spark, events_dir)
+    P.run_to_memory(P.exp_hist_buckets(stream), "t16_append", output_mode="append")
+    sealed = P.exp_p95_from_buckets(spark.sql("SELECT * FROM t16_append"))
+    live = {
+        (r.window_start, r.event_type): (r.zero_count, r.total, r.p95_upper_bound)
+        for r in sealed.collect()
+    }
+    assert live
+    from otlp2parquet_spark.queries.registry import all_specs
+    batch = {
+        (r.window_start, r.event_type): (r.zero_count, r.total, r.p95_upper_bound)
+        for r in all_specs()["t16_windowed_exp_p95"].build(spark, SF).collect()
+        # the fixture re-writes ts to µs, so window keys align with the twin
+    }
+    open_windows = set(batch) - set(live)
+    assert set(live) <= set(batch)
+    # only the unsealed tail window(s) are withheld
+    assert open_windows and max(k[0] for k in batch) in {k[0] for k in open_windows}
+    for k, v in live.items():
+        assert batch[k] == v, k
