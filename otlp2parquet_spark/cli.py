@@ -194,6 +194,17 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     zo.add_argument("--files", type=int, default=32, help="output file count")
 
+    wp = sub.add_parser(
+        "wp95",
+        help="streaming windowed exp-histogram p95 over an events landing "
+        "dir (T16): drain available files, append watermark-sealed "
+        "per-(5-min window, event_type) bucket counts under OUT, print "
+        "the percentile walk over everything sealed so far",
+    )
+    wp.add_argument("landing_dir", help="dir of events-schema parquet files")
+    wp.add_argument("--out", required=True, help="sealed bucket-count table root")
+    wp.add_argument("--checkpoint", required=True)
+
     sub.add_parser("validate-config", help="load, validate and print config")
     return p
 
@@ -223,6 +234,45 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
+        return 0
+
+    if args.command == "wp95":
+        import os
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-wp95")
+        stream = stream_pipeline.events_stream(spark, args.landing_dir)
+        q = (
+            stream_pipeline.exp_hist_buckets(stream)
+            .writeStream.format("parquet")
+            .option("path", args.out)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # empty landing dir / nothing sealed: the file sink may never have
+        # written a footer — summarize zero instead of raising on the read
+        has_rows = any(
+            f.endswith(".parquet")
+            for _root, _dirs, files in os.walk(args.out)
+            for f in files
+        )
+        rows = windows = 0
+        if has_rows:
+            walked = stream_pipeline.exp_p95_from_buckets(
+                spark.read.parquet(args.out)
+            )
+            rows = walked.count()
+            windows = walked.select("window_start").distinct().count()
+        print(
+            json.dumps(
+                {"sealed_rows": rows, "windows_sealed": windows, "out": args.out}
+            )
+        )
         return 0
 
     try:
