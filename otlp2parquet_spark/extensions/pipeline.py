@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otlp2parquet_spark.extensions.dedup import (
+    _CC_SQL_CTES,
     SQL_NORM,
+    cluster_assignments,
     gram3_expr,
     normalized_text,
     token_count_expr,
@@ -1851,3 +1853,47 @@ def x6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
     )
     return joined_low.unionByName(joined_edge).sortWithinPartitions("doc_id")
+
+
+@query(
+    "x6_dedup_weight",
+    oracle=f"""
+    WITH RECURSIVE {_CC_SQL_CTES}, assign AS (
+      SELECT node AS doc_id, MIN(reachable) AS cluster_id
+      FROM reach GROUP BY node
+    ), sized AS (
+      SELECT doc_id, cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+      FROM assign
+    )
+    SELECT doc_id, cluster_id, cluster_size,
+           FLOOR(1.0 / cluster_size * 10000.0 + 0.5) / 10000.0 AS weight
+    FROM sized ORDER BY doc_id
+    """,
+    tags=("X6", "X2", "A1", "W3"),
+)
+def x6_dedup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, downweight every
+    cluster member to 1/cluster_size so each distinct passage contributes
+    one unit of training signal regardless of how many copies the crawl
+    caught (the duplication-aware loss-reweighting alternative to hard
+    removal — keeps rare in-cluster variation a hard drop would lose).
+    Third consumer of the CC kernel after x2_dedup_clusters and
+    x2_cluster_keeper.
+
+    Scale shape: cluster assignment reuses cluster_assignments; the size
+    is ONE unordered window COUNT over the cluster_id partition (no sort,
+    so a hot boilerplate cluster costs a count, never an ordering); the
+    weight is one exact division quantized at 4 dp identically in both
+    engines."""
+    sized = cluster_assignments(spark, sf_dir).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+    )
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        _q4(F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    ).orderBy("doc_id")

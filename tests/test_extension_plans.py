@@ -70,7 +70,7 @@ def test_exact_dedup_partial_aggregation(spark):
         n
         for n in sorted(SPECS)
         if n.startswith("x")
-        and n not in ("x2_dedup_clusters", "x2_cluster_keeper")
+        and n not in ("x2_dedup_clusters", "x2_cluster_keeper", "x6_dedup_weight")
     ],
 )
 def test_no_cartesian_product_in_extensions(spark, name):
@@ -214,7 +214,7 @@ _DUPLICATE_SCAN_ALLOWLIST = {
 
 @pytest.mark.parametrize(
     "name",
-    [n for n in sorted(SPECS) if n not in ("x2_dedup_clusters", "x2_cluster_keeper")],
+    [n for n in sorted(SPECS) if n not in ("x2_dedup_clusters", "x2_cluster_keeper", "x6_dedup_weight")],
 )
 def test_no_unintended_duplicate_scans(spark, name):
     """Regression guard for the r4 plan audit: no query may scan the same
