@@ -263,11 +263,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         rows = windows = 0
         if has_rows:
+            from pyspark.sql import functions as F
+
             walked = stream_pipeline.exp_p95_from_buckets(
                 spark.read.parquet(args.out)
             )
-            rows = walked.count()
-            windows = walked.select("window_start").distinct().count()
+            # one job for both summary integers — the walk (two window
+            # functions + a groupBy) is the expensive part of the lane
+            rows, windows = walked.agg(
+                F.count("*"), F.countDistinct("window_start")
+            ).first()
         print(
             json.dumps(
                 {"sealed_rows": rows, "windows_sealed": windows, "out": args.out}

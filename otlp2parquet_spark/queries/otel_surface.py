@@ -236,7 +236,7 @@ def q08_histogram_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH buckets AS (
       SELECT event_type,
-             CASE WHEN value <= 1.0 THEN -100000
+             CASE WHEN value IS NULL OR value <= 1.0 THEN -100000
                   ELSE CAST(CEIL(4 * log2(value)) AS BIGINT) - 1 END AS idx,
              COUNT(*) AS cnt
       FROM events GROUP BY event_type, idx
@@ -272,42 +272,24 @@ def q08_exp_histogram_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: identical to q08 — one map-side-combined bucket agg
     (events collapse to |event_types| x |buckets| rows), tiny windows over
     the bucket frame, no corpus-sized shuffle beyond the first agg. The
-    zero bucket rides as sentinel idx -100000 so the cumulative ordering
-    puts it first in BOTH engines without NULLS FIRST/LAST divergence.
-    Exactness: idx is integer ceil of 4*log2(value) (both engines evaluate
-    libm log2 on the identical double — the DSIR ln-parity precedent) and
-    the rank test is the integer 20*cum >= 19*total, never a 0.95 float;
-    the boundary is ROUND(·,4)-pinned like every float surface."""
+    zero bucket rides as sentinel idx -100000 (NULL values fold into it)
+    so the cumulative ordering puts it first in BOTH engines without
+    NULLS FIRST/LAST divergence. Exactness: idx is integer ceil of
+    4*log2(value) (both engines evaluate libm log2 on the identical
+    double — the DSIR ln-parity precedent) and the rank test is the
+    integer 20*cum >= 19*total, never a 0.95 float; the boundary is
+    ROUND(·,4)-pinned like every float surface. Bucket index and rank
+    walk are the SHARED streaming/pipeline.exp_idx /
+    exp_p95_from_buckets pair — T16's live lane and batch twin run the
+    same definitions."""
+    from otlp2parquet_spark.streaming.pipeline import exp_idx, exp_p95_from_buckets
+
     e = T(spark, sf_dir, "events")
-    idx = F.when(F.col("value") <= 1.0, F.lit(-100000)).otherwise(
-        F.ceil(4 * F.log2("value")).cast("bigint") - 1
-    )
-    buckets = e.groupBy("event_type", idx.alias("idx")).agg(
-        F.count("*").alias("cnt")
-    )
-    w_cum = Window.partitionBy("event_type").orderBy("idx")
-    w_all = Window.partitionBy("event_type")
-    cum = buckets.select(
-        "event_type",
-        "idx",
-        "cnt",
-        F.sum("cnt").over(w_cum).alias("cum_cnt"),
-        F.sum("cnt").over(w_all).alias("total"),
-    )
-    bound = F.when(F.col("idx") == -100000, F.lit(1.0)).otherwise(
-        F.round(F.pow(F.lit(2.0), (F.col("idx") + 1) / 4.0), 4)
-    )
+    buckets = e.groupBy(
+        "event_type", exp_idx(F.col("value")).alias("idx")
+    ).agg(F.count("*").alias("cnt"))
     return (
-        cum.groupBy("event_type")
-        .agg(
-            F.max(
-                F.when(F.col("idx") == -100000, F.col("cnt")).otherwise(F.lit(0))
-            ).alias("zero_count"),
-            F.max("total").alias("total"),
-            F.min(
-                F.when(20 * F.col("cum_cnt") >= 19 * F.col("total"), bound)
-            ).alias("p95_upper_bound"),
-        )
+        exp_p95_from_buckets(buckets, keys=("event_type",))
         .select("event_type", "zero_count", "total", "p95_upper_bound")
         .orderBy("event_type")
     )

@@ -689,7 +689,7 @@ def t10_capped_session(spark: SparkSession, sf_dir: str) -> DataFrame:
              time_bucket(INTERVAL '5 minutes', ts) + INTERVAL 5 MINUTE
                AS window_end,
              event_type,
-             CASE WHEN value <= 1.0 THEN -100000
+             CASE WHEN value IS NULL OR value <= 1.0 THEN -100000
                   ELSE CAST(CEIL(4 * log2(value)) AS BIGINT) - 1 END AS idx,
              COUNT(*) AS cnt
       FROM events GROUP BY window_start, window_end, event_type, idx
@@ -731,19 +731,6 @@ def t16_windowed_exp_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp2parquet_spark.streaming import pipeline as P
 
     e = T(spark, sf_dir, "events")
-    buckets = (
-        e.groupBy(
-            F.window("ts", "5 minutes").alias("w"),
-            "event_type",
-            P.exp_idx(F.col("value")).alias("idx"),
-        )
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "event_type",
-            "idx",
-            "cnt",
-        )
-    )
+    # watermark=None: the ONE sketch definition, batch form
+    buckets = P.exp_hist_buckets(e, watermark=None)
     return P.exp_p95_from_buckets(buckets).orderBy("window_start", "event_type")

@@ -85,16 +85,26 @@ def sliding_counts(stream: DataFrame, watermark: str = "10 seconds") -> DataFram
 
 def exp_idx(value_col) -> "F.Column":
     """OTel exponential-histogram bucket index at scale 2 (base = 2^(2^-2):
-    bucket i covers (base^i, base^(i+1)]; values <= 1.0 ride the zero
-    bucket as sentinel idx -100000 so ascending order puts it first in
-    both engines with no NULLS FIRST/LAST dependence). Shared by
-    q08_exp_histogram_p95, the T16 batch twin and the T16 live lane."""
-    return F.when(value_col <= 1.0, F.lit(-100000)).otherwise(
-        F.ceil(4 * F.log2(value_col)).cast("bigint") - 1
-    )
+    bucket i covers (base^i, base^(i+1)]; values <= 1.0 — and NULL — ride
+    the zero bucket as sentinel idx -100000 so ascending order puts it
+    first in both engines with no NULLS FIRST/LAST dependence: Spark's
+    cumulative window orders NULLS FIRST, DuckDB's NULLS LAST, so a NULL
+    bucket key would put the rank walk's threshold crossing at different
+    buckets cross-engine). Shared by q08_exp_histogram_p95, the T16 batch
+    twin and the T16 live lane — ONE definition of the bucket formula."""
+    return F.when(
+        value_col.isNull() | (value_col <= 1.0), F.lit(-100000)
+    ).otherwise(F.ceil(4 * F.log2(value_col)).cast("bigint") - 1)
 
 
-def exp_hist_buckets(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+# the DuckDB twin of exp_idx, for composition into oracle CTEs
+SQL_EXP_IDX = (
+    "CASE WHEN {v} IS NULL OR {v} <= 1.0 THEN -100000 "
+    "ELSE CAST(CEIL(4 * log2({v})) AS BIGINT) - 1 END"
+)
+
+
+def exp_hist_buckets(stream: DataFrame, watermark: str | None = "10 seconds") -> DataFrame:
     """T16 live half: per-(5-min tumbling window, event_type, bucket)
     counts with late-data drop. Bucket counts are a MERGEABLE sketch —
     the streaming state per (window, type) is |buckets| longs regardless
@@ -103,10 +113,12 @@ def exp_hist_buckets(stream: DataFrame, watermark: str = "10 seconds") -> DataFr
     (exp_p95_from_buckets) because a rank walk needs the window's full
     bucket set, which only exists once the watermark seals it. This is
     the split every observability pipeline makes at scale: sketch
-    maintenance in the stream, quantile extraction at query time."""
+    maintenance in the stream, quantile extraction at query time.
+    watermark=None skips the watermark — the batch-twin form, so the
+    sketch definition exists exactly once."""
+    src = stream if watermark is None else stream.withWatermark("ts", watermark)
     return (
-        stream.withWatermark("ts", watermark)
-        .groupBy(
+        src.groupBy(
             F.window("ts", "5 minutes").alias("w"),
             "event_type",
             exp_idx(F.col("value")).alias("idx"),
@@ -122,20 +134,22 @@ def exp_hist_buckets(stream: DataFrame, watermark: str = "10 seconds") -> DataFr
     )
 
 
-def exp_p95_from_buckets(buckets: DataFrame) -> DataFrame:
-    """T16 read half: the cumulative-rank walk from bucket counts to the
-    p95 upper bound, per (window, event_type) — runs identically over a
-    live-drained bucket table and the batch twin's aggregate (that
-    identity is the live==batch gate). Windows are over the bucket frame
-    (|windows| x |types| x |buckets| rows), never the event stream."""
+def exp_p95_from_buckets(
+    buckets: DataFrame,
+    keys: tuple[str, ...] = ("window_start", "window_end", "event_type"),
+) -> DataFrame:
+    """The cumulative-rank walk from exp-histogram bucket counts (idx, cnt)
+    to the p95 upper bound, per `keys` group — runs identically over a
+    live-drained bucket table, the T16 batch twin's aggregate (that
+    identity is the live==batch gate) and q08's global per-type form
+    (keys=("event_type",)). Windows are over the bucket frame, never the
+    event stream."""
     from pyspark.sql import Window as _W
 
-    w_cum = _W.partitionBy("window_start", "event_type").orderBy("idx")
-    w_all = _W.partitionBy("window_start", "event_type")
+    w_cum = _W.partitionBy(*keys).orderBy("idx")
+    w_all = _W.partitionBy(*keys)
     cum = buckets.select(
-        "window_start",
-        "window_end",
-        "event_type",
+        *keys,
         "idx",
         "cnt",
         F.sum("cnt").over(w_cum).alias("cum_cnt"),
@@ -145,7 +159,7 @@ def exp_p95_from_buckets(buckets: DataFrame) -> DataFrame:
         F.round(F.pow(F.lit(2.0), (F.col("idx") + 1) / 4.0), 4)
     )
     return (
-        cum.groupBy("window_start", "window_end", "event_type")
+        cum.groupBy(*keys)
         .agg(
             F.max(
                 F.when(F.col("idx") == -100000, F.col("cnt")).otherwise(F.lit(0))

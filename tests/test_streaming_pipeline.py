@@ -185,20 +185,8 @@ def test_t16_exp_p95_live_matches_batch_twin(spark, events_dir):
         (r.window_start, r.event_type): (r.zero_count, r.total, r.p95_upper_bound)
         for r in P.exp_p95_from_buckets(spark.sql("SELECT * FROM t16_live")).collect()
     }
-    batch_buckets = (
-        _batch_events(spark, events_dir)
-        .groupBy(
-            F.window("ts", "5 minutes").alias("w"),
-            "event_type",
-            P.exp_idx(F.col("value")).alias("idx"),
-        )
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "event_type", "idx", "cnt",
-        )
-    )
+    # watermark=None: the same single sketch definition the twin uses
+    batch_buckets = P.exp_hist_buckets(_batch_events(spark, events_dir), watermark=None)
     batch = {
         (r.window_start, r.event_type): (r.zero_count, r.total, r.p95_upper_bound)
         for r in P.exp_p95_from_buckets(batch_buckets).collect()
@@ -229,3 +217,40 @@ def test_t16_append_mode_seals_windows_like_t4(spark, events_dir):
     assert open_windows and max(k[0] for k in batch) in {k[0] for k in open_windows}
     for k, v in live.items():
         assert batch[k] == v, k
+
+
+def test_t16_null_values_fold_into_zero_bucket(spark, tmp_path):
+    """r9 review finding, pinned: a NULL value must ride the sentinel zero
+    bucket in BOTH engines — a NULL bucket key would sort NULLS FIRST in
+    Spark's cumulative rank walk but NULLS LAST in DuckDB's, putting the
+    p95 threshold crossing at different buckets (no fixture carries NULLs,
+    so only this crafted frame exercises the fold)."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from otlp2parquet_spark.queries.registry import all_specs
+    from tests.oracle_util import compare
+
+    ts = datetime.datetime(2024, 1, 1, 0, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array([ts] * 6, pa.timestamp("us")),
+            "user_id": pa.array([1] * 6, pa.int64()),
+            "event_type": ["a"] * 6,
+            "value": pa.array([None, 0.5, 3.0, 9.0, 80.0, 700.0], pa.float64()),
+            "props": ["{}"] * 6,
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    spec = all_specs()["t16_windowed_exp_p95"]
+    assert not compare(spec.build(spark, str(tmp_path)), con, spec.oracle)
+    row = spec.build(spark, str(tmp_path)).collect()[0]
+    assert row["zero_count"] == 2 and row["total"] == 6
