@@ -126,6 +126,8 @@ HEADLINE = [
     "x4_kn_lm_score",  # r9 addendum: interpolated Kneser-Ney bigram scoring
     "x4_kn3_lm_score",  # r9 addendum: KN trigram with the full backoff recursion
     "t16_windowed_exp_p95",  # r9 addendum: windowed mergeable-sketch percentiles
+    "x6_weighted_sample",  # r9 addendum: ES weighted top-k, zero-shuffle
+    "x2_edit_neardup",  # r9 addendum: typo-level blocked Levenshtein pairs
     "x2_cluster_keeper",  # r9 addendum: quality-aware cluster survivorship
 ]
 

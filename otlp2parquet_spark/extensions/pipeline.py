@@ -1897,3 +1897,51 @@ def x6_dedup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         _q4(F.lit(1.0) / F.col("cluster_size")).alias("weight"),
     ).orderBy("doc_id")
+
+
+@query(
+    "x6_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1.0) / 4294967297.0) / n_chars AS es_key
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           FLOOR(es_key * 10000.0 + 0.5) / 10000.0 AS es_key_q
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("X6", "O2", "F3", "F6"),
+)
+def x6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted sampling without replacement (Efraimidis & Spirakis
+    2006, public): keep the top-k docs by ln(u)/w with u a deterministic
+    uniform from the content hash and w = n_chars — each doc's inclusion
+    probability is proportional to its length, the one-pass weighted
+    reservoir every data pipeline needs for weight-proportional subsets
+    (u^(1/w) order-equivalent to ln(u)/w since ln is monotone).
+
+    Scale shape: the key is map-only column math (md5 -> 32-bit uniform ->
+    one ln + one division, identical IEEE in both engines — the LM-score
+    ln-parity precedent); top-k runs as TakeOrderedAndProject
+    (per-partition heaps + driver merge of k-row heads), so the full pass
+    is scan-bound with NO shuffle at any corpus size. Deterministic
+    across engines/runs/partitionings by construction — rand()-based
+    weighted sampling is neither. Emitted key quantized at 4 dp; the
+    ORDER uses the raw key with doc_id tiebreak."""
+    d = spread(T(spark, sf_dir, "documents"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    es_key = F.log((h + F.lit(1.0)) / F.lit(4294967297.0)) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id", "source", "n_chars", _q4(F.col("es_key")).alias("es_key_q")
+        )
+    )
