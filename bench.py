@@ -123,6 +123,7 @@ HEADLINE = [
     "a17_tpch_q14",  # r9 addendum: promo-share conditional aggregate
     "a18_tpch_q17",  # r9 addendum: integer-exact correlated threshold
     "a19_tpch_q22",  # r9 addendum: lapsed-customer anti-join
+    "a20_tpch_q15",  # r9 addendum: top-supplier view max on exact decimals
     "x4_kn_lm_score",  # r9 addendum: interpolated Kneser-Ney bigram scoring
     "x4_kn3_lm_score",  # r9 addendum: KN trigram with the full backoff recursion
     "t16_windowed_exp_p95",  # r9 addendum: windowed mergeable-sketch percentiles

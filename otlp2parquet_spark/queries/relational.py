@@ -1444,6 +1444,66 @@ def a19_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a20_tpch_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+               AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(r, 4) AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("A1", "A4", "J1", "P2"),
+)
+def a20_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximal revenue in a
+    quarter — the spec's revenue VIEW consumed by a scalar
+    aggregate-of-aggregate subquery. The equality test runs on the EXACT
+    DECIMAL sums (order-free in both engines), never on rounded doubles,
+    so a tie is decided identically everywhere; only the emitted revenue
+    is 4-dp quantized.
+
+    Scale shape: the date filter pushes to the scan; the revenue view is
+    one map-side-combined suppkey aggregate; MAX(r) is a 1-row aggregate
+    of that |suppliers|-sized frame broadcast back (the Q22 threshold
+    idiom), and the supplier name join probes with only the winners."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("r")
+        )
+        .localCheckpoint(eager=False)  # consumed by the max AND the winners
+    )
+    top = rev.agg(F.max("r").alias("rmax"))
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("r") == F.col("rmax"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("r"), 4).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 # ===========================================================================
 # W group — window functions
 # ===========================================================================
