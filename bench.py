@@ -364,9 +364,8 @@ def main() -> None:
     cal_after = _cal_kernel()
     noise_index = round((cal_before + cal_after) / 2.0 / CAL_REF_S, 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
+    payload = json.dumps(
+        {
                 "metric": f"headline suite wall sec (best-of-{RUNS_PER_QUERY} per query, noop-write forced)",
                 "value": total,
                 "unit": "sec",
@@ -392,8 +391,22 @@ def main() -> None:
                 "load_gate_ambient": round(load_ambient, 2),
                 "load_gate_waited_s": load_waited,
             }
-        )
     )
+    print(payload)
+    # capture-proof copy (r9 VERDICT ask #3): the driver's BENCH_r{N}.json
+    # keeps only the last ~2,000 chars of stdout, which truncated the JSON
+    # head (noise_index and the first ~15 query timings) — so the same line
+    # is also written to a checked-in artifact that survives its capture
+    # pipeline. ROUND names it when the driver exports one; "self" otherwise.
+    tag = os.environ.get("ROUND", "self")
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_self_r{tag}.json"
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":

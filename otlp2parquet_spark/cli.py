@@ -255,24 +255,35 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         # empty landing dir / nothing sealed: the file sink may never have
-        # written a footer — summarize zero instead of raising on the read
-        has_rows = any(
-            f.endswith(".parquet")
-            for _root, _dirs, files in os.walk(args.out)
-            for f in files
+        # written a footer — summarize zero instead of raising on the read.
+        # Gate on the sink's COMMIT LOG, not a tree walk: an aborted batch
+        # can leave uncommitted part files that a *.parquet walk would count
+        # as data while the metadata-aware read (correctly) ignores them —
+        # the two paths must agree on "has the sink committed anything"
+        meta_dir = os.path.join(args.out, "_spark_metadata")
+        has_rows = os.path.isdir(meta_dir) and any(
+            os.path.getsize(os.path.join(meta_dir, f)) > 0
+            for f in os.listdir(meta_dir)
+            if not f.endswith(".tmp") and not f.startswith(".")
         )
         rows = windows = 0
         if has_rows:
             from pyspark.sql import functions as F
+            from pyspark.errors import AnalysisException
 
-            walked = stream_pipeline.exp_p95_from_buckets(
-                spark.read.parquet(args.out)
-            )
-            # one job for both summary integers — the walk (two window
-            # functions + a groupBy) is the expensive part of the lane
-            rows, windows = walked.agg(
-                F.count("*"), F.countDistinct("window_start")
-            ).first()
+            try:
+                walked = stream_pipeline.exp_p95_from_buckets(
+                    spark.read.parquet(args.out)
+                )
+                # one job for both summary integers — the walk (two window
+                # functions + a groupBy) is the expensive part of the lane
+                rows, windows = walked.agg(
+                    F.count("*"), F.countDistinct("window_start")
+                ).first()
+            except AnalysisException:
+                # a commit log whose every batch sealed zero windows lists
+                # no files -> nothing to infer a schema from
+                rows = windows = 0
         print(
             json.dumps(
                 {"sealed_rows": rows, "windows_sealed": windows, "out": args.out}

@@ -1828,8 +1828,35 @@ EDIT_PREFIX_LEN = 64  # bounded Levenshtein window: cost per pair <= 64^2 cells
 EDIT_BLOCK_CAP = 200  # block-size cap: pair fan-out per block <= CAP^2
 EDIT_BLOCK_KEY_LEN = 12  # block key: measured 68x fewer candidates than 4 chars
 #   at IDENTICAL pair recall on the fixture ladder (true near-dups share long
-#   prefixes); typos inside the key escape this axis - the LSH lanes' job
+#   prefixes); a typo INSIDE the key escapes a single key, so candidates are
+#   the UNION of two disjoint 12-char slices (chars 1-12 and 13-24, r10) —
+#   a single typo can corrupt at most one slice, so every <=1-typo pair in
+#   the first 24 chars is guaranteed a candidate
 EDIT_MAX_DIST = 8
+
+# the two blocking slices: 1-based start offsets of each 12-char key
+_EDIT_KEY_STARTS = (1, EDIT_BLOCK_KEY_LEN + 1)
+
+_EDIT_CAND_SQL = " UNION ".join(
+    f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pnorm AS pa, b.pnorm AS pb
+    FROM blocked{s} a JOIN blocked{s} b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {EDIT_BLOCK_CAP}"""
+    for s in _EDIT_KEY_STARTS
+)
+
+_EDIT_BLOCKED_SQL = ", ".join(
+    f"""blocked{s} AS (
+      SELECT doc_id, pnorm, substr(pnorm, {s}, {EDIT_BLOCK_KEY_LEN}) AS blk,
+             COUNT(*) OVER (
+               PARTITION BY substr(pnorm, {s}, {EDIT_BLOCK_KEY_LEN})
+             ) AS bsz
+      FROM pn WHERE length(pnorm) >= {s}
+    )"""
+    for s in _EDIT_KEY_STARTS
+)
 
 
 @query(
@@ -1839,16 +1866,11 @@ EDIT_MAX_DIST = 8
       SELECT doc_id,
              substr({SQL_NORM.format(c='text')}, 1, {EDIT_PREFIX_LEN}) AS pnorm
       FROM documents
-    ), blocked AS (
-      SELECT doc_id, pnorm, substr(pnorm, 1, {EDIT_BLOCK_KEY_LEN}) AS blk,
-             COUNT(*) OVER (PARTITION BY substr(pnorm, 1, {EDIT_BLOCK_KEY_LEN})) AS bsz
-      FROM pn
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(levenshtein(a.pnorm, b.pnorm) AS BIGINT) AS edit_dist
-    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE a.bsz <= {EDIT_BLOCK_CAP}
-      AND levenshtein(a.pnorm, b.pnorm) <= {EDIT_MAX_DIST}
+    ), {_EDIT_BLOCKED_SQL}
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
+    FROM ({_EDIT_CAND_SQL})
+    WHERE levenshtein(pa, pb) <= {EDIT_MAX_DIST}
     ORDER BY doc_a, doc_b
     """,
     tags=("X2", "J1", "F1"),
@@ -1858,39 +1880,53 @@ def x2_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-character corruptions that survive token-level MinHash and
     change the content hash): Levenshtein <= EDIT_MAX_DIST over the first
     EDIT_PREFIX_LEN chars of normalized text, candidates generated by
-    4-char-prefix blocking with a block-size cap.
+    TWO-key 12-char-slice blocking (chars 1-12 and 13-24, each with a
+    block-size cap), pair sets unioned + deduped BEFORE the DP filter.
 
-    Scale shape (the record-linkage blocking pattern): NO all-pairs —
-    candidates exist only inside equi-join blocks, the cap bounds each
-    block's fan-out at CAP^2, and the prefix bound fixes per-pair DP cost
-    at <= 64^2 cells regardless of document length. Recall profile is the
-    standard blocking tradeoff, stated not hidden: a typo inside the
-    block key moves the doc to another block (the token-level LSH
-    lanes catch those); production systems union several block keys. Both
-    engines evaluate the identical levenshtein (verified: DuckDB
-    levenshtein == Spark levenshtein on the standard DP definition)."""
+    Scale shape (the record-linkage multi-key blocking pattern): NO
+    all-pairs — candidates exist only inside equi-join blocks, each key's
+    cap bounds its blocks' fan-out at CAP^2, and the prefix bound fixes
+    per-pair DP cost at <= 64^2 cells regardless of document length. The
+    second key is the standard production escape for the single-key recall
+    hole: a typo inside chars 1-12 moves the doc out of key-1's block but
+    CANNOT also corrupt chars 13-24, so every single-typo pair in the
+    first 24 chars is guaranteed a candidate (tests plant exactly the
+    pairs key 1 provably misses); typos in BOTH slices remain the
+    token-level LSH lanes' job. Docs shorter than a slice's start simply
+    lack that key (no empty-key mega-block). Both engines evaluate the
+    identical levenshtein (verified: DuckDB levenshtein == Spark
+    levenshtein on the standard DP definition)."""
     d = spread(T(spark, sf_dir, "documents"))
     pn = d.select(
         "doc_id",
         F.substring(normalized_text(F.col("text")), 1, EDIT_PREFIX_LEN).alias("pnorm"),
-    )
-    blocked = (
-        pn.withColumn("blk", F.substring("pnorm", 1, EDIT_BLOCK_KEY_LEN))
-        .withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("blk")))
-        .filter(F.col("bsz") <= EDIT_BLOCK_CAP)
-        .localCheckpoint(eager=False)  # both join sides: don't tokenize twice
-    )
-    a = blocked.select(
-        F.col("doc_id").alias("doc_a"), F.col("pnorm").alias("pa"), "blk"
-    )
-    b = blocked.select(
-        F.col("doc_id").alias("doc_b"), F.col("pnorm").alias("pb"), "blk"
-    )
+    ).localCheckpoint(eager=False)  # all four join sides: don't tokenize twice
+
+    def _cands(start: int) -> DataFrame:
+        blocked = (
+            pn.filter(F.length("pnorm") >= start)
+            .withColumn("blk", F.substring("pnorm", start, EDIT_BLOCK_KEY_LEN))
+            .withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("blk")))
+            .filter(F.col("bsz") <= EDIT_BLOCK_CAP)
+        )
+        a = blocked.select(
+            F.col("doc_id").alias("doc_a"), F.col("pnorm").alias("pa"), "blk"
+        )
+        b = blocked.select(
+            F.col("doc_id").alias("doc_b"), F.col("pnorm").alias("pb"), "blk"
+        )
+        return (
+            a.join(b, "blk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "pa", "pb")
+        )
+
+    cands = _cands(_EDIT_KEY_STARTS[0]).unionByName(
+        _cands(_EDIT_KEY_STARTS[1])
+    ).distinct()  # pair dedup BEFORE the DP: shared-both-keys pairs cost one DP
     dist = F.levenshtein("pa", "pb")
     return (
-        a.join(b, "blk")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(dist <= EDIT_MAX_DIST)
+        cands.filter(dist <= EDIT_MAX_DIST)
         .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_dist"))
         .orderBy("doc_a", "doc_b")
     )

@@ -36,6 +36,44 @@ LANG_MARKERS = {
 # GPT-2-style pre-split regex family, simplified to RE2-safe constructs).
 BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
+# LM-scorer model routing: the smoothed model is the distinct n-gram TYPE
+# table, which grows roughly with corpus token count (the salted scale rows
+# measure the trigram table at ~2M rows for a 100x sf0.1 corpus) — so a
+# STATIC F.broadcast() of it is a driver/executor OOM at web scale, not a
+# slow plan. Route on the MEASURED model row count instead (the
+# _semantic_k / qc_shards_for discipline: parameters derive from the corpus,
+# never from a constant): broadcast below the threshold, plain equi-join
+# above it — AQE still promotes a runtime-small side, so the over-threshold
+# route costs nothing when the measurement was conservative. The count is
+# nearly free: every caller localCheckpoints the model anyway, so counting
+# just materializes work the scoring join was about to do. Threshold sized
+# in rows at the measured ~120 B/row of the enriched type tables: 500k rows
+# is ~60 MB serialized — past the point where per-executor broadcast copies
+# beat ONE shuffle of the already-type-collapsed model. (Production
+# KenLM-style pipelines additionally prune singleton tails; that changes
+# the model's values, so it stays out of scope for an oracle-matched op.)
+LM_BROADCAST_MAX_MODEL_ROWS = 500_000
+
+
+def lm_model_route(model: DataFrame, n_rows: int | None = None) -> DataFrame:
+    """Broadcast the materialized LM model frame iff its measured row count
+    (``n_rows`` when the caller already knows it) fits
+    LM_BROADCAST_MAX_MODEL_ROWS; otherwise PIN a sort-merge join.
+
+    The over-threshold route is a merge HINT, not a plain unhinted join,
+    because the corpus side of the scoring join is an exploded n-gram frame
+    whose static size estimate is meaningless: Catalyst propagates the
+    (tiny, compressed) documents-scan size through Generate, so the planner
+    sees the CORPUS as the small side — measured at the salted 100x sf0.1
+    replica, the un-hinted kn3 join planned BroadcastHashJoin BuildLeft on
+    the corpus trigrams and aborted with an over-8GB broadcast. Pinning SMJ
+    trades away AQE's runtime promotion on this one join, but a model the
+    measurement already proved >500k rows is past wanting a broadcast
+    anyway, and SMJ is the estimator-proof shape."""
+    if (model.count() if n_rows is None else n_rows) <= LM_BROADCAST_MAX_MODEL_ROWS:
+        return F.broadcast(model)
+    return model.hint("merge")
+
 
 def _marker_hits(tokens, words) -> F.Column:
     """One-pass marker count (the oracle's list_contains form): markers are
@@ -302,16 +340,18 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bigram MODEL is vocabulary²-bounded, not corpus-sized
     — so it is aggregated once (two-phase groupBy whose map-side combine
     collapses each partition to its distinct bigrams before the shuffle)
-    and then BROADCAST back over the streaming corpus: the scoring join
-    moves zero corpus bytes, and the only corpus-sized shuffle left is the
-    per-doc aggregate, which partial-aggregates to (doc, decimal-sum,
-    count) rows map-side. The previous equi-join formulation checkpointed
-    and re-shuffled the full exploded bigram frame twice; at 10x data the
-    wall factor dropped ~4.2x -> ~1.3x with the broadcast form. At real
-    scale a raw bigram model over a 1M-token vocab can exceed broadcast
-    limits — production KenLM-style pipelines prune counts==1 tails or
-    shard the model; the un-broadcast equi-join on (source, bg) stays the
-    fallback shape. Determinism across engines: ln() inputs are identical
+    and then joined back over the streaming corpus via lm_model_route:
+    BROADCAST while the measured model row count fits
+    LM_BROADCAST_MAX_MODEL_ROWS (the scoring join then moves zero corpus
+    bytes), plain shuffle equi-join on (source, bg) once the corpus-grown
+    type table outgrows what executors can replicate — so the operator
+    absorbs 100x by adding machines instead of OOMing the broadcast. The
+    only corpus-sized shuffle either way is the per-doc aggregate, which
+    partial-aggregates to (doc, decimal-sum, count) rows map-side. (The
+    original always-equi-join formulation checkpointed and re-shuffled the
+    full exploded bigram frame twice; at 10x data the wall factor dropped
+    ~4.2x -> ~1.3x with the small-model broadcast form — the route keeps
+    that win where it is safe.) Determinism across engines: ln() inputs are identical
     rationals, and the per-doc sum runs in DECIMAL(38,18) — exact integer
     arithmetic, so accumulation order cannot change the result."""
     d = spread(T(spark, sf_dir, "documents"))
@@ -350,7 +390,7 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = bg_enriched.groupBy("source").agg(F.countDistinct("w1").alias("v"))
     lp = F.log((F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v")))
     scored = (
-        bi.join(F.broadcast(bg_enriched.drop("w1")), ["source", "bg"])
+        bi.join(lm_model_route(bg_enriched.drop("w1")), ["source", "bg"])
         .join(F.broadcast(vocab), "source")
         .select("doc_id", "source", lp.alias("lp"))
     )
@@ -427,8 +467,11 @@ def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (prefix total c_w1, forward type count N1+(w1*), continuation count
     N1+(*w2), type total N1+(**)) is a window over that MODEL frame, so
     the continuation counts cost zero corpus traffic. The enriched model
-    broadcasts back over the corpus bigrams; the only corpus-sized
-    shuffle is the per-doc aggregate, partial-aggregated map-side.
+    joins back over the corpus bigrams via lm_model_route (broadcast while
+    its measured row count fits LM_BROADCAST_MAX_MODEL_ROWS, shuffle
+    equi-join once the corpus-grown type table outgrows it); the only
+    corpus-sized shuffle is the per-doc aggregate, partial-aggregated
+    map-side.
     Determinism: both engines evaluate the identical parenthesized IEEE
     expression on identical integer counts, and the per-doc sum runs in
     DECIMAL(38,18) before one 4-dp quantization — accumulation order
@@ -473,7 +516,7 @@ def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.col("c_w1").cast("double")
     )
-    scored = bi.join(F.broadcast(enriched), ["source", "w1", "w2"]).select(
+    scored = bi.join(lm_model_route(enriched), ["source", "w1", "w2"]).select(
         "doc_id", "source", lp.alias("lp")
     )
     avg_lp = (
@@ -568,7 +611,10 @@ def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE corpus-sized shuffle total (the trigram count); every
     other statistic is a window or aggregate over the vocab³-bounded type
     table and its (w2,w3) contraction, joined model-side before ONE
-    broadcast back over the corpus trigrams. The per-doc aggregate
+    lm_model_route join back over the corpus trigrams (broadcast while the
+    measured type-table rows fit LM_BROADCAST_MAX_MODEL_ROWS — the trigram
+    table is the family's fastest-growing model, ~2M rows at a 100x sf0.1
+    corpus, so it is the first to take the shuffle route). The per-doc aggregate
     partial-aggregates map-side. Determinism: nested identical IEEE
     parenthesization over exact integer counts, DECIMAL(38,18) per-doc
     accumulation, one 4-dp quantization."""
@@ -596,7 +642,16 @@ def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as _W
 
     one = F.count(F.lit(1))
-    t3 = tri.groupBy("source", "w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    # materialize + count the trigram type table ONCE: the construction
+    # join below is 1:1 on (source,w2,w3) (every t3 row matches exactly one
+    # m23e row), so this count IS the model row count — one measurement
+    # routes both joins
+    t3 = (
+        tri.groupBy("source", "w1", "w2", "w3")
+        .agg(F.count("*").alias("c123"))
+        .localCheckpoint(eager=False)
+    )
+    n_model = t3.count()
     t3e = t3.withColumn(
         "c12", F.sum("c123").over(_W.partitionBy("source", "w1", "w2"))
     ).withColumn("n1f12", one.over(_W.partitionBy("source", "w1", "w2")))
@@ -607,7 +662,17 @@ def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n1b3", one.over(_W.partitionBy("source", "w3")))
         .withColumn("ntot", one.over(_W.partitionBy("source")))
     )
-    model = t3e.join(m23e, ["source", "w2", "w3"]).localCheckpoint(eager=False)
+    # the construction join is model-vs-model sized on BOTH sides, so it
+    # rides the same measured route: broadcast the (≤ t3-sized) contraction
+    # below the threshold, pinned SMJ above it — an aggregate over the
+    # exploded corpus inherits the same meaningless size estimate that made
+    # the un-hinted scoring join broadcast the corpus (see lm_model_route)
+    m23e_routed = (
+        F.broadcast(m23e)
+        if n_model <= LM_BROADCAST_MAX_MODEL_ROWS
+        else m23e.hint("merge")
+    )
+    model = t3e.join(m23e_routed, ["source", "w2", "w3"])
     # identical nested parenthesization to the oracle's lp (see there)
     p1 = F.col("n1b3").cast("double") / F.col("ntot")
     p2 = (
@@ -618,7 +683,9 @@ def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c123").cast("double") - 0.75, F.lit(0.0))
         + (F.lit(0.75) * F.col("n1f12")) * p2
     ) / F.col("c12").cast("double")
-    scored = tri.join(F.broadcast(model), ["source", "w1", "w2", "w3"]).select(
+    scored = tri.join(
+        lm_model_route(model, n_rows=n_model), ["source", "w1", "w2", "w3"]
+    ).select(
         "doc_id", "source", F.log(p3).alias("lp")
     )
     avg_lp = (
@@ -1354,8 +1421,8 @@ def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     score — the standard quality-stratification step before mixing (train
     mostly on head, sample middle, drop or down-weight tail).
 
-    Scale shape: the scored frame is x4_ngram_lm_score's (broadcast model,
-    one corpus shuffle); the two tercile thresholds are ONE exact
+    Scale shape: the scored frame is x4_ngram_lm_score's (size-routed
+    model join, one corpus shuffle); the two tercile thresholds are ONE exact
     percentile aggregate collapsing to a single broadcast row — no global
     sort, no single-partition window (the rank-free way to cut a corpus at
     global quantiles; contrast x6_curriculum, which needs every rank). The

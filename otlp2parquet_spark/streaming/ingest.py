@@ -66,9 +66,15 @@ def read_landing_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(landing_dir)
-    fmt_udf = F.udf(ingest.payload_format, StringType())
     return (
-        df.select("path", "content", fmt_udf(F.col("path")).alias("fmt"))
+        df.select(
+            "path",
+            "content",
+            # same codegen regexp twin as the batch lane (otel/ingest.py):
+            # property-tested equal to the Python payload_format over
+            # adversarial paths, and keeps the package F.udf-free
+            ingest.payload_format_col(F.col("path")).alias("fmt"),
+        )
         # size guard (D4) + format dispatch (D3); rejected payloads are
         # dropped here — quarantine accounting is an observe() metric
         .filter((F.length("content") <= F.lit(max_payload_bytes)) & F.col("fmt").isNotNull())

@@ -111,3 +111,36 @@ def test_stream_replay_is_idempotent(spark, dirs):
     files2 = sorted(glob.glob(f"{out}/logs/**/*.parquet", recursive=True))
     assert files2 == files1  # same deterministic names, overwritten in place
     assert writer.read_table(spark, out, "otel_logs").count() == 81
+
+
+def test_stream_landing_format_tag_matches_python_twin(spark, dirs):
+    """The STREAMING landing scan must tag formats with the same codegen
+    payload_format_col as the batch lane (r9 replaced the batch tagger;
+    the streaming lane kept a Python F.udf until r10) — drive real landing
+    files through read_landing_stream and compare every surviving (path,
+    fmt) row against the Python reference, including the drop rule for
+    unknown extensions."""
+    from otlp2parquet_spark.otel.ingest import payload_format
+
+    landing, out, ckpt = dirs
+    names = [
+        "a.pb", "b.json", "c.jsonl", "D.JSONL", "e.pb.gz", "F.PB.GZ",
+        "g.tar.gz", "h.txt", "i", "j.pbx", "k.json5", "l..pb", "m.pb.",
+    ]
+    for n in names:
+        (landing / n).write_bytes(b"\x00")
+    df = sing.read_landing_stream(spark, str(landing))
+    q = (
+        df.writeStream.format("memory")
+        .queryName("fmt_tags")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    _wait(q)
+    got = {
+        os.path.basename(r.path): r.fmt
+        for r in spark.sql("SELECT path, fmt FROM fmt_tags").collect()
+    }
+    want = {n: payload_format(n) for n in names if payload_format(n) is not None}
+    assert got == want, (got, want)

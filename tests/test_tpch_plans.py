@@ -17,11 +17,24 @@ _SF_FRAG = re.escape(SF_SMOKE.rstrip("/").rsplit("/", 1)[-1])
 
 def _executed(spark, name: str) -> str:
     # default maxMetadataStringLength truncates PushedFilters at 100 chars,
-    # hiding the later predicates from the assertion
-    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
-    df = SPECS[name].build(spark, SF_SMOKE)
-    df.collect()  # let AQE finalize so the plan is the one that actually ran
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # hiding the later predicates from the assertion; restore after (the
+    # session fixture is shared — a leaked conf changes every later test's
+    # plan strings)
+    key = "spark.sql.maxMetadataStringLength"
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    spark.conf.set(key, "10000")
+    try:
+        df = SPECS[name].build(spark, SF_SMOKE)
+        df.collect()  # let AQE finalize so the plan is the one that actually ran
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
     # AQE prints "== Final Plan ==" followed by "== Initial Plan ==" — keep
     # only the plan that ran, or scan/operator counts double
     return plan.split("== Initial Plan ==")[0]
