@@ -295,6 +295,88 @@ def q08_exp_histogram_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 98% negated: the p95 crossing lands INSIDE a negative bucket at all
+# 3 SFs (measured bounds -2.83/-1.41/-1.41), so the negative-bound
+# formula is load-bearing in the hash, not just the cum ordering
+_SGN_VALUE_SQL = "CASE WHEN event_id % 50 <> 0 THEN -value ELSE value END"
+
+
+def _sgn_exp_oracle() -> str:
+    from otlp2parquet_spark.streaming.pipeline import SQL_EXP_BOUND, SQL_SGN_EXP_IDX
+
+    return f"""
+    WITH signed AS (
+      SELECT event_type, {_SGN_VALUE_SQL} AS sv FROM events
+    ), buckets AS (
+      SELECT event_type, {SQL_SGN_EXP_IDX.format(v='sv')} AS idx, COUNT(*) AS cnt
+      FROM signed GROUP BY event_type, idx
+    ), cum AS (
+      SELECT event_type, idx, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM buckets
+    )
+    SELECT event_type,
+           CAST(MAX(CASE WHEN idx = -100000 THEN cnt ELSE 0 END) AS BIGINT)
+             AS zero_count,
+           CAST(SUM(CASE WHEN idx < -100000 THEN cnt ELSE 0 END) AS BIGINT)
+             AS neg_count,
+           CAST(MAX(total) AS BIGINT) AS total,
+           CAST(MIN(CASE WHEN 20 * cum_cnt >= 19 * total THEN
+             {SQL_EXP_BOUND.format(i='idx')}
+           END) AS DOUBLE) AS p95_upper_bound
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@query(
+    "q08_exp_histogram_p95_signed",
+    oracle=_sgn_exp_oracle(),
+    tags=("Q8", "W3", "A1", "F3"),
+    doc="SIGNED exponential-histogram p95 (r10): the full OTel data model "
+    "including NEGATIVE buckets — the r9 negative-walk fix was pinned only "
+    "by a crafted frame; this puts signed data through the hash-matched "
+    "oracle gate at 3 SFs. The driver's events.value is non-negative, so "
+    "the sign is synthesized from event_id by the x5/PII formula pattern "
+    "(both engines derive the identical input, then the operator under "
+    "test — the signed bucket walk — runs for real on both sides).",
+)
+def q08_exp_histogram_p95_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to q08 — one map-side-combined bucket agg,
+    tiny windows over the bucket frame. The signed walk traverses negative
+    buckets most-negative-first (their integer codes sort below the zero
+    sentinel, which sorts below the positives — see sgn_exp_idx), so the
+    cumulative rank test is STILL one ORDER BY idx window; the per-bucket
+    upper bound flips formula per sign (SQL_EXP_BOUND twin). Exactness:
+    negation is exact in IEEE, log2/pow run on identical doubles in both
+    engines, the rank test is integer 20*cum >= 19*total, bounds are
+    ROUND(.,4)-pinned."""
+    from otlp2parquet_spark.streaming.pipeline import exp_p95_from_buckets, sgn_exp_idx
+
+    e = T(spark, sf_dir, "events")
+    sv = F.when(F.col("event_id") % 50 != 0, -F.col("value")).otherwise(F.col("value"))
+    buckets = (
+        e.groupBy("event_type", sgn_exp_idx(sv).alias("idx"))
+        .agg(F.count("*").alias("cnt"))
+        # |types| x |buckets| rows — materialize so the walk and the
+        # neg_count read share ONE corpus aggregate, not two scans
+        .localCheckpoint(eager=False)
+    )
+    walked = exp_p95_from_buckets(buckets, keys=("event_type",))
+    neg = buckets.groupBy("event_type").agg(
+        F.sum(F.when(F.col("idx") < -100000, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "neg_count"
+        )
+    )
+    return (
+        walked.join(neg, "event_type")
+        .select("event_type", "zero_count", "neg_count", "total", "p95_upper_bound")
+        .orderBy("event_type")
+    )
+
+
 @query(
     "q09_hex_bridge_join",
     oracle="""

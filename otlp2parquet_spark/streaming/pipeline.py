@@ -104,6 +104,45 @@ SQL_EXP_IDX = (
 )
 
 
+def sgn_exp_idx(value_col) -> "F.Column":
+    """SIGNED exponential-histogram bucket index at scale 2 — the full OTel
+    data model (negative buckets hold measurements < -1, mirroring the
+    positive formula on |v|). Encoding keeps the walk a single integer
+    ORDER BY idx in value-ascending order: negative buckets ride
+    idx = -200000 - m (m = magnitude bucket, larger m = more negative, so
+    ascending idx walks most-negative first), the zero bucket keeps the
+    -100000 sentinel (now covering NULL and |v| <= 1), positives keep
+    their non-negative codes. All negative codes < -100000 < 0, so the
+    zero bucket stays between signs with no NULLS FIRST/LAST dependence
+    (the r9 cross-engine hazard, inherited by construction)."""
+    mag = (-value_col).cast("double")
+    return (
+        F.when(value_col.isNull() | ((value_col <= 1.0) & (value_col >= -1.0)), F.lit(-100000))
+        .when(
+            value_col < -1.0,
+            F.lit(-200000) - (F.ceil(4 * F.log2(mag)).cast("bigint") - 1),
+        )
+        .otherwise(F.ceil(4 * F.log2(value_col)).cast("bigint") - 1)
+    )
+
+
+# the DuckDB twin of sgn_exp_idx
+SQL_SGN_EXP_IDX = (
+    "CASE WHEN {v} IS NULL OR ({v} <= 1.0 AND {v} >= -1.0) THEN -100000 "
+    "WHEN {v} < -1.0 THEN -200000 - (CAST(CEIL(4 * log2(-({v}))) AS BIGINT) - 1) "
+    "ELSE CAST(CEIL(4 * log2({v})) AS BIGINT) - 1 END"
+)
+
+# bucket upper bound from the integer code, shared by the signed walk and
+# its oracle: zero-bucket 1.0, positive 2^((i+1)/4), negative bucket m
+# covers [-2^((m+1)/4), -2^(m/4)) so its upper bound is -2^(m/4)
+SQL_EXP_BOUND = (
+    "CASE WHEN {i} = -100000 THEN 1.0 "
+    "WHEN {i} < -100000 THEN -ROUND(POWER(2.0, (-({i} + 200000)) / 4.0), 4) "
+    "ELSE ROUND(POWER(2.0, ({i} + 1) / 4.0), 4) END"
+)
+
+
 def exp_hist_buckets(stream: DataFrame, watermark: str | None = "10 seconds") -> DataFrame:
     """T16 live half: per-(5-min tumbling window, event_type, bucket)
     counts with late-data drop. Bucket counts are a MERGEABLE sketch —
@@ -155,8 +194,16 @@ def exp_p95_from_buckets(
         F.sum("cnt").over(w_cum).alias("cum_cnt"),
         F.sum("cnt").over(w_all).alias("total"),
     )
-    bound = F.when(F.col("idx") == -100000, F.lit(1.0)).otherwise(
-        F.round(F.pow(F.lit(2.0), (F.col("idx") + 1) / 4.0), 4)
+    bound = (
+        F.when(F.col("idx") == -100000, F.lit(1.0))
+        # signed lanes (sgn_exp_idx) encode negative buckets below the zero
+        # sentinel; unsigned lanes never emit these codes, so this branch is
+        # inert for q08/t16 (hashes unchanged) — SQL_EXP_BOUND is the twin
+        .when(
+            F.col("idx") < -100000,
+            -F.round(F.pow(F.lit(2.0), (-(F.col("idx") + 200000)) / 4.0), 4),
+        )
+        .otherwise(F.round(F.pow(F.lit(2.0), (F.col("idx") + 1) / 4.0), 4))
     )
     return (
         cum.groupBy(*keys)

@@ -273,3 +273,94 @@ def test_q12_data_filter_pushdown_and_projection(spark, tmp_path):
     q2 = back.filter(F.col("Timestamp") >= ts).select("Timestamp")
     plan2 = q2._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan2 and "Timestamp" in plan2.split("PushedFilters")[1][:200]
+
+
+def test_exp_histogram_negative_buckets_end_to_end(spark, tmp_path):
+    """Non-empty NegativeBucketCounts through the REAL pipeline (r9 pinned
+    the negative walk only on a crafted in-memory frame): an OTLP/JSON
+    export request with signed exp-histogram datapoints is ingested
+    (decode -> flatten -> partitioned parquet), read back, and the walk
+    over the INGESTED table must match the pure-Python reference —
+    including a datapoint whose p95 lands inside a negative bucket."""
+    import collections
+    import json as _json
+
+    import pytest as _pt
+
+    def dp(count, scale, zero, pos_off, pos, neg_off, neg, ts):
+        d = {
+            "timeUnixNano": str(ts),
+            "count": str(count),
+            "sum": 0.0,
+            "scale": scale,
+            "zeroCount": str(zero),
+            "positive": {"offset": pos_off, "bucketCounts": [str(c) for c in pos]},
+            "negative": {"offset": neg_off, "bucketCounts": [str(c) for c in neg]},
+        }
+        return d
+
+    rows = [
+        # (Count, Scale, Zero, PosOff, Pos[], NegOff, Neg[])
+        (100, 0, 0, 0, [], 1, [10, 20, 70]),   # p95 inside negatives
+        (100, 1, 5, 0, [3], 0, [60, 32]),      # rank 95 in negatives
+        (100, 0, 10, 2, [50, 35], 0, [5]),     # rank in positives, negs present
+    ]
+    base_ts = 1705327800000000000
+    req = {
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "signed-svc"}}
+            ]},
+            "scopeMetrics": [{
+                "scope": {"name": "t", "version": "1"},
+                "metrics": [{
+                    "name": "signed.latency",
+                    "unit": "ms",
+                    "exponentialHistogram": {
+                        "aggregationTemporality": 2,
+                        "dataPoints": [
+                            dp(c, s, z, po, p, no, n, base_ts + k)
+                            for k, (c, s, z, po, p, no, n) in enumerate(rows)
+                        ],
+                    },
+                }],
+            }],
+        }]
+    }
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "signed_exp.json").write_text(_json.dumps(req))
+    out = str(tmp_path / "out")
+    tables = ingest.ingest_directory(spark, str(landing), "metrics")
+    for name, df in tables.items():
+        if not name.startswith("_"):
+            writer.write_partitioned(df, name, out).collect()
+
+    back = writer.read_table(spark, out, "otel_metrics_exponential_histogram")
+    got_rows = back.select(
+        "Count", "Scale", "ZeroCount", "PositiveOffset", "PositiveBucketCounts",
+        "NegativeOffset", "NegativeBucketCounts",
+    ).collect()
+    assert len(got_rows) == len(rows)
+    # the ingested arrays are the planted ones (non-empty negatives)
+    by_count_zero = {(r.Count, r.ZeroCount): r for r in got_rows}
+    for c, s, z, po, p, no, n in rows:
+        r = by_count_zero[(c, z)]
+        assert list(r.NegativeBucketCounts) == n, (c, z)
+        assert r.NegativeOffset == no
+
+    walked = {
+        (r.Count, r.ZeroCount): r.p95_upper_bound
+        for r in oq.exp_histogram_p95(spark, df=back).collect()
+    }
+    Row = collections.namedtuple(
+        "Row",
+        "Count Scale ZeroCount PositiveOffset PositiveBucketCounts "
+        "NegativeOffset NegativeBucketCounts",
+    )
+    saw_negative_bound = False
+    for c, s, z, po, p, no, n in rows:
+        expect = _py_exp_hist_p95(Row(c, s, z, po, p, no, n))
+        assert walked[(c, z)] == _pt.approx(expect, rel=1e-12), (c, z)
+        saw_negative_bound = saw_negative_bound or (expect is not None and expect < 0)
+    assert saw_negative_bound  # the branch r9's bug broke is load-bearing
