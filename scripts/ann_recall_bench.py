@@ -40,27 +40,17 @@ FAMILIES = [
 GATE = 0.8
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--factor", type=int, default=100)
-    ap.add_argument("--base", default="/root/testdata/sf0.1")
-    ap.add_argument("--replica-dir", default=None)
-    ap.add_argument("--keep", action="store_true")
-    args = ap.parse_args()
-
+def compute_recalls(spark, replica: str) -> list[dict]:
+    """Score-based recall@k per ANN family over `replica` (see module
+    docstring for the tie-robust definition). Shared by the CLI (100x
+    replica, BASELINE evidence) and the in-suite pytest gate
+    (tests/test_ann_recall.py, small replica, CI cadence)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from otlp2parquet_spark.queries.registry import all_specs
-    from otlp2parquet_spark.session import get_spark, load_table
+    from otlp2parquet_spark.session import load_table
 
-    own_replica = args.replica_dir is None
-    replica = args.replica_dir or tempfile.mkdtemp(
-        prefix=f"annrecall{args.factor}x_"
-    )
-    build_replica(args.base, replica, args.factor)
-    spark = get_spark(app_name="otlp2parquet-ann-recall")
-    spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
 
     # exact per-query k-th best score for BOTH metrics (cosine desc, L2^2
@@ -104,7 +94,7 @@ def main() -> int:
         ):
             kth[(metric, r.q_id, r.rank)] = float(r.s)
 
-    failures = 0
+    out = []
     for family, k, metric in FAMILIES:
         rows = specs[family].build(spark, replica).collect()
         by_q: dict = {}
@@ -120,20 +110,40 @@ def main() -> int:
             hit = (lambda s: s <= thr) if asc else (lambda s: s >= thr)
             recalls.append(sum(1 for s in scores if hit(s)) / k)
         recall = sum(recalls) / len(recalls) if recalls else 0.0
-        ok = recall >= GATE
-        failures += 0 if ok else 1
-        print(
-            json.dumps(
-                {
-                    "family": family,
-                    "k": k,
-                    "factor": args.factor,
-                    "recall_at_k": round(recall, 4),
-                    "gate": GATE,
-                    "pass": ok,
-                }
-            )
+        out.append(
+            {
+                "family": family,
+                "k": k,
+                "recall_at_k": round(recall, 4),
+                "gate": GATE,
+                "pass": recall >= GATE,
+            }
         )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--replica-dir", default=None)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from otlp2parquet_spark.session import get_spark
+
+    own_replica = args.replica_dir is None
+    replica = args.replica_dir or tempfile.mkdtemp(
+        prefix=f"annrecall{args.factor}x_"
+    )
+    build_replica(args.base, replica, args.factor)
+    spark = get_spark(app_name="otlp2parquet-ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = compute_recalls(spark, replica)
+    failures = 0
+    for rec in results:
+        failures += 0 if rec["pass"] else 1
+        print(json.dumps({**rec, "factor": args.factor}))
     # only remove a tempdir WE created — never a caller-provided
     # --replica-dir, --keep or not (r9 review finding)
     if own_replica and not args.keep:
