@@ -109,6 +109,23 @@ def _build_parser() -> argparse.ArgumentParser:
         help="merge committed hash-index AND flags epochs after the drain",
     )
 
+    hhp = sub.add_parser(
+        "hh",
+        help="streaming heavy-hitter maintenance (T17): drain a documents "
+        "landing dir, fold each micro-batch into a per-epoch Misra-Gries "
+        "candidate summary under STATE, then extract the EXACT heavy "
+        "hitters over everything ingested (one candidate-bounded recount)",
+    )
+    hhp.add_argument("landing_dir", help="dir of documents-schema parquet files")
+    hhp.add_argument("--state", required=True, help="candidate summary root")
+    hhp.add_argument("--checkpoint", required=True)
+    hhp.add_argument(
+        "--compact-state",
+        action="store_true",
+        help="merge committed candidate/total epochs after the drain",
+    )
+    hhp.add_argument("--top", type=int, default=10, help="rows to print")
+
     ann = sub.add_parser(
         "annindex",
         help="streaming ANN index maintenance (T12): train IVFPQ artifacts "
@@ -429,6 +446,47 @@ def main(argv: list[str] | None = None) -> int:
                     "exact_dups": int(n_dup or 0),
                     "index_epochs_compacted": compacted,
                     "flags_epochs_compacted": flags_compacted,
+                    "state": args.state,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "hh":
+        import os
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-hh")
+        q = stream_pipeline.heavyhitters_stream(
+            spark, args.landing_dir, args.state, args.checkpoint
+        )
+        q.awaitTermination()
+        cands_removed = totals_removed = 0
+        if args.compact_state:
+            cands_removed, totals_removed = stream_pipeline.compact_hh_state(
+                spark, args.state
+            )
+        if os.path.isdir(os.path.join(args.state, "cands")):
+            docs = spark.read.schema(stream_pipeline.DOCS_SCHEMA).parquet(
+                args.landing_dir
+            )
+            hh = stream_pipeline.heavy_hitters_from_state(
+                spark, args.state, docs
+            ).collect()
+            top = [{"token": r.token, "cnt": int(r.cnt)} for r in hh[: args.top]]
+            n_hh = len(hh)
+        else:
+            # empty landing dir: no epoch flushed, nothing to extract
+            top, n_hh = [], 0
+        print(
+            json.dumps(
+                {
+                    "heavy_hitters": n_hh,
+                    "top": top,
+                    "cands_epochs_compacted": cands_removed,
+                    "totals_epochs_compacted": totals_removed,
                     "state": args.state,
                 }
             )

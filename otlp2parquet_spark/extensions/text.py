@@ -1788,7 +1788,17 @@ def _hh_sketch_schema():
     )
 
 
-def _hh_candidates(tok: DataFrame) -> tuple[DataFrame, DataFrame]:
+def hh_token_stream(docs: DataFrame) -> DataFrame:
+    """The heavy-hitter token stream — ONE definition shared by the batch
+    op (x4_heavy_hitters) and the T17 streaming lane's sketch + read-side
+    recount (streaming/pipeline.py), so tokenization can never drift
+    between what the ingest sketch saw and what the extraction counts."""
+    return with_tokens(docs).select(
+        F.explode(F.filter(F.col("toks"), lambda t: F.length(t) > 0)).alias("t")
+    )
+
+
+def hh_partition_summaries(tok: DataFrame) -> DataFrame:
     """Pass 1 of the heavy-hitter op, split out so the pruning bound is
     independently gateable: per partition, a batched Misra-Gries summary
     with K counters — worker memory is O(K + one Arrow batch's vocab),
@@ -1803,8 +1813,10 @@ def _hh_candidates(tok: DataFrame) -> tuple[DataFrame, DataFrame]:
     undercount-compensated emission test (est + sum(d))*(K+1) > n_p keeps
     every true local heavy hitter. Emits <= K candidate rows per
     partition plus one t = NULL row carrying the partition's token count.
-    Returns (candidate-token frame, 1-row corpus-total frame) — both
-    tiny."""
+    MG summaries are MERGEABLE, which is what lets T17 persist one per
+    micro-batch and still cover every global heavy hitter (two-level
+    averaging: global-heavy => heavy in some epoch => heavy in some
+    partition of that epoch => emitted)."""
     import pandas as pd
 
     def sketch(batches):
@@ -1830,7 +1842,13 @@ def _hh_candidates(tok: DataFrame) -> tuple[DataFrame, DataFrame]:
         cs.append(n)
         yield pd.DataFrame({"t": ts, "cnt": pd.array(cs, dtype="Int64")})
 
-    part = tok.mapInPandas(sketch, schema=_hh_sketch_schema())
+    return tok.mapInPandas(sketch, schema=_hh_sketch_schema())
+
+
+def _hh_candidates(tok: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(candidate-token frame, 1-row corpus-total frame) from the
+    per-partition summaries — both tiny (<= K x partitions rows)."""
+    part = hh_partition_summaries(tok)
     cands = part.filter(F.col("t").isNotNull()).select("t").distinct()
     total = part.filter(F.col("t").isNull()).agg(F.sum("cnt").alias("n"))
     return cands, total
@@ -1881,10 +1899,7 @@ def x4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes by construction (allowlisted in the duplicate-scan audit). The
     corpus total N rides the SAME pass-1 summaries (t = NULL rows), not a
     third pass."""
-    tok = (
-        with_tokens(T(spark, sf_dir, "documents"))
-        .select(F.explode(F.filter(F.col("toks"), lambda t: F.length(t) > 0)).alias("t"))
-    )
+    tok = hh_token_stream(T(spark, sf_dir, "documents"))
     cands, total = _hh_candidates(tok)
     return (
         tok.join(F.broadcast(cands), "t")

@@ -1391,3 +1391,161 @@ def compact_dedup_flags(spark: SparkSession, state_dir: str) -> int:
         key_cols=("doc_id",),
         sort_cols=("doc_id",),
     )
+
+
+# ---------------------------------------------------------------------------
+# T17: streaming heavy hitters at ingest (r10) — Misra-Gries candidate
+# summaries maintained per micro-batch, exact extraction at read time
+# ---------------------------------------------------------------------------
+
+
+def make_heavyhitters_flush(spark: SparkSession, state_dir: str):
+    """The foreachBatch body of heavyhitters_stream, exposed so tests can
+    drive it with explicit (batch, epoch_id) pairs (the T15 replay gate).
+
+    Per batch: run the SAME per-partition Misra-Gries sketch the batch op
+    uses (text.hh_partition_summaries — MG summaries are mergeable, so one
+    summary per epoch composes by union) and persist two tiny epoch
+    partitions: the batch's candidate tokens under {state_dir}/cands
+    (<= K x partitions rows) and the batch's exact token count under
+    {state_dir}/totals (ONE row, keyed by src_epoch so epoch merges and
+    crash-replay dedups stay exact). Coverage across epochs is two-level
+    averaging: a global heavy hitter is heavy in some epoch, hence heavy
+    in some partition of that epoch, hence emitted — so the epoch-union
+    candidate set is a guaranteed superset of the global heavies, and the
+    read side (heavy_hitters_from_state) can defer the EXACT recount to
+    one candidate-bounded pass. Writes are per-epoch directory overwrites
+    (file-level exactly-once, the T15 contract)."""
+    import os
+
+    from otlp2parquet_spark.extensions.text import (
+        hh_partition_summaries,
+        hh_token_stream,
+    )
+
+    _require_local_state(state_dir, "make_heavyhitters_flush")
+    cands_dir = os.path.join(state_dir, "cands")
+    totals_dir = os.path.join(state_dir, "totals")
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        part = hh_partition_summaries(hh_token_stream(batch_df)).persist()
+        try:
+            (
+                part.filter(F.col("t").isNotNull())
+                .select("t")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(os.path.join(cands_dir, f"epoch={int(epoch_id)}"))
+            )
+            n = part.filter(F.col("t").isNull()).agg(F.sum("cnt")).first()[0]
+            spark.createDataFrame(
+                [(int(epoch_id), int(n or 0))], "src_epoch long, n long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(totals_dir, f"epoch={int(epoch_id)}")
+            )
+        finally:
+            part.unpersist()
+
+    return flush
+
+
+def heavyhitters_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Streaming heavy-hitter candidate maintenance: the live form of
+    x4_heavy_hitters' pass 1 (extensions/text.py). Every arriving
+    documents micro-batch folds into a per-epoch Misra-Gries summary; the
+    expensive candidate DISCOVERY amortizes into ingest, so read time is
+    one map-only candidate-bounded recount instead of two corpus passes.
+
+    Equivalence contract (tests/test_streaming_heavyhitters.py): for any
+    micro-batch slicing, stop/restart cycle, crash-replay, or state
+    compaction, heavy_hitters_from_state over (state, union of inputs)
+    equals the batch x4_heavy_hitters result over the union — row for
+    row, count for count (the extraction is exact arithmetic; only the
+    candidate superset varies with slicing, exactly as the batch op's
+    varies with partitioning).
+
+    Scale shape per micro-batch: one map-only sketch pass (O(K + batch
+    vocab) worker memory), <= K x partitions candidate rows + ONE total
+    row written per epoch — state growth is epochs x K-bounded, never
+    vocab-bounded, and compact_hh_state collapses history to the distinct
+    candidate union."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    ws = stream.writeStream.foreachBatch(
+        make_heavyhitters_flush(spark, state_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        ws = ws.trigger(availableNow=True)
+    return ws.start()
+
+
+def heavy_hitters_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """EXACT heavy hitters over `docs` (the union of everything the stream
+    ingested) using the ingest-maintained candidate state: union the
+    per-epoch candidate summaries, total N = sum of per-epoch token counts
+    (exact: each epoch counted its own tokens once; replay overwrites, and
+    the totals dedup on src_epoch survives compaction's crash window), and
+    ONE candidate-bounded recount pass — tok JOIN broadcast(cands), a
+    map-side-combined groupBy whose shuffled bytes are candidate-bounded,
+    then the same integer test cnt*(K+1) > N as the batch op. Same output
+    schema and ordering as x4_heavy_hitters."""
+    import os
+
+    from otlp2parquet_spark.extensions.text import _HH_K, hh_token_stream
+
+    _require_local_state(state_dir, "heavy_hitters_from_state")
+    cands = (
+        spark.read.parquet(os.path.join(state_dir, "cands"))
+        .select("t")
+        .distinct()
+    )
+    total = (
+        spark.read.parquet(os.path.join(state_dir, "totals"))
+        .dropDuplicates(["src_epoch"])
+        .agg(F.sum("n").alias("n"))
+    )
+    tok = hh_token_stream(docs)
+    return (
+        tok.join(F.broadcast(cands), "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (_HH_K + 1) > F.col("n"))
+        .select(F.col("t").alias("token"), "cnt")
+        .orderBy(F.desc("cnt"), "token")
+    )
+
+
+def compact_hh_state(spark: SparkSession, state_dir: str) -> tuple[int, int]:
+    """Compact the T17 state: candidate epochs merge to their distinct
+    union (key t — duplicate candidates across epochs are full copies, so
+    the union-table dedup contract applies and history SHRINKS to the
+    distinct candidate set); totals merge keyed by src_epoch (each row is
+    one epoch's exact token count — dedup on src_epoch makes the crash
+    window converge without ever double-counting N). Returns (candidate
+    epochs removed, total epochs removed)."""
+    import os
+
+    _require_local_state(state_dir, "compact_hh_state")
+    c = _compact_union_epochs(
+        spark, os.path.join(state_dir, "cands"), key_cols=("t",), sort_cols=("t",)
+    )
+    t = _compact_union_epochs(
+        spark,
+        os.path.join(state_dir, "totals"),
+        key_cols=("src_epoch",),
+        sort_cols=("src_epoch",),
+    )
+    return c, t

@@ -1,0 +1,182 @@
+"""T17 gates (the T15 discipline on the heavy-hitter tier):
+(1) live == batch — extraction from ingest-maintained candidate state over
+the union of inputs equals batch x4_heavy_hitters over the same docs,
+across micro-batch slicings and a stop/restart;
+(2) replayed epochs rewrite exactly their own partitions (idempotence —
+the total N must not double-count);
+(3) state compaction preserves the extraction bit-for-bit;
+(4) state growth is candidate-bounded (<= K x partitions rows per epoch)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.queries.registry import all_specs
+from otlp2parquet_spark.session import load_table
+from otlp2parquet_spark.streaming.pipeline import (
+    compact_hh_state,
+    heavy_hitters_from_state,
+    heavyhitters_stream,
+    make_heavyhitters_flush,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=400):
+    return load_table(spark, SF, "documents").orderBy("doc_id").limit(n)
+
+
+def _mkdocs_dir(spark, docs, path: str) -> str:
+    """Write docs as a documents.parquet table dir so the batch spec can
+    treat `path` as an sf_dir."""
+    os.makedirs(path, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    return path
+
+
+def _landing(spark, docs, tmp_path, nfiles=4) -> str:
+    rows = docs.collect()
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    per = (len(rows) + nfiles - 1) // nfiles
+    k = 0
+    for i in range(nfiles):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            chunk,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"f{i}"))
+        for f in sorted(glob.glob(str(tmp_path / f"f{i}/part-*.parquet"))):
+            os.link(f, f"{flat}/{k:05d}.parquet")
+            k += 1
+    return flat
+
+
+def _extract(spark, state, docs):
+    return sorted(
+        (r.token, r.cnt) for r in heavy_hitters_from_state(spark, state, docs).collect()
+    )
+
+
+def _batch_want(spark, docs, tmp_path):
+    sf_dir = _mkdocs_dir(spark, docs, str(tmp_path / "asdir"))
+    return sorted(
+        (r.token, r.cnt)
+        for r in all_specs()["x4_heavy_hitters"].build(spark, sf_dir).collect()
+    )
+
+
+def test_live_equals_batch_across_slicings_and_restart(spark, tmp_path):
+    docs = _docs(spark)
+    flat = _landing(spark, docs, tmp_path)
+    want = _batch_want(spark, docs, tmp_path)
+    assert want  # non-vacuous: the fixture has tokens above 1/(K+1)
+
+    # phase 1: first file only, then restart over the full dir (same ckpt)
+    part = str(tmp_path / "part")
+    os.makedirs(part, exist_ok=True)
+    files = sorted(glob.glob(f"{flat}/*.parquet"))
+    os.link(files[0], f"{part}/00000.parquet")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    heavyhitters_stream(spark, part, state, ckpt).awaitTermination()
+    assert os.path.isdir(f"{state}/cands") and os.path.isdir(f"{state}/totals")
+    for i, f in enumerate(files[1:], start=1):
+        os.link(f, f"{part}/{i:05d}.parquet")
+    heavyhitters_stream(spark, part, state, ckpt).awaitTermination()
+
+    assert _extract(spark, state, docs) == want
+
+    # a different slicing (all files in one batch) reaches the same answer
+    state2, ckpt2 = str(tmp_path / "state2"), str(tmp_path / "ckpt2")
+    heavyhitters_stream(
+        spark, flat, state2, ckpt2, max_files_per_trigger=64
+    ).awaitTermination()
+    assert _extract(spark, state2, docs) == want
+
+    # compaction preserves the extraction bit-for-bit
+    c, t = compact_hh_state(spark, state)
+    assert c >= 1
+    assert _extract(spark, state, docs) == want
+
+
+def test_flush_replay_is_idempotent(spark, tmp_path):
+    docs = _docs(spark, n=120)
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    flush = make_heavyhitters_flush(spark, state)
+    rows = docs.collect()
+    half = len(rows) // 2
+    mk = lambda chunk: spark.createDataFrame(  # noqa: E731
+        chunk, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    flush(mk(rows[:half]), 0)
+    flush(mk(rows[half:]), 1)
+    once = _extract(spark, state, docs)
+    # crash-replay of epoch 1: same batch, same epoch — N must not double
+    flush(mk(rows[half:]), 1)
+    assert _extract(spark, state, docs) == once
+    total = (
+        spark.read.parquet(f"{state}/totals")
+        .dropDuplicates(["src_epoch"])
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    # exact token total over the union (the extraction threshold's N)
+    from otlp2parquet_spark.extensions.text import hh_token_stream
+
+    assert total == hh_token_stream(docs).count()
+
+
+def test_state_is_candidate_bounded(spark, tmp_path):
+    from otlp2parquet_spark.extensions.text import _HH_K
+
+    docs = _docs(spark, n=200)
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    make_heavyhitters_flush(spark, state)(docs, 0)
+    nparts = docs.rdd.getNumPartitions()
+    n_cands = spark.read.parquet(f"{state}/cands").count()
+    assert 0 < n_cands <= _HH_K * nparts
+    assert spark.read.parquet(f"{state}/totals").count() == 1
+
+
+def test_cli_hh_end_to_end(spark, tmp_path, capsys):
+    import json as _json
+
+    from otlp2parquet_spark import cli
+
+    docs = _docs(spark, n=200)
+    flat = _landing(spark, docs, tmp_path, nfiles=3)
+    state = str(tmp_path / "clistate")
+    rc = cli.main(
+        ["hh", flat, "--state", state, "--checkpoint", str(tmp_path / "click"),
+         "--compact-state", "--top", "3"]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = _batch_want(spark, docs, tmp_path)
+    assert summary["heavy_hitters"] == len(want)
+    assert [(t["token"], t["cnt"]) for t in summary["top"]] == [
+        (r.token, r.cnt)
+        for r in heavy_hitters_from_state(
+            spark, state, docs
+        ).limit(3).collect()
+    ]
+    # empty landing dir: zero summary, rc 0
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = cli.main(
+        ["hh", str(empty), "--state", str(tmp_path / "s2"),
+         "--checkpoint", str(tmp_path / "ck2")]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["heavy_hitters"] == 0 and summary["top"] == []
