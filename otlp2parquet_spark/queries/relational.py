@@ -1504,6 +1504,95 @@ def a20_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a21_tpch_q8",
+    oracle="""
+    WITH flat AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    )
+    SELECT o_year,
+           """
+    + sql_quant4(
+        "CAST(SUM(CASE WHEN nation = 'NATION_8' THEN volume "
+        "ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) "
+        "/ CAST(SUM(volume) AS DOUBLE)"
+    )
+    + """ AS mkt_share
+    FROM flat
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("J1", "J5", "A5", "F2"),
+)
+def a21_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_8's share of AMERICA's
+    ECONOMY-part order volume per year — the 8-table join the spec uses to
+    stress multi-dimension star joins (the 13th classic; Q8 needs no
+    partsupp, so the synthetic schema CAN express it — it was the one
+    remaining expressible spec query after r9's twelve).
+
+    Scale shape: every dimension (part/supplier/customer are dims relative
+    to lineitem here; nation x2 + region are tiny) broadcasts explicitly
+    except customer, which at 100 TB is corpus-scale — the c_custkey join
+    stays a shuffle on the already date-pruned order stream. The
+    o_orderdate range predicate pushes to the orders scan and prunes
+    BEFORE the fact-fact shuffle; both share sums accumulate in DECIMAL so
+    the one double division per year is order-free and cross-engine
+    identical (the Q14 discipline, per-group)."""
+    part = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ords = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    num = F.when(F.col("nation") == "NATION_8", vol).otherwise(F.lit(0).cast(DEC))
+    share = F.sum(num).cast("double") / F.sum(vol).cast("double")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(
+                n1.join(region, F.col("n1_region") == F.col("r_regionkey"))
+            ),
+            F.col("c_nationkey") == F.col("n1_key"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(quant4(share).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
 # ===========================================================================
 # W group — window functions
 # ===========================================================================

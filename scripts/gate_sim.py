@@ -88,10 +88,14 @@ def main() -> int:
             f"{sf_dir}: {len(qs)} queries ({len(qs) - rows_only} oracle-matched, "
             f"{rows_only} rows-only) in {time.perf_counter() - t0:.0f}s"
         )
-        if sf_dir == sf_dirs[0]:
+        if True:  # one artifact per sf_dir (r10: the sf0.1 sweep is checked in too)
             import json
 
-            out = os.path.join(REPO, f"CORRECTNESS_full_r{_round_tag()}.json")
+            sf_tag = os.path.basename(sf_dir.rstrip("/"))
+            suffix = "" if sf_dir == sf_dirs[0] else f"_{sf_tag}"
+            out = os.path.join(
+                REPO, f"CORRECTNESS_full{suffix}_r{_round_tag()}.json"
+            )
             with open(out, "w") as f:
                 json.dump(
                     {
