@@ -1830,8 +1830,11 @@ EDIT_BLOCK_KEY_LEN = 12  # block key: measured 68x fewer candidates than 4 chars
 #   at IDENTICAL pair recall on the fixture ladder (true near-dups share long
 #   prefixes); a typo INSIDE the key escapes a single key, so candidates are
 #   the UNION of two disjoint 12-char slices (chars 1-12 and 13-24, r10) —
-#   a single typo can corrupt at most one slice, so every <=1-typo pair in
-#   the first 24 chars is guaranteed a candidate
+#   a single SUBSTITUTION corrupts at most one slice, so every
+#   one-substitution pair in the first 24 chars is guaranteed a candidate;
+#   an INSERTION/DELETION before char 13 shifts every later character and
+#   can corrupt both slices (stated bound, pinned in tests) — the LSH
+#   lanes' job, like multi-slice typos
 EDIT_MAX_DIST = 8
 
 # the two blocking slices: 1-based start offsets of each 12-char key
@@ -1888,10 +1891,13 @@ def x2_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap bounds its blocks' fan-out at CAP^2, and the prefix bound fixes
     per-pair DP cost at <= 64^2 cells regardless of document length. The
     second key is the standard production escape for the single-key recall
-    hole: a typo inside chars 1-12 moves the doc out of key-1's block but
-    CANNOT also corrupt chars 13-24, so every single-typo pair in the
-    first 24 chars is guaranteed a candidate (tests plant exactly the
-    pairs key 1 provably misses); typos in BOTH slices remain the
+    hole: a SUBSTITUTION inside chars 1-12 moves the doc out of key-1's
+    block but cannot also corrupt chars 13-24, so every one-substitution
+    pair in the first 24 chars is guaranteed a candidate (tests plant
+    exactly the pairs key 1 provably misses). The guarantee is
+    substitution-only: an insertion/deletion before char 13 shifts every
+    later character and can defeat BOTH keys — that bound is stated and
+    pinned, and those pairs (like multi-slice typos) remain the
     token-level LSH lanes' job. Docs shorter than a slice's start simply
     lack that key (no empty-key mega-block). Both engines evaluate the
     identical levenshtein (verified: DuckDB levenshtein == Spark

@@ -667,12 +667,9 @@ def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below the threshold, pinned SMJ above it — an aggregate over the
     # exploded corpus inherits the same meaningless size estimate that made
     # the un-hinted scoring join broadcast the corpus (see lm_model_route)
-    m23e_routed = (
-        F.broadcast(m23e)
-        if n_model <= LM_BROADCAST_MAX_MODEL_ROWS
-        else m23e.hint("merge")
+    model = t3e.join(
+        lm_model_route(m23e, n_rows=n_model), ["source", "w2", "w3"]
     )
-    model = t3e.join(m23e_routed, ["source", "w2", "w3"])
     # identical nested parenthesization to the oracle's lp (see there)
     p1 = F.col("n1b3").cast("double") / F.col("ntot")
     p2 = (

@@ -1038,8 +1038,19 @@ def _compact_union_epochs(
     old = [e for e in epochs if e < epochs[-1]]
     if len(old) < 2:
         return 0
+    srcs = [os.path.join(table_dir, f"epoch={e}") for e in old]
+    import glob as _glob
+
+    if not any(_glob.glob(os.path.join(s, "*.parquet")) for s in srcs):
+        # every old epoch is ROWLESS (an empty DataFrame persists as
+        # _SUCCESS only — e.g. a T17 drain that ingested zero tokens):
+        # there is nothing to merge and schema inference would raise, so
+        # removing the empty dirs IS the consolidation
+        for s in srcs:
+            shutil.rmtree(s)
+        return len(old)
     (
-        spark.read.parquet(*[os.path.join(table_dir, f"epoch={e}") for e in old])
+        spark.read.parquet(*srcs)
         .dropDuplicates(list(key_cols))
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
@@ -1506,13 +1517,19 @@ def heavy_hitters_from_state(
     from otlp2parquet_spark.extensions.text import _HH_K, hh_token_stream
 
     _require_local_state(state_dir, "heavy_hitters_from_state")
+    # explicit schemas: a drain that ingested zero tokens writes candidate
+    # epochs with no part files (an empty DataFrame persists as _SUCCESS
+    # only), and schema inference over all-empty dirs raises instead of
+    # returning the correct empty frame
     cands = (
-        spark.read.parquet(os.path.join(state_dir, "cands"))
+        spark.read.schema("t string")
+        .parquet(os.path.join(state_dir, "cands"))
         .select("t")
         .distinct()
     )
     total = (
-        spark.read.parquet(os.path.join(state_dir, "totals"))
+        spark.read.schema("src_epoch long, n long")
+        .parquet(os.path.join(state_dir, "totals"))
         .dropDuplicates(["src_epoch"])
         .agg(F.sum("n").alias("n"))
     )

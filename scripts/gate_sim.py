@@ -88,30 +88,30 @@ def main() -> int:
             f"{sf_dir}: {len(qs)} queries ({len(qs) - rows_only} oracle-matched, "
             f"{rows_only} rows-only) in {time.perf_counter() - t0:.0f}s"
         )
-        if True:  # one artifact per sf_dir (r10: the sf0.1 sweep is checked in too)
-            import json
+        # one artifact per sf_dir (r10: the sf0.1 sweep is checked in too)
+        import json
 
-            sf_tag = os.path.basename(sf_dir.rstrip("/"))
-            suffix = "" if sf_dir == sf_dirs[0] else f"_{sf_tag}"
-            out = os.path.join(
-                REPO, f"CORRECTNESS_full{suffix}_r{_round_tag()}.json"
+        sf_tag = os.path.basename(sf_dir.rstrip("/"))
+        suffix = "" if sf_dir == sf_dirs[0] else f"_{sf_tag}"
+        out = os.path.join(
+            REPO, f"CORRECTNESS_full{suffix}_r{_round_tag()}.json"
+        )
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "queries": len(qs),
+                    "oracle_matched_ok": sum(v == "ok" for v in record.values()),
+                    "rows_only_ok": sum(v == "ok-rows-only" for v in record.values()),
+                    "failures": sum(
+                        not v.startswith("ok") for v in record.values()
+                    ),
+                    "detail": record,
+                },
+                f,
+                indent=0,
             )
-            with open(out, "w") as f:
-                json.dump(
-                    {
-                        "sf_dir": sf_dir,
-                        "queries": len(qs),
-                        "oracle_matched_ok": sum(v == "ok" for v in record.values()),
-                        "rows_only_ok": sum(v == "ok-rows-only" for v in record.values()),
-                        "failures": sum(
-                            not v.startswith("ok") for v in record.values()
-                        ),
-                        "detail": record,
-                    },
-                    f,
-                    indent=0,
-                )
-            print(f"wrote {out}")
+        print(f"wrote {out}")
     print("FAILURES:", fails if fails else "none")
     return 1 if fails else 0
 

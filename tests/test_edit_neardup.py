@@ -105,3 +105,19 @@ def test_oracle_matches_on_planted_corpus(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
     )
     assert not compare(spec.build(spark, sf), con, spec.oracle)
+
+
+def test_early_indel_is_out_of_scope(spark, tmp_path):
+    # an insertion/deletion BEFORE the second slice shifts every later
+    # character, so it can defeat both substitution-oriented block keys —
+    # the documented substitution-only bound of the guarantee, pinned so a
+    # doc claim can't silently overreach (edit_dist would be 1, but no
+    # blocking key recovers the pair)
+    deleted = _BASE[:4] + _BASE[5:]  # drop char 5 (inside slice 1)
+    assert deleted[:EDIT_BLOCK_KEY_LEN] != _BASE[:EDIT_BLOCK_KEY_LEN]
+    assert (
+        deleted[EDIT_BLOCK_KEY_LEN : 2 * EDIT_BLOCK_KEY_LEN]
+        != _BASE[EDIT_BLOCK_KEY_LEN : 2 * EDIT_BLOCK_KEY_LEN]
+    )
+    sf = _write_docs(tmp_path, [(1, _BASE), (2, deleted)])
+    assert _pairs(spark, sf) == {}

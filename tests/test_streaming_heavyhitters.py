@@ -180,3 +180,27 @@ def test_cli_hh_end_to_end(spark, tmp_path, capsys):
     assert rc == 0
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["heavy_hitters"] == 0 and summary["top"] == []
+
+
+def test_zero_token_drain_summarizes_empty(spark, tmp_path):
+    """A drain whose every document normalizes to zero tokens writes
+    candidate epochs with NO part files (empty DataFrames persist as
+    _SUCCESS only) — extraction and compaction must treat that as the
+    empty state, not a schema-inference crash."""
+    docs = spark.createDataFrame(
+        [(i, "??? !!!", "en", "s", 7) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    flush = make_heavyhitters_flush(spark, state)
+    rows = docs.collect()
+    mk = lambda chunk: spark.createDataFrame(  # noqa: E731
+        chunk, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    for e in range(3):
+        flush(mk(rows[e * 2 : (e + 1) * 2]), e)
+    assert _extract(spark, state, docs) == []
+    c, t = compact_hh_state(spark, state)
+    assert c >= 1  # the rowless old epochs consolidated away
+    assert _extract(spark, state, docs) == []
