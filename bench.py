@@ -130,6 +130,10 @@ HEADLINE = [
     "x6_weighted_sample",  # r9 addendum: ES weighted top-k, zero-shuffle
     "x2_edit_neardup",  # r9 addendum: typo-level blocked Levenshtein pairs
     "x2_cluster_keeper",  # r9 addendum: quality-aware cluster survivorship
+    # r10 (the 77-query subset above stays the round-over-round comparable):
+    "a21_tpch_q8",  # r10: 8-table national-market-share star join
+    "q08_exp_histogram_p95_signed",  # r10: signed exp-histogram walk
+    "t18_lm_score_frozen",  # r10: frozen-LM deploy scoring twin
 ]
 
 RUNS_PER_QUERY = 3

@@ -194,6 +194,30 @@ def _build_parser() -> argparse.ArgumentParser:
         help="merge committed verdict epochs after the drain",
     )
 
+    lt = sub.add_parser(
+        "lmtrain",
+        help="train a frozen add-one bigram LM on a documents-schema "
+        "parquet dir and persist the count artifact (model/prefix/vocab)",
+    )
+    lt.add_argument("corpus_dir", help="documents-schema parquet table")
+    lt.add_argument("--model", required=True, help="artifact destination")
+
+    ls = sub.add_parser(
+        "lmscore",
+        help="streaming frozen-LM perplexity scoring (T18): drain available "
+        "files, score each doc against the persisted LM counts, append "
+        "per-epoch verdicts under OUT",
+    )
+    ls.add_argument("landing_dir", help="dir of documents-schema parquet files")
+    ls.add_argument("--model", required=True, help="lmtrain artifact")
+    ls.add_argument("--out", required=True, help="verdicts root")
+    ls.add_argument("--checkpoint", required=True)
+    ls.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge committed verdict epochs after the drain",
+    )
+
     zo = sub.add_parser(
         "zorder",
         help="re-cluster a parquet table by the Morton z-value of two "
@@ -616,6 +640,62 @@ def main(argv: list[str] | None = None) -> int:
                     "nonzero_weights": sum(1 for v in w if v),
                     "shards": shards,
                     "model": args.model,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "lmtrain":
+        from otlp2parquet_spark.extensions.text import lm_read_model, lm_write_model
+        from otlp2parquet_spark.session import get_spark
+
+        spark = get_spark(app_name="otlp2parquet-lmtrain")
+        docs = spark.read.parquet(args.corpus_dir).select("doc_id", "text", "source")
+        lm_write_model(docs, args.model)
+        _m, _p, vocab, n_model = lm_read_model(spark, args.model)
+        print(
+            json.dumps(
+                {
+                    "model_bigram_types": int(n_model),
+                    "sources": vocab.count(),
+                    "model": args.model,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "lmscore":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-lmscore")
+        q = stream_pipeline.lmscore_stream(
+            spark, args.landing_dir, args.model, args.out, args.checkpoint
+        )
+        q.awaitTermination()
+        compacted = 0
+        if args.compact:
+            compacted = stream_pipeline.compact_lm_scores(spark, args.out)
+        n_total = 0
+        mean_score = None
+        if os.path.isdir(args.out) and any(
+            d.startswith("epoch=") for d in os.listdir(args.out)
+        ):
+            scores = spark.read.parquet(args.out).dropDuplicates(["doc_id"])
+            n_total, mean_score = scores.agg(
+                F.count("*"), F.round(F.avg("lm_score"), 4)
+            ).first()
+        print(
+            json.dumps(
+                {
+                    "docs_scored": int(n_total),
+                    "mean_lm_score": None if mean_score is None else float(mean_score),
+                    "score_epochs_compacted": compacted,
+                    "out": args.out,
                 }
             )
         )

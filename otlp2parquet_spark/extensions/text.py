@@ -699,6 +699,130 @@ def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T18 frozen-LM deploy kernel: train an add-one bigram LM once, FREEZE it,
+# score any corpus against the frozen counts — the CCNet production loop
+# (train KenLM offline, score at ingest). Shared by the batch twin
+# (streaming/batch_twins.py t18_lm_score_frozen) and the live lane
+# (streaming/pipeline.py lmscore_stream), so the scoring expression exists
+# exactly once. Unlike x4_ngram_lm_score (which models each doc's OWN
+# corpus), the frozen form must score OOV events totally: unseen bigram ->
+# c_bg=0 (the +1 smoothing handles it), unseen prefix word -> c_w1=0,
+# unseen source -> v=1, all via COALESCE so both engines stay identical.
+
+
+def lm_doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w1, w2) bigram stream — the one tokenization both
+    training and scoring run (the hh_token_stream discipline)."""
+    tok_df = with_tokens(docs, ("doc_id", "source"))
+    n = F.size("toks")
+    return (
+        tok_df.filter(n >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.col("toks")[i].alias("w1"),
+                        F.col("toks")[i + 1].alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", "g.w1", "g.w2")
+    )
+
+
+def lm_model_frames(
+    train_docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(model, prefix, vocab) count frames from a training corpus: distinct
+    (source,w1,w2) bigram counts, per-(source,w1) prefix totals, per-source
+    distinct-prefix vocab — the entire artifact is type-table-bounded. The
+    model is localCheckpoint-ed so prefix/vocab (and the caller's routing
+    count) derive from ONE materialized corpus pass, never three."""
+    bi = lm_doc_bigrams(train_docs)
+    model = (
+        bi.groupBy("source", "w1", "w2")
+        .agg(F.count("*").alias("c_bg"))
+        .localCheckpoint(eager=False)
+    )
+    prefix = model.groupBy("source", "w1").agg(F.sum("c_bg").alias("c_w1"))
+    vocab = prefix.groupBy("source").agg(F.count("*").alias("v"))
+    return model, prefix, vocab
+
+
+def lm_score_frozen(
+    docs: DataFrame,
+    model: DataFrame,
+    prefix: DataFrame,
+    vocab: DataFrame,
+    n_model: int,
+) -> DataFrame:
+    """Score `docs` against a FROZEN add-one bigram model:
+    lp = ln((c_bg+1) / (c_w1+v)) with the OOV coalesces above; per-doc
+    DECIMAL(38,18) accumulation and one 4-dp quantization (the
+    x4_ngram_lm_score exactness discipline). The two type-table joins ride
+    lm_model_route on the caller-measured n_model (prefix <= model rows,
+    so one measurement routes both); vocab is one row per source and
+    always broadcasts. Output: (doc_id, source, n_bigrams, lm_score)."""
+    bi = lm_doc_bigrams(docs)
+    scored = (
+        bi.join(lm_model_route(model, n_rows=n_model), ["source", "w1", "w2"], "left")
+        .join(lm_model_route(prefix, n_rows=n_model), ["source", "w1"], "left")
+        .join(F.broadcast(vocab), ["source"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                (F.coalesce(F.col("c_bg"), F.lit(0)) + 1).cast("double")
+                / (
+                    F.coalesce(F.col("c_w1"), F.lit(0))
+                    + F.coalesce(F.col("v"), F.lit(1))
+                )
+            ).alias("lp"),
+        )
+    )
+    avg_lp = (
+        F.sum(F.col("lp").cast("decimal(38,18)")).cast("double") / F.count("*")
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.floor(avg_lp * 10000.0 + 0.5) / 10000.0).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lm_write_model(train_docs: DataFrame, artifact_dir: str) -> None:
+    """Persist the frozen model as three parquet tables under
+    artifact_dir/{model,prefix,vocab} — the qc_write_model/T12 frozen-
+    artifact discipline applied to the LM family."""
+    import os
+
+    model, prefix, vocab = lm_model_frames(train_docs)
+    model.write.mode("overwrite").parquet(os.path.join(artifact_dir, "model"))
+    prefix.write.mode("overwrite").parquet(os.path.join(artifact_dir, "prefix"))
+    vocab.write.mode("overwrite").parquet(os.path.join(artifact_dir, "vocab"))
+
+
+def lm_read_model(
+    spark: SparkSession, artifact_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Read the frozen artifact back; the returned n_model (measured ONCE,
+    not per batch) drives lm_model_route for every scoring call."""
+    import os
+
+    model = spark.read.parquet(os.path.join(artifact_dir, "model"))
+    prefix = spark.read.parquet(os.path.join(artifact_dir, "prefix"))
+    vocab = spark.read.parquet(os.path.join(artifact_dir, "vocab"))
+    return model, prefix, vocab, model.count()
+
+
+# ---------------------------------------------------------------------------
 # x4_pii_scrub — PII detection + redaction (emails / IPv4 / phone-shaped)
 
 # Patterns restricted to the RE2-compatible subset (no lookaround, no

@@ -734,3 +734,70 @@ def t16_windowed_exp_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark=None: the ONE sketch definition, batch form
     buckets = P.exp_hist_buckets(e, watermark=None)
     return P.exp_p95_from_buckets(buckets).orderBy("window_start", "event_type")
+
+
+_T18_SQL = """
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+                         t -> length(t) > 0) AS toks
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, source, toks[g.i] AS w1, toks[g.i + 1] AS w2
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+      WHERE len(toks) >= 2
+    ), model AS (
+      SELECT source, w1, w2, COUNT(*) AS c_bg
+      FROM bi WHERE doc_id % 2 = 0 GROUP BY source, w1, w2
+    ), prefix AS (
+      SELECT source, w1, SUM(c_bg) AS c_w1 FROM model GROUP BY source, w1
+    ), vocab AS (
+      SELECT source, COUNT(*) AS v FROM prefix GROUP BY source
+    ), scored AS (
+      SELECT b.doc_id, b.source,
+             ln(CAST(COALESCE(m.c_bg, 0) + 1 AS DOUBLE)
+                / (COALESCE(p.c_w1, 0) + COALESCE(vo.v, 1))) AS lp
+      FROM bi b
+      LEFT JOIN model m ON m.source = b.source AND m.w1 = b.w1 AND m.w2 = b.w2
+      LEFT JOIN prefix p ON p.source = b.source AND p.w1 = b.w1
+      LEFT JOIN vocab vo ON vo.source = b.source
+    )
+    SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS lm_score
+    FROM scored
+    GROUP BY doc_id, source
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "t18_lm_score_frozen",
+    oracle=_T18_SQL,
+    tags=("T18", "X4", "A1", "J1", "F3"),
+)
+def t18_lm_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 batch twin: every document scored against a FROZEN add-one
+    bigram LM trained on the deterministic even-doc_id half of the corpus
+    — the CCNet train-offline / score-at-ingest loop (their frozen KenLM),
+    and the exact recomputation the live lane (streaming/pipeline.py
+    lmscore_stream) must reproduce batch-for-batch. Unlike
+    x4_ngram_lm_score (each doc scored under its own corpus's model), the
+    frozen form is the DEPLOY shape: OOV bigrams/prefixes/sources score
+    via total COALESCE fallbacks, so arriving data can never throw.
+
+    Scale shape: the model is type-table-bounded and built ONCE (one
+    map-side-combined shuffle over the training half); scoring is the
+    lm_model_route-d join family (broadcast under the measured threshold,
+    pinned SMJ above) plus the per-doc DECIMAL aggregate. Exactness: same
+    ln/COALESCE parenthesization in both engines, DECIMAL(38,18) per-doc
+    accumulation, one 4-dp quantization."""
+    from otlp2parquet_spark.extensions.text import (
+        lm_model_frames,
+        lm_score_frozen,
+    )
+    from otlp2parquet_spark.session import spread
+
+    d = spread(T(spark, sf_dir, "documents"))
+    model, prefix, vocab = lm_model_frames(d.filter(F.col("doc_id") % 2 == 0))
+    return lm_score_frozen(d, model, prefix, vocab, model.count())

@@ -1566,3 +1566,71 @@ def compact_hh_state(spark: SparkSession, state_dir: str) -> tuple[int, int]:
         sort_cols=("src_epoch",),
     )
     return c, t
+
+
+# ---------------------------------------------------------------------------
+# T18: frozen-LM perplexity scoring at ingest (r10) — the CCNet deploy loop
+# ---------------------------------------------------------------------------
+
+
+def lmscore_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    artifact_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Deploy a FROZEN add-one bigram LM to the ingest path: every arriving
+    documents batch is scored against the artifact persisted by
+    text.lm_write_model — the CCNet production loop (train KenLM offline,
+    perplexity-score at ingest), T13's frozen-artifact pattern applied to
+    the LM family. Verdicts (doc_id, source, n_bigrams, lm_score) land
+    per-epoch under out_dir/epoch=N.
+
+    Equivalence contract (tests/test_streaming_lmscore.py): scores are a
+    pure function of (doc, frozen counts) — a doc's bigrams never straddle
+    batches and the per-doc sum runs in DECIMAL — so the union of all
+    epoch partitions is BIT-IDENTICAL to lm_score_frozen over the union of
+    the inputs, across any micro-batch slicing and any stop/restart; with
+    the artifact trained on the even-doc_id half, that union equals the
+    t18_lm_score_frozen batch twin row for row.
+
+    Scale shape per micro-batch: one tokenize pass over the batch and the
+    lm_model_route-d joins against the frozen frames — the route count is
+    measured ONCE at stream setup (lm_read_model), never per batch; no
+    state beyond the artifact."""
+    import os
+
+    from otlp2parquet_spark.extensions.text import lm_read_model, lm_score_frozen
+
+    _require_local_state(out_dir, "lmscore_stream")
+    model, prefix, vocab, n_model = lm_read_model(spark, artifact_dir)
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        lm_score_frozen(
+            batch_df.select("doc_id", "text", "source"), model, prefix, vocab, n_model
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_lm_scores(spark: SparkSession, out_dir: str) -> int:
+    """Compact lmscore_stream's epoch-partitioned verdicts — append-only
+    per-doc rows, the T13 contract."""
+    _require_local_state(out_dir, "compact_lm_scores")
+    return _compact_union_epochs(
+        spark, out_dir, key_cols=("doc_id",), sort_cols=("doc_id",)
+    )

@@ -1,0 +1,185 @@
+"""T18 gates (the T13 frozen-artifact discipline on the LM family):
+(1) live == batch — the union of streamed per-epoch scores across any
+micro-batch slicing and a stop/restart is BIT-IDENTICAL to
+lm_score_frozen over the union of inputs, and (with the artifact trained
+on the even-doc_id half) to the t18_lm_score_frozen batch twin;
+(2) the frozen model scores OOV data TOTALLY (unseen bigram / prefix /
+source never null out or throw — the deploy-shape property);
+(3) score compaction preserves every verdict."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.extensions.text import (
+    lm_model_frames,
+    lm_read_model,
+    lm_score_frozen,
+    lm_write_model,
+)
+from otlp2parquet_spark.queries.registry import all_specs
+from otlp2parquet_spark.session import load_table
+from otlp2parquet_spark.streaming.pipeline import compact_lm_scores, lmscore_stream
+
+SF = "/root/testdata/sf0.001"
+COLS = ["doc_id", "source", "n_bigrams", "lm_score"]
+
+
+def _docs(spark, n=300):
+    return load_table(spark, SF, "documents").orderBy("doc_id").limit(n)
+
+
+def _landing(spark, docs, tmp_path, nfiles=4) -> str:
+    rows = docs.collect()
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    per = (len(rows) + nfiles - 1) // nfiles
+    k = 0
+    for i in range(nfiles):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            chunk,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"f{i}"))
+        for f in sorted(glob.glob(str(tmp_path / f"f{i}/part-*.parquet"))):
+            os.link(f, f"{flat}/{k:05d}.parquet")
+            k += 1
+    return flat
+
+
+def test_live_equals_twin_across_slicings_and_restart(spark, tmp_path):
+    docs = _docs(spark)
+    flat = _landing(spark, docs, tmp_path)
+    art = str(tmp_path / "artifact")
+    lm_write_model(docs.filter(F.col("doc_id") % 2 == 0), art)
+
+    # the twin over the same docs (written as an sf_dir table)
+    sf_dir = str(tmp_path / "asdir")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    want = sorted(
+        map(
+            tuple,
+            all_specs()["t18_lm_score_frozen"].build(spark, sf_dir).select(*COLS).collect(),
+        )
+    )
+    assert want
+
+    # phase 1: first file only, then restart over the full dir (same ckpt)
+    part = str(tmp_path / "part")
+    os.makedirs(part, exist_ok=True)
+    files = sorted(glob.glob(f"{flat}/*.parquet"))
+    os.link(files[0], f"{part}/00000.parquet")
+    out, ckpt = str(tmp_path / "scores"), str(tmp_path / "ckpt")
+    lmscore_stream(spark, part, art, out, ckpt).awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert 0 < n1 < len(want)
+    for i, f in enumerate(files[1:], start=1):
+        os.link(f, f"{part}/{i:05d}.parquet")
+    lmscore_stream(spark, part, art, out, ckpt).awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(out).select(*COLS).collect()))
+    assert got == want
+
+    # a coarser slicing reaches the identical rows
+    out2, ckpt2 = str(tmp_path / "scores2"), str(tmp_path / "ckpt2")
+    lmscore_stream(
+        spark, flat, art, out2, ckpt2, max_files_per_trigger=64
+    ).awaitTermination()
+    assert sorted(map(tuple, spark.read.parquet(out2).select(*COLS).collect())) == want
+
+    # compaction preserves the verdicts bit-for-bit
+    removed = compact_lm_scores(spark, out)
+    assert removed >= 1
+    assert sorted(map(tuple, spark.read.parquet(out).select(*COLS).collect())) == want
+
+
+def test_frozen_model_scores_oov_totally(spark, tmp_path):
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat", "en", "known_src", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    art = str(tmp_path / "artifact")
+    lm_write_model(train, art)
+    model, prefix, vocab, n_model = lm_read_model(spark, art)
+
+    oov = spark.createDataFrame(
+        [
+            # unseen SOURCE: every coalesce bottoms out -> ln(1/1) = 0.0
+            (10, "completely novel words here", "en", "alien_src", 27),
+            # known source, unseen bigram over a seen prefix word:
+            # ln((0+1)/(c_w1('the')+v)) — finite, negative
+            (11, "the dog", "en", "known_src", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r.doc_id: r for r in lm_score_frozen(oov, model, prefix, vocab, n_model).collect()
+    }
+    assert rows[10].lm_score == 0.0 and rows[10].n_bigrams == 3
+    assert rows[11].lm_score is not None and rows[11].lm_score < 0.0
+    # and the artifact is genuinely frozen: rescoring after more data
+    # arrives cannot change these rows (pure function of doc x artifact)
+    again = {
+        r.doc_id: r.lm_score
+        for r in lm_score_frozen(oov, model, prefix, vocab, n_model).collect()
+    }
+    assert again == {k: v.lm_score for k, v in rows.items()}
+
+
+def test_twin_matches_oracle_on_fixture(spark):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tests")
+    from oracle_util import compare
+
+    spec = all_specs()["t18_lm_score_frozen"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    assert not compare(spec.build(spark, SF), con, spec.oracle)
+
+
+def test_cli_lmtrain_lmscore_end_to_end(spark, tmp_path, capsys):
+    import json as _json
+
+    from otlp2parquet_spark import cli
+
+    docs = _docs(spark, n=150)
+    corpus = str(tmp_path / "corpus")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(corpus)
+    art = str(tmp_path / "artifact")
+    rc = cli.main(["lmtrain", corpus, "--model", art])
+    assert rc == 0
+    trained = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert trained["model_bigram_types"] > 0 and trained["sources"] > 0
+
+    flat = _landing(spark, docs, tmp_path, nfiles=3)
+    out = str(tmp_path / "scores")
+    rc = cli.main(
+        ["lmscore", flat, "--model", art, "--out", out,
+         "--checkpoint", str(tmp_path / "ck"), "--compact"]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_scored"] > 0
+    # the CLI-produced verdicts ARE the frozen-score function of the inputs
+    model, prefix, vocab, n_model = lm_read_model(spark, art)
+    want = sorted(
+        map(tuple, lm_score_frozen(docs, model, prefix, vocab, n_model)
+            .select(*COLS).collect())
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).select(*COLS).collect()))
+    assert got == want
