@@ -204,6 +204,10 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "side) — two genuine dimension roles on a 25-row table; the EXECUTED "
     "plan reuses one broadcast exchange for both "
     "(tests/test_tpch_plans.py::test_q7_broadcasts_nation_twice pins it)",
+    "a21_tpch_q8": "nation scanned once per alias (customer-region side, "
+    "supplier-market-share side) — two genuine dimension roles on a 25-row "
+    "table, the Q7 shape; both sides broadcast "
+    "(tests/test_tpch_plans.py::test_q8_pushdown_and_broadcast_shape)",
     "a19_tpch_q22": "customer scanned twice by construction: the 1-row "
     "balance-threshold aggregate and the candidate stream it gates — the "
     "spec's correlated scalar subquery, decorrelated "
