@@ -134,6 +134,7 @@ HEADLINE = [
     "a21_tpch_q8",  # r10: 8-table national-market-share star join
     "q08_exp_histogram_p95_signed",  # r10: signed exp-histogram walk
     "t18_lm_score_frozen",  # r10: frozen-LM deploy scoring twin
+    "t19_windowed_hll_distinct",  # r10: deterministic windowed HLL, hash-matched
 ]
 
 RUNS_PER_QUERY = 3

@@ -246,6 +246,17 @@ def _build_parser() -> argparse.ArgumentParser:
     wp.add_argument("--out", required=True, help="sealed bucket-count table root")
     wp.add_argument("--checkpoint", required=True)
 
+    wh = sub.add_parser(
+        "whll",
+        help="streaming windowed distinct-user estimates over an events "
+        "landing dir (T19): drain available files, append watermark-sealed "
+        "per-(5-min window, event_type) deterministic-HLL registers under "
+        "OUT, print the estimates over everything sealed so far",
+    )
+    wh.add_argument("landing_dir", help="dir of events-schema parquet files")
+    wh.add_argument("--out", required=True, help="sealed register table root")
+    wh.add_argument("--checkpoint", required=True)
+
     sub.add_parser("validate-config", help="load, validate and print config")
     return p
 
@@ -328,6 +339,56 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(
                 {"sealed_rows": rows, "windows_sealed": windows, "out": args.out}
+            )
+        )
+        return 0
+
+    if args.command == "whll":
+        import os
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-whll")
+        stream = stream_pipeline.events_stream(spark, args.landing_dir)
+        q = (
+            stream_pipeline.hll_reg_buckets(stream)
+            .writeStream.format("parquet")
+            .option("path", args.out)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # gate on the file-sink commit log, not a tree walk (the wp95 rule)
+        meta_dir = os.path.join(args.out, "_spark_metadata")
+        has_rows = os.path.isdir(meta_dir) and any(
+            os.path.getsize(os.path.join(meta_dir, f)) > 0
+            for f in os.listdir(meta_dir)
+            if not f.endswith(".tmp") and not f.startswith(".")
+        )
+        rows = windows = 0
+        if has_rows:
+            from pyspark.sql import functions as F
+            from pyspark.errors import AnalysisException
+
+            try:
+                est = stream_pipeline.hll_estimate_from_registers(
+                    spark.read.parquet(args.out)
+                )
+                rows, windows = est.agg(
+                    F.count("*"), F.countDistinct("window_start")
+                ).first()
+            except AnalysisException:
+                rows = windows = 0
+        print(
+            json.dumps(
+                {
+                    "sealed_estimates": rows,
+                    "windows_sealed": windows,
+                    "out": args.out,
+                }
             )
         )
         return 0

@@ -801,3 +801,76 @@ def t18_lm_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     model, prefix, vocab = lm_model_frames(d.filter(F.col("doc_id") % 2 == 0))
     return lm_score_frozen(d, model, prefix, vocab, model.count())
+
+
+_T19_SQL = """
+    WITH h AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+             time_bucket(INTERVAL '5 minutes', ts) + INTERVAL 5 MINUTE
+               AS window_end,
+             event_type,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ), rows_ AS (
+      SELECT window_start, window_end, event_type,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS reg,
+             CASE WHEN CAST(('0x' || substr(hx, 3, 13)) AS BIGINT) = 0 THEN 53
+                  ELSE 53 - length(bin(CAST(('0x' || substr(hx, 3, 13)) AS BIGINT)))
+             END AS rho
+      FROM h
+    ), regs AS (
+      SELECT window_start, window_end, event_type, reg, MAX(rho) AS rho
+      FROM rows_ GROUP BY window_start, window_end, event_type, reg
+    ), per AS (
+      SELECT window_start, window_end, event_type,
+             SUM(CAST(POWER(2.0, 53 - rho) AS BIGINT)) AS s_present,
+             COUNT(*) AS p
+      FROM regs GROUP BY window_start, window_end, event_type
+    )
+    SELECT window_start, window_end, event_type,
+           FLOOR(
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 9007199254740992.0
+                       / CAST(s_present + (256 - p) * 9007199254740992 AS DOUBLE)
+                       <= 640.0
+                   AND (256 - p) > 0
+                  THEN 256.0 * ln(256.0 / CAST(256 - p AS DOUBLE))
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 9007199254740992.0
+                       / CAST(s_present + (256 - p) * 9007199254740992 AS DOUBLE)
+             END * 10000.0 + 0.5) / 10000.0 AS n_approx
+    FROM per
+    ORDER BY window_start, event_type
+    """
+
+
+@query(
+    "t19_windowed_hll_distinct",
+    oracle=_T19_SQL,
+    tags=("T19", "A8", "W3", "F6"),
+)
+def t19_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19 batch twin: per-(5-min tumbling window, event_type) DISTINCT-user
+    estimates from a DETERMINISTIC HLL — md5-derived register index + rank
+    (the x2_minhash_firstseen replayable-hash discipline), register MAX
+    maintenance, and an estimator whose register sum is exact integer
+    arithmetic — so unlike a8_sketch_distinct (Spark's HLL++, engine-private
+    registers, rows-only by design) this sketch op is DuckDB HASH-MATCHED
+    end to end: the oracle replays the registers bit-for-bit and the only
+    floats are one division of exact integers and a ln of an exact rational
+    (the DSIR ln-parity precedent).
+
+    Scale shape: ONE map-side-combined aggregate collapses the event stream
+    to |windows| x |types| x 256 register rows — fixed state per group
+    regardless of volume, partials MAX-merge in any order (idempotent, so
+    replays are absorbed, the strongest mergeability class in the T-lanes);
+    the estimate is a tiny aggregate over the register frame. The live half
+    (hll_reg_buckets + the native file sink) shuffles only register
+    partials and defers estimation to the read side — the T16 split applied
+    to cardinality. Accuracy is the standard HLL rsd 1.04/sqrt(256) ~ 6.5%,
+    gated against exact counts in tests/test_streaming_pipeline.py."""
+    from otlp2parquet_spark.streaming import pipeline as P
+
+    e = T(spark, sf_dir, "events")
+    regs = P.hll_reg_buckets(e, watermark=None)
+    return P.hll_estimate_from_registers(regs).orderBy("window_start", "event_type")

@@ -1634,3 +1634,88 @@ def compact_lm_scores(spark: SparkSession, out_dir: str) -> int:
     return _compact_union_epochs(
         spark, out_dir, key_cols=("doc_id",), sort_cols=("doc_id",)
     )
+
+
+# ---------------------------------------------------------------------------
+# T19: windowed deterministic-HLL distinct counts (r10) — the cardinality
+# sibling of T16: register maintenance in the stream, estimation at read.
+# Unlike approx_count_distinct (HLL++, engine-private registers — a8 is
+# rows-only for that reason), these registers derive from md5 (the
+# x2_minhash_firstseen replayable-hash discipline) and the estimator's
+# register sum is EXACT INTEGER arithmetic, so the whole op is DuckDB
+# hash-matchable end to end.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers; standard HLL rsd = 1.04/sqrt(m) ~ 6.5%
+# alpha_256 * m^2 * 2^53 evaluated identically in both engines; 52-bit rho
+# window (md5 hex chars 3..15), so every 2^(53-rho) term is an exact long
+_HLL_ALPHA = "0.7213 / (1.0 + 1.079 / 256.0)"
+
+
+def hll_reg_buckets(stream: DataFrame, watermark: str | None = "10 seconds") -> DataFrame:
+    """T19 live half: per-(5-min tumbling window, event_type, register)
+    MAX(rho) over the user_id stream. Register state is a MERGEABLE sketch
+    in the strongest sense — MAX is commutative, associative AND
+    idempotent, so partials combine map-side in any order and replays
+    cannot corrupt a register. The register index and rho derive from md5
+    so both engines (and the batch twin) replay them bit-for-bit:
+    idx = first md5 byte, w = the next 52 hex bits, rho = 53 - bitlen(w)
+    (bitlen via integer base-2 string length — no float log2, whose
+    correctly-rounded boundary at 2^k - 1 flips floors). watermark=None is
+    the batch-twin form, the exp_hist_buckets convention."""
+    h = F.md5(F.col("user_id").cast("string").cast("binary"))
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(w, 10, 2))
+    )
+    src = stream if watermark is None else stream.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", "5 minutes").alias("wd"),
+            "event_type",
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("reg"),
+        )
+        .agg(F.max(rho).alias("rho"))
+        .select(
+            F.col("wd.start").alias("window_start"),
+            F.col("wd.end").alias("window_end"),
+            "event_type",
+            "reg",
+            "rho",
+        )
+    )
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame,
+    keys: tuple[str, ...] = ("window_start", "window_end", "event_type"),
+) -> DataFrame:
+    """The HLL estimate from (reg, rho) register rows, per `keys` group —
+    runs identically over a live-drained register table and the batch
+    twin's aggregate. Exactness discipline: the indicator sum
+    sum_j 2^-rho_j is computed as the INTEGER S = sum_j 2^(53-rho_j)
+    (every term <= 2^53 exact, total < 2^61) with absent registers
+    contributing V * 2^53, so the only floats are one division of exact
+    integers and (in the small-range branch) ln of an exact rational —
+    both cross-engine identical (the DSIR ln-parity precedent). Replays /
+    epoch overlaps are absorbed by a register-MAX pre-merge."""
+    merged = registers.groupBy(*keys, "reg").agg(F.max("rho").alias("rho"))
+    per = merged.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("rho")).cast("long")).alias("s_present"),
+        F.count("*").alias("p"),
+    )
+    v = F.lit(HLL_M) - F.col("p")
+    s = F.col("s_present") + v * F.lit(1 << 53)
+    e_raw = (
+        F.expr(_HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << 53))
+        / F.col("s").cast("double")
+    )
+    e = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return per.withColumn("s", s).select(
+        *keys, (F.floor(e * 10000.0 + 0.5) / 10000.0).alias("n_approx")
+    )

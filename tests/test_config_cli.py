@@ -343,3 +343,58 @@ def test_cli_wp95_end_to_end(spark, tmp_path, capsys):
     assert rc == 0
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["sealed_rows"] == 0 and summary["windows_sealed"] == 0
+
+
+def test_cli_whll_end_to_end(spark, tmp_path, capsys):
+    """The whll CLI drains an events landing dir into a sealed register
+    table and its estimates match the batch twin restricted to the sealed
+    windows; an empty landing dir summarizes zero instead of raising."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark import cli
+    from otlp2parquet_spark.queries.registry import all_specs
+    from otlp2parquet_spark.session import load_table
+    from otlp2parquet_spark.streaming import pipeline as P
+
+    sf = "/root/testdata/sf0.001"
+    landing = tmp_path / "landing"
+    load_table(spark, sf, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).coalesce(2).write.mode("overwrite").parquet(str(landing))
+
+    out = tmp_path / "regs"
+    rc = cli.main(
+        ["whll", str(landing), "--out", str(out), "--checkpoint", str(tmp_path / "ck")]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["sealed_estimates"] > 0 and summary["windows_sealed"] > 0
+
+    sealed = {
+        (r.window_start, r.event_type): r.n_approx
+        for r in P.hll_estimate_from_registers(
+            spark.read.parquet(str(out))
+        ).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): r.n_approx
+        for r in all_specs()["t19_windowed_hll_distinct"].build(spark, sf).collect()
+    }
+    assert set(sealed) <= set(batch)
+    for k, v in sealed.items():
+        assert batch[k] == v, k
+    assert len(sealed) == summary["sealed_estimates"]
+
+    # empty landing dir: zero summary, rc 0
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = cli.main(
+        ["whll", str(empty), "--out", str(tmp_path / "r2"),
+         "--checkpoint", str(tmp_path / "ck2")]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["sealed_estimates"] == 0 and summary["windows_sealed"] == 0

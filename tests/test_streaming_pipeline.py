@@ -254,3 +254,83 @@ def test_t16_null_values_fold_into_zero_bucket(spark, tmp_path):
     assert not compare(spec.build(spark, str(tmp_path)), con, spec.oracle)
     row = spec.build(spark, str(tmp_path)).collect()[0]
     assert row["zero_count"] == 2 and row["total"] == 6
+
+
+def test_t19_hll_live_matches_batch_twin(spark, events_dir):
+    """T19: the live register sketch drained complete + the shared read-side
+    estimator must equal the batch twin exactly — registers are md5-derived
+    integers and the estimator's register sum is exact integer arithmetic,
+    so the identity is bit-level, not tolerance."""
+    stream = P.events_stream(spark, events_dir)
+    P.run_to_memory(P.hll_reg_buckets(stream), "t19_live", output_mode="complete")
+    live = {
+        (r.window_start, r.event_type): r.n_approx
+        for r in P.hll_estimate_from_registers(
+            spark.sql("SELECT * FROM t19_live")
+        ).collect()
+    }
+    batch_regs = P.hll_reg_buckets(_batch_events(spark, events_dir), watermark=None)
+    batch = {
+        (r.window_start, r.event_type): r.n_approx
+        for r in P.hll_estimate_from_registers(batch_regs).collect()
+    }
+    assert live == batch and live
+
+
+def test_t19_append_mode_seals_windows(spark, events_dir):
+    """Append mode emits only watermark-sealed register rows; every sealed
+    window's estimate equals the batch twin's row for that window."""
+    from otlp2parquet_spark.queries.registry import all_specs
+
+    stream = P.events_stream(spark, events_dir)
+    P.run_to_memory(P.hll_reg_buckets(stream), "t19_append", output_mode="append")
+    live = {
+        (r.window_start, r.event_type): r.n_approx
+        for r in P.hll_estimate_from_registers(
+            spark.sql("SELECT * FROM t19_append")
+        ).collect()
+    }
+    assert live
+    batch = {
+        (r.window_start, r.event_type): r.n_approx
+        for r in all_specs()["t19_windowed_hll_distinct"].build(spark, SF).collect()
+    }
+    open_windows = set(batch) - set(live)
+    assert set(live) <= set(batch)
+    assert open_windows and max(k[0] for k in batch) in {k[0] for k in open_windows}
+    for k, v in live.items():
+        assert batch[k] == v, k
+
+
+def test_t19_estimate_error_gated_vs_exact(spark, events_dir):
+    """The deterministic HLL's estimates track exact per-window distinct
+    counts within 3x the theoretical rsd (1.04/sqrt(256) ~ 6.5%) on
+    average, and every window stays within a generous per-window band —
+    the a8 error-gate discipline applied to the hand-rolled sketch."""
+    from pyspark.sql import functions as F
+
+    e = _batch_events(spark, events_dir)
+    exact = {
+        (r.window_start, r.event_type): r.n_exact
+        for r in e.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_exact"
+        )
+        .collect()
+    }
+    approx = {
+        (r.window_start, r.event_type): r.n_approx
+        for r in P.hll_estimate_from_registers(
+            P.hll_reg_buckets(e, watermark=None)
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    rels = []
+    for k, n in exact.items():
+        rel = abs(approx[k] - n) / n
+        rels.append(rel)
+        assert rel <= 0.35, (k, n, approx[k])  # generous per-window band
+    assert sum(rels) / len(rels) <= 3 * 1.04 / 16.0  # mean within 3x rsd
