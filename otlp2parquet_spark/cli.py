@@ -261,6 +261,22 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _file_sink_has_commits(out_dir: str) -> bool:
+    """Whether a streaming file sink has COMMITTED anything: gate on the
+    sink's _spark_metadata log, never a *.parquet tree walk — an aborted
+    batch can leave uncommitted part files a walk would count as data while
+    the metadata-aware read (correctly) ignores them. Shared by the wp95
+    (T16) and whll (T19) lanes."""
+    import os
+
+    meta_dir = os.path.join(out_dir, "_spark_metadata")
+    return os.path.isdir(meta_dir) and any(
+        os.path.getsize(os.path.join(meta_dir, f)) > 0
+        for f in os.listdir(meta_dir)
+        if not f.endswith(".tmp") and not f.startswith(".")
+    )
+
+
 def _load_cfg(args):
     from otlp2parquet_spark.otel.config import load_config
 
@@ -307,17 +323,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         # empty landing dir / nothing sealed: the file sink may never have
-        # written a footer — summarize zero instead of raising on the read.
-        # Gate on the sink's COMMIT LOG, not a tree walk: an aborted batch
-        # can leave uncommitted part files that a *.parquet walk would count
-        # as data while the metadata-aware read (correctly) ignores them —
-        # the two paths must agree on "has the sink committed anything"
-        meta_dir = os.path.join(args.out, "_spark_metadata")
-        has_rows = os.path.isdir(meta_dir) and any(
-            os.path.getsize(os.path.join(meta_dir, f)) > 0
-            for f in os.listdir(meta_dir)
-            if not f.endswith(".tmp") and not f.startswith(".")
-        )
+        # written a footer — summarize zero instead of raising on the read
+        has_rows = _file_sink_has_commits(args.out)
         rows = windows = 0
         if has_rows:
             from pyspark.sql import functions as F
@@ -361,13 +368,7 @@ def main(argv: list[str] | None = None) -> int:
             .start()
         )
         q.awaitTermination()
-        # gate on the file-sink commit log, not a tree walk (the wp95 rule)
-        meta_dir = os.path.join(args.out, "_spark_metadata")
-        has_rows = os.path.isdir(meta_dir) and any(
-            os.path.getsize(os.path.join(meta_dir, f)) > 0
-            for f in os.listdir(meta_dir)
-            if not f.endswith(".tmp") and not f.startswith(".")
-        )
+        has_rows = _file_sink_has_commits(args.out)
         rows = windows = 0
         if has_rows:
             from pyspark.sql import functions as F
@@ -746,7 +747,15 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(args.out) and any(
             d.startswith("epoch=") for d in os.listdir(args.out)
         ):
-            scores = spark.read.parquet(args.out).dropDuplicates(["doc_id"])
+            # explicit schema: a drain whose every doc has <2 tokens writes
+            # rowless epochs (_SUCCESS only) that schema inference chokes on
+            scores = (
+                spark.read.schema(
+                    "doc_id long, source string, n_bigrams long, lm_score double"
+                )
+                .parquet(args.out)
+                .dropDuplicates(["doc_id"])
+            )
             n_total, mean_score = scores.agg(
                 F.count("*"), F.round(F.avg("lm_score"), 4)
             ).first()

@@ -787,13 +787,14 @@ def lm_score_frozen(
     avg_lp = (
         F.sum(F.col("lp").cast("decimal(38,18)")).cast("double") / F.count("*")
     )
-    return (
-        scored.groupBy("doc_id", "source")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            (F.floor(avg_lp * 10000.0 + 0.5) / 10000.0).alias("lm_score"),
-        )
-        .orderBy("doc_id")
+    # NO trailing orderBy: the streaming deploy path calls this per
+    # micro-batch and a global sort would add a range-partition exchange to
+    # every ingest batch for ordering the epoch sink doesn't need — the
+    # batch twin applies its own orderBy for the oracle compare (the
+    # hll_reg_buckets convention)
+    return scored.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.floor(avg_lp * 10000.0 + 0.5) / 10000.0).alias("lm_score"),
     )
 
 

@@ -800,7 +800,7 @@ def t18_lm_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(T(spark, sf_dir, "documents"))
     model, prefix, vocab = lm_model_frames(d.filter(F.col("doc_id") % 2 == 0))
-    return lm_score_frozen(d, model, prefix, vocab, model.count())
+    return lm_score_frozen(d, model, prefix, vocab, model.count()).orderBy("doc_id")
 
 
 _T19_SQL = """
@@ -810,7 +810,7 @@ _T19_SQL = """
                AS window_end,
              event_type,
              md5(CAST(user_id AS VARCHAR)) AS hx
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), rows_ AS (
       SELECT window_start, window_end, event_type,
              CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS reg,

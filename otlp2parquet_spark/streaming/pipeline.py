@@ -1647,9 +1647,15 @@ def compact_lm_scores(spark: SparkSession, out_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 HLL_M = 256  # registers; standard HLL rsd = 1.04/sqrt(m) ~ 6.5%
-# alpha_256 * m^2 * 2^53 evaluated identically in both engines; 52-bit rho
-# window (md5 hex chars 3..15), so every 2^(53-rho) term is an exact long
-_HLL_ALPHA = "0.7213 / (1.0 + 1.079 / 256.0)"
+# alpha_256 computed as ONE PYTHON DOUBLE and injected with F.lit: an
+# F.expr("0.7213 / ...") form parses the literals as DECIMAL(p,s) in Spark
+# (0.7182725959317630) while DuckDB evaluates the same text in DOUBLE
+# (0.7182725932495458) — a 3.7e-9 divergence that flips ~2.4% of raw-branch
+# 4-dp quantizations and, near e_raw = 640, the branch itself (r10 review
+# finding; invisible at fixture cardinality, where every window takes the
+# linear-count branch). The Python double below equals DuckDB's evaluation
+# bit-for-bit (same IEEE ops in the same order).
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
 
 
 def hll_reg_buckets(stream: DataFrame, watermark: str | None = "10 seconds") -> DataFrame:
@@ -1669,6 +1675,11 @@ def hll_reg_buckets(stream: DataFrame, watermark: str | None = "10 seconds") -> 
         F.lit(53) - F.length(F.conv(w, 10, 2))
     )
     src = stream if watermark is None else stream.withWatermark("ts", watermark)
+    # NULL users are NOT a distinct user: md5(NULL) would ride as a NULL
+    # register row, inflating p by a phantom register (countDistinct — the
+    # semantics the estimate is gated against — ignores NULLs); the oracle
+    # mirrors the filter (the t16 null-fold precedent)
+    src = src.filter(F.col("user_id").isNotNull())
     return (
         src.groupBy(
             F.window("ts", "5 minutes").alias("wd"),
@@ -1707,7 +1718,7 @@ def hll_estimate_from_registers(
     v = F.lit(HLL_M) - F.col("p")
     s = F.col("s_present") + v * F.lit(1 << 53)
     e_raw = (
-        F.expr(_HLL_ALPHA)
+        F.lit(_HLL_ALPHA)
         * F.lit(float(HLL_M * HLL_M))
         * F.lit(float(1 << 53))
         / F.col("s").cast("double")

@@ -334,3 +334,50 @@ def test_t19_estimate_error_gated_vs_exact(spark, events_dir):
         rels.append(rel)
         assert rel <= 0.35, (k, n, approx[k])  # generous per-window band
     assert sum(rels) / len(rels) <= 3 * 1.04 / 16.0  # mean within 3x rsd
+
+
+def test_t19_raw_branch_matches_duckdb_at_high_cardinality(spark, tmp_path):
+    """r10 review finding, pinned: the HLL alpha constant must be ONE
+    Python double (F.expr would parse the literal as DECIMAL, diverging
+    from DuckDB's DOUBLE evaluation by 3.7e-9 — enough to flip ~2.4% of
+    raw-branch 4-dp quantizations). No fixture window exceeds 640 distinct
+    users, so every fixture row takes the alpha-free linear-count branch;
+    this crafted frame (3,000 distinct users in one window) forces the RAW
+    branch in both engines and requires bit-equality. Also pins the NULL
+    rule: null user_id rows are not distinct users."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from otlp2parquet_spark.queries.registry import all_specs
+
+    ts0 = datetime.datetime(2024, 1, 1, 0, 1, 0)
+    n = 3000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n + 5), pa.int64()),
+            "ts": pa.array([ts0] * (n + 5), pa.timestamp("us")),
+            "user_id": pa.array(
+                list(range(n)) + [None] * 5, pa.int64()
+            ),
+            "event_type": ["click"] * (n + 5),
+            "value": pa.array([1.0] * (n + 5), pa.float64()),
+            "props": [""] * (n + 5),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spec = all_specs()["t19_windowed_hll_distinct"]
+    got = spec.build(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    est = got[0].n_approx
+    # raw branch engaged (estimate far above the 640 correction cutoff)
+    # and within the HLL error envelope of the true 3,000
+    assert est > 640.0 and abs(est - n) / n < 0.25, est
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(spec.oracle).fetchall()
+    assert len(want) == 1 and float(want[0][-1]) == est, (want, est)
