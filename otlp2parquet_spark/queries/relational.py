@@ -824,7 +824,11 @@ def a8_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only in the driver harness (the estimate is engine-specific);
     the error gate (<= 3 * rsd) and two-run determinism (HLL++ register
-    merge is commutative) are pinned in test_approx_quality."""
+    merge is commutative) are pinned in test_approx_quality. The
+    HASH-MATCHED form of this op exists too: t19_windowed_hll_distinct
+    (streaming/batch_twins.py) hand-rolls md5-derived registers with an
+    integer-exact estimator, which DuckDB replays bit-for-bit — this row
+    keeps the built-in HLL++ surface (what a Spark user actually calls)."""
     li = T(spark, sf_dir, "lineitem")
     out = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_exact"),
