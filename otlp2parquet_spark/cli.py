@@ -194,6 +194,30 @@ def _build_parser() -> argparse.ArgumentParser:
         help="merge committed verdict epochs after the drain",
     )
 
+    dct = sub.add_parser(
+        "dctrain",
+        help="extract a benchmark's distinct trigram set from a "
+        "documents-schema parquet dir and persist it (the T20 artifact)",
+    )
+    dct.add_argument("bench_dir", help="benchmark documents parquet table")
+    dct.add_argument("--benchset", required=True, help="gram-set destination")
+
+    dcs = sub.add_parser(
+        "dcscore",
+        help="streaming benchmark decontamination (T20): drain available "
+        "files, flag each doc's trigram overlap against the frozen "
+        "benchset, append per-epoch verdicts under OUT",
+    )
+    dcs.add_argument("landing_dir", help="dir of documents-schema parquet files")
+    dcs.add_argument("--benchset", required=True, help="dctrain artifact")
+    dcs.add_argument("--out", required=True, help="verdicts root")
+    dcs.add_argument("--checkpoint", required=True)
+    dcs.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge committed verdict epochs after the drain",
+    )
+
     lt = sub.add_parser(
         "lmtrain",
         help="train a frozen add-one bigram LM on a documents-schema "
@@ -702,6 +726,66 @@ def main(argv: list[str] | None = None) -> int:
                     "nonzero_weights": sum(1 for v in w if v),
                     "shards": shards,
                     "model": args.model,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "dctrain":
+        from otlp2parquet_spark.extensions.pipeline import (
+            decontam_read_benchset,
+            decontam_write_benchset,
+        )
+        from otlp2parquet_spark.session import get_spark
+
+        spark = get_spark(app_name="otlp2parquet-dctrain")
+        bench = spark.read.parquet(args.bench_dir).select("doc_id", "text")
+        decontam_write_benchset(bench, args.benchset)
+        n = decontam_read_benchset(spark, args.benchset).count()
+        print(json.dumps({"bench_grams": int(n), "benchset": args.benchset}))
+        return 0
+
+    if args.command == "dcscore":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from otlp2parquet_spark.extensions.pipeline import decontam_read_benchset
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-dcscore")
+        q = stream_pipeline.decontam_stream(
+            spark, args.landing_dir, args.benchset, args.out, args.checkpoint
+        )
+        q.awaitTermination()
+        compacted = 0
+        if args.compact:
+            compacted = stream_pipeline.compact_decontam_verdicts(spark, args.out)
+        n_total = n_bad = 0
+        if os.path.isdir(args.out) and any(
+            d.startswith("epoch=") for d in os.listdir(args.out)
+        ):
+            # explicit schema: rowless epochs (a zero-gram drain) must
+            # summarize zero, not fail schema inference
+            v = (
+                spark.read.schema(
+                    "doc_id long, n_grams long, n_hits long, "
+                    "contamination double, contaminated boolean"
+                )
+                .parquet(args.out)
+                .dropDuplicates(["doc_id"])
+            )
+            n_total, n_bad = v.agg(
+                F.count("*"), F.sum(F.col("contaminated").cast("long"))
+            ).first()
+        print(
+            json.dumps(
+                {
+                    "docs_scored": int(n_total),
+                    "contaminated": int(n_bad or 0),
+                    "verdict_epochs_compacted": compacted,
+                    "out": args.out,
                 }
             )
         )

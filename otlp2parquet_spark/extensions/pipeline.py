@@ -260,6 +260,55 @@ def x6_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x6_contamination — benchmark n-gram overlap
 
 
+def doc_gram_set(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) DISTINCT word-trigram rows — the one gram definition
+    the batch op (x6_contamination), the T20 benchset artifact and the T20
+    ingest scorer all share, so contamination semantics cannot drift."""
+    return (
+        with_tokens(docs)
+        .select("doc_id", F.explode(gram3_expr(F.col("toks"))).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+
+
+def decontam_score(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """Per-doc benchmark-contamination verdicts for `docs` against a bench
+    gram set (one `gram` column): distinct-trigram overlap counting with
+    integer hits, one 4-dp quantized ratio, and the >= 5-hit flag. The
+    bench side is benchmark-bounded BY CONSTRUCTION (thousands of items,
+    not billions) so it broadcasts; the corpus side streams map-only into
+    the per-doc two-phase agg. Exact integer counts -> the division is
+    cross-engine/bit identical, which is what lets the T20 live lane gate
+    bit-equality against this same function."""
+    bench_marked = bench.select("gram").distinct().withColumn("__hit", F.lit(1))
+    per_doc = (
+        doc_gram_set(docs)
+        .join(F.broadcast(bench_marked), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.count("__hit").alias("n_hits"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        _q4(F.col("n_hits").cast("double") / F.col("n_grams")).alias("contamination"),
+        (F.col("n_hits") >= 5).alias("contaminated"),
+    )
+
+
+def decontam_write_benchset(bench_docs: DataFrame, artifact_dir: str) -> None:
+    """Persist the benchmark's distinct trigram set — the frozen artifact
+    the T20 ingest lane scores against (the lm_write_model discipline)."""
+    doc_gram_set(bench_docs).select("gram").distinct().write.mode(
+        "overwrite"
+    ).parquet(artifact_dir)
+
+
+def decontam_read_benchset(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    return spark.read.schema("gram string").parquet(artifact_dir)
+
+
 @query(
     "x6_contamination",
     oracle=f"""
@@ -300,35 +349,15 @@ def x6_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; overlap counting is a two-phase agg on doc_id. The same plan at
     100 TB reads the corpus once."""
     d = spread(T(spark, sf_dir, "documents"))
-    grams = (
-        with_tokens(d)
-        .select("doc_id", F.explode(gram3_expr(F.col("toks"))).alias("gram"))
-        .filter(F.length("gram") > 0)
-        .distinct()
-    )
     # the doc_id slice predicates push below the tokenize+explode, so each
     # branch tokenizes only its own slice; hit and total counts come from
     # ONE pass over the corpus grams (left-join against the broadcast eval
-    # set, count non-null markers) instead of separate hits/totals aggs
-    bench = (
-        grams.filter(F.col("doc_id") % 97 == 0)
-        .select("gram")
-        .distinct()
-        .withColumn("__hit", F.lit(1))
+    # set, count non-null markers) instead of separate hits/totals aggs.
+    # Kernel shared with the T20 ingest lane: doc_gram_set/decontam_score.
+    bench = doc_gram_set(d.filter(F.col("doc_id") % 97 == 0))
+    return decontam_score(d.filter(F.col("doc_id") % 97 != 0), bench).orderBy(
+        "doc_id"
     )
-    corpus = grams.filter(F.col("doc_id") % 97 != 0)
-    per_doc = (
-        corpus.join(F.broadcast(bench), "gram", "left")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_grams"), F.count("__hit").alias("n_hits"))
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_grams",
-        "n_hits",
-        _q4(F.col("n_hits").cast("double") / F.col("n_grams")).alias("contamination"),
-        (F.col("n_hits") >= 5).alias("contaminated"),
-    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

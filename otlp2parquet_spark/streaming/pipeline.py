@@ -1730,3 +1730,73 @@ def hll_estimate_from_registers(
     return per.withColumn("s", s).select(
         *keys, (F.floor(e * 10000.0 + 0.5) / 10000.0).alias("n_approx")
     )
+
+
+# ---------------------------------------------------------------------------
+# T20: streaming benchmark decontamination at ingest (r10) — flag arriving
+# documents against a FROZEN benchmark gram set, the filter every training
+# pipeline runs before data enters the corpus (the reverse direction of
+# x6_contamination's batch audit, deployed T13-style).
+# ---------------------------------------------------------------------------
+
+
+def decontam_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    benchset_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Score every arriving documents batch against the benchmark trigram
+    set persisted by extensions.pipeline.decontam_write_benchset: per-doc
+    (n_grams, n_hits, contamination, contaminated) verdicts land per-epoch
+    under out_dir/epoch=N — keep/drop is then a filter on `contaminated`.
+
+    Equivalence contract (tests/test_streaming_decontam.py): verdicts are
+    exact integer overlap counts against a frozen artifact plus one
+    quantized division, so the union of all epoch partitions is
+    BIT-IDENTICAL to batch decontam_score over the union of the inputs,
+    across any micro-batch slicing and stop/restart; epochs compact like
+    any append-only verdict table.
+
+    Scale shape per micro-batch: one tokenize+distinct pass over the batch
+    and a broadcast join against the benchmark grams (benchmark-bounded BY
+    CONSTRUCTION — thousands of eval items, never corpus-scale; that
+    asymmetry is what makes decontamination-at-ingest cheap). No state
+    beyond the artifact."""
+    import os
+
+    from otlp2parquet_spark.extensions.pipeline import (
+        decontam_read_benchset,
+        decontam_score,
+    )
+
+    _require_local_state(out_dir, "decontam_stream")
+    bench = decontam_read_benchset(spark, benchset_dir)  # frozen, read once
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        decontam_score(batch_df.select("doc_id", "text"), bench).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}"))
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_decontam_verdicts(spark: SparkSession, out_dir: str) -> int:
+    """Compact decontam_stream's epoch-partitioned verdicts — append-only
+    per-doc rows, the T13 contract."""
+    _require_local_state(out_dir, "compact_decontam_verdicts")
+    return _compact_union_epochs(
+        spark, out_dir, key_cols=("doc_id",), sort_cols=("doc_id",)
+    )

@@ -1,0 +1,151 @@
+"""T20 gates (the T13 frozen-artifact discipline on decontamination):
+(1) live == batch — the union of streamed per-epoch verdicts across any
+micro-batch slicing and a stop/restart is BIT-IDENTICAL to decontam_score
+over the union of inputs against the same frozen benchset;
+(2) planted contamination is actually caught (a doc sharing >= 5 trigrams
+with the benchmark flags `contaminated`, an untouched doc does not);
+(3) verdict compaction preserves every row."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.extensions.pipeline import (
+    decontam_read_benchset,
+    decontam_score,
+    decontam_write_benchset,
+)
+from otlp2parquet_spark.session import load_table
+from otlp2parquet_spark.streaming.pipeline import (
+    compact_decontam_verdicts,
+    decontam_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+COLS = ["doc_id", "n_grams", "n_hits", "contamination", "contaminated"]
+
+
+def _docs(spark, n=300):
+    """Corpus with PLANTED contamination: every doc_id % 11 == 4 doc gains a
+    verbatim benchmark passage (>= 5 shared trigrams), so flags straddle
+    every batch slicing."""
+    bench_passage = (
+        " the quick brown fox jumps over the lazy dog near the river bend"
+    )
+    return (
+        load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 4, F.concat(F.col("text"), F.lit(bench_passage))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .orderBy("doc_id")
+        .limit(n)
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [
+            (900001, "the quick brown fox jumps over the lazy dog near the river bend and rests"),
+            (900002, "an entirely different benchmark item about spacecraft telemetry"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _landing(spark, docs, tmp_path, nfiles=4) -> str:
+    rows = docs.collect()
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    per = (len(rows) + nfiles - 1) // nfiles
+    k = 0
+    for i in range(nfiles):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            chunk,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"f{i}"))
+        for f in sorted(glob.glob(str(tmp_path / f"f{i}/part-*.parquet"))):
+            os.link(f, f"{flat}/{k:05d}.parquet")
+            k += 1
+    return flat
+
+
+def test_live_equals_batch_and_catches_planted_contamination(spark, tmp_path):
+    docs = _docs(spark)
+    flat = _landing(spark, docs, tmp_path)
+    art = str(tmp_path / "benchset")
+    decontam_write_benchset(_bench(spark), art)
+    bench = decontam_read_benchset(spark, art)
+
+    want_rows = decontam_score(docs, bench).collect()
+    want = sorted((r.doc_id, r.n_grams, r.n_hits, r.contamination, r.contaminated) for r in want_rows)
+    flagged = {r.doc_id for r in want_rows if r.contaminated}
+    clean = {r.doc_id for r in want_rows if not r.contaminated}
+    # the planted docs flag, untouched docs don't (non-vacuous both ways)
+    assert flagged and all(d % 11 == 4 for d in flagged)
+    assert clean
+
+    # phase 1: first file only, then restart over the full dir (same ckpt)
+    part = str(tmp_path / "part")
+    os.makedirs(part, exist_ok=True)
+    files = sorted(glob.glob(f"{flat}/*.parquet"))
+    os.link(files[0], f"{part}/00000.parquet")
+    out, ckpt = str(tmp_path / "verdicts"), str(tmp_path / "ckpt")
+    decontam_stream(spark, part, art, out, ckpt).awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert 0 < n1 < len(want)
+    for i, f in enumerate(files[1:], start=1):
+        os.link(f, f"{part}/{i:05d}.parquet")
+    decontam_stream(spark, part, art, out, ckpt).awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(out).select(*COLS).collect()))
+    assert got == want
+
+    # compaction preserves the verdicts bit-for-bit
+    removed = compact_decontam_verdicts(spark, out)
+    assert removed >= 1
+    assert sorted(map(tuple, spark.read.parquet(out).select(*COLS).collect())) == want
+
+
+def test_cli_dctrain_dcscore_end_to_end(spark, tmp_path, capsys):
+    import json as _json
+
+    from otlp2parquet_spark import cli
+
+    bench_dir = str(tmp_path / "benchdocs")
+    _bench(spark).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("bench").alias("source"), F.length("text").cast("long").alias("n_chars"),
+    ).coalesce(1).write.mode("overwrite").parquet(bench_dir)
+    art = str(tmp_path / "benchset")
+    rc = cli.main(["dctrain", bench_dir, "--benchset", art])
+    assert rc == 0
+    trained = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert trained["bench_grams"] > 0
+
+    docs = _docs(spark, n=150)
+    flat = _landing(spark, docs, tmp_path, nfiles=3)
+    out = str(tmp_path / "verdicts")
+    rc = cli.main(
+        ["dcscore", flat, "--benchset", art, "--out", out,
+         "--checkpoint", str(tmp_path / "ck"), "--compact"]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    bench = decontam_read_benchset(spark, art)
+    want_rows = decontam_score(docs, bench).collect()
+    assert summary["docs_scored"] == len(want_rows)
+    assert summary["contaminated"] == sum(1 for r in want_rows if r.contaminated) > 0
