@@ -135,6 +135,7 @@ HEADLINE = [
     "q08_exp_histogram_p95_signed",  # r10: signed exp-histogram walk
     "t18_lm_score_frozen",  # r10: frozen-LM deploy scoring twin
     "t19_windowed_hll_distinct",  # r10: deterministic windowed HLL, hash-matched
+    "x3_radius_search",  # r10: map-only range similarity search
 ]
 
 RUNS_PER_QUERY = 3

@@ -91,6 +91,48 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x3_radius_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5)
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    WHERE ROUND(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 4) >= 0.3
+    ORDER BY q_id, neighbor_id
+    """,
+    tags=("X3", "F4", "J5", "P2"),
+)
+def x3_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search (radius query): every corpus vector within
+    cosine >= 0.3 of each broadcast query — the other half of the
+    similarity-search API beside top-k (dedup thresholds, near-duplicate
+    audits and recall sweeps are radius questions, not top-k questions:
+    the caller wants EVERYTHING above a similarity bar, however many).
+
+    Scale shape: brute force is map-only — broadcast queries stream
+    against the corpus scan and the threshold filter runs inside the same
+    stage, so unlike top-k there is NO window, NO per-partition heap and
+    NO shuffle at all before the output sort: the selective filter is the
+    whole operator (the plan a 100 TB radius scan wants; the IVF/LSH
+    families remain the index-accelerated path when the radius is tight).
+    Cross-engine exactness: the threshold compares the ROUND(.,4)-
+    quantized cosine — identical doubles in both engines (the
+    x3_cosine_topk pairing) — so a boundary vector cannot flip between
+    engines."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cos4 = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 4)
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos4.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+        .orderBy("q_id", "neighbor_id")
+    )
+
+
 # Above this centroid count the flat n x k scoring goes two-level: flat
 # cost is O(n * k) with k = n / TARGET_BLOCK, i.e. O(n^2 / TARGET_BLOCK) —
 # measured superlinear in the round-6 100x sweep (x3_knn_join_bucketed

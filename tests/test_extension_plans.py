@@ -153,6 +153,8 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "re-keyed %10 duplicate-injection slice (two disjoint predicates on "
     "documents); the corpus build scan ran eagerly before this plan",
     "x3_cosine_topk": "query slice vs corpus: two roles of embeddings",
+    "x3_radius_search": "query slice vs corpus: two roles of embeddings "
+    "(the x3_cosine_topk shape, minus the window)",
     "x3_hard_negatives": "query slice (vec_id<5, broadcast) vs corpus: "
     "two roles of embeddings, the x3_cosine_topk class; the label-mismatch "
     "predicate rides inside the broadcast join",
