@@ -343,8 +343,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
 
-    # warm the JVM / parquet footer caches with a trivial action
+    # Warm-up (r10 verdict ask #3): o5_distinct warms JVM + parquet footer
+    # caches, but the first MEASURED queries still absorbed 2-4x of
+    # whole-stage-codegen JIT + noop-write-path compilation every round
+    # (a1/p1 oscillated 0.77-2.43 s across ten rounds purely by suite
+    # position). So the first two suite queries also run ONCE unmeasured
+    # through the exact noop-write path the timing loop uses — their
+    # best-of-3 then measures the plan, not the JIT.
     specs["o5_distinct"].build(spark, sf_dir).count()
+    for warm_name in HEADLINE[:2]:
+        specs[warm_name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # ingest first: it is the load-sensitive measurement (32 forked Python
     # codec workers + per-file parquet writes), so it runs while the machine
@@ -404,10 +414,12 @@ def main() -> None:
     # head (noise_index and the first ~15 query timings) — so the same line
     # is also written to a checked-in artifact that survives its capture
     # pipeline. ROUND names it when the driver exports one; "self" otherwise.
-    tag = os.environ.get("ROUND", "self")
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), f"BENCH_self_r{tag}.json"
-    )
+    # With ROUND unset the artifact is plain BENCH_self.json (not
+    # "BENCH_self_rself.json" — the r10 ADVICE litter), overwritten per
+    # local run so ad-hoc benches never accumulate root-dir files.
+    tag = os.environ.get("ROUND")
+    fname = f"BENCH_self_r{tag}.json" if tag else "BENCH_self.json"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     try:
         with open(out_path, "w") as f:
             f.write(payload + "\n")

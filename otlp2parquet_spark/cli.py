@@ -798,7 +798,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="otlp2parquet-lmtrain")
         docs = spark.read.parquet(args.corpus_dir).select("doc_id", "text", "source")
         lm_write_model(docs, args.model)
-        _m, _p, vocab, n_model = lm_read_model(spark, args.model)
+        _m, _p, vocab, n_model, _np = lm_read_model(spark, args.model)
         print(
             json.dumps(
                 {

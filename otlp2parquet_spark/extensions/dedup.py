@@ -1035,14 +1035,51 @@ def x2_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of x2_simhash (r10 verdict ask #1): the fingerprint is pure
+# md5/shift/integer-vote arithmetic, so the oracle replays all 32 votes —
+# the same replayable-hash discipline that oracle-matched
+# x2_minhash_firstseen and t19_windowed_hll_distinct. Spark's
+# md5(token CAST binary) hashes the UTF-8 bytes, identical to DuckDB's
+# md5(varchar); '0x'||substr cast replays conv(hex,16,10); >> and & are
+# exact on BIGINT. Tie votes (sum == 0) set bit 0 in both engines (> 0).
+_SIMHASH_VOTES = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+)
+_SIMHASH_RECOMB = "\n           + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+    for i in range(32)
+)
+_SQL_SIMHASH = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({SQL_NORM.format(c='text')}, ' ')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({_SIMHASH_RECOMB} AS BIGINT) AS simhash
+    FROM votes
+    ORDER BY doc_id
+"""
+
+
 @query(
     "x2_simhash",
-    oracle=None,  # bit-vote fingerprint; verified against a python reference in tests
+    oracle=_SQL_SIMHASH,
     tags=("X2", "F6"),
 )
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-32 fingerprint per document: each token occurrence votes its
     md5 bits; fingerprint bit i is 1 when the weighted vote is positive.
+    Hash-matched (r11): the DuckDB twin replays the 32 votes exactly — see
+    _SQL_SIMHASH above; the Python-reference test remains as a second,
+    engine-independent check of the vote semantics.
 
     Shape: explode tokens -> 32 codegen shift/AND vote sums in one two-phase
     groupBy (map-side combine), then a literal-weighted bit recombination.

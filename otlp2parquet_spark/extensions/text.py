@@ -60,6 +60,11 @@ def lm_model_route(model: DataFrame, n_rows: int | None = None) -> DataFrame:
     (``n_rows`` when the caller already knows it) fits
     LM_BROADCAST_MAX_MODEL_ROWS; otherwise PIN a sort-merge join.
 
+    Every registry caller now measures ONCE and passes n_rows (r10 verdict
+    ask #2: ngram/kn/kn3 count at model build, the frozen deploy path at
+    lm_read_model) — the internal count() is the conservative fallback for
+    ad-hoc callers, not a per-invocation job on any shipped path.
+
     The over-threshold route is a merge HINT, not a plain unhinted join,
     because the corpus side of the scoring join is an exploded n-gram frame
     whose static size estimate is meaningless: Catalyst propagates the
@@ -387,10 +392,25 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg_enriched = bg_counts.withColumn(
         "c_w1", F.sum("c_bg").over(_W.partitionBy("source", "w1"))
     ).localCheckpoint(eager=False)  # model materializes once, then broadcasts
-    vocab = bg_enriched.groupBy("source").agg(F.countDistinct("w1").alias("v"))
+    # ONE measurement job (r10 verdict ask #2): the per-source aggregate
+    # collected here materializes the model checkpoint, yields the route
+    # count lm_model_route would otherwise re-measure, AND collapses the
+    # per-source vocab to a driver-side literal frame — so the scoring job
+    # joins a local relation instead of re-aggregating the model. Sources
+    # are a bounded set (single-digit rows at any corpus size), so the
+    # collect is constant-size.
+    stats = (
+        bg_enriched.groupBy("source")
+        .agg(F.countDistinct("w1").alias("v"), F.count("*").alias("nm"))
+        .collect()
+    )
+    n_model = sum(int(r["nm"]) for r in stats)
+    vocab = spark.createDataFrame(
+        [(r["source"], int(r["v"])) for r in stats], "source string, v long"
+    )
     lp = F.log((F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v")))
     scored = (
-        bi.join(lm_model_route(bg_enriched.drop("w1")), ["source", "bg"])
+        bi.join(lm_model_route(bg_enriched.drop("w1"), n_rows=n_model), ["source", "bg"])
         .join(F.broadcast(vocab), "source")
         .select("doc_id", "source", lp.alias("lp"))
     )
@@ -507,6 +527,9 @@ def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n1_total", one.over(_W.partitionBy("source")))
         .localCheckpoint(eager=False)  # model materializes once, then broadcasts
     )
+    # measured ONCE here (the kn3/t18 discipline, r10 verdict ask #2) and
+    # threaded into the route instead of lm_model_route re-counting
+    n_model = enriched.count()
     # identical parenthesization to the oracle's lp expression (see there)
     lp = F.log(
         (
@@ -516,9 +539,9 @@ def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.col("c_w1").cast("double")
     )
-    scored = bi.join(lm_model_route(enriched), ["source", "w1", "w2"]).select(
-        "doc_id", "source", lp.alias("lp")
-    )
+    scored = bi.join(
+        lm_model_route(enriched, n_rows=n_model), ["source", "w1", "w2"]
+    ).select("doc_id", "source", lp.alias("lp"))
     avg_lp = (
         F.sum(F.col("lp").cast("decimal(38,18)")).cast("double") / F.count("*")
     )
@@ -759,18 +782,30 @@ def lm_score_frozen(
     prefix: DataFrame,
     vocab: DataFrame,
     n_model: int,
+    n_prefix: int | None = None,
 ) -> DataFrame:
     """Score `docs` against a FROZEN add-one bigram model:
     lp = ln((c_bg+1) / (c_w1+v)) with the OOV coalesces above; per-doc
     DECIMAL(38,18) accumulation and one 4-dp quantization (the
     x4_ngram_lm_score exactness discipline). The two type-table joins ride
-    lm_model_route on the caller-measured n_model (prefix <= model rows,
-    so one measurement routes both); vocab is one row per source and
-    always broadcasts. Output: (doc_id, source, n_bigrams, lm_score)."""
+    lm_model_route on caller-measured counts: the prefix frame (distinct
+    (source,w1) — strictly <= model rows) routes on its OWN n_prefix when
+    the caller measured it (lm_read_model returns both from one aggregate
+    job), so an over-threshold model no longer forgoes a likely-safe
+    broadcast of the smaller prefix side (the r10 ADVICE item);
+    n_prefix=None conservatively falls back to n_model. vocab is one row
+    per source and always broadcasts.
+    Output: (doc_id, source, n_bigrams, lm_score)."""
     bi = lm_doc_bigrams(docs)
     scored = (
         bi.join(lm_model_route(model, n_rows=n_model), ["source", "w1", "w2"], "left")
-        .join(lm_model_route(prefix, n_rows=n_model), ["source", "w1"], "left")
+        .join(
+            lm_model_route(
+                prefix, n_rows=n_model if n_prefix is None else n_prefix
+            ),
+            ["source", "w1"],
+            "left",
+        )
         .join(F.broadcast(vocab), ["source"], "left")
         .select(
             "doc_id",
@@ -810,17 +845,39 @@ def lm_write_model(train_docs: DataFrame, artifact_dir: str) -> None:
     vocab.write.mode("overwrite").parquet(os.path.join(artifact_dir, "vocab"))
 
 
+LM_MODEL_SCHEMA = "source string, w1 string, w2 string, c_bg long"
+LM_PREFIX_SCHEMA = "source string, w1 string, c_w1 long"
+LM_VOCAB_SCHEMA = "source string, v long"
+
+
 def lm_read_model(
     spark: SparkSession, artifact_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame, int]:
-    """Read the frozen artifact back; the returned n_model (measured ONCE,
-    not per batch) drives lm_model_route for every scoring call."""
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """Read the frozen artifact back; the returned n_model and n_prefix
+    (measured ONCE — one aggregate job over the model, since the prefix
+    row count is by construction its distinct-(source,w1) count — not per
+    batch) drive lm_model_route for every scoring call.
+
+    Schemas are EXPLICIT (the decontam_read_benchset discipline): a model
+    trained on a degenerate corpus (every doc <2 tokens) persists rowless
+    parquet dirs (_SUCCESS only), where schema inference would raise at
+    scoring startup instead of scoring every doc as all-OOV."""
     import os
 
-    model = spark.read.parquet(os.path.join(artifact_dir, "model"))
-    prefix = spark.read.parquet(os.path.join(artifact_dir, "prefix"))
-    vocab = spark.read.parquet(os.path.join(artifact_dir, "vocab"))
-    return model, prefix, vocab, model.count()
+    model = spark.read.schema(LM_MODEL_SCHEMA).parquet(
+        os.path.join(artifact_dir, "model")
+    )
+    prefix = spark.read.schema(LM_PREFIX_SCHEMA).parquet(
+        os.path.join(artifact_dir, "prefix")
+    )
+    vocab = spark.read.schema(LM_VOCAB_SCHEMA).parquet(
+        os.path.join(artifact_dir, "vocab")
+    )
+    counts = model.agg(
+        F.count("*").alias("nm"),
+        F.countDistinct(F.struct("source", "w1")).alias("np"),
+    ).first()
+    return model, prefix, vocab, int(counts["nm"]), int(counts["np"])
 
 
 # ---------------------------------------------------------------------------

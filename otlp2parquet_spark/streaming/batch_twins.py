@@ -800,7 +800,15 @@ def t18_lm_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(T(spark, sf_dir, "documents"))
     model, prefix, vocab = lm_model_frames(d.filter(F.col("doc_id") % 2 == 0))
-    return lm_score_frozen(d, model, prefix, vocab, model.count()).orderBy("doc_id")
+    # ONE measurement job routes both type-table joins: prefix's row count
+    # is by construction the model's distinct-(source,w1) count
+    counts = model.agg(
+        F.count("*").alias("nm"),
+        F.countDistinct(F.struct("source", "w1")).alias("np"),
+    ).first()
+    return lm_score_frozen(
+        d, model, prefix, vocab, int(counts["nm"]), int(counts["np"])
+    ).orderBy("doc_id")
 
 
 _T19_SQL = """

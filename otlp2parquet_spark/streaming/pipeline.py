@@ -91,15 +91,22 @@ def exp_idx(value_col) -> "F.Column":
     cumulative window orders NULLS FIRST, DuckDB's NULLS LAST, so a NULL
     bucket key would put the rank walk's threshold crossing at different
     buckets cross-engine). Shared by q08_exp_histogram_p95, the T16 batch
-    twin and the T16 live lane — ONE definition of the bucket formula."""
+    twin and the T16 live lane — ONE definition of the bucket formula.
+
+    NaN folds into the sentinel alongside NULL: a NaN measurement
+    reaching the else branch would diverge cross-engine (Spark casts NaN
+    to bigint 0 → bucket -1; DuckDB's CAST(NaN AS BIGINT) errors) —
+    unreachable with the generated events.value but real OTel payloads
+    can carry NaN gauge points."""
+    v = value_col.cast("double")
     return F.when(
-        value_col.isNull() | (value_col <= 1.0), F.lit(-100000)
+        value_col.isNull() | F.isnan(v) | (value_col <= 1.0), F.lit(-100000)
     ).otherwise(F.ceil(4 * F.log2(value_col)).cast("bigint") - 1)
 
 
 # the DuckDB twin of exp_idx, for composition into oracle CTEs
 SQL_EXP_IDX = (
-    "CASE WHEN {v} IS NULL OR {v} <= 1.0 THEN -100000 "
+    "CASE WHEN {v} IS NULL OR isnan({v}) OR {v} <= 1.0 THEN -100000 "
     "ELSE CAST(CEIL(4 * log2({v})) AS BIGINT) - 1 END"
 )
 
@@ -114,10 +121,17 @@ def sgn_exp_idx(value_col) -> "F.Column":
     -100000 sentinel (now covering NULL and |v| <= 1), positives keep
     their non-negative codes. All negative codes < -100000 < 0, so the
     zero bucket stays between signs with no NULLS FIRST/LAST dependence
-    (the r9 cross-engine hazard, inherited by construction)."""
+    (the r9 cross-engine hazard, inherited by construction). NaN folds
+    into the sentinel alongside NULL — same cross-engine divergence
+    guard as exp_idx (Spark CAST(NaN) → 0, DuckDB errors)."""
     mag = (-value_col).cast("double")
     return (
-        F.when(value_col.isNull() | ((value_col <= 1.0) & (value_col >= -1.0)), F.lit(-100000))
+        F.when(
+            value_col.isNull()
+            | F.isnan(value_col.cast("double"))
+            | ((value_col <= 1.0) & (value_col >= -1.0)),
+            F.lit(-100000),
+        )
         .when(
             value_col < -1.0,
             F.lit(-200000) - (F.ceil(4 * F.log2(mag)).cast("bigint") - 1),
@@ -128,7 +142,7 @@ def sgn_exp_idx(value_col) -> "F.Column":
 
 # the DuckDB twin of sgn_exp_idx
 SQL_SGN_EXP_IDX = (
-    "CASE WHEN {v} IS NULL OR ({v} <= 1.0 AND {v} >= -1.0) THEN -100000 "
+    "CASE WHEN {v} IS NULL OR isnan({v}) OR ({v} <= 1.0 AND {v} >= -1.0) THEN -100000 "
     "WHEN {v} < -1.0 THEN -200000 - (CAST(CEIL(4 * log2(-({v}))) AS BIGINT) - 1) "
     "ELSE CAST(CEIL(4 * log2({v})) AS BIGINT) - 1 END"
 )
@@ -1605,11 +1619,12 @@ def lmscore_stream(
     from otlp2parquet_spark.extensions.text import lm_read_model, lm_score_frozen
 
     _require_local_state(out_dir, "lmscore_stream")
-    model, prefix, vocab, n_model = lm_read_model(spark, artifact_dir)
+    model, prefix, vocab, n_model, n_prefix = lm_read_model(spark, artifact_dir)
 
     def flush(batch_df: DataFrame, epoch_id: int) -> None:
         lm_score_frozen(
-            batch_df.select("doc_id", "text", "source"), model, prefix, vocab, n_model
+            batch_df.select("doc_id", "text", "source"),
+            model, prefix, vocab, n_model, n_prefix,
         ).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch={int(epoch_id)}")
         )

@@ -108,7 +108,7 @@ def test_frozen_model_scores_oov_totally(spark, tmp_path):
     )
     art = str(tmp_path / "artifact")
     lm_write_model(train, art)
-    model, prefix, vocab, n_model = lm_read_model(spark, art)
+    model, prefix, vocab, n_model, n_prefix = lm_read_model(spark, art)
 
     oov = spark.createDataFrame(
         [
@@ -121,7 +121,7 @@ def test_frozen_model_scores_oov_totally(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     rows = {
-        r.doc_id: r for r in lm_score_frozen(oov, model, prefix, vocab, n_model).collect()
+        r.doc_id: r for r in lm_score_frozen(oov, model, prefix, vocab, n_model, n_prefix).collect()
     }
     assert rows[10].lm_score == 0.0 and rows[10].n_bigrams == 3
     assert rows[11].lm_score is not None and rows[11].lm_score < 0.0
@@ -129,7 +129,7 @@ def test_frozen_model_scores_oov_totally(spark, tmp_path):
     # arrives cannot change these rows (pure function of doc x artifact)
     again = {
         r.doc_id: r.lm_score
-        for r in lm_score_frozen(oov, model, prefix, vocab, n_model).collect()
+        for r in lm_score_frozen(oov, model, prefix, vocab, n_model, n_prefix).collect()
     }
     assert again == {k: v.lm_score for k, v in rows.items()}
 
@@ -176,9 +176,9 @@ def test_cli_lmtrain_lmscore_end_to_end(spark, tmp_path, capsys):
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["docs_scored"] > 0
     # the CLI-produced verdicts ARE the frozen-score function of the inputs
-    model, prefix, vocab, n_model = lm_read_model(spark, art)
+    model, prefix, vocab, n_model, n_prefix = lm_read_model(spark, art)
     want = sorted(
-        map(tuple, lm_score_frozen(docs, model, prefix, vocab, n_model)
+        map(tuple, lm_score_frozen(docs, model, prefix, vocab, n_model, n_prefix)
             .select(*COLS).collect())
     )
     got = sorted(map(tuple, spark.read.parquet(out).select(*COLS).collect()))
