@@ -107,6 +107,7 @@ HEADLINE = [
     "x6_zorder_layout",  # r8: Morton clustering key (layout tier)
     "x3_hard_negatives",  # r8: contrastive hard-negative mining
     "x5_jpeg_blocks",  # r9: real baseline-JPEG pixel decode (per-block oracle)
+    "x5_h264_nals",  # r11: Annex-B NAL/slice-header bitstream parse
     "q08_exp_histogram_p95",  # r9: exp-histogram percentile walk
     "x4_heavy_hitters",  # r9: MG-sketch-pruned exact frequent tokens
     "x5_png_resize",  # r9: real PNG pixel decode + NN resample

@@ -139,18 +139,38 @@ def x5_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x5_decode_features",
-    oracle=None,  # decode stub: schema/plumbing validated in tests
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS hx FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(64 + CAST(('0x' || substr(hx, 1, 2)) AS INT) % 192 AS INT)
+             AS width,
+           CAST(64 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 192 AS INT)
+             AS height,
+           CAST(1 + CAST(('0x' || substr(hx, 5, 2)) AS INT) % 32 AS INT)
+             AS n_frames,
+           substr(hx, 1, 16) AS feature_hash
+    FROM h
+    ORDER BY media_id
+    """,
     tags=("X5", "U4"),
 )
 def x5_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extraction pipeline over ARBITRARY binary media columns
     via Arrow-batched mapInPandas — the generic-binary fallback lane. The
     REAL decode paths are x5_media_meta (WAV/PNG/AVI container parsers over
-    spec-valid payloads, oracle-matched) and x5_jpeg_blocks (r9: full
-    baseline-JPEG pixel decode, per-block oracle-matched); this op keeps
-    the deterministic-stub kernel for the ONE codec with no in-container
-    lane left (H.264 frame pixels) so the plumbing — schema, batching,
-    partitioning — stays exercised for that case too."""
+    spec-valid payloads, oracle-matched), x5_jpeg_blocks (r9: full
+    baseline-JPEG pixel decode, per-block oracle-matched) and x5_h264_nals
+    (r11: Annex-B NAL/slice-header bitstream parse, oracle-matched); this
+    op keeps the clearly-marked deterministic-stub kernel as the
+    generic-binary plumbing exercise. The oracle replays the STUB's own
+    sha256-derived formula — what it hash-proves is the mapInPandas
+    dataflow (Arrow binary transfer, schema contract, row alignment), NOT
+    a decode; the real-decode proofs live in the three lanes above."""
     return decode_features(media_table(spark, sf_dir)).orderBy("media_id")
 
 
@@ -1990,3 +2010,401 @@ def x5_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance share a band with LSH probability, so the join is a uniform
     16-char-key shuffle, never pairwise."""
     return decode_image_phash(png_media_table(spark, sf_dir)).orderBy("media_id")
+
+
+# --- real decode: H.264 Annex-B NAL / slice-header metadata (r11) -----------
+# The last env-stubbed codec gets its real-but-bounded lane (r10 verdict ask
+# #5): an Annex-B byte-stream walk — start-code scan, emulation-prevention-
+# byte removal, NAL header split, exp-Golomb SPS/PPS/slice-header parse — is
+# pure bit arithmetic, no codec library needed, and it is exactly the
+# metadata pass a training-data pipeline runs over raw video before deciding
+# what to sample (frame boundaries, IDR cadence, geometry, profile). The
+# fixture synthesizes genuine spec-valid Annex-B streams (SPS profile 66 +
+# PPS + one slice NAL per frame, IDR every 8th) whose every parsed field is
+# a formula of doc_id, so the DuckDB oracle predicts all of them — the same
+# synthesis-formula discipline as x5_avi_meta / x5_jpeg_blocks. Every slice
+# RBSP ends in a forced 00 00 01 / 00 00 02 / 00 00 03 tail, so the on-wire
+# NAL carries emulation-prevention bytes that the parser MUST strip for the
+# body hash (and rbsp_len) to match — EPB removal is load-bearing in the
+# hash, not decorative. Out of scope (documented, not hidden): slice DATA
+# entropy decode (CAVLC/CABAC residuals -> pixels) — that is the one H.264
+# stage that genuinely needs a codec; everything up to it is real here.
+# Scale shape: map-only mapInPandas over the payload column, ~n_frames rows
+# out per asset — no shuffle before the output sort.
+
+_H264_RATES = (24, 25, 30, 60)
+# forced RBSP tail: every 2-zero run is followed by a byte <= 3, so EPB
+# insertion fires three times per slice on the wire
+_H264_TAIL = b"\x00\x00\x01\x00\x00\x02\x00\x00\x03"
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def ue(self, k: int) -> None:
+        m = (k + 1).bit_length() - 1
+        self.bits.extend([0] * m)
+        self.u(k + 1, m + 1)
+
+    def bytes_padded(self) -> bytes:
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        return bytes(
+            sum(b << (7 - i) for i, b in enumerate(bits[j : j + 8]))
+            for j in range(0, len(bits), 8)
+        )
+
+
+def _epb_insert(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes: 00 00 followed by 00/01/02/03
+    becomes 00 00 03 0x (ITU-T H.264 7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _synth_h264(doc_id: int) -> bytes:
+    """Spec-valid Annex-B stream: SPS(66/30) + PPS + (5 + doc_id % 20)
+    slice NALs, IDR every 8th frame. Geometry 16*(4+doc_id%8) x
+    16*(3+doc_id%6) macroblocks; frame_num is u(8) (log2_max_frame_num =
+    8 >= ceil(log2(24 frames))). First start code is 4-byte, the rest
+    3-byte (the common encoder convention — the parser must accept both).
+    Slice headers byte-align before the body (synthesis simplification the
+    parser mirrors; real slice data is bit-continuous)."""
+    w_mbs = 4 + doc_id % 8
+    h_mbs = 3 + doc_id % 6
+    n_frames = 5 + doc_id % 20
+
+    sps = _BitWriter()
+    sps.u(66, 8)   # profile_idc: Baseline
+    sps.u(0, 8)    # constraint flags + reserved
+    sps.u(30, 8)   # level_idc
+    sps.ue(0)      # seq_parameter_set_id
+    sps.ue(4)      # log2_max_frame_num_minus4 -> frame_num is u(8)
+    sps.ue(2)      # pic_order_cnt_type
+    sps.ue(1)      # max_num_ref_frames
+    sps.u(0, 1)    # gaps_in_frame_num_value_allowed_flag
+    sps.ue(w_mbs - 1)  # pic_width_in_mbs_minus1
+    sps.ue(h_mbs - 1)  # pic_height_in_map_units_minus1
+    sps.u(1, 1)    # frame_mbs_only_flag
+    sps.u(1, 1)    # direct_8x8_inference_flag
+    sps.u(0, 1)    # frame_cropping_flag
+    sps.u(0, 1)    # vui_parameters_present_flag
+    sps.u(1, 1)    # rbsp_stop_one_bit
+
+    pps = _BitWriter()
+    pps.ue(0)      # pic_parameter_set_id
+    pps.ue(0)      # seq_parameter_set_id
+    pps.u(0, 1)    # entropy_coding_mode_flag (CAVLC)
+    pps.u(0, 1)    # bottom_field_pic_order_in_frame_present_flag
+    pps.ue(0)      # num_slice_groups_minus1
+    pps.ue(0)      # num_ref_idx_l0_default_active_minus1
+    pps.ue(0)      # num_ref_idx_l1_default_active_minus1
+    pps.u(0, 1)    # weighted_pred_flag
+    pps.u(0, 2)    # weighted_bipred_idc
+    pps.ue(0)      # pic_init_qp_minus26 (se(0) == ue(0) on the wire)
+    pps.ue(0)      # pic_init_qs_minus26
+    pps.ue(0)      # chroma_qp_index_offset
+    pps.u(0, 1)    # deblocking_filter_control_present_flag
+    pps.u(0, 1)    # constrained_intra_pred_flag
+    pps.u(0, 1)    # redundant_pic_cnt_present_flag
+    pps.u(1, 1)    # rbsp_stop_one_bit
+
+    nals = [(3, 7, sps.bytes_padded()), (3, 8, pps.bytes_padded())]
+    for i in range(n_frames):
+        idr = i % 8 == 0
+        hdr = _BitWriter()
+        hdr.ue(0)                  # first_mb_in_slice
+        hdr.ue(7 if idr else 5)    # slice_type (I-all / P-all)
+        hdr.ue(0)                  # pic_parameter_set_id
+        hdr.u(i, 8)                # frame_num (u(8) per the SPS)
+        if idr:
+            hdr.ue(0)              # idr_pic_id
+        body = hashlib.sha256(f"{doc_id}:{i}".encode()).hexdigest().encode()
+        nals.append(
+            (3 if idr else 2, 5 if idr else 1, hdr.bytes_padded() + body + _H264_TAIL)
+        )
+
+    out = bytearray()
+    for j, (ref_idc, ntype, rbsp) in enumerate(nals):
+        out += b"\x00\x00\x00\x01" if j == 0 else b"\x00\x00\x01"
+        out.append((ref_idc << 5) | ntype)
+        out += _epb_insert(rbsp)
+    return bytes(out)
+
+
+def h264_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video fixture on the video-typed slice (doc_id % 3 == 2), one
+    Annex-B H.264 elementary stream per row."""
+    d = spread(T(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 2)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [_synth_h264(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return d.select("doc_id").mapInPandas(synth, schema=PNG_SCHEMA)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        if self.pos + n > 8 * len(self.buf):
+            raise ValueError("bitstream underrun")
+        v = 0
+        for _ in range(n):
+            byte = self.buf[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb overrun")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _epb_strip(nal: bytes) -> bytes:
+    """Remove emulation-prevention bytes: 00 00 03 followed by 00/01/02/03
+    drops the 03 (the inverse of _epb_insert)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    n = len(nal)
+    while i < n:
+        b = nal[i]
+        if zeros >= 2 and b == 3 and i + 1 < n and nal[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def _split_annexb(buf: bytes) -> list[bytes]:
+    """Split an Annex-B byte stream on 3- or 4-byte start codes; returns
+    the NAL units (header byte + escaped payload)."""
+    starts = []
+    i = 0
+    n = len(buf)
+    while i + 3 <= n:
+        if buf[i] == 0 and buf[i + 1] == 0:
+            if buf[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i + 4 <= n and buf[i + 2] == 0 and buf[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    nals = []
+    for j, (s, body_start) in enumerate(starts):
+        end = starts[j + 1][0] if j + 1 < len(starts) else n
+        if end > body_start:
+            nals.append(buf[body_start:end])
+    return nals
+
+
+_H264_HIGH_PROFILES = frozenset({100, 110, 122, 244, 44, 83, 86, 118, 128,
+                                 138, 139, 134, 135})
+
+
+def _parse_sps(r: "_BitReader") -> tuple:
+    """(profile_idc, level_idc, log2_max_frame_num, width, height)."""
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    if profile_idc in _H264_HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            raise ValueError("scaling matrices unsupported")
+    log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    width = 16 * (r.ue() + 1)
+    height_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    height = 16 * height_units * (1 if frame_mbs_only else 2)
+    return profile_idc, level_idc, log2_max_frame_num, width, height
+
+
+def parse_h264_nals(payload: bytes) -> list[tuple]:
+    """Walk an Annex-B stream; one tuple per NAL:
+    (nal_idx, nal_type, nal_ref_idc, rbsp_len, slice_type, frame_num,
+    width, height, body_sha). Slice fields need the stream's SPS for the
+    frame_num bit width — real sequential decoder state, carried across
+    NALs. A malformed NAL nulls its own row; the walk continues (D25
+    posture, column edition)."""
+    rows = []
+    log2_mfn = None
+    for idx, nal in enumerate(_split_annexb(payload)):
+        try:
+            header = nal[0]
+            if header & 0x80:
+                raise ValueError("forbidden_zero_bit set")
+            ref_idc = (header >> 5) & 3
+            ntype = header & 0x1F
+            rbsp = _epb_strip(nal[1:])
+            slice_type = frame_num = width = height = body_sha = None
+            if ntype == 7:
+                r = _BitReader(rbsp)
+                _, _, log2_mfn, width, height = _parse_sps(r)
+            elif ntype in (1, 5):
+                if log2_mfn is None:
+                    raise ValueError("slice before SPS")
+                r = _BitReader(rbsp)
+                r.ue()  # first_mb_in_slice
+                slice_type = r.ue()
+                r.ue()  # pic_parameter_set_id
+                frame_num = r.u(log2_mfn)
+                if ntype == 5:
+                    r.ue()  # idr_pic_id
+                body = rbsp[(r.pos + 7) // 8 :]
+                body_sha = hashlib.sha256(body).hexdigest()
+            rows.append(
+                (idx, ntype, ref_idc, len(rbsp), slice_type, frame_num,
+                 width, height, body_sha)
+            )
+        except (ValueError, IndexError):
+            rows.append((idx, None, None, None, None, None, None, None, None))
+    return rows
+
+
+H264_NALS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("nal_idx", IntegerType(), False),
+        StructField("nal_type", IntegerType(), True),
+        StructField("nal_ref_idc", IntegerType(), True),
+        StructField("rbsp_len", LongType(), True),
+        StructField("slice_type", IntegerType(), True),
+        StructField("frame_num", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("body_sha", StringType(), True),
+    ]
+)
+
+
+def decode_h264_nals(media: DataFrame) -> DataFrame:
+    """mapInPandas kernel over Annex-B payloads -> one row per NAL unit."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("nal_idx", "nal_type", "nal_ref_idc", "rbsp_len",
+                "slice_type", "frame_num", "width", "height", "body_sha")
+        for pdf in batches:
+            out = {"media_id": [], **{c: [] for c in cols}}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                for row in parse_h264_nals(bytes(payload or b"")):
+                    out["media_id"].append(media_id)
+                    for c, v in zip(cols, row):
+                        out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=H264_NALS_SCHEMA)
+
+
+# SPS RBSP bit budget (see _synth_h264): 24 profile/flags/level + 1 sps_id
+# + 5 log2mfn + 3 poc + 3 maxref + 1 gaps + ue(w_mbs-1) + ue(h_mbs-1)
+# + 4 trailing flags + 1 stop bit = 42 + |ue(w)| + |ue(h)| bits.
+# |ue(k)| = 2*floor(log2(k+1)) + 1: w_mbs-1 in 3..10 -> 5 or 7 bits;
+# h_mbs-1 in 2..7 -> 3, 5 or 7 bits.
+_SQL_H264 = """
+    WITH vids AS (
+      SELECT doc_id, 5 + doc_id % 20 AS n_frames,
+             CASE WHEN doc_id % 8 <= 3 THEN 5 ELSE 7 END AS ue_w,
+             CASE WHEN doc_id % 6 = 0 THEN 3
+                  WHEN doc_id % 6 = 5 THEN 7 ELSE 5 END AS ue_h
+      FROM documents WHERE doc_id % 3 = 2
+    ), sps AS (
+      SELECT doc_id AS media_id, CAST(0 AS INT) AS nal_idx,
+             CAST(7 AS INT) AS nal_type, CAST(3 AS INT) AS nal_ref_idc,
+             CAST((42 + ue_w + ue_h + 7) // 8 AS BIGINT) AS rbsp_len,
+             CAST(NULL AS INT) AS slice_type, CAST(NULL AS INT) AS frame_num,
+             CAST(16 * (4 + doc_id % 8) AS INT) AS width,
+             CAST(16 * (3 + doc_id % 6) AS INT) AS height,
+             CAST(NULL AS VARCHAR) AS body_sha
+      FROM vids
+    ), pps AS (
+      -- PPS RBSP: 17 bits (9 ue(0)/flag singles + 2-bit weighted_bipred_idc
+      -- + 5 more flags + stop bit) -> 3 bytes
+      SELECT doc_id, 1, 8, 3, 3, NULL, NULL, NULL, NULL, NULL FROM vids
+    ), slices AS (
+      SELECT doc_id, CAST(2 + g.i AS INT),
+             CASE WHEN g.i % 8 = 0 THEN 5 ELSE 1 END,
+             CASE WHEN g.i % 8 = 0 THEN 3 ELSE 2 END,
+             CASE WHEN g.i % 8 = 0 THEN 76 ELSE 75 END,
+             CAST(CASE WHEN g.i % 8 = 0 THEN 7 ELSE 5 END AS INT),
+             CAST(g.i AS INT), NULL, NULL,
+             sha256(sha256(doc_id || ':' || g.i)
+                    || decode('\\x00\\x00\\x01\\x00\\x00\\x02\\x00\\x00\\x03'::BLOB))
+      FROM vids, LATERAL (SELECT unnest(range(0, n_frames)) AS i) g
+    )
+    SELECT * FROM sps
+    UNION ALL SELECT * FROM pps
+    UNION ALL SELECT * FROM slices
+    ORDER BY media_id, nal_idx
+"""
+
+
+@query(
+    "x5_h264_nals",
+    oracle=_SQL_H264,
+    tags=("X5", "U4"),
+)
+def x5_h264_nals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 Annex-B NAL/slice-header metadata with a REAL bitstream
+    parser: start-code walk, emulation-prevention-byte removal, exp-Golomb
+    SPS parse (profile-conditional chroma branch, POC-type branches,
+    geometry), and slice-header parse whose frame_num bit width comes from
+    the stream's own SPS — sequential decoder state carried across NALs.
+    The oracle predicts every field from the synthesis formulas, and the
+    forced 00-00-0x RBSP tails mean the body hash only matches if EPB
+    stripping is exact. Retires the last env-stub: every modality container
+    now has a real decode lane (slice-data entropy decode to pixels remains
+    the one genuinely codec-bound stage, documented out of scope)."""
+    return decode_h264_nals(h264_media_table(spark, sf_dir)).orderBy(
+        "media_id", "nal_idx"
+    )

@@ -272,3 +272,69 @@ def test_jpeg_synth_decode_roundtrip_property(doc_id):
         if nc == 3:
             assert means[1][bi] == (doc_id * 7 + bi * 3) % 256
             assert means[2][bi] == (doc_id * 11 + bi * 5) % 256
+
+
+# --- H.264 Annex-B (r11) -----------------------------------------------------
+
+from otlp2parquet_spark.extensions.multimodal import (  # noqa: E402
+    _epb_insert,
+    _epb_strip,
+    _synth_h264,
+    parse_h264_nals,
+)
+
+
+@given(data=st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_h264_parser_never_raises_on_arbitrary_bytes(data):
+    # parse_h264_nals quarantines per-NAL internally (nulled row), so its
+    # contract is stronger than the other parsers': it NEVER raises
+    rows = parse_h264_nals(data)
+    assert isinstance(rows, list)
+
+
+@given(muts=_mutations, cut=st.integers(min_value=1, max_value=10_000))
+@settings(max_examples=300, deadline=None)
+def test_h264_parser_never_raises_on_corrupted_streams(muts, cut):
+    for doc_id in (3, 8):
+        rows = parse_h264_nals(_mutate(_synth_h264(doc_id), muts, cut))
+        assert isinstance(rows, list)
+
+
+@given(rbsp=st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_h264_epb_roundtrip_and_no_start_codes(rbsp):
+    wire = _epb_insert(rbsp)
+    assert _epb_strip(wire) == rbsp
+    # escaping guarantee: no start-code-prefix (or premature EPB pattern)
+    # survives on the wire
+    for pat in (b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02", b"\x00\x00\x03"):
+        assert pat not in wire
+
+
+def test_h264_fixture_roundtrip():
+    """The synthesized stream parses back to its formula values — anchors
+    the fuzz corpus to the real fixture (the test_fixture_containers
+    pattern), incl. the sequential-state contract (frame_num width from
+    the stream's own SPS) and EPB-stripped body hashes."""
+    doc_id = 11  # % 3 == 2: a video row
+    rows = parse_h264_nals(_synth_h264(doc_id))
+    n_frames = 5 + doc_id % 20
+    assert len(rows) == 2 + n_frames
+    _, ntype, ref_idc, _, _, _, width, height, _ = rows[0]
+    assert (ntype, ref_idc) == (7, 3)
+    assert width == 16 * (4 + doc_id % 8) and height == 16 * (3 + doc_id % 6)
+    assert rows[1][1] == 8  # PPS
+    for i, row in enumerate(rows[2:]):
+        idr = i % 8 == 0
+        assert row[1] == (5 if idr else 1)
+        assert row[4] == (7 if idr else 5)  # slice_type
+        assert row[5] == i  # frame_num
+        body = (
+            hashlib.sha256(f"{doc_id}:{i}".encode()).hexdigest().encode()
+            + b"\x00\x00\x01\x00\x00\x02\x00\x00\x03"
+        )
+        assert row[8] == hashlib.sha256(body).hexdigest()
+    # slice before any SPS: the row nulls (no frame_num width available)
+    orphan = parse_h264_nals(b"\x00\x00\x01\x41\x88\x80")
+    assert len(orphan) == 1 and orphan[0][1] is None
