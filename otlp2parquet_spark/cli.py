@@ -242,6 +242,24 @@ def _build_parser() -> argparse.ArgumentParser:
         help="merge committed verdict epochs after the drain",
     )
 
+    fn = sub.add_parser(
+        "funnel",
+        help="composed streaming ingest funnel (T21): drain available files "
+        "through exact dedup -> LSH near-dup -> frozen quality classifier -> "
+        "frozen decontamination, maintaining the persistent hash/band "
+        "indexes and a per-epoch (k1..k4) verdict ledger under STATE",
+    )
+    fn.add_argument("landing_dir", help="dir of documents-schema parquet files")
+    fn.add_argument("--state", required=True, help="funnel state root")
+    fn.add_argument("--qc-model", required=True, help="qtrain weight artifact")
+    fn.add_argument("--benchset", required=True, help="dctrain gram artifact")
+    fn.add_argument("--checkpoint", required=True)
+    fn.add_argument(
+        "--compact",
+        action="store_true",
+        help="compact all three state tables after the drain",
+    )
+
     zo = sub.add_parser(
         "zorder",
         help="re-cluster a parquet table by the Morton z-value of two "
@@ -888,6 +906,69 @@ def main(argv: list[str] | None = None) -> int:
                     "predicted_quality": int(n_keep or 0),
                     "score_epochs_compacted": compacted,
                     "out": args.out,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "funnel":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-funnel")
+        q = stream_pipeline.ingest_funnel_stream(
+            spark,
+            args.landing_dir,
+            args.state,
+            args.qc_model,
+            args.benchset,
+            args.checkpoint,
+        )
+        q.awaitTermination()
+        compacted = (0, 0, 0)
+        if args.compact:
+            compacted = stream_pipeline.compact_ingest_funnel(spark, args.state)
+        verdicts_dir = os.path.join(args.state, "verdicts")
+        counts = {"n_docs": 0, "k1": 0, "k2": 0, "k3": 0, "k4": 0}
+        if os.path.isdir(verdicts_dir) and any(
+            d.startswith("epoch=") for d in os.listdir(verdicts_dir)
+        ):
+            # explicit schema + dropDuplicates: rowless epochs and the
+            # publish-before-cleanup compaction crash window, as in qscore
+            led = (
+                spark.read.schema(
+                    "doc_id long, source string, k1 boolean, k2 boolean, "
+                    "k3 boolean, k4 boolean"
+                )
+                .parquet(verdicts_dir)
+                .dropDuplicates(["doc_id"])
+            )
+            row = led.agg(
+                F.count("*"),
+                *[F.sum(F.col(k).cast("long")) for k in ("k1", "k2", "k3", "k4")],
+            ).first()
+            counts = {
+                "n_docs": int(row[0]),
+                **{k: int(row[i + 1] or 0) for i, k in enumerate(("k1", "k2", "k3", "k4"))},
+            }
+        print(
+            json.dumps(
+                {
+                    "docs_ingested": counts["n_docs"],
+                    "kept_exact": counts["k1"],
+                    "kept_neardup": counts["k2"],
+                    "kept_quality": counts["k3"],
+                    "kept_clean": counts["k4"],
+                    "compacted": {
+                        "hash_epochs": compacted[0],
+                        "band_epochs": compacted[1],
+                        "verdict_epochs": compacted[2],
+                    },
+                    "state": args.state,
                 }
             )
         )

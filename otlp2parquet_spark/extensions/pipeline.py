@@ -1974,3 +1974,68 @@ def x6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "n_chars", _q4(F.col("es_key")).alias("es_key_q")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest_funnel_batch — the composed production ingest funnel (T21 kernel)
+
+
+def ingest_funnel_batch(
+    docs: DataFrame, w: list[int], bench: DataFrame
+) -> DataFrame:
+    """Per-doc verdicts of the COMPOSED production ingest funnel — the four
+    deploy lanes (T15 exact dedup -> T11 MinHash-LSH near-dup -> T13 frozen
+    quality classifier -> T20 benchmark decontamination) applied
+    sequentially, each stage over the previous stage's survivors:
+
+      k1 = first exact emitter of its content hash (MIN doc_id per sha256)
+      k2 = k1 AND not LSH-first-seen-duplicate among k1 survivors
+      k3 = k2 AND frozen classifier pred == 1
+      k4 = k3 AND not benchmark-contaminated (frozen benchset)
+
+    This is THE batch definition the composed streaming lane
+    (streaming/pipeline.ingest_funnel_stream) must reproduce batch-for-batch:
+    every stage kernel here is the exact function its standalone lane
+    deploys (sha2 window / minhash_fs_bands / qc_score / decontam_score),
+    so stage semantics cannot drift between the composed and standalone
+    forms. Output: (doc_id, source, k1, k2, k3, k4).
+
+    Scale shape: one hash-partitioned window (uniform 256-bit keys), the
+    minhash band kernel over exact survivors (three skinny-row shuffles),
+    then two frozen-artifact joins (broadcast (B+1)-row weights,
+    broadcast benchmark-bounded gram set) each over a strictly shrinking
+    survivor set — the funnel ORDER is the optimization: the cheapest
+    filter (exact hash) runs first so the expensive stages see only
+    survivors, and all doc_id-keyed re-attaches co-partition."""
+    from otlp2parquet_spark.extensions.dedup import minhash_fs_bands
+    from otlp2parquet_spark.extensions.text import qc_score
+
+    d = docs.select("doc_id", "source", "text")
+    w_ex = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
+    flags = d.withColumn(
+        "k1", F.col("doc_id") == F.min("doc_id").over(w_ex)
+    ).localCheckpoint(eager=False)  # two consumers: band branch + ledger
+    bands = minhash_fs_bands(flags.filter("k1").select("doc_id", "text"))
+    w_b = Window.partitionBy("band", "bsig")
+    lsh = (
+        bands.withColumn("first_id", F.min("doc_id").over(w_b))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("doc_id") > F.col("first_id")).alias("nd"))
+    )
+    f2 = flags.join(lsh, "doc_id", "left").withColumn(
+        "k2", F.col("k1") & ~F.coalesce("nd", F.lit(False))
+    )
+    q = qc_score(f2.filter("k2").select("doc_id", "text"), w).select(
+        "doc_id", F.col("pred").alias("q_pred")
+    )
+    f3 = f2.join(q, "doc_id", "left").withColumn(
+        "k3", F.col("k2") & (F.coalesce("q_pred", F.lit(0)) == 1)
+    )
+    dec = decontam_score(f3.filter("k3").select("doc_id", "text"), bench).select(
+        "doc_id", "contaminated"
+    )
+    return (
+        f3.join(dec, "doc_id", "left")
+        .withColumn("k4", F.col("k3") & ~F.coalesce("contaminated", F.lit(False)))
+        .select("doc_id", "source", "k1", "k2", "k3", "k4")
+    )

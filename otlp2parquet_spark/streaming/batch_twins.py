@@ -882,3 +882,66 @@ def t19_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     regs = P.hll_reg_buckets(e, watermark=None)
     return P.hll_estimate_from_registers(regs).orderBy("window_start", "event_type")
+
+
+@query(
+    "t21_ingest_funnel",
+    # No SQL oracle BY DESIGN: stage 3 is the learned classifier, whose IPM
+    # training is iterative (the x4_quality_classifier rows-only rationale)
+    # — the non-SQL gate is live==batch BIT-equality of the composed lane
+    # across slicings/restart/replay/compaction (test_streaming_funnel.py)
+    # plus each stage kernel's own standalone hash-match (x1_exact_dedup /
+    # x2_minhash_firstseen / x6_contamination) and replay gates.
+    oracle=None,
+    tags=("T21", "T15", "T11", "T13", "T20", "X1", "X2", "X4", "X6", "W5"),
+)
+def t21_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 batch twin: the per-source retention ledger of the COMPOSED
+    production ingest funnel (exact dedup -> MinHash-LSH -> frozen quality
+    classifier -> benchmark decontamination), with the artifacts derived
+    deterministically from the corpus itself — classifier trained on the
+    doc_id % 5 != 0 split (the x4_quality_classifier convention), benchset
+    = the doc_id % 97 == 0 slice's trigrams (the x6_contamination
+    convention). The ledger is the x6_dedup_funnel report shape extended
+    to the full four-stage deploy funnel; the live composed lane
+    (streaming/pipeline.ingest_funnel_stream) must reproduce the
+    underlying per-doc verdicts bit-for-bit."""
+    from otlp2parquet_spark.extensions.pipeline import (
+        doc_gram_set,
+        ingest_funnel_batch,
+    )
+    from otlp2parquet_spark.extensions.text import (
+        _qc_features,
+        qc_shards_for,
+        quality_classifier_train,
+    )
+    from otlp2parquet_spark.queries.relational import quant4
+    from otlp2parquet_spark.session import spread
+
+    d = spread(T(spark, sf_dir, "documents"))
+    shards = qc_shards_for(T(spark, sf_dir, "documents").count())
+    w = quality_classifier_train(
+        _qc_features(d, shards=shards).filter(F.col("doc_id") % 5 != 0),
+        shards=shards,
+    )
+    bench = (
+        doc_gram_set(d.filter(F.col("doc_id") % 97 == 0))
+        .select("gram")
+        .distinct()
+    )
+    verdicts = ingest_funnel_batch(d, w, bench)
+    bsum = lambda c, name: F.sum(F.col(c).cast("long")).alias(name)  # noqa: E731
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            bsum("k1", "n_exact_kept"),
+            bsum("k2", "n_neardup_kept"),
+            bsum("k3", "n_quality_kept"),
+            bsum("k4", "n_clean_kept"),
+            quant4(
+                F.sum(F.col("k4").cast("long")).cast("double") / F.count("*")
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )

@@ -1815,3 +1815,290 @@ def compact_decontam_verdicts(spark: SparkSession, out_dir: str) -> int:
     return _compact_union_epochs(
         spark, out_dir, key_cols=("doc_id",), sort_cols=("doc_id",)
     )
+
+
+# ---------------------------------------------------------------------------
+# T21: the composed production ingest funnel — T15 -> T11 -> T13 -> T20 as
+# ONE streaming pass (r10 verdict ask #6). The four lanes each prove
+# live==batch in isolation; production runs them as one funnel over one
+# landing dir, so this lane is the capstone proof that they COMPOSE: per
+# micro-batch, exact dedup probes/updates the persistent hash index, LSH
+# probes/updates the persistent band index with the exact SURVIVORS' bands,
+# and the two frozen artifacts score the remaining survivors — with the
+# composed verdict union equal to extensions.pipeline.ingest_funnel_batch
+# over the union of the inputs, across any slicing/restart/replay/compaction.
+# ---------------------------------------------------------------------------
+
+
+def make_ingest_funnel_flush(
+    spark: SparkSession,
+    state_dir: str,
+    w: list[int],
+    bench: DataFrame,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+):
+    """The foreachBatch body of ingest_funnel_stream, exposed so tests can
+    drive it with explicit (batch, epoch_id) pairs including replays.
+
+    State layout composes the standalone lanes' layouts verbatim so their
+    compaction functions apply unchanged: {state_dir}/hashes is the T15
+    (h, first_id) bucketed index, {state_dir}/bands the T11 (band, bsig,
+    first_id) bucketed index, {state_dir}/verdicts the per-epoch
+    (doc_id, source, k1..k4) ledger. All three writes are per-epoch
+    directory overwrites; both history reads filter epoch < current — the
+    shared replay-idempotence contract."""
+    import os
+
+    from pyspark.sql import Window
+
+    from otlp2parquet_spark.extensions.dedup import LSH_BANDS, minhash_fs_bands
+    from otlp2parquet_spark.extensions.pipeline import decontam_score
+    from otlp2parquet_spark.extensions.text import qc_score
+
+    _require_local_state(state_dir, "make_ingest_funnel_flush")
+    hashes_dir = os.path.join(state_dir, "hashes")
+    bands_dir = os.path.join(state_dir, "bands")
+    verdicts_dir = os.path.join(state_dir, "verdicts")
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = batch_df.select("doc_id", "source", "text").persist()
+        try:
+            # --- stage 1: exact dedup (the T15 probe/update kernel) -------
+            hashed = docs.select(
+                "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h")
+            ).persist()
+            try:
+                coarse = [
+                    r[0]
+                    for r in hashed.select(_hash_bucket(_BAND_MAXNB).alias("cb"))
+                    .distinct()
+                    .collect()
+                ]
+                hist_paths = history_probe_paths(hashes_dir, int(epoch_id), coarse)
+                w_h = Window.partitionBy("h")
+                ex = hashed.withColumn("first_intra", F.min("doc_id").over(w_h))
+                if hist_paths:
+                    hist = (
+                        spark.read.parquet(*hist_paths)
+                        .groupBy("h")
+                        .agg(F.min("first_id").alias("first_hist"))
+                    )
+                    ex = ex.join(hist, "h", "left")
+                else:
+                    ex = ex.withColumn("first_hist", F.lit(None).cast("long"))
+                keeper = F.least("first_hist", "first_intra")
+                k1f = ex.select(
+                    "doc_id", (~(keeper < F.col("doc_id"))).alias("k1")
+                ).persist()
+                # the index accretes ALL batch docs' hashes (T15 contract)
+                agg = hashed.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+                nb = _nb_for_rows(hashed.count(), rows_per_bucket)
+                _write_band_epoch(
+                    agg,
+                    os.path.join(hashes_dir, f"epoch={int(epoch_id)}"),
+                    nb,
+                    bucket_expr=_hash_bucket,
+                )
+
+                # --- stage 2: LSH near-dup over k1 survivors (T11) --------
+                surv1 = (
+                    docs.join(k1f, "doc_id").filter("k1").select("doc_id", "text")
+                ).persist()
+                try:
+                    bands = minhash_fs_bands(surv1).persist()
+                    try:
+                        coarse2 = [
+                            r[0]
+                            for r in bands.select(
+                                _band_bucket(_BAND_MAXNB).alias("cb")
+                            )
+                            .distinct()
+                            .collect()
+                        ]
+                        hist2 = history_probe_paths(
+                            bands_dir, int(epoch_id), coarse2
+                        )
+                        w_b = Window.partitionBy("band", "bsig")
+                        per_doc = (
+                            bands.withColumn(
+                                "first_id", F.min("doc_id").over(w_b)
+                            )
+                            .groupBy("doc_id")
+                            .agg(
+                                F.max(
+                                    F.col("doc_id") > F.col("first_id")
+                                ).alias("hit_intra")
+                            )
+                        )
+                        nd = surv1.select("doc_id").join(per_doc, "doc_id", "left")
+                        if hist2:
+                            hist_hits = (
+                                bands.join(
+                                    spark.read.parquet(*hist2).select(
+                                        "band", "bsig"
+                                    ),
+                                    ["band", "bsig"],
+                                    "left_semi",
+                                )
+                                .select("doc_id")
+                                .distinct()
+                                .withColumn("hit_hist", F.lit(True))
+                            )
+                            nd = nd.join(hist_hits, "doc_id", "left")
+                        else:
+                            nd = nd.withColumn("hit_hist", F.lit(False))
+                        ndf = nd.select(
+                            "doc_id",
+                            (
+                                F.coalesce("hit_intra", F.lit(False))
+                                | F.coalesce("hit_hist", F.lit(False))
+                            ).alias("neardup"),
+                        )
+                        # band index accretes the k1 SURVIVORS' bands only
+                        # (the batch funnel computes bands over k1 survivors)
+                        agg2 = bands.groupBy("band", "bsig").agg(
+                            F.min("doc_id").alias("first_id")
+                        )
+                        nb2 = _nb_for_rows(
+                            LSH_BANDS * surv1.count(), rows_per_bucket
+                        )
+                        _write_band_epoch(
+                            agg2,
+                            os.path.join(bands_dir, f"epoch={int(epoch_id)}"),
+                            nb2,
+                        )
+
+                        # --- stages 3+4: frozen-artifact scores over the
+                        # shrinking survivor sets (T13, T20 kernels) -------
+                        f2 = (
+                            docs.join(k1f, "doc_id")
+                            .join(ndf, "doc_id", "left")
+                            .withColumn(
+                                "k2",
+                                F.col("k1")
+                                & ~F.coalesce("neardup", F.lit(False)),
+                            )
+                        ).persist()
+                        try:
+                            q = qc_score(
+                                f2.filter("k2").select("doc_id", "text"), w
+                            ).select("doc_id", F.col("pred").alias("q_pred"))
+                            f3 = f2.join(q, "doc_id", "left").withColumn(
+                                "k3",
+                                F.col("k2")
+                                & (F.coalesce("q_pred", F.lit(0)) == 1),
+                            )
+                            dec = decontam_score(
+                                f3.filter("k3").select("doc_id", "text"), bench
+                            ).select("doc_id", "contaminated")
+                            (
+                                f3.join(dec, "doc_id", "left")
+                                .withColumn(
+                                    "k4",
+                                    F.col("k3")
+                                    & ~F.coalesce(
+                                        "contaminated", F.lit(False)
+                                    ),
+                                )
+                                .select(
+                                    "doc_id", "source", "k1", "k2", "k3", "k4"
+                                )
+                                .write.mode("overwrite")
+                                .parquet(
+                                    os.path.join(
+                                        verdicts_dir, f"epoch={int(epoch_id)}"
+                                    )
+                                )
+                            )
+                        finally:
+                            f2.unpersist()
+                    finally:
+                        bands.unpersist()
+                finally:
+                    surv1.unpersist()
+                k1f.unpersist()
+            finally:
+                hashed.unpersist()
+        finally:
+            docs.unpersist()
+
+    return flush
+
+
+def ingest_funnel_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    qc_model_path: str,
+    benchset_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+):
+    """The composed production ingest pipeline as ONE streaming lane: every
+    arriving documents micro-batch flows exact-dedup -> LSH near-dup ->
+    frozen quality classifier -> frozen benchmark decontamination, against
+    the same persistent indexes and artifacts the standalone T15/T11/T13/
+    T20 lanes maintain — one landing dir in, one (doc_id, source, k1..k4)
+    verdict ledger out.
+
+    Equivalence contract (tests/test_streaming_funnel.py): when documents
+    arrive in doc_id order, the union of all verdict partitions — across
+    any micro-batch slicing, stop/restart cycle, crash replay or index
+    compaction — equals extensions.pipeline.ingest_funnel_batch over the
+    union of the inputs with the same frozen artifacts. The classifier and
+    benchset scores are exact integer kernels, so the equality is
+    bit-level, not approximate.
+
+    Scale shape per micro-batch: the four stage kernels ARE the standalone
+    lanes' (see their docstrings for the per-stage probe-bytes bounds);
+    composition adds only doc_id-co-partitioned re-attaches between
+    stages, each over a strictly shrinking survivor set — the funnel order
+    (cheapest filter first) is what a production pipeline runs for cost,
+    not just correctness. Frozen artifacts are read ONCE at stream setup,
+    never per batch."""
+    from otlp2parquet_spark.extensions.pipeline import decontam_read_benchset
+    from otlp2parquet_spark.extensions.text import qc_read_model
+
+    _require_local_state(state_dir, "ingest_funnel_stream")
+    w = qc_read_model(spark, qc_model_path)
+    bench = decontam_read_benchset(spark, benchset_dir)
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            make_ingest_funnel_flush(
+                spark, state_dir, w, bench, rows_per_bucket=rows_per_bucket
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_ingest_funnel(
+    spark: SparkSession,
+    state_dir: str,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+) -> tuple[int, int, int]:
+    """Compact all three funnel state tables — the standalone lanes'
+    compaction functions apply verbatim because the layouts are shared:
+    hash index (T15 contract), band index (T11 contract), verdict ledger
+    (union-epochs contract). Returns (hash_epochs, band_epochs,
+    verdict_epochs) removed."""
+    import os
+
+    _require_local_state(state_dir, "compact_ingest_funnel")
+    n_h = compact_hash_index(spark, state_dir, rows_per_bucket=rows_per_bucket)
+    n_b = compact_band_index(spark, state_dir, rows_per_bucket=rows_per_bucket)
+    n_v = _compact_union_epochs(
+        spark,
+        os.path.join(state_dir, "verdicts"),
+        key_cols=("doc_id",),
+        sort_cols=("doc_id",),
+    )
+    return n_h, n_b, n_v

@@ -1,0 +1,279 @@
+"""T21 gates: the COMPOSED streaming ingest funnel (exact dedup -> LSH
+near-dup -> frozen quality classifier -> frozen decontamination) must be
+BIT-IDENTICAL to extensions.pipeline.ingest_funnel_batch over the union of
+its inputs — across micro-batch slicings, a stop/restart cycle, a crash
+replay of an epoch, and index compaction. Every stage score is an exact
+integer kernel against persistent state or a frozen artifact, so equality
+is literal row equality, never tolerance. This is the capstone proof that
+the standalone T15/T11/T13/T20 lanes COMPOSE (each proves live==batch in
+isolation; production runs them as one pass over one landing dir).
+"""
+
+from __future__ import annotations
+
+import glob
+import json as _json
+import os
+
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark import cli
+from otlp2parquet_spark.extensions.pipeline import (
+    decontam_read_benchset,
+    decontam_write_benchset,
+    ingest_funnel_batch,
+)
+from otlp2parquet_spark.extensions.text import (
+    _qc_features,
+    qc_read_model,
+    qc_write_model,
+    quality_classifier_train,
+)
+from otlp2parquet_spark.session import load_table
+from otlp2parquet_spark.streaming.pipeline import (
+    compact_ingest_funnel,
+    ingest_funnel_stream,
+    make_ingest_funnel_flush,
+)
+
+SF = "/root/testdata/sf0.001"
+COLS = ("doc_id", "source", "k1", "k2", "k3", "k4")
+
+
+def _docs(spark, n=300, offset=0):
+    return (
+        load_table(spark, SF, "documents")
+        .orderBy("doc_id")
+        .offset(offset)
+        .limit(n)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _funnel_corpus(spark, n=300):
+    """Base corpus slice PLUS planted rows that make every funnel stage
+    drop someone (the corpus slice alone has no exact dups and no
+    bench-overlapping survivors, which would leave stages 1 and 4
+    vacuously untested): 4 exact copies of early docs (k1 drops), and 4
+    stopword-heavy docs each opening with a bench doc's first 8 raw
+    tokens — >= 6 trigram hits against the doc_id % 97 == 0 benchset,
+    but a unique tail so neither LSH nor exact dedup catches them
+    (contamination is exactly the class the earlier stages CANNOT see)."""
+    base = _docs(spark, n=n).collect()
+    by_id = {r.doc_id: r for r in base}
+    planted = []
+    for j, src in enumerate(sorted(by_id)[:4]):
+        r = by_id[src]
+        planted.append((10_000 + j, r.text, r.lang, r.source, r.n_chars))
+    bench_ids = [i for i in sorted(by_id) if i % 97 == 0]
+    for j, b in enumerate(bench_ids[:4]):
+        prefix = " ".join(by_id[b].text.split()[:8])
+        tail = f" the a and of to w{j} " * 4
+        text = prefix + tail
+        planted.append((20_000 + j, text, "en", "planted", len(text)))
+    return spark.createDataFrame(base, _SCHEMA).unionAll(
+        spark.createDataFrame(planted, _SCHEMA)
+    )
+
+
+def _artifacts(spark, tmp_path, train_docs):
+    """Frozen classifier + benchset, persisted then read back — the same
+    read-back frames/weights feed BOTH the live lane and the batch twin so
+    the equality gate tests composition, not artifact round-tripping
+    (round-tripping has its own asserts here)."""
+    w = quality_classifier_train(_qc_features(train_docs))
+    model = str(tmp_path / "qc_model")
+    qc_write_model(spark, w, model)
+    assert qc_read_model(spark, model) == w
+    benchset = str(tmp_path / "benchset")
+    decontam_write_benchset(
+        train_docs.filter(F.col("doc_id") % 97 == 0), benchset
+    )
+    return model, benchset, w
+
+
+def _landing(spark, tmp_path, docs, n_files: int, name="landing") -> str:
+    landing = str(tmp_path / name)
+    os.makedirs(landing, exist_ok=True)
+    rows = docs.collect()
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(
+                chunk,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{i}")
+    flat = str(tmp_path / f"{name}_flat")
+    os.makedirs(flat, exist_ok=True)
+    k = 0
+    for f in sorted(glob.glob(f"{landing}/f*/part-*.parquet")):
+        os.link(f, f"{flat}/{k:05d}.parquet")
+        k += 1
+    return flat
+
+
+def _verdicts(spark, state):
+    return sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(state, "verdicts"))
+            .select(*COLS)
+            .collect(),
+        )
+    )
+
+
+def _want(spark, docs, w, benchset):
+    bench = decontam_read_benchset(spark, benchset)
+    return sorted(
+        map(tuple, ingest_funnel_batch(docs, w, bench).select(*COLS).collect())
+    )
+
+
+def test_funnel_live_equals_batch_across_slicings(spark, tmp_path):
+    docs = _funnel_corpus(spark)
+    model, benchset, w = _artifacts(spark, tmp_path, docs)
+    want = _want(spark, docs, w, benchset)
+    for n_files in (1, 5):
+        flat = _landing(spark, tmp_path, docs, n_files, name=f"l{n_files}")
+        state = str(tmp_path / f"state{n_files}")
+        ckpt = str(tmp_path / f"ckpt{n_files}")
+        q = ingest_funnel_stream(spark, flat, state, model, benchset, ckpt)
+        q.awaitTermination()
+        assert _verdicts(spark, state) == want, f"slicing {n_files}"
+    # the funnel is genuinely a funnel on this corpus: EVERY stage must
+    # have dropped someone or the composition test is vacuous
+    k = [sum(1 for r in want if r[2 + i]) for i in range(4)]
+    n = len(want)
+    assert n > k[0] > k[1] > k[2] > k[3] > 0, (n, k)
+    # and the planted bench-overlap docs are dropped at stage 4 EXACTLY:
+    # they pass exact/LSH (unique tails) and quality (stopword-heavy),
+    # and only decontamination catches them
+    planted = {r for r in want if r[0] >= 20_000}
+    assert planted and all(r[2] and r[3] and r[4] and not r[5] for r in planted), planted
+
+
+def test_funnel_restart_and_second_wave(spark, tmp_path):
+    """Stop/restart mid-drain, then a SECOND wave of docs after compaction:
+    later arrivals must still see the full pre-compaction history through
+    both persistent indexes."""
+    first = _docs(spark, n=200)
+    second = _docs(spark, n=100, offset=200)
+    both = _docs(spark, n=300)
+    model, benchset, w = _artifacts(spark, tmp_path, both)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    flat = _landing(spark, tmp_path, first, n_files=4, name="wave1")
+    # drain wave 1 in two runs (availableNow stops at the files present)
+    q = ingest_funnel_stream(spark, flat, state, model, benchset, ckpt)
+    q.awaitTermination()
+    # compact between waves: probe correctness must survive re-bucketing
+    n_h, n_b, n_v = compact_ingest_funnel(spark, state)
+    assert n_v >= 1
+    # wave 2 lands in the same dir; the restarted stream drains only it
+    rows = second.collect()
+    k = len(glob.glob(f"{flat}/*.parquet"))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w2"))
+    for f in sorted(glob.glob(str(tmp_path / "w2/part-*.parquet"))):
+        os.link(f, f"{flat}/{k:05d}.parquet")
+        k += 1
+    q = ingest_funnel_stream(spark, flat, state, model, benchset, ckpt)
+    q.awaitTermination()
+    assert _verdicts(spark, state) == _want(spark, both, w, benchset)
+
+
+def test_funnel_flush_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch (crash between
+    write and checkpoint commit) must rewrite exactly its own partitions
+    and leave the final union unchanged — and the replayed epoch must not
+    see its own half-written index as history."""
+    docs = _docs(spark, n=120)
+    model, benchset, w = _artifacts(spark, tmp_path, docs)
+    bench = decontam_read_benchset(spark, benchset)
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    flush = make_ingest_funnel_flush(spark, state, w, bench)
+    rows = docs.collect()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame(rows[:60], schema)
+    b1 = spark.createDataFrame(rows[60:], schema)
+    flush(b0, 0)
+    flush(b1, 1)
+    want = _verdicts(spark, state)
+    flush(b1, 1)  # crash replay of the newest epoch
+    assert _verdicts(spark, state) == want
+    assert want == _want(spark, docs, w, benchset)
+
+
+def test_funnel_cli_lane(spark, tmp_path, capsys):
+    docs = _docs(spark, n=150)
+    model, benchset, w = _artifacts(spark, tmp_path, docs)
+    flat = _landing(spark, tmp_path, docs, n_files=3)
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            "funnel",
+            flat,
+            "--state",
+            state,
+            "--qc-model",
+            model,
+            "--benchset",
+            benchset,
+            "--checkpoint",
+            str(tmp_path / "ck"),
+            "--compact",
+        ]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = _want(spark, docs, w, benchset)
+    assert summary["docs_ingested"] == len(want)
+    for i, key in enumerate(("kept_exact", "kept_neardup", "kept_quality", "kept_clean")):
+        assert summary[key] == sum(1 for r in want if r[2 + i])
+    # post-compaction the ledger still equals the batch funnel
+    assert _verdicts(spark, state) == want
+
+
+def test_t21_twin_is_the_funnel_ledger(spark):
+    """The registry twin's per-source ledger == aggregating the per-doc
+    batch funnel verdicts with the twin's own deterministic artifacts."""
+    from otlp2parquet_spark.extensions.pipeline import doc_gram_set
+    from otlp2parquet_spark.extensions.text import qc_shards_for
+    from otlp2parquet_spark.queries.registry import all_specs
+
+    d = load_table(spark, SF, "documents")
+    shards = qc_shards_for(d.count())
+    w = quality_classifier_train(
+        _qc_features(d, shards=shards).filter(F.col("doc_id") % 5 != 0),
+        shards=shards,
+    )
+    bench = doc_gram_set(d.filter(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+    per_doc = ingest_funnel_batch(d, w, bench)
+    want = sorted(
+        map(
+            tuple,
+            per_doc.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                *[
+                    F.sum(F.col(k).cast("long")).alias(k)
+                    for k in ("k1", "k2", "k3", "k4")
+                ],
+            )
+            .collect(),
+        )
+    )
+    got = sorted(
+        tuple(r)[:6]
+        for r in all_specs()["t21_ingest_funnel"].build(spark, SF).collect()
+    )
+    assert got == want
