@@ -436,6 +436,84 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_assignments(spark, sf_dir).orderBy("doc_id")
 
 
+def cc_star_forest(
+    spark: SparkSession, E: DataFrame, stats: dict | None = None
+) -> tuple[list[tuple[int, int]] | None, DataFrame]:
+    """Alternating large-star/small-star contraction over a canonical
+    (hi, lo) edge frame (hi > lo, distinct, checkpointed) — the connected-
+    components kernel of cluster_assignments, factored out so the
+    skew/scale benches (scripts/cc_skew_bench.py) can drive ADVERSARIAL
+    edge sets (giant component, Zipf hub degrees) directly, without
+    synthesizing text that survives the Jaccard pair generator's df cap.
+
+    Returns (mapping, E): either a bounded node -> component-min list
+    (small-remainder endgame fired) with E undefined for labeling, or
+    mapping=None and E = the converged star forest (hi -> component min).
+    Rounds are convergence-driven with a 64-round safety bound (r11; was
+    a fixed 16): the Kiveris O(log^2 n) worst case needs more than the ~3
+    rounds fixture graphs take — a 5M-node path measures 24 rounds, which
+    the old cap would have exited HALF-CONTRACTED, returning wrong labels
+    SILENTLY (the convergence check never fired). The cc_skew_bench
+    asserts label exactness for exactly this reason; converged results
+    are unchanged by the cap raise, so every hash-matched oracle row is
+    untouched.
+    `stats` (optional dict) receives {"rounds": N, "endgame": bool} for
+    the bench's round accounting."""
+    prev_sig, mapping = None, None
+    rounds = 0
+    for _ in range(64):
+        # the signature aggregate materializes the lazy checkpoint as a side
+        # effect, so convergence/size detection costs no extra job beyond
+        # the round's own work: (count, order-free checksum)
+        sig = E.agg(
+            F.count("*").alias("n"),
+            # decimal accumulation: a long sum of xxhash64 overflows ANSI
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig[0] <= _LOCAL_CC_EDGE_THRESHOLD:
+            # small-remainder endgame: the (contracted) edge set is bounded,
+            # finish exactly with one collect + union-find instead of the
+            # remaining star rounds (each a multi-stage distributed job)
+            mapping = _local_cc_min_labels(
+                [(r["hi"], r["lo"]) for r in E.collect()]
+            )
+            break
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        rounds += 1
+        # large-star: every neighbor v > u links to m = min(N(u) u {u})
+        bidir = E.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            E.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        # no intermediate distinct: small-star's min-agg is duplicate-proof
+        # and the round-final distinct dedups `lows` — one less shuffle/round
+        # merge hints (here and below): the node/min tables are O(corpus) —
+        # never statically broadcastable at 100 TB; AQE re-broadcasts at
+        # runtime when actually small (same static-underestimate bug class
+        # as _jaccard_scored's pair join)
+        E = (
+            bidir.hint("merge").join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        )
+        # small-star: u and its smaller neighbors all link to their min
+        mins2 = E.groupBy(F.col("hi").alias("u")).agg(F.min("lo").alias("m"))
+        lows = (
+            E.hint("merge").join(mins2, E.hi == F.col("u"))
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        his = mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+        E = lows.union(his).distinct().localCheckpoint(eager=False)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["endgame"] = mapping is not None
+    return mapping, E
+
+
 def cluster_assignments(
     spark: SparkSession, sf_dir: str, base: DataFrame | None = None
 ) -> DataFrame:
@@ -470,53 +548,7 @@ def cluster_assignments(
         .distinct()
         .localCheckpoint(eager=False)  # reused every round: cut the gram lineage
     )
-    prev_sig, mapping = None, None
-    for _ in range(16):  # log^2 bound; fixture graphs settle in ~3
-        # the signature aggregate materializes the lazy checkpoint as a side
-        # effect, so convergence/size detection costs no extra job beyond
-        # the round's own work: (count, order-free checksum)
-        sig = E.agg(
-            F.count("*").alias("n"),
-            # decimal accumulation: a long sum of xxhash64 overflows ANSI
-            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
-        if sig[0] <= _LOCAL_CC_EDGE_THRESHOLD:
-            # small-remainder endgame: the (contracted) edge set is bounded,
-            # finish exactly with one collect + union-find instead of the
-            # remaining star rounds (each a multi-stage distributed job)
-            mapping = _local_cc_min_labels(
-                [(r["hi"], r["lo"]) for r in E.collect()]
-            )
-            break
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-        # large-star: every neighbor v > u links to m = min(N(u) u {u})
-        bidir = E.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
-            E.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-        )
-        mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
-        # no intermediate distinct: small-star's min-agg is duplicate-proof
-        # and the round-final distinct dedups `lows` — one less shuffle/round
-        # merge hints (here and below): the node/min tables are O(corpus) —
-        # never statically broadcastable at 100 TB; AQE re-broadcasts at
-        # runtime when actually small (same static-underestimate bug class
-        # as _jaccard_scored's pair join)
-        E = (
-            bidir.hint("merge").join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-        )
-        # small-star: u and its smaller neighbors all link to their min
-        mins2 = E.groupBy(F.col("hi").alias("u")).agg(F.min("lo").alias("m"))
-        lows = (
-            E.hint("merge").join(mins2, E.hi == F.col("u"))
-            .filter(F.col("lo") != F.col("m"))
-            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
-        )
-        his = mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
-        E = lows.union(his).distinct().localCheckpoint(eager=False)
+    mapping, E = cc_star_forest(spark, E)
     # the documents scan happens here ONLY when no caller base is given —
     # x2_cluster_keeper's feature frame doubles as the label side
     labels = (

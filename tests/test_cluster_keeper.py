@@ -54,3 +54,28 @@ def test_keeper_prefers_quality_over_min_id(spark, tmp_path):
     # the singleton keeps itself
     assert rows[9]["cluster_id"] == 9 and rows[9]["keeper_id"] == 9
     assert rows[9]["is_keeper"]
+
+
+def test_cc_star_forest_giant_diameter_distributed_rounds(spark, monkeypatch):
+    """Regression for the fixed-16-round-cap bug (r11): a giant-DIAMETER
+    component needs ~log2(n) contraction rounds, and the old cap exited
+    half-contracted, returning wrong labels silently. Forcing the
+    distributed path on a 300-hop chain (endgame threshold patched to 0 so
+    the bounded collect cannot mask it) must still converge to exact
+    labels, in more rounds than the trivial fixtures take."""
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.extensions import dedup as D
+
+    monkeypatch.setattr(D, "_LOCAL_CC_EDGE_THRESHOLD", 0)
+    E = (
+        spark.range(1, 300)
+        .select(F.col("id").alias("hi"), (F.col("id") - 1).alias("lo"))
+        .localCheckpoint(eager=False)
+    )
+    stats: dict = {}
+    mapping, forest = D.cc_star_forest(spark, E, stats=stats)
+    assert mapping is None and not stats["endgame"]
+    assert stats["rounds"] > 3  # genuinely multi-round, not a fixture walk
+    labels = {r["hi"]: r["lo"] for r in forest.collect()}
+    assert labels == {i: 0 for i in range(1, 300)}  # every node -> comp min
