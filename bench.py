@@ -108,6 +108,10 @@ HEADLINE = [
     "x3_hard_negatives",  # r8: contrastive hard-negative mining
     "x5_jpeg_blocks",  # r9: real baseline-JPEG pixel decode (per-block oracle)
     "x5_h264_nals",  # r11: Annex-B NAL/slice-header bitstream parse
+    # t21_ingest_funnel is deliberately NOT benched: ~80% of its wall is
+    # x4_quality_classifier's training, already measured above — timing the
+    # same IPM kernel twice would add suite noise without information; the
+    # funnel's own costs (stage composition) are covered by its stage ops
     "q08_exp_histogram_p95",  # r9: exp-histogram percentile walk
     "x4_heavy_hitters",  # r9: MG-sketch-pruned exact frequent tokens
     "x5_png_resize",  # r9: real PNG pixel decode + NN resample

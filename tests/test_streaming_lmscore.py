@@ -109,6 +109,11 @@ def test_frozen_model_scores_oov_totally(spark, tmp_path):
     art = str(tmp_path / "artifact")
     lm_write_model(train, art)
     model, prefix, vocab, n_model, n_prefix = lm_read_model(spark, art)
+    # the ONE-job measurement must equal the frames' true row counts: the
+    # prefix count is derived as the model's distinct-(source,w1) count,
+    # which is prefix's cardinality BY CONSTRUCTION (r10 ADVICE item)
+    assert n_model == model.count() and n_prefix == prefix.count()
+    assert n_prefix <= n_model
 
     oov = spark.createDataFrame(
         [
@@ -183,3 +188,25 @@ def test_cli_lmtrain_lmscore_end_to_end(spark, tmp_path, capsys):
     )
     got = sorted(map(tuple, spark.read.parquet(out).select(*COLS).collect()))
     assert got == want
+
+
+def test_degenerate_corpus_artifact_reads_and_scores(spark, tmp_path):
+    """r10 ADVICE item: a model trained on a corpus where every doc has <2
+    tokens persists ROWLESS parquet dirs (_SUCCESS only); schema inference
+    would raise at lmscore startup. lm_read_model's explicit schemas must
+    read it (n_model = 0) and scoring must degrade to all-OOV (lp = ln(1/1)
+    = 0.0 per bigram of the scored docs), never throw."""
+    train = spark.createDataFrame(
+        [(0, "word", "en", "s", 4), (1, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    art = str(tmp_path / "degenerate")
+    lm_write_model(train, art)
+    model, prefix, vocab, n_model, n_prefix = lm_read_model(spark, art)
+    assert n_model == 0 and n_prefix == 0
+    docs = spark.createDataFrame(
+        [(5, "some new words here", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = lm_score_frozen(docs, model, prefix, vocab, n_model, n_prefix).collect()
+    assert len(rows) == 1 and rows[0].lm_score == 0.0 and rows[0].n_bigrams == 3
