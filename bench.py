@@ -131,6 +131,7 @@ HEADLINE = [
     "a20_tpch_q15",  # r9 addendum: top-supplier view max on exact decimals
     "x4_kn_lm_score",  # r9 addendum: interpolated Kneser-Ney bigram scoring
     "x4_kn3_lm_score",  # r9 addendum: KN trigram with the full backoff recursion
+    "x4_domain_fit_score",  # r11: excess log-likelihood vs the pooled model
     "t16_windowed_exp_p95",  # r9 addendum: windowed mergeable-sketch percentiles
     "x6_weighted_sample",  # r9 addendum: ES weighted top-k, zero-shuffle
     "x2_edit_neardup",  # r9 addendum: typo-level blocked Levenshtein pairs

@@ -427,6 +427,165 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# x4_domain_fit_score — domain-distinctiveness by excess log-likelihood
+
+_DFIT_Q = "CAST(SUM(CAST({lp} AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)"
+
+_DFIT_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                         t -> length(t) > 0) AS toks
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, source, toks[g.i] AS w1, toks[g.i] || ' ' || toks[g.i + 1] AS bg
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+      WHERE len(toks) >= 2
+    ), s_bg AS (
+      SELECT source, bg, COUNT(*) AS c_bg FROM bi GROUP BY source, bg
+    ), s_w1 AS (
+      SELECT source, w1, COUNT(*) AS c_w1 FROM bi GROUP BY source, w1
+    ), s_v AS (
+      SELECT source, COUNT(DISTINCT w1) AS v FROM bi GROUP BY source
+    ), g_bg AS (
+      SELECT bg, COUNT(*) AS g_bg FROM bi GROUP BY bg
+    ), g_w1 AS (
+      SELECT w1, COUNT(*) AS g_w1 FROM bi GROUP BY w1
+    ), g_v AS (
+      SELECT COUNT(DISTINCT w1) AS vg FROM bi
+    ), scored AS (
+      SELECT b.doc_id, b.source,
+             ln(CAST(s.c_bg + 1 AS DOUBLE) / (u.c_w1 + v.v)) AS lp_src,
+             ln(CAST(g.g_bg + 1 AS DOUBLE) / (w.g_w1 + gv.vg)) AS lp_glb
+      FROM bi b
+      JOIN s_bg s ON s.source = b.source AND s.bg = b.bg
+      JOIN s_w1 u ON u.source = b.source AND u.w1 = b.w1
+      JOIN s_v v ON v.source = b.source
+      JOIN g_bg g ON g.bg = b.bg
+      JOIN g_w1 w ON w.w1 = b.w1
+      CROSS JOIN g_v gv
+    )
+    SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {{q_src}} AS src_avg_lp,
+           {{q_glb}} AS glb_avg_lp,
+           {{q_fit}} AS domain_fit
+    FROM scored
+    GROUP BY doc_id, source
+    ORDER BY doc_id
+    """.format(
+    q_src=_LM_Q4.format(x=_DFIT_Q.format(lp="lp_src")),
+    q_glb=_LM_Q4.format(x=_DFIT_Q.format(lp="lp_glb")),
+    q_fit=_LM_Q4.format(
+        x=f"({_DFIT_Q.format(lp='lp_src')} - {_DFIT_Q.format(lp='lp_glb')})"
+    ),
+)
+
+
+@query(
+    "x4_domain_fit_score",
+    oracle=_DFIT_SQL,
+    tags=("X4", "X6", "A1", "J1", "F3"),
+)
+def x4_domain_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-distinctiveness scoring by EXCESS log-likelihood: each doc's
+    average bigram log-prob under its own SOURCE's add-one model minus
+    under the GLOBAL (all-sources-pooled) model — the data-selection
+    signal of the DSIR/DoReMi family (Xie et al. 2023) in its
+    cheap-proxy-LM form (CCNet uses the same excess-vs-reference shape
+    for quality): docs with high domain_fit are what make their domain a
+    domain (keep for domain-balance targets), docs near zero are generic,
+    and strongly negative docs are likely mis-sourced or boilerplate.
+
+    Scale shape — the model-CONTRACTION discipline (the kn3 lesson): the
+    global model is NOT a second corpus aggregation; it is the source
+    model's contraction (SUM over sources of the vocabulary²-bounded
+    count table), so the corpus is tokenized and shuffled ONCE, and all
+    global statistics are aggregates/windows over the model frame. Both
+    scoring joins ride lm_model_route on measured counts (the global
+    table's distinct-bg count routes its own join); per-source vocab
+    collapses to a literal frame in the same ONE measurement job the
+    route count needs (the x4_ngram_lm_score r11 shape). Determinism:
+    identical integer counts feed identical ln/divide expressions; per-doc
+    sums accumulate in DECIMAL(38,18); domain_fit subtracts the two raw
+    averages BEFORE its single 4-dp quantization, so shuffle order can
+    never reach any output."""
+    from pyspark.sql import Window as _W
+
+    d = spread(T(spark, sf_dir, "documents"))
+    tok_df = with_tokens(d, ("doc_id", "source"))
+    n = F.size("toks")
+    bi = (
+        tok_df.filter(n >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.col("toks")[i].alias("w1"),
+                        F.concat_ws(
+                            " ", F.col("toks")[i], F.col("toks")[i + 1]
+                        ).alias("bg"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", F.col("g.w1").alias("w1"), F.col("g.bg").alias("bg"))
+    )
+    bg_counts = bi.groupBy("source", "w1", "bg").agg(F.count("*").alias("c_bg"))
+    src = bg_counts.withColumn(
+        "c_w1", F.sum("c_bg").over(_W.partitionBy("source", "w1"))
+    ).localCheckpoint(eager=False)
+    # global model = contraction of the source model: zero corpus traffic
+    gbl = src.groupBy("w1", "bg").agg(F.sum("c_bg").alias("g_bg")).withColumn(
+        "g_w1", F.sum("g_bg").over(_W.partitionBy("w1"))
+    )
+    # ONE measurement job per model frame: per-source stats (route count +
+    # vocab literals) over the materialized checkpoint, then the global
+    # scalars (pooled vocab + distinct-bg route count) over the same
+    # checkpointed rows
+    stats = (
+        src.groupBy("source")
+        .agg(F.countDistinct("w1").alias("v"), F.count("*").alias("nm"))
+        .collect()
+    )
+    n_src = sum(int(r["nm"]) for r in stats)
+    vocab = spark.createDataFrame(
+        [(r["source"], int(r["v"])) for r in stats], "source string, v long"
+    )
+    g_row = src.agg(
+        F.countDistinct("w1").alias("vg"), F.countDistinct("bg").alias("ng")
+    ).first()
+    v_g, n_gbl = int(g_row["vg"]), int(g_row["ng"])
+
+    lp_src = F.log((F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v")))
+    lp_glb = F.log(
+        (F.col("g_bg") + 1).cast("double") / (F.col("g_w1") + F.lit(v_g))
+    )
+    scored = (
+        bi.join(lm_model_route(src.drop("w1"), n_rows=n_src), ["source", "bg"])
+        .join(lm_model_route(gbl.drop("w1"), n_rows=n_gbl), ["bg"])
+        .join(F.broadcast(vocab), "source")
+        .select("doc_id", "source", lp_src.alias("lp_src"), lp_glb.alias("lp_glb"))
+    )
+    davg = lambda c: (  # noqa: E731
+        F.sum(F.col(c).cast("decimal(38,18)")).cast("double") / F.count("*")
+    )
+    q4 = lambda x: F.floor(x * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            q4(davg("lp_src")).alias("src_avg_lp"),
+            q4(davg("lp_glb")).alias("glb_avg_lp"),
+            q4(davg("lp_src") - davg("lp_glb")).alias("domain_fit"),
+        )
+        .orderBy("doc_id")
+    )
+
 # ---------------------------------------------------------------------------
 # x4_kn_lm_score — interpolated Kneser-Ney bigram scoring
 
