@@ -1867,6 +1867,7 @@ def make_ingest_funnel_flush(
             hashed = docs.select(
                 "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h")
             ).persist()
+            k1f = None  # unpersisted in the finally below even on mid-stage failure
             try:
                 coarse = [
                     r[0]
@@ -2016,8 +2017,9 @@ def make_ingest_funnel_flush(
                         bands.unpersist()
                 finally:
                     surv1.unpersist()
-                k1f.unpersist()
             finally:
+                if k1f is not None:
+                    k1f.unpersist()
                 hashed.unpersist()
         finally:
             docs.unpersist()
