@@ -561,15 +561,30 @@ def x4_domain_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     v_g, n_gbl = int(g_row["vg"]), int(g_row["ng"])
 
-    lp_src = F.log((F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v")))
-    lp_glb = F.log(
-        (F.col("g_bg") + 1).cast("double") / (F.col("g_w1") + F.lit(v_g))
+    # log-probs are functions of MODEL rows alone, so compute them on the
+    # model side BEFORE the corpus joins: ln() runs once per distinct
+    # (source,bg) / (bg) type instead of once per corpus occurrence, and
+    # the joined/broadcast sides narrow to (keys, one double). Identical
+    # rationals feed identical expressions, so values (and the oracle
+    # hash) are unchanged — only where the work happens moves.
+    src_lp = src.join(F.broadcast(vocab), "source").select(
+        "source",
+        "bg",
+        F.log(
+            (F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v"))
+        ).alias("lp_src"),
+    )
+    gbl_lp = gbl.select(
+        "bg",
+        F.log(
+            (F.col("g_bg") + 1).cast("double") / (F.col("g_w1") + F.lit(v_g))
+        ).alias("lp_glb"),
     )
     scored = (
-        bi.join(lm_model_route(src.drop("w1"), n_rows=n_src), ["source", "bg"])
-        .join(lm_model_route(gbl.drop("w1"), n_rows=n_gbl), ["bg"])
-        .join(F.broadcast(vocab), "source")
-        .select("doc_id", "source", lp_src.alias("lp_src"), lp_glb.alias("lp_glb"))
+        bi.drop("w1")
+        .join(lm_model_route(src_lp, n_rows=n_src), ["source", "bg"])
+        .join(lm_model_route(gbl_lp, n_rows=n_gbl), ["bg"])
+        .select("doc_id", "source", "lp_src", "lp_glb")
     )
     davg = lambda c: (  # noqa: E731
         F.sum(F.col(c).cast("decimal(38,18)")).cast("double") / F.count("*")
