@@ -408,11 +408,19 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = spark.createDataFrame(
         [(r["source"], int(r["v"])) for r in stats], "source string, v long"
     )
+    # lp computed on the MODEL side before the corpus join (the r11
+    # domain-fit trick): ln() once per distinct (source,bg) type, and the
+    # routed side narrows to (source, bg, lp)
     lp = F.log((F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v")))
-    scored = (
-        bi.join(lm_model_route(bg_enriched.drop("w1"), n_rows=n_model), ["source", "bg"])
+    model_lp = (
+        bg_enriched.drop("w1")
         .join(F.broadcast(vocab), "source")
-        .select("doc_id", "source", lp.alias("lp"))
+        .select("source", "bg", lp.alias("lp"))
+    )
+    scored = (
+        bi.drop("w1")
+        .join(lm_model_route(model_lp, n_rows=n_model), ["source", "bg"])
+        .select("doc_id", "source", "lp")
     )
     avg_lp = (
         F.sum(F.col("lp").cast("decimal(38,18)")).cast("double") / F.count("*")
@@ -704,7 +712,10 @@ def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured ONCE here (the kn3/t18 discipline, r10 verdict ask #2) and
     # threaded into the route instead of lm_model_route re-counting
     n_model = enriched.count()
-    # identical parenthesization to the oracle's lp expression (see there)
+    # identical parenthesization to the oracle's lp expression (see there);
+    # computed on the MODEL side before the corpus join (the r11
+    # domain-fit trick): ln() runs once per distinct type, not once per
+    # corpus occurrence, and the routed side narrows to (keys, one double)
     lp = F.log(
         (
             F.greatest(F.col("c_bg").cast("double") - 0.75, F.lit(0.0))
@@ -713,9 +724,10 @@ def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.col("c_w1").cast("double")
     )
+    model_lp = enriched.select("source", "w1", "w2", lp.alias("lp"))
     scored = bi.join(
-        lm_model_route(enriched, n_rows=n_model), ["source", "w1", "w2"]
-    ).select("doc_id", "source", lp.alias("lp"))
+        lm_model_route(model_lp, n_rows=n_model), ["source", "w1", "w2"]
+    ).select("doc_id", "source", "lp")
     avg_lp = (
         F.sum(F.col("lp").cast("decimal(38,18)")).cast("double") / F.count("*")
     )
@@ -877,11 +889,13 @@ def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c123").cast("double") - 0.75, F.lit(0.0))
         + (F.lit(0.75) * F.col("n1f12")) * p2
     ) / F.col("c12").cast("double")
+    # lp computed on the MODEL side before the corpus join (the r11
+    # domain-fit trick): the full backoff recursion evaluates once per
+    # distinct trigram type, and the routed side narrows to (keys, lp)
+    model_lp = model.select("source", "w1", "w2", "w3", F.log(p3).alias("lp"))
     scored = tri.join(
-        lm_model_route(model, n_rows=n_model), ["source", "w1", "w2", "w3"]
-    ).select(
-        "doc_id", "source", F.log(p3).alias("lp")
-    )
+        lm_model_route(model_lp, n_rows=n_model), ["source", "w1", "w2", "w3"]
+    ).select("doc_id", "source", "lp")
     avg_lp = (
         F.sum(F.col("lp").cast("decimal(38,18)")).cast("double") / F.count("*")
     )
