@@ -461,6 +461,7 @@ def cc_star_forest(
     the bench's round accounting."""
     prev_sig, mapping = None, None
     rounds = 0
+    converged = False
     for _ in range(64):
         # the signature aggregate materializes the lazy checkpoint as a side
         # effect, so convergence/size detection costs no extra job beyond
@@ -480,6 +481,7 @@ def cc_star_forest(
             )
             break
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
         rounds += 1
@@ -508,6 +510,15 @@ def cc_star_forest(
         )
         his = mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
         E = lows.union(his).distinct().localCheckpoint(eager=False)
+    if mapping is None and not converged:
+        # the 64-round safety bound is headroom over every measured shape
+        # (5M-node path: 24 rounds); if a graph ever outruns it, labeling
+        # the HALF-CONTRACTED forest would return wrong cluster ids with
+        # no error — the exact silent-corruption mode the r11 cap fix
+        # closed. Fail loudly instead.
+        raise RuntimeError(
+            "cc_star_forest: contraction did not converge within 64 rounds"
+        )
     if stats is not None:
         stats["rounds"] = rounds
         stats["endgame"] = mapping is not None

@@ -141,7 +141,9 @@ def x5_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x5_decode_features",
     oracle="""
     WITH h AS (
-      SELECT doc_id, sha256(text) AS hx FROM documents
+      -- COALESCE mirrors the kernel's `payload or b""` NULL fallback: a
+      -- NULL-text row must hash b'' on BOTH sides, not go NULL oracle-side
+      SELECT doc_id, sha256(COALESCE(text, '')) AS hx FROM documents
     )
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image/png'

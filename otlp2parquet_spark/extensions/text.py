@@ -594,17 +594,18 @@ def x4_domain_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lm_model_route(gbl_lp, n_rows=n_gbl), ["bg"])
         .select("doc_id", "source", "lp_src", "lp_glb")
     )
+    from otlp2parquet_spark.queries.relational import quant4
+
     davg = lambda c: (  # noqa: E731
         F.sum(F.col(c).cast("decimal(38,18)")).cast("double") / F.count("*")
     )
-    q4 = lambda x: F.floor(x * 10000.0 + 0.5) / 10000.0  # noqa: E731
     return (
         scored.groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_bigrams"),
-            q4(davg("lp_src")).alias("src_avg_lp"),
-            q4(davg("lp_glb")).alias("glb_avg_lp"),
-            q4(davg("lp_src") - davg("lp_glb")).alias("domain_fit"),
+            quant4(davg("lp_src")).alias("src_avg_lp"),
+            quant4(davg("lp_glb")).alias("glb_avg_lp"),
+            quant4(davg("lp_src") - davg("lp_glb")).alias("domain_fit"),
         )
         .orderBy("doc_id")
     )
@@ -1864,7 +1865,16 @@ def _qc_features(docs: DataFrame, shards: int = _QC_SHARDS) -> DataFrame:
     keeps every doc (such a doc scores z = bias with y = 1, since
     10*0 >= 0)."""
     tok = with_tokens(docs, ("doc_id",))
-    toks = F.filter(F.col("toks"), lambda t: F.length(t) > 0)
+    # NULL text tokenizes to a NULL array; coalesce to EMPTY so such docs
+    # ride the tokenless path (y = 1, z = bias) instead of labeling y NULL
+    # — a NULL y reaches the training kernel as NaN and kills the epoch
+    # task (r11 review-adjacent finding, caught by the funnel's NULL-text
+    # regression test). Scoped HERE, not in with_tokens: the oracle-matched
+    # text ops need Spark and DuckDB to agree that NULL text stays NULL.
+    toks = F.filter(
+        F.coalesce(F.col("toks"), F.array().cast("array<string>")),
+        lambda t: F.length(t) > 0,
+    )
     stop_arr = F.array(*[F.lit(s) for s in _QC_STOP])
     base = tok.select(
         "doc_id",

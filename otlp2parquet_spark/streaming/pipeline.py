@@ -704,10 +704,6 @@ def make_neardup_flush(
     exercise multi-bucket epochs on small fixtures)."""
     import os
 
-    from pyspark.sql import Window
-
-    from otlp2parquet_spark.extensions.dedup import LSH_BANDS, minhash_fs_bands
-
     _require_local_state(state_dir, "make_neardup_flush")
     bands_dir = os.path.join(state_dir, "bands")
     flags_dir = os.path.join(state_dir, "flags")
@@ -715,63 +711,11 @@ def make_neardup_flush(
     def flush(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df.select("doc_id", "text").persist()
         try:
-            bands = minhash_fs_bands(docs).persist()
-            try:
-                # coarse bucket ids of this batch's band keys: bounded by
-                # _BAND_MAXNB rows by construction, so the collect is a
-                # fixed-size driver scalar, not corpus traffic
-                coarse = [
-                    r[0]
-                    for r in bands.select(
-                        _band_bucket(_BAND_MAXNB).alias("cb")
-                    )
-                    .distinct()
-                    .collect()
-                ]
-                hist_paths = history_probe_paths(
-                    bands_dir, int(epoch_id), coarse
-                )
-                hist = (
-                    spark.read.parquet(*hist_paths).select("band", "bsig")
-                    if hist_paths
-                    else None
-                )
-                w = Window.partitionBy("band", "bsig")
-                per_doc = (
-                    bands.withColumn("first_id", F.min("doc_id").over(w))
-                    .groupBy("doc_id")
-                    .agg(F.max(F.col("doc_id") > F.col("first_id")).alias("hit_intra"))
-                )
-                out = docs.select("doc_id").join(per_doc, "doc_id", "left")
-                if hist is not None:
-                    hist_hits = (
-                        bands.join(hist, ["band", "bsig"], "left_semi")
-                        .select("doc_id")
-                        .distinct()
-                        .withColumn("hit_hist", F.lit(True))
-                    )
-                    out = out.join(hist_hits, "doc_id", "left")
-                else:
-                    out = out.withColumn("hit_hist", F.lit(False))
-                out.select(
-                    "doc_id",
-                    (
-                        F.coalesce("hit_intra", F.lit(False))
-                        | F.coalesce("hit_hist", F.lit(False))
-                    ).alias("is_neardup"),
-                ).write.mode("overwrite").parquet(
-                    os.path.join(flags_dir, f"epoch={int(epoch_id)}")
-                )
-                agg = bands.groupBy("band", "bsig").agg(
-                    F.min("doc_id").alias("first_id")
-                )
-                # upper bound on the agg's rows — LSH_BANDS band rows per doc
-                nb = _nb_for_rows(LSH_BANDS * docs.count(), rows_per_bucket)
-                _write_band_epoch(
-                    agg, os.path.join(bands_dir, f"epoch={int(epoch_id)}"), nb
-                )
-            finally:
-                bands.unpersist()
+            band_probe_update(
+                spark, bands_dir, epoch_id, docs, rows_per_bucket
+            ).write.mode("overwrite").parquet(
+                os.path.join(flags_dir, f"epoch={int(epoch_id)}")
+            )
         finally:
             docs.unpersist()
 
@@ -1264,6 +1208,130 @@ def compact_dsir_verdicts(spark: SparkSession, out_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+def exact_probe_update(
+    spark: SparkSession,
+    hashes_dir: str,
+    epoch_id: int,
+    hashed: DataFrame,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+) -> DataFrame:
+    """Shared T15 stage kernel — the ONE exact-dedup probe/update both the
+    standalone lane (make_exactdedup_flush) and the composed funnel
+    (make_ingest_funnel_flush) run, so their semantics cannot drift (the
+    minhash_fs_bands/qc_score discipline applied to the stage itself;
+    r11 review finding). Probes ONLY the history buckets this batch's
+    hashes fold onto, accretes the batch's (h, first_id) rows into the
+    epoch index, and returns per-doc (doc_id, h, keeper).
+
+    NULL-safe: a NULL-text doc hashes to a NULL key; the intra-batch
+    window and the index groupBy both group NULLs, and the history probe
+    joins with eqNullSafe — a plain equi-join would silently declare
+    every NULL-text doc first-seen (NULL never equi-matches), diverging
+    from the batch twin's window semantics across micro-batches."""
+    import os
+
+    from pyspark.sql import Window
+
+    coarse = [
+        r[0]
+        for r in hashed.select(_hash_bucket(_BAND_MAXNB).alias("cb"))
+        .distinct()
+        .collect()
+    ]
+    hist_paths = history_probe_paths(hashes_dir, int(epoch_id), coarse)
+    w = Window.partitionBy("h")
+    out = hashed.withColumn("first_intra", F.min("doc_id").over(w))
+    if hist_paths:
+        hist = (
+            spark.read.parquet(*hist_paths)
+            .groupBy("h")
+            .agg(F.min("first_id").alias("first_hist"))
+            .withColumnRenamed("h", "h_hist")
+        )
+        out = out.join(
+            hist, F.col("h").eqNullSafe(F.col("h_hist")), "left"
+        ).drop("h_hist")
+    else:
+        out = out.withColumn("first_hist", F.lit(None).cast("long"))
+    agg = hashed.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    nb = _nb_for_rows(hashed.count(), rows_per_bucket)
+    _write_band_epoch(
+        agg,
+        os.path.join(hashes_dir, f"epoch={int(epoch_id)}"),
+        nb,
+        bucket_expr=_hash_bucket,
+    )
+    # least skips NULLs: keeper = smallest doc_id that ever emitted h
+    return out.withColumn("keeper", F.least("first_hist", "first_intra"))
+
+
+def band_probe_update(
+    spark: SparkSession,
+    bands_dir: str,
+    epoch_id: int,
+    docs: DataFrame,
+    rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
+) -> DataFrame:
+    """Shared T11 stage kernel — the ONE LSH probe/update both the
+    standalone lane (make_neardup_flush) and the composed funnel run
+    (r11 review finding, as exact_probe_update). Computes the batch's
+    band rows, flags each doc against batch-local first-seen AND the
+    persistent band index (bucket-pruned probe), accretes the batch's
+    (band, bsig, first_id) rows into the epoch index, and returns per-doc
+    (doc_id, is_neardup). `docs` (doc_id, text) should be persisted by
+    the caller (two consumers: band kernel + count)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from otlp2parquet_spark.extensions.dedup import LSH_BANDS, minhash_fs_bands
+
+    bands = minhash_fs_bands(docs).persist()
+    try:
+        coarse = [
+            r[0]
+            for r in bands.select(_band_bucket(_BAND_MAXNB).alias("cb"))
+            .distinct()
+            .collect()
+        ]
+        hist_paths = history_probe_paths(bands_dir, int(epoch_id), coarse)
+        w = Window.partitionBy("band", "bsig")
+        per_doc = (
+            bands.withColumn("first_id", F.min("doc_id").over(w))
+            .groupBy("doc_id")
+            .agg(F.max(F.col("doc_id") > F.col("first_id")).alias("hit_intra"))
+        )
+        out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+        if hist_paths:
+            hist_hits = (
+                bands.join(
+                    spark.read.parquet(*hist_paths).select("band", "bsig"),
+                    ["band", "bsig"],
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+                .withColumn("hit_hist", F.lit(True))
+            )
+            out = out.join(hist_hits, "doc_id", "left")
+        else:
+            out = out.withColumn("hit_hist", F.lit(False))
+        agg = bands.groupBy("band", "bsig").agg(F.min("doc_id").alias("first_id"))
+        nb = _nb_for_rows(LSH_BANDS * docs.count(), rows_per_bucket)
+        _write_band_epoch(
+            agg, os.path.join(bands_dir, f"epoch={int(epoch_id)}"), nb
+        )
+        return out.select(
+            "doc_id",
+            (
+                F.coalesce("hit_intra", F.lit(False))
+                | F.coalesce("hit_hist", F.lit(False))
+            ).alias("is_neardup"),
+        )
+    finally:
+        bands.unpersist()
+
+
 def make_exactdedup_flush(
     spark: SparkSession,
     state_dir: str,
@@ -1283,8 +1351,6 @@ def make_exactdedup_flush(
     {state_dir}/hashes, bucketed + `_NB`-sidecar'd like the band index."""
     import os
 
-    from pyspark.sql import Window
-
     _require_local_state(state_dir, "make_exactdedup_flush")
     hashes_dir = os.path.join(state_dir, "hashes")
     flags_dir = os.path.join(state_dir, "flags")
@@ -1294,25 +1360,10 @@ def make_exactdedup_flush(
             "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h")
         ).persist()
         try:
-            coarse = [
-                r[0]
-                for r in hashed.select(_hash_bucket(_BAND_MAXNB).alias("cb"))
-                .distinct()
-                .collect()
-            ]
-            hist_paths = history_probe_paths(hashes_dir, int(epoch_id), coarse)
-            w = Window.partitionBy("h")
-            out = hashed.withColumn("first_intra", F.min("doc_id").over(w))
-            if hist_paths:
-                hist = (
-                    spark.read.parquet(*hist_paths)
-                    .groupBy("h")
-                    .agg(F.min("first_id").alias("first_hist"))
-                )
-                out = out.join(hist, "h", "left")
-            else:
-                out = out.withColumn("first_hist", F.lit(None).cast("long"))
-            keeper = F.least("first_hist", "first_intra")  # least skips NULLs
+            out = exact_probe_update(
+                spark, hashes_dir, epoch_id, hashed, rows_per_bucket
+            )
+            keeper = F.col("keeper")
             (
                 out.select(
                     "doc_id",
@@ -1321,14 +1372,6 @@ def make_exactdedup_flush(
                     F.when(keeper < F.col("doc_id"), keeper).alias("dup_of"),
                 ).write.mode("overwrite")
                 .parquet(os.path.join(flags_dir, f"epoch={int(epoch_id)}"))
-            )
-            agg = hashed.groupBy("h").agg(F.min("doc_id").alias("first_id"))
-            nb = _nb_for_rows(hashed.count(), rows_per_bucket)
-            _write_band_epoch(
-                agg,
-                os.path.join(hashes_dir, f"epoch={int(epoch_id)}"),
-                nb,
-                bucket_expr=_hash_bucket,
             )
         finally:
             hashed.unpersist()
@@ -1846,12 +1889,14 @@ def make_ingest_funnel_flush(
     first_id) bucketed index, {state_dir}/verdicts the per-epoch
     (doc_id, source, k1..k4) ledger. All three writes are per-epoch
     directory overwrites; both history reads filter epoch < current — the
-    shared replay-idempotence contract."""
+    shared replay-idempotence contract.
+
+    Stages 1 and 2 ARE the standalone lanes' kernels (exact_probe_update /
+    band_probe_update — one function each, r11 review finding): a fix to a
+    standalone probe applies to the composed funnel by construction, never
+    by parallel edit."""
     import os
 
-    from pyspark.sql import Window
-
-    from otlp2parquet_spark.extensions.dedup import LSH_BANDS, minhash_fs_bands
     from otlp2parquet_spark.extensions.pipeline import decontam_score
     from otlp2parquet_spark.extensions.text import qc_score
 
@@ -1863,158 +1908,71 @@ def make_ingest_funnel_flush(
     def flush(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df.select("doc_id", "source", "text").persist()
         try:
-            # --- stage 1: exact dedup (the T15 probe/update kernel) -------
+            # --- stage 1: exact dedup (the shared T15 kernel; the index
+            # accretes ALL batch docs' hashes, the T15 contract) ----------
             hashed = docs.select(
                 "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h")
             ).persist()
             k1f = None  # unpersisted in the finally below even on mid-stage failure
             try:
-                coarse = [
-                    r[0]
-                    for r in hashed.select(_hash_bucket(_BAND_MAXNB).alias("cb"))
-                    .distinct()
-                    .collect()
-                ]
-                hist_paths = history_probe_paths(hashes_dir, int(epoch_id), coarse)
-                w_h = Window.partitionBy("h")
-                ex = hashed.withColumn("first_intra", F.min("doc_id").over(w_h))
-                if hist_paths:
-                    hist = (
-                        spark.read.parquet(*hist_paths)
-                        .groupBy("h")
-                        .agg(F.min("first_id").alias("first_hist"))
-                    )
-                    ex = ex.join(hist, "h", "left")
-                else:
-                    ex = ex.withColumn("first_hist", F.lit(None).cast("long"))
-                keeper = F.least("first_hist", "first_intra")
-                k1f = ex.select(
-                    "doc_id", (~(keeper < F.col("doc_id"))).alias("k1")
-                ).persist()
-                # the index accretes ALL batch docs' hashes (T15 contract)
-                agg = hashed.groupBy("h").agg(F.min("doc_id").alias("first_id"))
-                nb = _nb_for_rows(hashed.count(), rows_per_bucket)
-                _write_band_epoch(
-                    agg,
-                    os.path.join(hashes_dir, f"epoch={int(epoch_id)}"),
-                    nb,
-                    bucket_expr=_hash_bucket,
+                probed = exact_probe_update(
+                    spark, hashes_dir, epoch_id, hashed, rows_per_bucket
                 )
+                k1f = probed.select(
+                    "doc_id", (~(F.col("keeper") < F.col("doc_id"))).alias("k1")
+                ).persist()
 
-                # --- stage 2: LSH near-dup over k1 survivors (T11) --------
+                # --- stage 2: LSH near-dup over k1 survivors (the shared
+                # T11 kernel; the band index accretes the k1 SURVIVORS'
+                # bands only — the batch funnel computes bands over them) --
                 surv1 = (
                     docs.join(k1f, "doc_id").filter("k1").select("doc_id", "text")
                 ).persist()
                 try:
-                    bands = minhash_fs_bands(surv1).persist()
-                    try:
-                        coarse2 = [
-                            r[0]
-                            for r in bands.select(
-                                _band_bucket(_BAND_MAXNB).alias("cb")
-                            )
-                            .distinct()
-                            .collect()
-                        ]
-                        hist2 = history_probe_paths(
-                            bands_dir, int(epoch_id), coarse2
-                        )
-                        w_b = Window.partitionBy("band", "bsig")
-                        per_doc = (
-                            bands.withColumn(
-                                "first_id", F.min("doc_id").over(w_b)
-                            )
-                            .groupBy("doc_id")
-                            .agg(
-                                F.max(
-                                    F.col("doc_id") > F.col("first_id")
-                                ).alias("hit_intra")
-                            )
-                        )
-                        nd = surv1.select("doc_id").join(per_doc, "doc_id", "left")
-                        if hist2:
-                            hist_hits = (
-                                bands.join(
-                                    spark.read.parquet(*hist2).select(
-                                        "band", "bsig"
-                                    ),
-                                    ["band", "bsig"],
-                                    "left_semi",
-                                )
-                                .select("doc_id")
-                                .distinct()
-                                .withColumn("hit_hist", F.lit(True))
-                            )
-                            nd = nd.join(hist_hits, "doc_id", "left")
-                        else:
-                            nd = nd.withColumn("hit_hist", F.lit(False))
-                        ndf = nd.select(
-                            "doc_id",
-                            (
-                                F.coalesce("hit_intra", F.lit(False))
-                                | F.coalesce("hit_hist", F.lit(False))
-                            ).alias("neardup"),
-                        )
-                        # band index accretes the k1 SURVIVORS' bands only
-                        # (the batch funnel computes bands over k1 survivors)
-                        agg2 = bands.groupBy("band", "bsig").agg(
-                            F.min("doc_id").alias("first_id")
-                        )
-                        nb2 = _nb_for_rows(
-                            LSH_BANDS * surv1.count(), rows_per_bucket
-                        )
-                        _write_band_epoch(
-                            agg2,
-                            os.path.join(bands_dir, f"epoch={int(epoch_id)}"),
-                            nb2,
-                        )
+                    ndf = band_probe_update(
+                        spark, bands_dir, epoch_id, surv1, rows_per_bucket
+                    )
 
-                        # --- stages 3+4: frozen-artifact scores over the
-                        # shrinking survivor sets (T13, T20 kernels) -------
-                        f2 = (
-                            docs.join(k1f, "doc_id")
-                            .join(ndf, "doc_id", "left")
+                    # --- stages 3+4: frozen-artifact scores over the
+                    # shrinking survivor sets (T13, T20 kernels) -----------
+                    f2 = (
+                        docs.join(k1f, "doc_id")
+                        .join(ndf, "doc_id", "left")
+                        .withColumn(
+                            "k2",
+                            F.col("k1")
+                            & ~F.coalesce("is_neardup", F.lit(False)),
+                        )
+                    ).persist()
+                    try:
+                        q = qc_score(
+                            f2.filter("k2").select("doc_id", "text"), w
+                        ).select("doc_id", F.col("pred").alias("q_pred"))
+                        f3 = f2.join(q, "doc_id", "left").withColumn(
+                            "k3",
+                            F.col("k2")
+                            & (F.coalesce("q_pred", F.lit(0)) == 1),
+                        )
+                        dec = decontam_score(
+                            f3.filter("k3").select("doc_id", "text"), bench
+                        ).select("doc_id", "contaminated")
+                        (
+                            f3.join(dec, "doc_id", "left")
                             .withColumn(
-                                "k2",
-                                F.col("k1")
-                                & ~F.coalesce("neardup", F.lit(False)),
+                                "k4",
+                                F.col("k3")
+                                & ~F.coalesce("contaminated", F.lit(False)),
                             )
-                        ).persist()
-                        try:
-                            q = qc_score(
-                                f2.filter("k2").select("doc_id", "text"), w
-                            ).select("doc_id", F.col("pred").alias("q_pred"))
-                            f3 = f2.join(q, "doc_id", "left").withColumn(
-                                "k3",
-                                F.col("k2")
-                                & (F.coalesce("q_pred", F.lit(0)) == 1),
-                            )
-                            dec = decontam_score(
-                                f3.filter("k3").select("doc_id", "text"), bench
-                            ).select("doc_id", "contaminated")
-                            (
-                                f3.join(dec, "doc_id", "left")
-                                .withColumn(
-                                    "k4",
-                                    F.col("k3")
-                                    & ~F.coalesce(
-                                        "contaminated", F.lit(False)
-                                    ),
-                                )
-                                .select(
-                                    "doc_id", "source", "k1", "k2", "k3", "k4"
-                                )
-                                .write.mode("overwrite")
-                                .parquet(
-                                    os.path.join(
-                                        verdicts_dir, f"epoch={int(epoch_id)}"
-                                    )
+                            .select("doc_id", "source", "k1", "k2", "k3", "k4")
+                            .write.mode("overwrite")
+                            .parquet(
+                                os.path.join(
+                                    verdicts_dir, f"epoch={int(epoch_id)}"
                                 )
                             )
-                        finally:
-                            f2.unpersist()
+                        )
                     finally:
-                        bands.unpersist()
+                        f2.unpersist()
                 finally:
                     surv1.unpersist()
             finally:

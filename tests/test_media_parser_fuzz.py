@@ -306,9 +306,11 @@ def test_h264_parser_never_raises_on_corrupted_streams(muts, cut):
 def test_h264_epb_roundtrip_and_no_start_codes(rbsp):
     wire = _epb_insert(rbsp)
     assert _epb_strip(wire) == rbsp
-    # escaping guarantee: no start-code-prefix (or premature EPB pattern)
-    # survives on the wire
-    for pat in (b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02", b"\x00\x00\x03"):
+    # escaping guarantee (H.264 7.4.1.1): no 00 00 00 / 00 00 01 / 00 00 02
+    # survives on the wire. 00 00 03 is NOT forbidden — it is exactly what
+    # the escape PRODUCES (e.g. rbsp 00 00 00 -> wire 00 00 03 00), so
+    # asserting its absence would fail on spec-correct output (r11 review)
+    for pat in (b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02"):
         assert pat not in wire
 
 

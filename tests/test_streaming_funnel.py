@@ -277,3 +277,33 @@ def test_t21_twin_is_the_funnel_ledger(spark):
         for r in all_specs()["t21_ingest_funnel"].build(spark, SF).collect()
     )
     assert got == want
+
+
+def test_funnel_null_text_docs_live_equals_batch(spark, tmp_path):
+    """r11 review finding: sha2(NULL) is a NULL join key, so the exact
+    stage's history probe must match it NULL-SAFELY — a plain equi-join
+    declares every NULL-text doc first-seen, diverging from the batch
+    twin's window semantics the moment two NULL-text docs land in
+    DIFFERENT micro-batches. Drive the shared kernel through two batches
+    each carrying a NULL-text doc and gate bit-equality."""
+    rows = [
+        (0, "alpha beta gamma delta", "en", "s", 22),
+        (1, None, "en", "s", 0),
+        (2, "epsilon zeta eta theta", "en", "s", 22),
+        (3, None, "en", "s", 0),  # later NULL-text arrival: k1 must be False
+        (4, "alpha beta gamma delta", "en", "s", 22),  # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, _SCHEMA)
+    model, benchset, w = _artifacts(spark, tmp_path, docs)
+    bench = decontam_read_benchset(spark, benchset)
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    flush = make_ingest_funnel_flush(spark, state, w, bench)
+    flush(spark.createDataFrame(rows[:2], _SCHEMA), 0)
+    flush(spark.createDataFrame(rows[2:], _SCHEMA), 1)
+    got = _verdicts(spark, state)
+    want = _want(spark, docs, w, benchset)
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][2] and not by_id[3][2]  # first NULL keeps, second drops
+    assert not by_id[4][2]  # cross-batch exact dup drops
