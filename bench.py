@@ -142,6 +142,8 @@ HEADLINE = [
     "t18_lm_score_frozen",  # r10: frozen-LM deploy scoring twin
     "t19_windowed_hll_distinct",  # r10: deterministic windowed HLL, hash-matched
     "x3_radius_search",  # r10: map-only range similarity search
+    # r12 (the 84-query subset above stays the round-over-round comparable):
+    "t21_funnel_skeleton",  # r12: composed 3-stage funnel, DuckDB-matched
 ]
 
 RUNS_PER_QUERY = 3
@@ -386,6 +388,26 @@ def main() -> None:
     cal_after = _cal_kernel()
     noise_index = round((cal_before + cal_after) / 2.0 / CAL_REF_S, 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Machine-checked 2x gate against the frozen r11 84-query anchor
+    # (bench_anchor.json; BASELINE.md "Re-anchored per-query bench gate"):
+    # compare NORMALIZED values so host noise doesn't fake a regression.
+    # New queries without an anchor row are reported, not gated — they get
+    # anchored at the next freeze.
+    gate_violations: dict[str, list[float]] = {}
+    unanchored: list[str] = []
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_anchor.json")
+        ) as f:
+            _anchors = json.load(f)["anchors_normalized_s"]
+        for name, raw in timings.items():
+            a = _anchors.get(name)
+            if a is None:
+                unanchored.append(name)
+            elif raw / noise_index > 2.0 * a:
+                gate_violations[name] = [round(raw / noise_index, 3), a]
+    except (OSError, KeyError, ValueError):
+        _anchors = None
     payload = json.dumps(
         {
                 "metric": f"headline suite wall sec (best-of-{RUNS_PER_QUERY} per query, noop-write forced)",
@@ -412,6 +434,10 @@ def main() -> None:
                 "load_gate_max": LOAD_GATE_MAX,
                 "load_gate_ambient": round(load_ambient, 2),
                 "load_gate_waited_s": load_waited,
+                # {query: [normalized_s, anchor_s]} for queries over 2x the
+                # frozen r11 anchor (empty = the whole 84-query gate holds)
+                "anchor_gate_violations": gate_violations,
+                "anchor_gate_unanchored": sorted(unanchored),
             }
     )
     print(payload)

@@ -516,10 +516,13 @@ def main(argv: list[str] | None = None) -> int:
             flags_compacted = stream_pipeline.compact_flags(spark, args.state)
         flags_dir = os.path.join(args.state, "flags")
         if os.path.isdir(flags_dir):
-            # dropDuplicates: a compaction crash between publish and
-            # cleanup leaves transient duplicate verdict rows (full
-            # copies); the summary must not double-count them
-            flags = spark.read.parquet(flags_dir).dropDuplicates(["doc_id"])
+            # first_epoch_rows: crash-window copies AND re-delivered docs
+            # (second verdict differs) resolve to the first epoch's row
+            flags = stream_pipeline.first_epoch_rows(
+                spark.read.schema("doc_id long, is_neardup boolean, epoch int")
+                .parquet(flags_dir),
+                ("doc_id",),
+            )
             n_total, n_dup = flags.agg(
                 F.count("*"), F.sum(F.col("is_neardup").cast("long"))
             ).first()
@@ -560,7 +563,13 @@ def main(argv: list[str] | None = None) -> int:
             )
         flags_dir = os.path.join(args.state, "flags")
         if os.path.isdir(flags_dir):
-            flags = spark.read.parquet(flags_dir).dropDuplicates(["doc_id"])
+            flags = stream_pipeline.first_epoch_rows(
+                spark.read.schema(
+                    "doc_id long, content_hash string, is_duplicate boolean, "
+                    "dup_of long, epoch int"
+                ).parquet(flags_dir),
+                ("doc_id",),
+            )
             n_total, n_dup = flags.agg(
                 F.count("*"), F.sum(F.col("is_duplicate").cast("long"))
             ).first()
@@ -641,7 +650,11 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(codes_dir):
             from pyspark.sql import functions as F
 
-            codes = spark.read.parquet(codes_dir)
+            from otlp2parquet_spark.extensions.similarity import (
+                IVFPQ_CODES_SCHEMA,
+            )
+
+            codes = spark.read.schema(IVFPQ_CODES_SCHEMA).parquet(codes_dir)
             n_codes, n_vecs = codes.agg(
                 F.count("*"), F.countDistinct("vec_id")
             ).first()
@@ -699,7 +712,13 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(args.out) and any(
             d.startswith("epoch=") for d in os.listdir(args.out)
         ):
-            v = spark.read.parquet(args.out).dropDuplicates(["doc_id"])
+            v = stream_pipeline.first_epoch_rows(
+                spark.read.schema(
+                    "doc_id long, liw_micro long, n_tok long, keep boolean, "
+                    "epoch int"
+                ).parquet(args.out),
+                ("doc_id",),
+            )
             n_total, n_keep = v.agg(
                 F.count("*"), F.sum(F.col("keep").cast("long"))
             ).first()
@@ -786,13 +805,12 @@ def main(argv: list[str] | None = None) -> int:
         ):
             # explicit schema: rowless epochs (a zero-gram drain) must
             # summarize zero, not fail schema inference
-            v = (
+            v = stream_pipeline.first_epoch_rows(
                 spark.read.schema(
                     "doc_id long, n_grams long, n_hits long, "
-                    "contamination double, contaminated boolean"
-                )
-                .parquet(args.out)
-                .dropDuplicates(["doc_id"])
+                    "contamination double, contaminated boolean, epoch int"
+                ).parquet(args.out),
+                ("doc_id",),
             )
             n_total, n_bad = v.agg(
                 F.count("*"), F.sum(F.col("contaminated").cast("long"))
@@ -851,12 +869,12 @@ def main(argv: list[str] | None = None) -> int:
         ):
             # explicit schema: a drain whose every doc has <2 tokens writes
             # rowless epochs (_SUCCESS only) that schema inference chokes on
-            scores = (
+            scores = stream_pipeline.first_epoch_rows(
                 spark.read.schema(
-                    "doc_id long, source string, n_bigrams long, lm_score double"
-                )
-                .parquet(args.out)
-                .dropDuplicates(["doc_id"])
+                    "doc_id long, source string, n_bigrams long, "
+                    "lm_score double, epoch int"
+                ).parquet(args.out),
+                ("doc_id",),
             )
             n_total, mean_score = scores.agg(
                 F.count("*"), F.round(F.avg("lm_score"), 4)
@@ -893,9 +911,14 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(args.out) and any(
             d.startswith("epoch=") for d in os.listdir(args.out)
         ):
-            # dropDuplicates: a compaction crash between publish and cleanup
-            # leaves transient duplicate verdict rows (full copies)
-            scores = spark.read.parquet(args.out).dropDuplicates(["doc_id"])
+            # first_epoch_rows: crash-window copies AND re-delivered docs
+            # (second verdict differs) resolve to the first epoch's row
+            scores = stream_pipeline.first_epoch_rows(
+                spark.read.schema(
+                    "doc_id long, y int, z long, pred int, epoch int"
+                ).parquet(args.out),
+                ("doc_id",),
+            )
             n_total, n_keep = scores.agg(
                 F.count("*"), F.sum(F.col("pred").cast("long"))
             ).first()
@@ -937,15 +960,17 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(verdicts_dir) and any(
             d.startswith("epoch=") for d in os.listdir(verdicts_dir)
         ):
-            # explicit schema + dropDuplicates: rowless epochs and the
-            # publish-before-cleanup compaction crash window, as in qscore
-            led = (
+            # explicit schema (rowless epochs) + first_epoch_rows: a doc
+            # re-delivered in a later landing file is verdicted AGAIN with
+            # different k1..k4 (the exact stage marks the replay a
+            # duplicate); an arbitrary-winner dedup makes the printed
+            # kept_* counts nondeterministic — keep the FIRST verdict
+            led = stream_pipeline.first_epoch_rows(
                 spark.read.schema(
                     "doc_id long, source string, k1 boolean, k2 boolean, "
-                    "k3 boolean, k4 boolean"
-                )
-                .parquet(verdicts_dir)
-                .dropDuplicates(["doc_id"])
+                    "k3 boolean, k4 boolean, epoch int"
+                ).parquet(verdicts_dir),
+                ("doc_id",),
             )
             row = led.agg(
                 F.count("*"),

@@ -359,6 +359,12 @@ _CLUSTER_EDGE_THRESHOLD = 0.02  # low bar so fixture chains span >1 hop
 # (GraphX/GraphFrames expose the same local-finish switch). 1M edges ~= 16 MB
 # collected; above it the star rounds keep contracting distributively.
 _LOCAL_CC_EDGE_THRESHOLD = 1 << 20
+# cc_star_forest's contraction-round safety bound: headroom over every
+# measured shape (5M-hop path: 24 rounds; real corpora: single digits).
+# The bound counts CONTRACTION rounds — convergence observed on exactly the
+# _CC_MAX_ROUNDS-th round is success, not exhaustion (r11 ADVICE off-by-one,
+# pinned by tests/test_cluster_keeper.py::test_cc_round_budget_boundary).
+_CC_MAX_ROUNDS = 64
 
 
 def _local_cc_min_labels(edges) -> list[tuple[int, int]]:
@@ -431,7 +437,8 @@ _CC_SQL_CTES = f"""norm AS (
 )
 def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment (see cluster_assignments for the
-    algorithm and scale shape); x2_cluster_keeper composes the
+    algorithm, scale shape, and the O(log diameter) round-law /
+    raise-on-exhaustion contract); x2_cluster_keeper composes the
     survivorship decision on the same kernel."""
     return cluster_assignments(spark, sf_dir).orderBy("doc_id")
 
@@ -462,7 +469,7 @@ def cc_star_forest(
     prev_sig, mapping = None, None
     rounds = 0
     converged = False
-    for _ in range(64):
+    while True:
         # the signature aggregate materializes the lazy checkpoint as a side
         # effect, so convergence/size detection costs no extra job beyond
         # the round's own work: (count, order-free checksum)
@@ -482,6 +489,14 @@ def cc_star_forest(
             break
         if sig == prev_sig:
             converged = True
+            break
+        if rounds >= _CC_MAX_ROUNDS:
+            # budget exhausted WITHOUT observing convergence: fall through
+            # to the raise below. The guard sits here (not in the for-range)
+            # so the bound counts CONTRACTION rounds — a graph that
+            # converges exactly on round 64 gets this extra sig-only pass
+            # to observe it (r11 ADVICE: the old range(64) consumed the
+            # final slot on the check and raised on 64-round graphs)
             break
         prev_sig = sig
         rounds += 1
@@ -517,7 +532,8 @@ def cc_star_forest(
         # no error — the exact silent-corruption mode the r11 cap fix
         # closed. Fail loudly instead.
         raise RuntimeError(
-            "cc_star_forest: contraction did not converge within 64 rounds"
+            f"cc_star_forest: contraction did not converge within "
+            f"{_CC_MAX_ROUNDS} rounds"
         )
     if stats is not None:
         stats["rounds"] = rounds
@@ -549,7 +565,16 @@ def cluster_assignments(
     bounded collect + exact union-find — the small-remainder endgame every
     distributed CC engine uses (each avoided round is a multi-stage job
     whose data no longer justifies cluster scheduling). Non-SQL-expressible
-    (iterative); the DuckDB twin is a recursive reachability CTE."""
+    (iterative); the DuckDB twin is a recursive reachability CTE.
+
+    Round-law CONTRACT (inherited by every caller — x2_dedup_clusters,
+    x2_cluster_keeper, soft-dedup): rounds grow O(log diameter) of the
+    largest component, NOT with corpus size — real near-dup graphs (dense
+    boilerplate clusters, Zipf hubs) converge in single-digit rounds, and
+    even a pathological 5M-hop pure path needs only 24 (BASELINE.md r11 CC
+    rows). If a graph ever exceeds the 64-round safety bound, cc_star_forest
+    RAISES RuntimeError instead of returning half-contracted (i.e. silently
+    WRONG) labels — the failure mode the r11 adversarial gate caught."""
     # star edges always point (hi -> lo); seed by canonicalizing the pairs
     E = (
         jaccard_pairs(spark, sf_dir, _CLUSTER_EDGE_THRESHOLD)
@@ -631,7 +656,11 @@ def x2_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts every partition; the hot cluster of a boilerplate-heavy corpus
     would serialize exactly like the t6/t10 hot keys did). Two
     corpus-keyed shuffles total: the feature join on doc_id and the
-    window on cluster_id."""
+    window on cluster_id.
+
+    Round-law: clustering inherits cc_star_forest's contract — rounds are
+    O(log diameter), and a >64-round graph raises rather than silently
+    mislabeling (see cluster_assignments)."""
     d = spread(T(spark, sf_dir, "documents"))
     q = quality_feature_exprs()
     feat = d.select(
@@ -698,7 +727,16 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bucket when one full band of their signatures agrees; the shuffle key
     is (band, band-signature), so work scales with bucket sizes, not n².
     Tolerance-checked against exact Jaccard in tests (not hash-matched —
-    SURVEY §2.3 determinism rules exclude approx ops from the oracle)."""
+    SURVEY §2.3 determinism rules exclude approx ops from the oracle).
+
+    Why this stays rows-only next to the hash-matched x2_minhash_firstseen
+    (r11 verdict ask #6): this op exists to exercise the xxhash64 signature
+    family AND the candidate-PAIR output shape (the classic LSH-join API a
+    user of Spark-ML-style MinHashLSH expects), neither of which the
+    first-seen variant covers — first-seen emits per-doc verdicts under a
+    deliberately slower md5 family chosen for DuckDB replayability. The
+    correctness CLAIM for LSH dedup is carried by x2_minhash_firstseen;
+    this entry is API/pair-surface coverage with a Jaccard tolerance gate."""
     d = spread(T(spark, sf_dir, "documents"))
     # the signature agg's groupBy already leaves sigs hash-partitioned by
     # doc_id and materialized behind a shuffle — no extra boundary needed

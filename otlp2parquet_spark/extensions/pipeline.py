@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from otlp2parquet_spark.extensions.dedup import (
     _CC_SQL_CTES,
+    _MHFS_BANDS,
+    _MHFS_MINS,
     SQL_NORM,
     cluster_assignments,
     gram3_expr,
@@ -1717,10 +1719,19 @@ def dsir_write_model(
 
 
 def dsir_read_model(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
-    """Reload a persisted selection model (round-trips dsir_write_model)."""
-    model = spark.read.parquet(f"{path}/buckets")
-    th = spark.read.parquet(f"{path}/meta").first()[0]
-    return model, int(th)
+    """Reload a persisted selection model (round-trips dsir_write_model).
+    Explicit schemas (lm_read_model discipline): a rowless artifact dir
+    must produce the actionable error below, never an inference crash."""
+    model = spark.read.schema("bk long, lr_i long").parquet(f"{path}/buckets")
+    row = (
+        spark.read.schema("threshold_micro long").parquet(f"{path}/meta").first()
+    )
+    if row is None:
+        # dsir_write_model always stamps exactly one meta row; a rowless
+        # meta is a torn artifact and scoring against a guessed threshold
+        # would silently mis-select every doc
+        raise ValueError(f"dsir model at {path} has a rowless meta table")
+    return model, int(row[0])
 
 
 def dsir_score(
@@ -1981,7 +1992,7 @@ def x6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ingest_funnel_batch(
-    docs: DataFrame, w: list[int], bench: DataFrame
+    docs: DataFrame, w: list[int] | None, bench: DataFrame
 ) -> DataFrame:
     """Per-doc verdicts of the COMPOSED production ingest funnel — the four
     deploy lanes (T15 exact dedup -> T11 MinHash-LSH near-dup -> T13 frozen
@@ -1990,8 +2001,14 @@ def ingest_funnel_batch(
 
       k1 = first exact emitter of its content hash (MIN doc_id per sha256)
       k2 = k1 AND not LSH-first-seen-duplicate among k1 survivors
-      k3 = k2 AND frozen classifier pred == 1
+      k3 = k2 AND frozen classifier pred == 1   (w=None: keep-all, k3=k2)
       k4 = k3 AND not benchmark-contaminated (frozen benchset)
+
+    `w=None` forces the quality stage to keep-all (k3 = k2), which is what
+    makes the t21_funnel_skeleton twin fully SQL-expressible: the other
+    three stages are the hash-matched standalone kernels, so the composed
+    chain gets a DuckDB oracle auditing stage ORDERING cross-engine while
+    t21 itself stays the 4-stage live==batch capstone (r11 verdict ask #1).
 
     This is THE batch definition the composed streaming lane
     (streaming/pipeline.ingest_funnel_stream) must reproduce batch-for-batch:
@@ -2025,12 +2042,15 @@ def ingest_funnel_batch(
     f2 = flags.join(lsh, "doc_id", "left").withColumn(
         "k2", F.col("k1") & ~F.coalesce("nd", F.lit(False))
     )
-    q = qc_score(f2.filter("k2").select("doc_id", "text"), w).select(
-        "doc_id", F.col("pred").alias("q_pred")
-    )
-    f3 = f2.join(q, "doc_id", "left").withColumn(
-        "k3", F.col("k2") & (F.coalesce("q_pred", F.lit(0)) == 1)
-    )
+    if w is None:
+        f3 = f2.withColumn("k3", F.col("k2"))
+    else:
+        q = qc_score(f2.filter("k2").select("doc_id", "text"), w).select(
+            "doc_id", F.col("pred").alias("q_pred")
+        )
+        f3 = f2.join(q, "doc_id", "left").withColumn(
+            "k3", F.col("k2") & (F.coalesce("q_pred", F.lit(0)) == 1)
+        )
     dec = decontam_score(f3.filter("k3").select("doc_id", "text"), bench).select(
         "doc_id", "contaminated"
     )
@@ -2039,3 +2059,123 @@ def ingest_funnel_batch(
         .withColumn("k4", F.col("k3") & ~F.coalesce("contaminated", F.lit(False)))
         .select("doc_id", "source", "k1", "k2", "k3", "k4")
     )
+
+
+def funnel_ledger(verdicts: DataFrame) -> DataFrame:
+    """Per-source retention ledger over (doc_id, source, k1..k4) verdicts —
+    ONE report shape shared by the t21 capstone and the t21_funnel_skeleton
+    twin (the exact_probe_update/band_probe_update discipline applied to
+    the report layer), so their ledgers are comparable column-for-column."""
+    bsum = lambda c, name: F.sum(F.col(c).cast("long")).alias(name)  # noqa: E731
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            bsum("k1", "n_exact_kept"),
+            bsum("k2", "n_neardup_kept"),
+            bsum("k3", "n_quality_kept"),
+            bsum("k4", "n_clean_kept"),
+            _q4(
+                F.sum(F.col("k4").cast("long")).cast("double") / F.count("*")
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "t21_funnel_skeleton",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS k1
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM base WHERE k1
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(gram), 17, 10)) AS BIGINT) AS h2
+      FROM grams
+    ), mins AS (
+      SELECT doc_id, {_MHFS_MINS}
+      FROM h GROUP BY doc_id
+    ), bands AS (
+      {_MHFS_BANDS}
+    ), firsts AS (
+      SELECT band, bsig, MIN(doc_id) AS first_id FROM bands GROUP BY band, bsig
+    ), ndflags AS (
+      SELECT b.doc_id, BOOL_OR(b.doc_id > f.first_id) AS nd
+      FROM bands b JOIN firsts f ON b.band = f.band AND b.bsig = f.bsig
+      GROUP BY b.doc_id
+    ), s2 AS (
+      SELECT base.doc_id, base.source, base.text, base.k1,
+             base.k1 AND NOT COALESCE(nd.nd, FALSE) AS k2
+      FROM base LEFT JOIN ndflags nd ON base.doc_id = nd.doc_id
+    ), btok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents WHERE doc_id % 97 = 0
+    ), bgrams AS (
+      SELECT DISTINCT toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM btok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), stok AS (
+      SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM s2 WHERE k2
+    ), sgrams AS (
+      SELECT DISTINCT doc_id,
+             toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+      FROM stok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+    ), hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM sgrams s JOIN bgrams b USING (gram)
+      GROUP BY s.doc_id
+    ), verdicts AS (
+      SELECT s2.doc_id, s2.source, s2.k1, s2.k2, s2.k2 AS k3,
+             s2.k2 AND NOT COALESCE(h.n_hits >= 5, FALSE) AS k4
+      FROM s2 LEFT JOIN hits h ON s2.doc_id = h.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(k1 AS BIGINT)) AS BIGINT) AS n_exact_kept,
+           CAST(SUM(CAST(k2 AS BIGINT)) AS BIGINT) AS n_neardup_kept,
+           CAST(SUM(CAST(k3 AS BIGINT)) AS BIGINT) AS n_quality_kept,
+           CAST(SUM(CAST(k4 AS BIGINT)) AS BIGINT) AS n_clean_kept,
+           {_Q4.format(x='CAST(SUM(CAST(k4 AS BIGINT)) AS DOUBLE) / COUNT(*)')}
+             AS retention
+    FROM verdicts
+    GROUP BY source ORDER BY source
+    """,
+    tags=("T21", "X1", "X2", "X6", "T15", "T11", "T20"),
+)
+def t21_funnel_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible skeleton of the composed ingest funnel — the
+    same ingest_funnel_batch kernel as the t21 capstone with the quality
+    stage forced keep-all (w=None -> k3 = k2), which removes the one
+    iteratively-trained stage and makes the full composed chain
+    DuckDB-replayable. The oracle chains the three standalone hash-matched
+    stage oracles (x1_exact_dedup's sha256 window -> x2_minhash_firstseen's
+    md5/K-M LSH CTEs -> x6_contamination's trigram-overlap CTEs) in funnel
+    order, each stage reading the previous stage's SURVIVORS — the
+    strongest cross-engine audit of stage ORDERING semantics: any drift in
+    which stage sees which docs breaks the hash.
+
+    Benchset = the doc_id % 97 == 0 slice's distinct trigrams over the
+    FULL corpus (the t21 convention — bench docs themselves flow through
+    the funnel and get flagged contaminated), NOT x6_contamination's
+    bench/corpus split.
+
+    Scale shape: identical to ingest_funnel_batch (one uniform-key window,
+    three skinny-row LSH shuffles over exact survivors, one broadcast
+    benchset join over near-dup survivors, doc_id-co-partitioned
+    re-attaches); the ledger is a tiny per-source agg."""
+    d = spread(T(spark, sf_dir, "documents"))
+    bench = (
+        doc_gram_set(d.filter(F.col("doc_id") % 97 == 0))
+        .select("gram")
+        .distinct()
+    )
+    return funnel_ledger(ingest_funnel_batch(d, None, bench))

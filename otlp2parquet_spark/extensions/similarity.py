@@ -1545,14 +1545,29 @@ def ivfpq_write_index(e: DataFrame, path: str) -> None:
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
+IVFPQ_CODES_SCHEMA = "vec_id long, cluster_id long, m int, code int"
+IVFPQ_CODEBOOK_SCHEMA = (
+    "m int, cents array<struct<code:int,cent:array<double>>>"
+)
+IVFPQ_CENTROIDS_SCHEMA = "cent_id long, cent_emb array<float>"
+
+
 def ivfpq_read_index(spark: SparkSession, path: str):
-    """Load persisted IVFPQ artifacts for ivfpq_search — no re-encode."""
+    """Load persisted IVFPQ artifacts for ivfpq_search — no re-encode.
+    Explicit schemas (lm_read_model discipline): a rowless artifact dir
+    (crashed writer, _SUCCESS only) reads as empty, never as a
+    schema-inference crash; the shared constants also pin the streaming
+    encoder's reads (ivfpq_index_stream) to the same shapes."""
     import os
 
     return (
-        spark.read.parquet(os.path.join(path, "codes")),
-        spark.read.parquet(os.path.join(path, "codebook")),
-        spark.read.parquet(os.path.join(path, "centroids")),
+        spark.read.schema(IVFPQ_CODES_SCHEMA).parquet(os.path.join(path, "codes")),
+        spark.read.schema(IVFPQ_CODEBOOK_SCHEMA).parquet(
+            os.path.join(path, "codebook")
+        ),
+        spark.read.schema(IVFPQ_CENTROIDS_SCHEMA).parquet(
+            os.path.join(path, "centroids")
+        ),
     )
 
 

@@ -2121,9 +2121,22 @@ def qc_read_model(spark: SparkSession, path: str) -> list[int]:
     from pyspark.errors import AnalysisException
 
     try:
-        rows = spark.read.parquet(f"{path}/weights").orderBy("bk").collect()
+        # explicit schema: a rowless weights dir (_SUCCESS-only, crashed
+        # writer) must surface as the actionable row-count error below,
+        # not a schema-inference crash (the lm_read_model discipline)
+        rows = (
+            spark.read.schema("bk long, wv long")
+            .parquet(f"{path}/weights")
+            .orderBy("bk")
+            .collect()
+        )
     except AnalysisException:  # no weights/ subdir: legacy flat layout
-        rows = spark.read.parquet(path).orderBy("bk").collect()
+        rows = (
+            spark.read.schema("bk long, wv long")
+            .parquet(path)
+            .orderBy("bk")
+            .collect()
+        )
     if len(rows) != _QC_B + 1:
         # a truncated/corrupt artifact would mis-score every doc through
         # bk/weight index misalignment — fail loudly (assert would be
@@ -2142,8 +2155,16 @@ def qc_read_meta(spark: SparkSession, path: str) -> dict:
     from pyspark.errors import AnalysisException
 
     try:
-        r = spark.read.parquet(f"{path}/meta").first()
+        r = (
+            spark.read.schema("shards int, rounds int")
+            .parquet(f"{path}/meta")
+            .first()
+        )
     except AnalysisException:  # legacy artifact: no meta table
+        return {"shards": _QC_SHARDS, "rounds": _QC_ROUNDS}
+    if r is None:
+        # rowless meta dir (_SUCCESS only): provenance unknowable, same
+        # answer as the legacy no-meta branch — the pinned defaults
         return {"shards": _QC_SHARDS, "rounds": _QC_ROUNDS}
     return {"shards": int(r.shards), "rounds": int(r.rounds)}
 

@@ -908,6 +908,7 @@ def t21_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     underlying per-doc verdicts bit-for-bit."""
     from otlp2parquet_spark.extensions.pipeline import (
         doc_gram_set,
+        funnel_ledger,
         ingest_funnel_batch,
     )
     from otlp2parquet_spark.extensions.text import (
@@ -915,7 +916,6 @@ def t21_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         qc_shards_for,
         quality_classifier_train,
     )
-    from otlp2parquet_spark.queries.relational import quant4
     from otlp2parquet_spark.session import spread
 
     d = spread(T(spark, sf_dir, "documents"))
@@ -930,18 +930,4 @@ def t21_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     verdicts = ingest_funnel_batch(d, w, bench)
-    bsum = lambda c, name: F.sum(F.col(c).cast("long")).alias(name)  # noqa: E731
-    return (
-        verdicts.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            bsum("k1", "n_exact_kept"),
-            bsum("k2", "n_neardup_kept"),
-            bsum("k3", "n_quality_kept"),
-            bsum("k4", "n_clean_kept"),
-            quant4(
-                F.sum(F.col("k4").cast("long")).cast("double") / F.count("*")
-            ).alias("retention"),
-        )
-        .orderBy("source")
-    )
+    return funnel_ledger(verdicts)

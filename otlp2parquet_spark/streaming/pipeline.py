@@ -817,6 +817,7 @@ def compact_band_index(
         _band_bucket,
         rows_per_bucket,
         "compact_band_index",
+        "band int, bsig string, first_id long",
     )
 
 
@@ -828,6 +829,7 @@ def _compact_epoch_index(
     bucket_expr,
     rows_per_bucket: int,
     what: str,
+    schema: str,
 ) -> int:
     """Shared epoch-index compactor (T11 bands / T15 hashes): merge all
     epochs strictly below the newest into one MIN(first_id)-per-key
@@ -854,7 +856,10 @@ def _compact_epoch_index(
         # epochs uniformly (see _epoch_leaves)
         leaves.extend(_epoch_leaves(os.path.join(index_dir, f"epoch={e}")))
     merged = (
-        spark.read.parquet(*leaves)
+        # explicit schema: a rowless epoch leaf (_SUCCESS-only bucket dir)
+        # must merge as empty, not crash schema inference (r11 ADVICE class)
+        spark.read.schema(schema)
+        .parquet(*leaves)
         .groupBy(*key_cols)
         .agg(F.min("first_id").alias("first_id"))
         .persist()
@@ -936,8 +941,15 @@ def ivfpq_index_stream(
                 cents.write.mode("overwrite").parquet(cent_dir)
                 with open(ready_marker, "w") as f:
                     f.write("ok")  # commit point: both artifacts complete
-            cents = spark.read.parquet(cent_dir)
-            cb = spark.read.parquet(cb_dir)
+            # explicit schemas (shared constants with ivfpq_read_index): a
+            # torn artifact dir must not crash the encoder via inference
+            from otlp2parquet_spark.extensions.similarity import (
+                IVFPQ_CENTROIDS_SCHEMA,
+                IVFPQ_CODEBOOK_SCHEMA,
+            )
+
+            cents = spark.read.schema(IVFPQ_CENTROIDS_SCHEMA).parquet(cent_dir)
+            cb = spark.read.schema(IVFPQ_CODEBOOK_SCHEMA).parquet(cb_dir)
             ivfpq_encode(batch, cents, cb).write.mode("overwrite").parquet(
                 os.path.join(codes_dir, f"epoch={int(epoch_id)}")
             )
@@ -957,6 +969,35 @@ def ivfpq_index_stream(
     )
 
 
+def first_epoch_rows(
+    df: DataFrame, key_cols: tuple[str, ...], epoch_col: str = "epoch"
+) -> DataFrame:
+    """Deterministic cross-epoch key resolution for epoch-partitioned
+    verdict/score tables: keep each key's row from its SMALLEST epoch and
+    drop the epoch column. A plain dropDuplicates(key_cols) keeps an
+    ARBITRARY row, which is wrong twice over (r11 ADVICE): (a) the same
+    doc re-delivered in a later landing file gets a second verdict row
+    with DIFFERENT flags (the exact stage marks the replayed copy a
+    duplicate), so summary counts become nondeterministic; (b) even for
+    the benign crash-window copies (publish-before-cleanup leaves full
+    duplicates) determinism is free. Min epoch is the semantically right
+    winner: the FIRST delivery's verdict is the doc's ledger verdict —
+    exactly the first-seen contract the dedup stages themselves enforce.
+    Compacted (negative) epochs sort below all live ones, so a previously
+    merged verdict keeps winning over any later re-delivery. Within one
+    epoch a key has exactly one row (per-batch writes emit one verdict
+    per doc; replays overwrite the whole epoch dir), so the ordering is
+    total."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(epoch_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", epoch_col)
+    )
+
+
 def _compact_union_epochs(
     spark: SparkSession,
     table_dir: str,
@@ -971,12 +1012,14 @@ def _compact_union_epochs(
     The dedup is what makes the crash contract actually converge (round-8
     review): a crash between the publish rename and the stale-dir removal
     leaves every merged row duplicated, and a plain union on the next run
-    would bake those duplicates in forever. Duplicate rows are full copies
-    (same key => same content, the append-only invariant), so
-    dropDuplicates(key_cols) restores exactly the pre-crash row set — the
-    union-table analogue of compact_band_index's MIN-merge idempotence.
-    Until that next compaction runs, readers may see transient duplicates
-    (the same window compact_table documents).
+    would bake those duplicates in forever. Cross-epoch duplicates resolve
+    DETERMINISTICALLY to the smallest-epoch row (first_epoch_rows, r11
+    ADVICE): crash-window copies are full duplicates either way, but a doc
+    RE-DELIVERED in a later landing file carries a different verdict in
+    its second epoch, and an arbitrary-winner dedup would bake a
+    nondeterministic ledger in at compaction time. Until the next
+    compaction runs, readers may see transient duplicates (the same
+    window compact_table documents).
 
     Replay-safety is compact_band_index's, verbatim: only epochs < max
     merge (a replayed newest epoch overwrites exactly its own dir); the
@@ -1008,8 +1051,12 @@ def _compact_union_epochs(
             shutil.rmtree(s)
         return len(old)
     (
-        spark.read.parquet(*srcs)
-        .dropDuplicates(list(key_cols))
+        # basePath keeps the epoch partition column visible so the merge
+        # can pick each key's FIRST verdict instead of an arbitrary row
+        first_epoch_rows(
+            spark.read.option("basePath", table_dir).parquet(*srcs),
+            key_cols,
+        )
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .parquet(tmp)
@@ -1242,8 +1289,13 @@ def exact_probe_update(
     w = Window.partitionBy("h")
     out = hashed.withColumn("first_intra", F.min("doc_id").over(w))
     if hist_paths:
+        # explicit schema: a degenerate epoch (zero data rows under a
+        # bucket dir, e.g. a crashed writer that committed only _SUCCESS)
+        # makes schema INFERENCE raise and crash the probe — the same
+        # rowless-parquet class lm_read_model fixed with explicit schemas
         hist = (
-            spark.read.parquet(*hist_paths)
+            spark.read.schema("h string, first_id long")
+            .parquet(*hist_paths)
             .groupBy("h")
             .agg(F.min("first_id").alias("first_hist"))
             .withColumnRenamed("h", "h_hist")
@@ -1303,9 +1355,13 @@ def band_probe_update(
         )
         out = docs.select("doc_id").join(per_doc, "doc_id", "left")
         if hist_paths:
+            # explicit schema — same degenerate-epoch rationale as the
+            # exact_probe_update history read above
             hist_hits = (
                 bands.join(
-                    spark.read.parquet(*hist_paths).select("band", "bsig"),
+                    spark.read.schema("band int, bsig string, first_id long")
+                    .parquet(*hist_paths)
+                    .select("band", "bsig"),
                     ["band", "bsig"],
                     "left_semi",
                 )
@@ -1444,6 +1500,7 @@ def compact_hash_index(
         _hash_bucket,
         rows_per_bucket,
         "compact_hash_index",
+        "h string, first_id long",
     )
 
 

@@ -74,6 +74,7 @@ def build_replica(
     salt_docs: bool | str = False,
     zipf_events: bool = False,
     zipf_sources: bool = False,
+    hot_sources: bool = False,
     tpch: bool = False,
 ) -> None:
     """Write an Fx replica of the x-op tables into `out`; other tables are
@@ -107,7 +108,14 @@ def build_replica(
     base corpus's 20 sources) of ALL docs. Real corpora ARE source-skewed
     (one crawl dwarfs every curated set); this is the regime for the
     source-keyed pipeline ops (per-source windows/quotas/packing). The
-    src{N} naming is preserved so the band conventions stay valid."""
+    src{N} naming is preserved so the band conventions stay valid.
+
+    hot_sources (r12, judge ask #3): the CommonCrawl shape — ONE source
+    (src0) absorbs 90% of all docs (deterministic per-doc hash decides),
+    the rest keep their original source. Harsher than zipf_sources' ~23%
+    hottest; this is the regime for source-GROUPED ledgers (t21's
+    retention report) and any per-source window: if an op serializes on
+    the hot source, 10x data shows it immediately."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -168,6 +176,22 @@ def build_replica(
                     rank = np.power(float(n_src) + 1.0, u).astype(np.int64)
                     rank = np.minimum(rank, n_src) - 1
                     arr = pa.array([f"src{r}" for r in rank], pa.string())
+                    cols.append(arr)
+                    continue
+                if hot_sources and name == "documents" and col == "source":
+                    import numpy as np
+                    import pyarrow.compute as pc
+
+                    dids = np.asarray(
+                        t.column("doc_id"), dtype=np.int64
+                    ) + k * ID_SPAN
+                    h = (dids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
+                        0xFFFFFFFF
+                    )
+                    u = h.astype(np.float64) / 2.0**32
+                    arr = pc.if_else(
+                        pa.array(u < 0.9), pa.scalar("src0", pa.string()), arr
+                    )
                     cols.append(arr)
                     continue
                 if zipf_events and name == "events" and col == "user_id":
@@ -234,6 +258,12 @@ def main() -> None:
         "for source-keyed pipeline ops (see build_replica)",
     )
     ap.add_argument(
+        "--hot-sources",
+        action="store_true",
+        help="route 90%% of docs to ONE source (src0): the CommonCrawl "
+        "shape for source-grouped ledgers/windows (see build_replica)",
+    )
+    ap.add_argument(
         "--zipf-events",
         action="store_true",
         help="Zipf(s=1) user_id remap for events: the hot-key regime for "
@@ -264,6 +294,7 @@ def main() -> None:
         salt_docs=args.salt_docs,
         zipf_events=args.zipf_events,
         zipf_sources=args.zipf_sources,
+        hot_sources=args.hot_sources,
         tpch=args.tpch,
     )
 

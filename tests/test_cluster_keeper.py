@@ -79,3 +79,38 @@ def test_cc_star_forest_giant_diameter_distributed_rounds(spark, monkeypatch):
     assert stats["rounds"] > 3  # genuinely multi-round, not a fixture walk
     labels = {r["hi"]: r["lo"] for r in forest.collect()}
     assert labels == {i: 0 for i in range(1, 300)}  # every node -> comp min
+
+
+def test_cc_round_budget_boundary(spark, monkeypatch):
+    """r11 ADVICE off-by-one: the safety bound counts CONTRACTION rounds,
+    and convergence observed on exactly the bound-th round is SUCCESS —
+    the old range(64) loop spent its final slot on the signature check, so
+    a graph needing exactly 64 contractions raised despite converging.
+    Pin both edges of the boundary on a chain whose true round count we
+    first measure: bound == rounds must succeed with exact labels, bound
+    == rounds - 1 must raise (never return half-contracted labels)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.extensions import dedup as D
+
+    monkeypatch.setattr(D, "_LOCAL_CC_EDGE_THRESHOLD", 0)
+    E = (
+        spark.range(1, 300)
+        .select(F.col("id").alias("hi"), (F.col("id") - 1).alias("lo"))
+        .localCheckpoint(eager=False)
+    )
+    stats: dict = {}
+    _, forest = D.cc_star_forest(spark, E, stats=stats)
+    need = stats["rounds"]
+    assert need > 1  # boundary is meaningful
+
+    monkeypatch.setattr(D, "_CC_MAX_ROUNDS", need)
+    _, forest2 = D.cc_star_forest(spark, E, stats={})
+    assert {r["hi"]: r["lo"] for r in forest2.collect()} == {
+        i: 0 for i in range(1, 300)
+    }
+
+    monkeypatch.setattr(D, "_CC_MAX_ROUNDS", need - 1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.cc_star_forest(spark, E, stats={})

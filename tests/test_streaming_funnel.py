@@ -307,3 +307,95 @@ def test_funnel_null_text_docs_live_equals_batch(spark, tmp_path):
     by_id = {r[0]: r for r in got}
     assert by_id[1][2] and not by_id[3][2]  # first NULL keeps, second drops
     assert not by_id[4][2]  # cross-batch exact dup drops
+
+
+def test_funnel_skeleton_composes_standalone_stages(spark):
+    """t21_funnel_skeleton ordering audit (r11 verdict ask #1): the
+    keep-all-quality funnel's per-doc verdicts must equal composing the
+    three standalone hash-matched stage kernels by hand in funnel order —
+    exact first-seen window -> minhash_fs_bands first-seen over exact
+    SURVIVORS -> decontam_score over near-dup SURVIVORS. Any drift in
+    which stage sees which docs breaks this (and the DuckDB oracle)."""
+    from pyspark.sql import Window
+
+    from otlp2parquet_spark.extensions.dedup import minhash_fs_bands
+    from otlp2parquet_spark.extensions.pipeline import (
+        decontam_score,
+        doc_gram_set,
+        funnel_ledger,
+    )
+    from otlp2parquet_spark.queries.registry import all_specs
+
+    d = load_table(spark, SF, "documents").select("doc_id", "source", "text")
+    bench = doc_gram_set(d.filter(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+
+    # stage 1 standalone: exact first-seen
+    w_ex = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
+    s1 = d.withColumn("k1", F.col("doc_id") == F.min("doc_id").over(w_ex))
+    # stage 2 standalone over stage-1 survivors
+    bands = minhash_fs_bands(s1.filter("k1").select("doc_id", "text"))
+    w_b = Window.partitionBy("band", "bsig")
+    nd = (
+        bands.withColumn("first_id", F.min("doc_id").over(w_b))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("doc_id") > F.col("first_id")).alias("nd"))
+    )
+    s2 = s1.join(nd, "doc_id", "left").withColumn(
+        "k2", F.col("k1") & ~F.coalesce("nd", F.lit(False))
+    )
+    # stage 3 forced keep-all; stage 4 standalone over stage-2 survivors
+    dec = decontam_score(s2.filter("k2").select("doc_id", "text"), bench)
+    want_perdoc = sorted(
+        map(
+            tuple,
+            s2.join(dec.select("doc_id", "contaminated"), "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                "k1",
+                "k2",
+                F.col("k2").alias("k3"),
+                (F.col("k2") & ~F.coalesce("contaminated", F.lit(False))).alias("k4"),
+            )
+            .collect(),
+        )
+    )
+    got_perdoc = sorted(
+        map(tuple, ingest_funnel_batch(d, None, bench).select(*COLS).collect())
+    )
+    assert got_perdoc == want_perdoc
+    # keep-all quality: k3 == k2 everywhere
+    assert all(r[3] == r[4] for r in got_perdoc)
+    # the registry entry is exactly funnel_ledger over these verdicts
+    got_ledger = sorted(
+        map(tuple, all_specs()["t21_funnel_skeleton"].build(spark, SF).collect())
+    )
+    want_ledger = sorted(
+        map(tuple, funnel_ledger(ingest_funnel_batch(d, None, bench)).collect())
+    )
+    assert got_ledger == want_ledger
+
+
+def test_funnel_skeleton_is_t21_with_keepall_quality(spark):
+    """The skeleton's k1/k2 verdicts are BIT-IDENTICAL to the 4-stage
+    capstone's (the quality stage cannot affect upstream stages), and its
+    k4 survivor set is a superset of the capstone's (keep-all can only
+    pass MORE docs to decontam)."""
+    from otlp2parquet_spark.extensions.pipeline import doc_gram_set
+    from otlp2parquet_spark.extensions.text import qc_shards_for
+
+    d = load_table(spark, SF, "documents")
+    shards = qc_shards_for(d.count())
+    w = quality_classifier_train(
+        _qc_features(d, shards=shards).filter(F.col("doc_id") % 5 != 0),
+        shards=shards,
+    )
+    bench = doc_gram_set(d.filter(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+    full = {r[0]: tuple(r) for r in ingest_funnel_batch(d, w, bench).collect()}
+    skel = {r[0]: tuple(r) for r in ingest_funnel_batch(d, None, bench).collect()}
+    assert set(full) == set(skel)
+    for doc_id, fr in full.items():
+        sr = skel[doc_id]
+        assert fr[:4] == sr[:4]  # doc_id, source, k1, k2 identical
+        if fr[5]:  # capstone k4 keep -> skeleton k4 keep
+            assert sr[5]
