@@ -1933,7 +1933,7 @@ def compact_decontam_verdicts(spark: SparkSession, out_dir: str) -> int:
 def make_ingest_funnel_flush(
     spark: SparkSession,
     state_dir: str,
-    w: list[int],
+    w: list[int] | None,
     bench: DataFrame,
     rows_per_bucket: int = BAND_ROWS_PER_BUCKET,
 ):
@@ -1951,7 +1951,11 @@ def make_ingest_funnel_flush(
     Stages 1 and 2 ARE the standalone lanes' kernels (exact_probe_update /
     band_probe_update — one function each, r11 review finding): a fix to a
     standalone probe applies to the composed funnel by construction, never
-    by parallel edit."""
+    by parallel edit.
+
+    w=None runs the quality stage keep-all (k3 = k2) — the live form of
+    the t21_funnel_skeleton batch twin, mirroring ingest_funnel_batch's
+    w=None contract (r12)."""
     import os
 
     from otlp2parquet_spark.extensions.pipeline import decontam_score
@@ -2002,14 +2006,17 @@ def make_ingest_funnel_flush(
                         )
                     ).persist()
                     try:
-                        q = qc_score(
-                            f2.filter("k2").select("doc_id", "text"), w
-                        ).select("doc_id", F.col("pred").alias("q_pred"))
-                        f3 = f2.join(q, "doc_id", "left").withColumn(
-                            "k3",
-                            F.col("k2")
-                            & (F.coalesce("q_pred", F.lit(0)) == 1),
-                        )
+                        if w is None:  # skeleton mode: quality keep-all
+                            f3 = f2.withColumn("k3", F.col("k2"))
+                        else:
+                            q = qc_score(
+                                f2.filter("k2").select("doc_id", "text"), w
+                            ).select("doc_id", F.col("pred").alias("q_pred"))
+                            f3 = f2.join(q, "doc_id", "left").withColumn(
+                                "k3",
+                                F.col("k2")
+                                & (F.coalesce("q_pred", F.lit(0)) == 1),
+                            )
                         dec = decontam_score(
                             f3.filter("k3").select("doc_id", "text"), bench
                         ).select("doc_id", "contaminated")
@@ -2046,7 +2053,7 @@ def ingest_funnel_stream(
     spark: SparkSession,
     landing_dir: str,
     state_dir: str,
-    qc_model_path: str,
+    qc_model_path: str | None,
     benchset_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
@@ -2078,7 +2085,9 @@ def ingest_funnel_stream(
     from otlp2parquet_spark.extensions.text import qc_read_model
 
     _require_local_state(state_dir, "ingest_funnel_stream")
-    w = qc_read_model(spark, qc_model_path)
+    # qc_model_path=None runs the quality stage keep-all (the live
+    # t21_funnel_skeleton form; see make_ingest_funnel_flush)
+    w = None if qc_model_path is None else qc_read_model(spark, qc_model_path)
     bench = decontam_read_benchset(spark, benchset_dir)
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)

@@ -92,6 +92,31 @@ def build_giant_path(spark, n_edges: int):
     return e.distinct().localCheckpoint(eager=False)
 
 
+CHAIN_LEN = 10_000  # edges per chain in the mid-shape
+
+
+def build_chains_10k(spark, n_edges: int):
+    """MANY 10k-hop chains (r11 verdict ask #5): the mid-shape between
+    uniform's diameter-1 stars and giant_path's one maximal-diameter
+    component — where real corpora's worst plausible near-dup chains
+    (template drift across a crawl) actually land. Nodes are cut into
+    (CHAIN_LEN+1)-node blocks; node v links v-1 unless v starts a block.
+    Expected label of v: v - v % (CHAIN_LEN+1). Rounds should follow
+    O(log CHAIN_LEN), independent of HOW MANY chains there are."""
+    from pyspark.sql import functions as F
+
+    block = CHAIN_LEN + 1
+    # N nodes yield N * CHAIN_LEN/(CHAIN_LEN+1) edges; oversize then limit
+    n_nodes = n_edges + n_edges // CHAIN_LEN + block
+    e = (
+        spark.range(1, n_nodes)
+        .filter(F.col("id") % block != 0)
+        .select(F.col("id").alias("hi"), (F.col("id") - 1).alias("lo"))
+        .limit(n_edges)
+    )
+    return e.distinct().localCheckpoint(eager=False)
+
+
 def labels_of(spark, E, stats):
     from pyspark.sql import functions as F
 
@@ -120,12 +145,18 @@ def check_exact(graph: str, lab) -> int:
         return lab.filter(
             F.col("cluster_id") != (F.col("doc_id") - F.col("doc_id") % 8)
         ).count()
+    if graph == "chains_10k":
+        return lab.filter(
+            F.col("cluster_id")
+            != (F.col("doc_id") - F.col("doc_id") % (CHAIN_LEN + 1))
+        ).count()
     return lab.filter(F.col("cluster_id") != 0).count()
 
 
 def main() -> None:
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     from otlp2parquet_spark.session import get_spark
 
@@ -137,7 +168,10 @@ def main() -> None:
         ("uniform", build_uniform),
         ("zipf_hubs", build_zipf_hubs),
         ("giant_path", build_giant_path),
+        ("chains_10k", build_chains_10k),
     )
+    if only is not None:
+        graphs = tuple((g, b) for g, b in graphs if g in only)
     for graph, build in graphs:
         for n in (n_edges, n_edges * scale):
             E = build(spark, n)
@@ -166,7 +200,9 @@ def main() -> None:
                 )
             )
     big = n_edges * scale
-    for graph in ("zipf_hubs", "giant_path"):
+    for graph in ("zipf_hubs", "giant_path", "chains_10k"):
+        if (graph, big) not in results or ("uniform", big) not in results:
+            continue  # graph filtered out by the optional 3rd arg
         print(
             json.dumps(
                 {

@@ -235,3 +235,74 @@ def test_compact_union_epochs_keeps_first_verdict(spark, tmp_path):
         .collect()
     }
     assert merged == {1: True, 2: True}  # doc 1 keeps its FIRST verdict
+
+
+# ---------------------------------------------------------------------------
+# train-on-degenerate-corpus: the OTHER half of the contract — training on
+# an empty/sub-minimal corpus must yield a deployable keep-all/score-zero
+# artifact or a DOCUMENTED loud error, never an inference crash downstream.
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_qc_train_on_empty_corpus_deploys_keep_all(spark):
+    """Training the quality classifier on zero docs yields the all-zero
+    weight vector; deploying it scores every doc z=0 -> pred=1 (keep-all,
+    the safe default for a filter with no signal)."""
+    from otlp2parquet_spark.extensions.text import (
+        _qc_features,
+        qc_score,
+        quality_classifier_train,
+    )
+
+    w = quality_classifier_train(_qc_features(_empty_docs(spark)))
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "lorem ipsum dolor")], "doc_id long, text string"
+    )
+    rows = qc_score(docs, w).collect()
+    assert all(r.pred == 1 and r.z == 0 for r in rows)
+
+
+def test_lm_train_on_empty_corpus_roundtrips(spark, tmp_path):
+    """An empty training corpus persists a zero-type model that reads back
+    (explicit schemas) with n_model == 0 — scoring against it routes every
+    bigram through the unseen path, not a crash."""
+    from otlp2parquet_spark.extensions.text import lm_read_model, lm_write_model
+
+    path = str(tmp_path / "lm_empty")
+    lm_write_model(_empty_docs(spark).select("doc_id", "text", "source"), path)
+    _m, _p, _vocab, n_model, _np = lm_read_model(spark, path)
+    assert n_model == 0
+
+
+def test_decontam_empty_benchset_keeps_all(spark, tmp_path):
+    """An empty benchmark set scores every doc n_hits=0 / contaminated
+    False — decontamination with nothing to protect keeps everything."""
+    from otlp2parquet_spark.extensions.pipeline import (
+        decontam_read_benchset,
+        decontam_score,
+        decontam_write_benchset,
+    )
+
+    path = str(tmp_path / "bench_empty")
+    decontam_write_benchset(_empty_docs(spark), path)
+    bench = decontam_read_benchset(spark, path)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    rows = decontam_score(docs, bench).collect()
+    assert rows[0].n_hits == 0 and not rows[0].contaminated
+
+
+def test_dsir_train_on_empty_corpus_raises_documented(spark):
+    """DSIR's threshold is a corpus percentile: with zero docs there is no
+    defensible default (a silent 0 would keep everything), so the trainer
+    fails loudly — the documented contract."""
+    from otlp2parquet_spark.extensions.pipeline import dsir_build_model
+
+    with pytest.raises(ValueError, match="empty training corpus"):
+        dsir_build_model(_empty_docs(spark))

@@ -399,3 +399,29 @@ def test_funnel_skeleton_is_t21_with_keepall_quality(spark):
         assert fr[:4] == sr[:4]  # doc_id, source, k1, k2 identical
         if fr[5]:  # capstone k4 keep -> skeleton k4 keep
             assert sr[5]
+
+
+def test_funnel_skeleton_live_equals_batch(spark, tmp_path):
+    """The keep-all-quality (w=None) live funnel — the streaming form of
+    t21_funnel_skeleton — must be bit-identical to ingest_funnel_batch
+    (w=None) over the union of its micro-batches, the same contract as the
+    4-stage capstone. Drives the shared flush across two slicings."""
+    docs = _funnel_corpus(spark, n=200)
+    _model, benchset, _w = _artifacts(spark, tmp_path, docs)
+    bench = decontam_read_benchset(spark, benchset)
+    want = sorted(
+        map(tuple, ingest_funnel_batch(docs, None, bench).select(*COLS).collect())
+    )
+    rows = docs.collect()
+    for n_batches, tag in ((1, "one"), (3, "three")):
+        state = str(tmp_path / f"skel_state_{tag}")
+        os.makedirs(state, exist_ok=True)
+        flush = make_ingest_funnel_flush(spark, state, None, bench)
+        per = (len(rows) + n_batches - 1) // n_batches
+        for i in range(n_batches):
+            chunk = rows[i * per : (i + 1) * per]
+            if chunk:
+                flush(spark.createDataFrame(chunk, _SCHEMA), i)
+        assert _verdicts(spark, state) == want, f"{n_batches}-batch slicing"
+        # keep-all means k3 == k2 on every live verdict
+        assert all(r[3] == r[4] for r in _verdicts(spark, state))
