@@ -144,6 +144,7 @@ HEADLINE = [
     "x3_radius_search",  # r10: map-only range similarity search
     # r12 (the 84-query subset above stays the round-over-round comparable):
     "t21_funnel_skeleton",  # r12: composed 3-stage funnel, DuckDB-matched
+    "x6_token_budget_fill",  # r12: global token-budget fill, threshold search
 ]
 
 RUNS_PER_QUERY = 3
@@ -395,6 +396,7 @@ def main() -> None:
     # anchored at the next freeze.
     gate_violations: dict[str, list[float]] = {}
     unanchored: list[str] = []
+    anchor_gate_status = "checked"
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_anchor.json")
@@ -406,8 +408,11 @@ def main() -> None:
                 unanchored.append(name)
             elif raw / noise_index > 2.0 * a:
                 gate_violations[name] = [round(raw / noise_index, 3), a]
-    except (OSError, KeyError, ValueError):
-        _anchors = None
+    except (OSError, KeyError, ValueError) as e:
+        # a missing/corrupt anchor file must NOT read as "gate holds" —
+        # empty violations with status "checked" is the passing signal,
+        # so stamp the failure loudly instead (r12 review finding)
+        anchor_gate_status = f"skipped: {type(e).__name__}"
     payload = json.dumps(
         {
                 "metric": f"headline suite wall sec (best-of-{RUNS_PER_QUERY} per query, noop-write forced)",
@@ -435,7 +440,9 @@ def main() -> None:
                 "load_gate_ambient": round(load_ambient, 2),
                 "load_gate_waited_s": load_waited,
                 # {query: [normalized_s, anchor_s]} for queries over 2x the
-                # frozen r11 anchor (empty = the whole 84-query gate holds)
+                # frozen r11 anchor; empty means the gate holds ONLY when
+                # anchor_gate_status == "checked"
+                "anchor_gate_status": anchor_gate_status,
                 "anchor_gate_violations": gate_violations,
                 "anchor_gate_unanchored": sorted(unanchored),
             }

@@ -251,7 +251,12 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     fn.add_argument("landing_dir", help="dir of documents-schema parquet files")
     fn.add_argument("--state", required=True, help="funnel state root")
-    fn.add_argument("--qc-model", required=True, help="qtrain weight artifact")
+    fn.add_argument(
+        "--qc-model",
+        default=None,
+        help="qtrain weight artifact; omit to run the quality stage "
+        "keep-all (the 3-stage skeleton funnel, r12)",
+    )
     fn.add_argument("--benchset", required=True, help="dctrain gram artifact")
     fn.add_argument("--checkpoint", required=True)
     fn.add_argument(
@@ -316,6 +321,20 @@ def _file_sink_has_commits(out_dir: str) -> bool:
         os.path.getsize(os.path.join(meta_dir, f)) > 0
         for f in os.listdir(meta_dir)
         if not f.endswith(".tmp") and not f.startswith(".")
+    )
+
+
+def _epoch_table(spark, table_dir: str, schema: str):
+    """Epoch-partitioned verdict/score table resolved to ONE row per doc:
+    explicit schema (a rowless epoch must summarize as empty, not crash
+    inference) + first-epoch resolution (a doc re-delivered in a later
+    landing file carries a DIFFERENT verdict there — the min-epoch row is
+    the ledger verdict; see streaming.pipeline.first_epoch_rows). `schema`
+    must name the `epoch int` partition column."""
+    from otlp2parquet_spark.streaming.pipeline import first_epoch_rows
+
+    return first_epoch_rows(
+        spark.read.schema(schema).parquet(table_dir), ("doc_id",)
     )
 
 
@@ -518,10 +537,8 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(flags_dir):
             # first_epoch_rows: crash-window copies AND re-delivered docs
             # (second verdict differs) resolve to the first epoch's row
-            flags = stream_pipeline.first_epoch_rows(
-                spark.read.schema("doc_id long, is_neardup boolean, epoch int")
-                .parquet(flags_dir),
-                ("doc_id",),
+            flags = _epoch_table(
+                spark, flags_dir, "doc_id long, is_neardup boolean, epoch int"
             )
             n_total, n_dup = flags.agg(
                 F.count("*"), F.sum(F.col("is_neardup").cast("long"))
@@ -563,12 +580,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         flags_dir = os.path.join(args.state, "flags")
         if os.path.isdir(flags_dir):
-            flags = stream_pipeline.first_epoch_rows(
-                spark.read.schema(
-                    "doc_id long, content_hash string, is_duplicate boolean, "
-                    "dup_of long, epoch int"
-                ).parquet(flags_dir),
-                ("doc_id",),
+            flags = _epoch_table(
+                spark,
+                flags_dir,
+                "doc_id long, content_hash string, is_duplicate boolean, "
+                "dup_of long, epoch int",
             )
             n_total, n_dup = flags.agg(
                 F.count("*"), F.sum(F.col("is_duplicate").cast("long"))
@@ -712,12 +728,11 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(args.out) and any(
             d.startswith("epoch=") for d in os.listdir(args.out)
         ):
-            v = stream_pipeline.first_epoch_rows(
-                spark.read.schema(
-                    "doc_id long, liw_micro long, n_tok long, keep boolean, "
-                    "epoch int"
-                ).parquet(args.out),
-                ("doc_id",),
+            v = _epoch_table(
+                spark,
+                args.out,
+                "doc_id long, liw_micro long, n_tok long, keep boolean, "
+                "epoch int",
             )
             n_total, n_keep = v.agg(
                 F.count("*"), F.sum(F.col("keep").cast("long"))
@@ -805,12 +820,11 @@ def main(argv: list[str] | None = None) -> int:
         ):
             # explicit schema: rowless epochs (a zero-gram drain) must
             # summarize zero, not fail schema inference
-            v = stream_pipeline.first_epoch_rows(
-                spark.read.schema(
-                    "doc_id long, n_grams long, n_hits long, "
-                    "contamination double, contaminated boolean, epoch int"
-                ).parquet(args.out),
-                ("doc_id",),
+            v = _epoch_table(
+                spark,
+                args.out,
+                "doc_id long, n_grams long, n_hits long, "
+                "contamination double, contaminated boolean, epoch int",
             )
             n_total, n_bad = v.agg(
                 F.count("*"), F.sum(F.col("contaminated").cast("long"))
@@ -869,12 +883,11 @@ def main(argv: list[str] | None = None) -> int:
         ):
             # explicit schema: a drain whose every doc has <2 tokens writes
             # rowless epochs (_SUCCESS only) that schema inference chokes on
-            scores = stream_pipeline.first_epoch_rows(
-                spark.read.schema(
-                    "doc_id long, source string, n_bigrams long, "
-                    "lm_score double, epoch int"
-                ).parquet(args.out),
-                ("doc_id",),
+            scores = _epoch_table(
+                spark,
+                args.out,
+                "doc_id long, source string, n_bigrams long, "
+                "lm_score double, epoch int",
             )
             n_total, mean_score = scores.agg(
                 F.count("*"), F.round(F.avg("lm_score"), 4)
@@ -913,11 +926,8 @@ def main(argv: list[str] | None = None) -> int:
         ):
             # first_epoch_rows: crash-window copies AND re-delivered docs
             # (second verdict differs) resolve to the first epoch's row
-            scores = stream_pipeline.first_epoch_rows(
-                spark.read.schema(
-                    "doc_id long, y int, z long, pred int, epoch int"
-                ).parquet(args.out),
-                ("doc_id",),
+            scores = _epoch_table(
+                spark, args.out, "doc_id long, y int, z long, pred int, epoch int"
             )
             n_total, n_keep = scores.agg(
                 F.count("*"), F.sum(F.col("pred").cast("long"))
@@ -965,12 +975,11 @@ def main(argv: list[str] | None = None) -> int:
             # different k1..k4 (the exact stage marks the replay a
             # duplicate); an arbitrary-winner dedup makes the printed
             # kept_* counts nondeterministic — keep the FIRST verdict
-            led = stream_pipeline.first_epoch_rows(
-                spark.read.schema(
-                    "doc_id long, source string, k1 boolean, k2 boolean, "
-                    "k3 boolean, k4 boolean, epoch int"
-                ).parquet(verdicts_dir),
-                ("doc_id",),
+            led = _epoch_table(
+                spark,
+                verdicts_dir,
+                "doc_id long, source string, k1 boolean, k2 boolean, "
+                "k3 boolean, k4 boolean, epoch int",
             )
             row = led.agg(
                 F.count("*"),

@@ -19,9 +19,12 @@ from otlp2parquet_spark.extensions.dedup import (
     _MHFS_BANDS,
     _MHFS_MINS,
     SQL_NORM,
+    SQL_QUALITY_FEAT,
+    SQL_QUALITY_PASSES,
     cluster_assignments,
     gram3_expr,
     normalized_text,
+    quality_feature_exprs,
     token_count_expr,
     with_tokens,
 )
@@ -1893,6 +1896,129 @@ def x6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
     )
     return joined_low.unionByName(joined_edge).sortWithinPartitions("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x6_token_budget_fill — GLOBAL token-budget corpus fill by quality (r12)
+
+
+@query(
+    "x6_token_budget_fill",
+    oracle=f"""
+    WITH feat0 AS (
+      {SQL_QUALITY_FEAT}
+    ), tokc AS (
+      SELECT doc_id,
+             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                             t -> length(t) > 0)) AS n_tok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+               AS hv
+      FROM documents
+    ), f AS (
+      SELECT t.doc_id, t.n_tok, CAST({SQL_QUALITY_PASSES} AS INT) AS passes, t.hv
+      FROM tokc t JOIN feat0 USING (doc_id)
+      WHERE t.n_tok > 0
+    ), tot AS (
+      SELECT CAST((SUM(n_tok) + 9) // 10 AS BIGINT) AS b FROM f
+    ), r AS (
+      SELECT doc_id, n_tok, passes,
+             SUM(n_tok) OVER (ORDER BY passes DESC, hv ASC, doc_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM f
+    )
+    SELECT doc_id, n_tok, passes FROM r, tot WHERE cum <= b
+    ORDER BY doc_id
+    """,
+    tags=("X6", "X4", "W3", "F6", "A1"),
+)
+def x6_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED corpus selection: fill a global token budget (here
+    ceil(total/10) — "train on the best 10% of tokens") with documents in
+    quality-priority order — quality-gate passers first, random-fair
+    within a tier via the 48-bit content hash, doc_id as the final total
+    tie-break. A doc is selected iff its INCLUSIVE running token count in
+    that order fits the budget; zero-token docs are excluded up front
+    (they carry no budget mass, and their inclusion would hang on an
+    engine-boundary cum==B equality). Every quantity is an integer, so
+    the selected SET is bit-deterministic across engines/partitionings —
+    DuckDB hash-matched.
+
+    THE SCALE SHAPE IS THE POINT (the x6_stratified_sample threshold-search
+    discipline, budget-weighted): the naive form (the oracle) is ONE
+    global ORDER BY + running sum — a single-task sort at corpus scale.
+    Instead: the hash's top 12 bits give 4096 order-preserving coarse
+    buckets inside each quality tier; one map-side-combined
+    (passes, bkt) TOKEN-mass frame (<= 2 x 4096 rows) locates the budget
+    boundary group via a window over the bounded frame only; every group
+    strictly before it is selected by a map-only broadcast-literal filter,
+    and only the ~n/4096 rows INSIDE the boundary group see a row-level
+    running sum. Selection provably equals the naive spec: pre-boundary
+    groups have group-cum < B (so every inclusive prefix fits), and any
+    doc after the boundary group starts at cum >= B + its n_tok > B.
+    Two narrow scans by construction (mass pass + select pass)."""
+    d = spread(T(spark, sf_dir, "documents"))
+    q = quality_feature_exprs()
+    hv = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+    )
+    base = (
+        d.select(
+            "doc_id",
+            token_count_expr(F.col("text")).alias("n_tok"),
+            q["passes"].cast("int").alias("passes"),
+            hv.alias("hv"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("bkt", F.expr(f"hv div {1 << _STRAT_BKT_SHIFT}"))
+    )
+    # bounded (passes, bkt) token-mass frame; checkpointed because the
+    # threshold search consumes it twice and DERIVING it is a corpus pass
+    bc = (
+        base.groupBy("passes", "bkt")
+        .agg(F.sum("n_tok").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    w_run = (
+        Window.orderBy(F.col("passes").desc(), F.col("bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bc.select(
+        "passes", "bkt", "toks", F.sum("toks").over(w_run).alias("cum")
+    )
+    tot = bc.agg(F.expr("div(sum(toks) + 9, 10)").alias("b"))
+    th = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.col("b"))
+        .orderBy(F.col("passes").desc(), F.col("bkt").asc())
+        .limit(1)
+        .select(
+            F.col("passes").alias("p_th"),
+            F.col("bkt").alias("b_th"),
+            (F.col("cum") - F.col("toks")).alias("cum_before"),
+            "b",
+        )
+    )
+    pre = (
+        base.crossJoin(F.broadcast(th))
+        .filter(
+            (F.col("passes") > F.col("p_th"))
+            | ((F.col("passes") == F.col("p_th")) & (F.col("bkt") < F.col("b_th")))
+        )
+        .select("doc_id", "n_tok", "passes")
+    )
+    w_in = (
+        Window.orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge = (
+        base.crossJoin(F.broadcast(th))
+        .filter((F.col("passes") == F.col("p_th")) & (F.col("bkt") == F.col("b_th")))
+        .withColumn("run", F.sum("n_tok").over(w_in))
+        .filter(F.col("cum_before") + F.col("run") <= F.col("b"))
+        .select("doc_id", "n_tok", "passes")
+    )
+    return pre.unionByName(edge).sortWithinPartitions("doc_id")
 
 
 @query(

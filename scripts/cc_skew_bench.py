@@ -106,13 +106,16 @@ def build_chains_10k(spark, n_edges: int):
     from pyspark.sql import functions as F
 
     block = CHAIN_LEN + 1
-    # N nodes yield N * CHAIN_LEN/(CHAIN_LEN+1) edges; oversize then limit
-    n_nodes = n_edges + n_edges // CHAIN_LEN + block
-    e = (
-        spark.range(1, n_nodes)
-        .filter(F.col("id") % block != 0)
-        .select(F.col("id").alias("hi"), (F.col("id") - 1).alias("lo"))
-        .limit(n_edges)
+    # closed form over edge index i (no filter+limit: Spark's limit is
+    # "any N rows", and a non-prefix subset would break chains mid-block
+    # and fake label corruption — r12 review finding): edge i lives in
+    # chain i div CHAIN_LEN at offset i mod CHAIN_LEN, exactly n_edges
+    # edges, every one present
+    chain = F.expr(f"id div {CHAIN_LEN}")  # integer div: no float rounding
+    off = F.col("id") % CHAIN_LEN
+    e = spark.range(n_edges).select(
+        (chain * block + off + 1).alias("hi"),
+        (chain * block + off).alias("lo"),
     )
     return e.distinct().localCheckpoint(eager=False)
 

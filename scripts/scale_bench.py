@@ -67,6 +67,18 @@ TPCH_OFFSET_COLS = {
 }
 
 
+def _hash_u01(ids, k: int):
+    """Replica-offset ids -> deterministic u in [0,1) via the Knuth
+    multiplicative hash — the ONE definition all skew regimes share
+    (zipf_sources / zipf_events / hot_sources), so a fix to the hash can
+    never silently diverge between regimes (r12 review finding)."""
+    import numpy as np
+
+    offset = np.asarray(ids, dtype=np.int64) + k * ID_SPAN
+    h = (offset.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    return h.astype(np.float64) / 2.0**32
+
+
 def build_replica(
     base: str,
     out: str,
@@ -159,13 +171,7 @@ def build_replica(
                 if zipf_sources and name == "documents" and col == "source":
                     import numpy as np
 
-                    dids = np.asarray(
-                        t.column("doc_id"), dtype=np.int64
-                    ) + k * ID_SPAN
-                    h = (dids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
-                        0xFFFFFFFF
-                    )
-                    u = h.astype(np.float64) / 2.0**32
+                    u = _hash_u01(t.column("doc_id"), k)
                     import pyarrow.compute as pc
 
                     n_src = int(pc.count_distinct(t.column("source")).as_py())
@@ -179,16 +185,9 @@ def build_replica(
                     cols.append(arr)
                     continue
                 if hot_sources and name == "documents" and col == "source":
-                    import numpy as np
                     import pyarrow.compute as pc
 
-                    dids = np.asarray(
-                        t.column("doc_id"), dtype=np.int64
-                    ) + k * ID_SPAN
-                    h = (dids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
-                        0xFFFFFFFF
-                    )
-                    u = h.astype(np.float64) / 2.0**32
+                    u = _hash_u01(t.column("doc_id"), k)
                     arr = pc.if_else(
                         pa.array(u < 0.9), pa.scalar("src0", pa.string()), arr
                     )
@@ -197,15 +196,8 @@ def build_replica(
                 if zipf_events and name == "events" and col == "user_id":
                     import numpy as np
 
-                    eids = np.asarray(
-                        t.column("event_id"), dtype=np.int64
-                    ) + k * ID_SPAN
-                    # Knuth multiplicative hash -> u in [0,1); rank =
-                    # floor(n^u) is log-uniform over [1, n], i.e. Zipf s=1
-                    h = (eids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
-                        0xFFFFFFFF
-                    )
-                    u = h.astype(np.float64) / 2.0**32
+                    # rank = floor(n^u) is log-uniform over [1, n]: Zipf s=1
+                    u = _hash_u01(t.column("event_id"), k)
                     import pyarrow.compute as pc
 
                     n_users = int(pc.count_distinct(t.column("user_id")).as_py())
@@ -279,6 +271,11 @@ def main() -> None:
 
     from otlp2parquet_spark.queries.registry import all_specs
     from otlp2parquet_spark.session import get_spark
+
+    if args.zipf_sources and args.hot_sources:
+        # the per-column remap branches are first-match-wins; letting both
+        # through would silently produce the zipf regime labeled as hot
+        raise SystemExit("--zipf-sources and --hot-sources are mutually exclusive")
 
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
     specs = all_specs()

@@ -425,3 +425,36 @@ def test_funnel_skeleton_live_equals_batch(spark, tmp_path):
         assert _verdicts(spark, state) == want, f"{n_batches}-batch slicing"
         # keep-all means k3 == k2 on every live verdict
         assert all(r[3] == r[4] for r in _verdicts(spark, state))
+
+
+def test_funnel_cli_skeleton_mode(spark, tmp_path, capsys):
+    """Omitting --qc-model runs the funnel CLI in skeleton (keep-all
+    quality) mode; the summary must equal the w=None batch funnel with
+    kept_quality == kept_neardup."""
+    docs = _docs(spark, n=150)
+    _model, benchset, _w = _artifacts(spark, tmp_path, docs)
+    flat = _landing(spark, tmp_path, docs, n_files=2, name="skel_landing")
+    state = str(tmp_path / "skel_state")
+    rc = cli.main(
+        [
+            "funnel",
+            flat,
+            "--state",
+            state,
+            "--benchset",
+            benchset,
+            "--checkpoint",
+            str(tmp_path / "skel_ck"),
+        ]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    bench = decontam_read_benchset(spark, benchset)
+    want = sorted(
+        map(tuple, ingest_funnel_batch(docs, None, bench).select(*COLS).collect())
+    )
+    assert summary["docs_ingested"] == len(want)
+    assert summary["kept_quality"] == summary["kept_neardup"]
+    for i, key in enumerate(("kept_exact", "kept_neardup", "kept_quality", "kept_clean")):
+        assert summary[key] == sum(1 for r in want if r[2 + i])
+    assert _verdicts(spark, state) == want
