@@ -145,6 +145,7 @@ HEADLINE = [
     # r12 (the 84-query subset above stays the round-over-round comparable):
     "t21_funnel_skeleton",  # r12: composed 3-stage funnel, DuckDB-matched
     "x6_token_budget_fill",  # r12: global token-budget fill, threshold search
+    "t22_budget_admit",  # r12: arrival-order budget admission, distributed prefix sum
 ]
 
 RUNS_PER_QUERY = 3

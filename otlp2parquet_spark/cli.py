@@ -167,6 +167,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="merge committed verdict epochs after the drain",
     )
 
+    ba = sub.add_parser(
+        "badmit",
+        help="streaming token-budget admission (T22): drain available "
+        "files, admit docs in arrival order while the global token count "
+        "fits --budget, append per-epoch verdicts under STATE/verdicts",
+    )
+    ba.add_argument("landing_dir", help="dir of documents-schema parquet files")
+    ba.add_argument("--state", required=True, help="verdicts + totals root")
+    ba.add_argument("--budget", required=True, type=_positive_int, help="token budget")
+    ba.add_argument("--checkpoint", required=True)
+    ba.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge committed verdict epochs after the drain",
+    )
+
     qt = sub.add_parser(
         "qtrain",
         help="train the linear quality classifier (IPM perceptron) on a "
@@ -703,6 +719,52 @@ def main(argv: list[str] | None = None) -> int:
                     "model_buckets": model.count(),
                     "threshold_micro": int(th),
                     "model": args.model,
+                }
+            )
+        )
+        return 0
+
+    if args.command == "badmit":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from otlp2parquet_spark.session import get_spark
+        from otlp2parquet_spark.streaming import pipeline as stream_pipeline
+
+        spark = get_spark(app_name="otlp2parquet-badmit")
+        q = stream_pipeline.budget_admit_stream(
+            spark, args.landing_dir, args.state, args.budget, args.checkpoint
+        )
+        q.awaitTermination()
+        compacted = 0
+        if args.compact:
+            compacted = stream_pipeline.compact_budget_verdicts(spark, args.state)
+        n_total = n_adm = 0
+        tok_adm = 0
+        verdicts_dir = os.path.join(args.state, "verdicts")
+        if os.path.isdir(verdicts_dir) and any(
+            d.startswith("epoch=") for d in os.listdir(verdicts_dir)
+        ):
+            v = _epoch_table(
+                spark,
+                verdicts_dir,
+                "doc_id long, n_tok long, admitted boolean, epoch int",
+            )
+            n_total, n_adm, tok_adm = v.agg(
+                F.count("*"),
+                F.sum(F.col("admitted").cast("long")),
+                F.sum(F.when(F.col("admitted"), F.col("n_tok")).otherwise(0)),
+            ).first()
+        print(
+            json.dumps(
+                {
+                    "docs_seen": int(n_total),
+                    "docs_admitted": int(n_adm or 0),
+                    "tokens_admitted": int(tok_adm or 0),
+                    "budget": args.budget,
+                    "verdict_epochs_compacted": compacted,
+                    "state": args.state,
                 }
             )
         )

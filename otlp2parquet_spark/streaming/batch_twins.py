@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from otlp2parquet_spark.extensions.dedup import SQL_NORM
 from otlp2parquet_spark.queries.registry import T, query
 from otlp2parquet_spark.queries.relational import davg, dsum, sql_davg, sql_dsum
 
@@ -931,3 +932,93 @@ def t21_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verdicts = ingest_funnel_batch(d, w, bench)
     return funnel_ledger(verdicts)
+
+
+# ---------------------------------------------------------------------------
+# T22: streaming token-budget ADMISSION (r12)
+
+
+@query(
+    "t22_budget_admit",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                             t -> length(t) > 0)) AS n_tok
+      FROM documents
+    ), tot AS (
+      SELECT CAST((SUM(n_tok) + 9) // 10 AS BIGINT) AS b FROM f
+    ), r AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM f
+    )
+    SELECT doc_id, n_tok, cum <= b AS admitted
+    FROM r, tot ORDER BY doc_id
+    """,
+    tags=("T22", "W3", "F6", "A1"),
+)
+def t22_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 batch twin: ARRIVAL-ordered token-budget admission — the hard
+    cutoff an ingest pipeline applies when collecting a fixed token budget
+    ("stop at 10B tokens"): docs are admitted in doc_id (arrival) order
+    while the INCLUSIVE running token count fits the budget (here
+    ceil(total/10), the x6_token_budget_fill fixture convention); once the
+    budget trips, everything after is rejected — cum is monotone, so the
+    admitted set is a doc_id PREFIX property, which is exactly what makes
+    the live form (budget_admit_stream) reproduce it batch-for-batch with
+    one number of cross-batch state. Contrast x6_token_budget_fill:
+    that op picks the BEST docs for the budget (global priority order);
+    this lane admits the FIRST docs (arrival order) — both are real
+    production shapes (curation vs collection).
+
+    THE SCALE SHAPE: the naive spec (the oracle) is one global ORDER BY +
+    running sum — a single-task sort. The shipped plan is the classic
+    DISTRIBUTED PREFIX SUM: doc_id div 8192 gives order-preserving
+    ranges; one map-side-combined per-range token-total frame (bounded),
+    a window over THAT frame yields each range's starting offset, and the
+    per-range inclusive cumsum runs partitioned BY RANGE — every window
+    partition is ~1/8192 of the corpus, no global sort anywhere. The
+    budget literal derives from the same bounded frame. All integers, so
+    the distributed plan provably equals the naive spec (offsets are
+    exact, not approximate)."""
+    d = T(spark, sf_dir, "documents")
+    from otlp2parquet_spark.extensions.dedup import token_count_expr
+
+    base = d.select(
+        "doc_id",
+        F.coalesce(token_count_expr(F.col("text")), F.lit(0))
+        .cast("long")
+        .alias("n_tok"),
+    ).withColumn("rng", F.expr("doc_id div 8192"))
+    totals = (
+        base.groupBy("rng")
+        .agg(F.sum("n_tok").alias("rng_toks"))
+        .localCheckpoint(eager=False)  # bounded frame, two consumers
+    )
+    w_off = (
+        Window.orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "rng",
+        (F.sum("rng_toks").over(w_off) - F.col("rng_toks")).alias("offset"),
+    )
+    tot = totals.agg(F.expr("div(sum(rng_toks) + 9, 10)").alias("b"))
+    w_in = (
+        Window.partitionBy("rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offsets), "rng")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("run", F.sum("n_tok").over(w_in))
+        .select(
+            "doc_id",
+            "n_tok",
+            ((F.col("offset") + F.col("run")) <= F.col("b")).alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )

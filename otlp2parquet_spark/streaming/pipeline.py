@@ -2128,3 +2128,137 @@ def compact_ingest_funnel(
         sort_cols=("doc_id",),
     )
     return n_h, n_b, n_v
+
+
+# ---------------------------------------------------------------------------
+# T22: streaming token-budget ADMISSION (r12)
+# ---------------------------------------------------------------------------
+
+
+def make_budget_admit_flush(spark: SparkSession, state_dir: str, budget: int):
+    """The foreachBatch body of budget_admit_stream, exposed so tests can
+    drive it with explicit (batch, epoch_id) pairs including replays.
+
+    Cross-batch state is ONE number: the token total of every prior epoch,
+    persisted as a one-row totals table per epoch ({state_dir}/totals/
+    epoch=N) so the offset for epoch e derives from epochs < e only —
+    replaying an epoch overwrites exactly its own verdicts AND totals row,
+    which is what makes the admission verdicts replay-idempotent (the
+    T11/T15 per-epoch-overwrite contract with a scalar instead of an
+    index). Within a batch the inclusive running sum is a single window in
+    arrival (doc_id) order — micro-batches are bounded by
+    maxFilesPerTrigger, so the single-partition window is batch-sized, not
+    corpus-sized; the batch twin (t22_budget_admit) shows the
+    distributed-prefix-sum form of the same cumsum for the unbounded batch
+    case. Verdicts: (doc_id, n_tok, admitted) per epoch under
+    {state_dir}/verdicts."""
+    import os
+
+    from pyspark.sql import Window
+
+    from otlp2parquet_spark.extensions.dedup import token_count_expr
+
+    _require_local_state(state_dir, "make_budget_admit_flush")
+    verdicts_dir = os.path.join(state_dir, "verdicts")
+    totals_dir = os.path.join(state_dir, "totals")
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        offset = 0
+        if os.path.isdir(totals_dir) and any(
+            d.startswith("epoch=") for d in os.listdir(totals_dir)
+        ):
+            # explicit schema: a zero-doc drain writes a rowless epoch
+            row = (
+                spark.read.schema("batch_toks long, epoch int")
+                .parquet(totals_dir)
+                .filter(F.col("epoch") < e)
+                .agg(F.coalesce(F.sum("batch_toks"), F.lit(0)))
+                .first()
+            )
+            offset = int(row[0])
+        base = batch_df.select(
+            "doc_id",
+            F.coalesce(token_count_expr(F.col("text")), F.lit(0))
+            .cast("long")
+            .alias("n_tok"),
+        ).persist()
+        try:
+            w = Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            (
+                base.withColumn("run", F.sum("n_tok").over(w))
+                .select(
+                    "doc_id",
+                    "n_tok",
+                    ((F.lit(offset) + F.col("run")) <= F.lit(int(budget))).alias(
+                        "admitted"
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(verdicts_dir, f"epoch={e}"))
+            )
+            batch_toks = base.agg(
+                F.coalesce(F.sum("n_tok"), F.lit(0)).alias("t")
+            ).first()[0]
+            spark.createDataFrame(
+                [(int(batch_toks),)], "batch_toks long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(totals_dir, f"epoch={e}")
+            )
+        finally:
+            base.unpersist()
+
+    return flush
+
+
+def budget_admit_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    budget: int,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """ARRIVAL-ordered token-budget admission at ingest (T22): admit every
+    arriving doc while the global inclusive token count fits `budget`,
+    then reject everything after — the hard cutoff a collection pipeline
+    applies ("stop at 10B tokens"). The admitted set is a prefix of the
+    arrival order, so live == batch needs only the one-number cross-batch
+    state make_budget_admit_flush persists.
+
+    Equivalence contract (tests/test_streaming_budget.py): when docs
+    arrive in doc_id order, the union of verdict epochs is BIT-IDENTICAL
+    to the t22_budget_admit batch twin run with the same budget over the
+    union of the inputs, across slicings, restarts and replays — all
+    quantities are exact integers."""
+    _require_local_state(state_dir, "budget_admit_stream")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            make_budget_admit_flush(spark, state_dir, budget)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_budget_verdicts(spark: SparkSession, state_dir: str) -> int:
+    """Compact budget_admit_stream's epoch-partitioned verdicts (totals
+    stay per-epoch: they ARE the replay state — one tiny row each — and
+    merging them would change every later epoch's offset derivation)."""
+    import os
+
+    _require_local_state(state_dir, "compact_budget_verdicts")
+    return _compact_union_epochs(
+        spark,
+        os.path.join(state_dir, "verdicts"),
+        key_cols=("doc_id",),
+        sort_cols=("doc_id",),
+    )

@@ -1,0 +1,180 @@
+"""T22 gates: arrival-ordered token-budget admission. The live lane's
+verdict union must be BIT-IDENTICAL to the t22_budget_admit batch twin run
+with the same budget over the union of its inputs — across micro-batch
+slicings, a crash replay, and compaction. All quantities are exact
+integers, so equality is literal row equality.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from otlp2parquet_spark.extensions.dedup import token_count_expr
+from otlp2parquet_spark.queries.registry import all_specs
+from otlp2parquet_spark.session import load_table
+from otlp2parquet_spark.streaming.pipeline import (
+    compact_budget_verdicts,
+    make_budget_admit_flush,
+)
+
+SF = "/root/testdata/sf0.001"
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, n=300):
+    return (
+        load_table(spark, SF, "documents")
+        .orderBy("doc_id")
+        .limit(n)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+def _verdicts(spark, state):
+    return sorted(
+        map(
+            tuple,
+            spark.read.schema("doc_id long, n_tok long, admitted boolean")
+            .parquet(os.path.join(state, "verdicts"))
+            .select("doc_id", "n_tok", "admitted")
+            .collect(),
+        )
+    )
+
+
+def _want(spark, docs, budget):
+    """The batch spec: inclusive cumsum over doc_id order vs budget."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return sorted(
+        map(
+            tuple,
+            docs.select(
+                "doc_id",
+                F.coalesce(token_count_expr(F.col("text")), F.lit(0))
+                .cast("long")
+                .alias("n_tok"),
+            )
+            .withColumn("run", F.sum("n_tok").over(w))
+            .select(
+                "doc_id", "n_tok", (F.col("run") <= F.lit(budget)).alias("admitted")
+            )
+            .collect(),
+        )
+    )
+
+
+def _budget_for(spark, docs) -> int:
+    total = docs.select(
+        F.sum(F.coalesce(token_count_expr(F.col("text")), F.lit(0))).alias("t")
+    ).first()[0]
+    return (int(total) + 9) // 10
+
+
+def test_budget_admit_live_equals_batch_across_slicings(spark, tmp_path):
+    docs = _docs(spark)
+    budget = _budget_for(spark, docs)
+    want = _want(spark, docs, budget)
+    # the boundary must land INSIDE the corpus or the gate is vacuous
+    admitted = [r for r in want if r[2]]
+    assert 0 < len(admitted) < len(want)
+    rows = docs.collect()
+    for n_batches in (1, 3, 7):
+        state = str(tmp_path / f"state_{n_batches}")
+        os.makedirs(state, exist_ok=True)
+        flush = make_budget_admit_flush(spark, state, budget)
+        per = (len(rows) + n_batches - 1) // n_batches
+        for i in range(n_batches):
+            chunk = rows[i * per : (i + 1) * per]
+            if chunk:
+                flush(spark.createDataFrame(chunk, _SCHEMA), i)
+        assert _verdicts(spark, state) == want, f"{n_batches}-batch slicing"
+
+
+def test_budget_admit_replay_idempotent_and_compacts(spark, tmp_path):
+    docs = _docs(spark, n=200)
+    budget = _budget_for(spark, docs)
+    want = _want(spark, docs, budget)
+    rows = docs.collect()
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    flush = make_budget_admit_flush(spark, state, budget)
+    per = (len(rows) + 2) // 3
+    chunks = [rows[i * per : (i + 1) * per] for i in range(3)]
+    for i, c in enumerate(chunks):
+        flush(spark.createDataFrame(c, _SCHEMA), i)
+    # crash replay of the middle epoch: overwrites exactly its own state
+    flush(spark.createDataFrame(chunks[1], _SCHEMA), 1)
+    assert _verdicts(spark, state) == want
+    # compaction preserves the ledger (totals stay per-epoch by design)
+    removed = compact_budget_verdicts(spark, state)
+    assert removed >= 1
+    assert _verdicts(spark, state) == want
+    # a post-compaction epoch still derives the right offset
+    extra = [(10_000, "alpha beta gamma", "en", "s", 16)]
+    flush(spark.createDataFrame(extra, _SCHEMA), 3)
+    got = dict((r[0], r) for r in _verdicts(spark, state))
+    assert got[10_000][2] is False  # budget long since exhausted
+
+
+def test_t22_twin_matches_spec(spark):
+    """The registry twin's distributed prefix sum equals the naive spec on
+    the full fixture corpus."""
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    budget = _budget_for(spark, d)
+    want = _want(spark, d, budget)
+    got = sorted(
+        map(tuple, all_specs()["t22_budget_admit"].build(spark, SF).collect())
+    )
+    assert got == want
+
+
+def test_budget_admit_cli_lane(spark, tmp_path, capsys):
+    import glob as _glob
+    import json as _json
+
+    from otlp2parquet_spark import cli
+
+    docs = _docs(spark, n=150)
+    budget = _budget_for(spark, docs)
+    want = _want(spark, docs, budget)
+    rows = docs.collect()
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing, exist_ok=True)
+    per = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, _SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{landing}/f{i}")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    for k, f in enumerate(sorted(_glob.glob(f"{landing}/f*/part-*.parquet"))):
+        os.link(f, f"{flat}/{k:05d}.parquet")
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            "badmit",
+            flat,
+            "--state",
+            state,
+            "--budget",
+            str(budget),
+            "--checkpoint",
+            str(tmp_path / "ck"),
+            "--compact",
+        ]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_seen"] == len(want)
+    assert summary["docs_admitted"] == sum(1 for r in want if r[2])
+    assert summary["tokens_admitted"] == sum(r[1] for r in want if r[2])
+    assert summary["tokens_admitted"] <= budget
+    assert _verdicts(spark, state) == want
