@@ -171,7 +171,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "badmit",
         help="streaming token-budget admission (T22): drain available "
         "files, admit docs in arrival order while the global token count "
-        "fits --budget, append per-epoch verdicts under STATE/verdicts",
+        "fits --budget, append per-epoch verdicts under STATE/verdicts. "
+        "Input must be doc-unique (run xdedup upstream): budget is "
+        "charged per arrival",
     )
     ba.add_argument("landing_dir", help="dir of documents-schema parquet files")
     ba.add_argument("--state", required=True, help="verdicts + totals root")
@@ -346,9 +348,21 @@ def _epoch_table(spark, table_dir: str, schema: str):
     inference) + first-epoch resolution (a doc re-delivered in a later
     landing file carries a DIFFERENT verdict there — the min-epoch row is
     the ledger verdict; see streaming.pipeline.first_epoch_rows). `schema`
-    must name the `epoch int` partition column."""
+    must name the `epoch int` partition column.
+
+    Returns None when the table has no committed epoch yet (dir absent,
+    or no epoch= children — e.g. an empty landing dir that never flushed):
+    the caller's zero-summary path. The guard lives HERE so the whole
+    epoch-table read contract has one owner (r12 review finding)."""
+    import os
+
     from otlp2parquet_spark.streaming.pipeline import first_epoch_rows
 
+    if not (
+        os.path.isdir(table_dir)
+        and any(d.startswith("epoch=") for d in os.listdir(table_dir))
+    ):
+        return None
     return first_epoch_rows(
         spark.read.schema(schema).parquet(table_dir), ("doc_id",)
     )
@@ -550,12 +564,12 @@ def main(argv: list[str] | None = None) -> int:
             compacted = stream_pipeline.compact_band_index(spark, args.state)
             flags_compacted = stream_pipeline.compact_flags(spark, args.state)
         flags_dir = os.path.join(args.state, "flags")
-        if os.path.isdir(flags_dir):
-            # first_epoch_rows: crash-window copies AND re-delivered docs
-            # (second verdict differs) resolve to the first epoch's row
-            flags = _epoch_table(
-                spark, flags_dir, "doc_id long, is_neardup boolean, epoch int"
-            )
+        # first_epoch_rows: crash-window copies AND re-delivered docs
+        # (second verdict differs) resolve to the first epoch's row
+        flags = _epoch_table(
+            spark, flags_dir, "doc_id long, is_neardup boolean, epoch int"
+        )
+        if flags is not None:
             n_total, n_dup = flags.agg(
                 F.count("*"), F.sum(F.col("is_neardup").cast("long"))
             ).first()
@@ -595,13 +609,13 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.state
             )
         flags_dir = os.path.join(args.state, "flags")
-        if os.path.isdir(flags_dir):
-            flags = _epoch_table(
-                spark,
-                flags_dir,
-                "doc_id long, content_hash string, is_duplicate boolean, "
-                "dup_of long, epoch int",
-            )
+        flags = _epoch_table(
+            spark,
+            flags_dir,
+            "doc_id long, content_hash string, is_duplicate boolean, "
+            "dup_of long, epoch int",
+        )
+        if flags is not None:
             n_total, n_dup = flags.agg(
                 F.count("*"), F.sum(F.col("is_duplicate").cast("long"))
             ).first()
@@ -742,15 +756,12 @@ def main(argv: list[str] | None = None) -> int:
             compacted = stream_pipeline.compact_budget_verdicts(spark, args.state)
         n_total = n_adm = 0
         tok_adm = 0
-        verdicts_dir = os.path.join(args.state, "verdicts")
-        if os.path.isdir(verdicts_dir) and any(
-            d.startswith("epoch=") for d in os.listdir(verdicts_dir)
-        ):
-            v = _epoch_table(
-                spark,
-                verdicts_dir,
-                "doc_id long, n_tok long, admitted boolean, epoch int",
-            )
+        v = _epoch_table(
+            spark,
+            os.path.join(args.state, "verdicts"),
+            "doc_id long, n_tok long, admitted boolean, epoch int",
+        )
+        if v is not None:
             n_total, n_adm, tok_adm = v.agg(
                 F.count("*"),
                 F.sum(F.col("admitted").cast("long")),
@@ -787,15 +798,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.compact:
             compacted = stream_pipeline.compact_dsir_verdicts(spark, args.out)
         n_total = n_keep = 0
-        if os.path.isdir(args.out) and any(
-            d.startswith("epoch=") for d in os.listdir(args.out)
-        ):
-            v = _epoch_table(
-                spark,
-                args.out,
-                "doc_id long, liw_micro long, n_tok long, keep boolean, "
-                "epoch int",
-            )
+        v = _epoch_table(
+            spark,
+            args.out,
+            "doc_id long, liw_micro long, n_tok long, keep boolean, "
+            "epoch int",
+        )
+        if v is not None:
             n_total, n_keep = v.agg(
                 F.count("*"), F.sum(F.col("keep").cast("long"))
             ).first()
@@ -877,17 +886,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.compact:
             compacted = stream_pipeline.compact_decontam_verdicts(spark, args.out)
         n_total = n_bad = 0
-        if os.path.isdir(args.out) and any(
-            d.startswith("epoch=") for d in os.listdir(args.out)
-        ):
-            # explicit schema: rowless epochs (a zero-gram drain) must
-            # summarize zero, not fail schema inference
-            v = _epoch_table(
-                spark,
-                args.out,
-                "doc_id long, n_grams long, n_hits long, "
-                "contamination double, contaminated boolean, epoch int",
-            )
+        # explicit schema: rowless epochs (a zero-gram drain) must
+        # summarize zero, not fail schema inference
+        v = _epoch_table(
+            spark,
+            args.out,
+            "doc_id long, n_grams long, n_hits long, "
+            "contamination double, contaminated boolean, epoch int",
+        )
+        if v is not None:
             n_total, n_bad = v.agg(
                 F.count("*"), F.sum(F.col("contaminated").cast("long"))
             ).first()
@@ -940,17 +947,15 @@ def main(argv: list[str] | None = None) -> int:
             compacted = stream_pipeline.compact_lm_scores(spark, args.out)
         n_total = 0
         mean_score = None
-        if os.path.isdir(args.out) and any(
-            d.startswith("epoch=") for d in os.listdir(args.out)
-        ):
-            # explicit schema: a drain whose every doc has <2 tokens writes
-            # rowless epochs (_SUCCESS only) that schema inference chokes on
-            scores = _epoch_table(
-                spark,
-                args.out,
-                "doc_id long, source string, n_bigrams long, "
-                "lm_score double, epoch int",
-            )
+        # explicit schema: a drain whose every doc has <2 tokens writes
+        # rowless epochs (_SUCCESS only) that schema inference chokes on
+        scores = _epoch_table(
+            spark,
+            args.out,
+            "doc_id long, source string, n_bigrams long, "
+            "lm_score double, epoch int",
+        )
+        if scores is not None:
             n_total, mean_score = scores.agg(
                 F.count("*"), F.round(F.avg("lm_score"), 4)
             ).first()
@@ -983,14 +988,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.compact:
             compacted = stream_pipeline.compact_quality_scores(spark, args.out)
         n_total = n_keep = 0
-        if os.path.isdir(args.out) and any(
-            d.startswith("epoch=") for d in os.listdir(args.out)
-        ):
-            # first_epoch_rows: crash-window copies AND re-delivered docs
-            # (second verdict differs) resolve to the first epoch's row
-            scores = _epoch_table(
-                spark, args.out, "doc_id long, y int, z long, pred int, epoch int"
-            )
+        # first_epoch_rows: crash-window copies AND re-delivered docs
+        # (second verdict differs) resolve to the first epoch's row
+        scores = _epoch_table(
+            spark, args.out, "doc_id long, y int, z long, pred int, epoch int"
+        )
+        if scores is not None:
             n_total, n_keep = scores.agg(
                 F.count("*"), F.sum(F.col("pred").cast("long"))
             ).first()
@@ -1027,22 +1030,19 @@ def main(argv: list[str] | None = None) -> int:
         compacted = (0, 0, 0)
         if args.compact:
             compacted = stream_pipeline.compact_ingest_funnel(spark, args.state)
-        verdicts_dir = os.path.join(args.state, "verdicts")
         counts = {"n_docs": 0, "k1": 0, "k2": 0, "k3": 0, "k4": 0}
-        if os.path.isdir(verdicts_dir) and any(
-            d.startswith("epoch=") for d in os.listdir(verdicts_dir)
-        ):
-            # explicit schema (rowless epochs) + first_epoch_rows: a doc
-            # re-delivered in a later landing file is verdicted AGAIN with
-            # different k1..k4 (the exact stage marks the replay a
-            # duplicate); an arbitrary-winner dedup makes the printed
-            # kept_* counts nondeterministic — keep the FIRST verdict
-            led = _epoch_table(
-                spark,
-                verdicts_dir,
-                "doc_id long, source string, k1 boolean, k2 boolean, "
-                "k3 boolean, k4 boolean, epoch int",
-            )
+        # explicit schema (rowless epochs) + first_epoch_rows: a doc
+        # re-delivered in a later landing file is verdicted AGAIN with
+        # different k1..k4 (the exact stage marks the replay a
+        # duplicate); an arbitrary-winner dedup makes the printed
+        # kept_* counts nondeterministic — keep the FIRST verdict
+        led = _epoch_table(
+            spark,
+            os.path.join(args.state, "verdicts"),
+            "doc_id long, source string, k1 boolean, k2 boolean, "
+            "k3 boolean, k4 boolean, epoch int",
+        )
+        if led is not None:
             row = led.agg(
                 F.count("*"),
                 *[F.sum(F.col(k).cast("long")) for k in ("k1", "k2", "k3", "k4")],

@@ -943,8 +943,8 @@ def t21_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH f AS (
       SELECT doc_id,
-             len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
-                             t -> length(t) > 0)) AS n_tok
+             COALESCE(len(list_filter(string_split({SQL_NORM.format(c='text')}, ' '),
+                                      t -> length(t) > 0)), 0) AS n_tok
       FROM documents
     ), tot AS (
       SELECT CAST((SUM(n_tok) + 9) // 10 AS BIGINT) AS b FROM f

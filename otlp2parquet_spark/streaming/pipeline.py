@@ -2145,7 +2145,17 @@ def make_budget_admit_flush(spark: SparkSession, state_dir: str, budget: int):
     replaying an epoch overwrites exactly its own verdicts AND totals row,
     which is what makes the admission verdicts replay-idempotent (the
     T11/T15 per-epoch-overwrite contract with a scalar instead of an
-    index). Within a batch the inclusive running sum is a single window in
+    index).
+
+    INPUT CONTRACT: the stream must be doc-unique — admission charges the
+    budget per ARRIVAL, so a doc RE-DELIVERED in a later landing file
+    (not a crash replay, which overwrites its own epoch) would consume
+    budget twice while the doc_id-keyed summary ledger counts it once,
+    and downstream docs would be rejected early. Production composes the
+    T15 exact-dedup lane (or the T21 funnel's stage 1) UPSTREAM of
+    admission, which is exactly what makes the stream doc-unique; this
+    lane deliberately does not duplicate that index (r12 review
+    finding — stated contract, not silent assumption). Within a batch the inclusive running sum is a single window in
     arrival (doc_id) order — micro-batches are bounded by
     maxFilesPerTrigger, so the single-partition window is batch-sized, not
     corpus-sized; the batch twin (t22_budget_admit) shows the

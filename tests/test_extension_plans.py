@@ -126,6 +126,13 @@ _DUPLICATE_SCAN_ALLOWLIST = {
         "three narrow scans replace the naive per-stratum corpus sort "
         "that serializes a hot source"
     ),
+    "x6_token_budget_fill": (
+        "the stratified threshold search, budget-weighted: one map-side-"
+        "combined (passes, bucket) token-mass pass (checkpointed for its "
+        "two bounded-frame consumers), then the pre-boundary and "
+        "in-boundary select passes — two corpus scans replace the naive "
+        "single-task global sort + running sum"
+    ),
     "x4_heavy_hitters": (
         "sketch-then-verify by construction: pass 1 is the per-partition "
         "frequent-items summary (<= K rows out per partition), pass 2 "
