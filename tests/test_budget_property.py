@@ -1,0 +1,149 @@
+"""Property gates for the r12 budget operators: Spark vs an INDEPENDENT
+pure-Python reference over hypothesis-generated corpora (random texts
+including empty/whitespace/punctuation-only docs and budget-boundary
+shapes the fixtures never produce). The DuckDB oracles pin cross-engine
+agreement on the fixtures; these pin the SPEC itself on adversarial
+inputs — the same two-layer discipline as the wire/flatten fuzz suites.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from otlp2parquet_spark.queries.registry import all_specs
+
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# word pool: short tokens, numerics, punctuation-bearing and empty-ish
+# shapes; long docs (quality-gate passers need >= 200 chars / >= 30 tokens)
+_words = st.sampled_from(
+    ["the", "a", "and", "of", "to", "data", "spark", "x1", "42", "Qu-ick", "!!"]
+)
+_short_text = st.lists(_words, min_size=0, max_size=8).map(" ".join)
+_long_text = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "count7"]),
+    min_size=40,
+    max_size=60,
+).map(" ".join)
+_text = st.one_of(_short_text, _long_text, st.just(""), st.just("   !!!   "))
+
+_corpus = st.lists(_text, min_size=1, max_size=24).map(
+    lambda texts: [
+        (i * 3 + 1, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)
+    ]
+)
+
+
+def _toks(text: str) -> list[str]:
+    """The pure-Python twin of normalized_text + token split."""
+    return [
+        t
+        for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+        if t
+    ]
+
+
+def _hv(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+
+
+def _passes(text: str) -> int:
+    n_chars = len(text)
+    n_tokens = len(re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" "))
+    n_punct = len(re.findall(r"[^a-zA-Z0-9\s]", text))
+    return int(
+        n_chars >= 200 and n_tokens >= 30 and (n_punct / n_chars) < 0.1
+    )
+
+
+def _budget(rows) -> int:
+    total = sum(len(_toks(t)) for _, t, *_ in rows)
+    return (total + 9) // 10
+
+
+@given(rows=_corpus)
+@settings(max_examples=10, deadline=None)
+def test_token_budget_fill_matches_python_reference(spark, tmp_path_factory, rows):
+    """x6_token_budget_fill == the naive greedy spec computed in Python:
+    order (passes DESC, md5-hash ASC, doc_id ASC) over n_tok>0 docs, keep
+    while the inclusive running token count fits ceil(total/10)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("tbf")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    feats = [
+        (did, len(_toks(t)), _passes(t), _hv(did))
+        for did, t, *_ in rows
+        if len(_toks(t)) > 0
+    ]
+    b = (sum(f[1] for f in feats) + 9) // 10
+    cum = 0
+    want = []
+    for did, n_tok, p, hv in sorted(feats, key=lambda f: (-f[2], f[3], f[0])):
+        cum += n_tok
+        if cum <= b:
+            want.append((did, n_tok, p))
+    got = sorted(
+        map(
+            tuple,
+            all_specs()["x6_token_budget_fill"].build(spark, str(tmp)).collect(),
+        )
+    )
+    assert got == sorted(want)
+    assert sum(n for _, n, _ in got) <= b
+
+
+@given(rows=_corpus, data=st.data())
+@settings(max_examples=10, deadline=None)
+def test_budget_admit_matches_python_reference(spark, rows, data):
+    """The T22 flush (driven over a random batch slicing) == the Python
+    arrival-order cumsum spec, for a budget drawn anywhere from 0 tokens
+    to past the total — boundary shapes the fixture budget never hits."""
+    import os
+    import tempfile
+
+    from otlp2parquet_spark.streaming.pipeline import make_budget_admit_flush
+
+    total = sum(len(_toks(t)) for _, t, *_ in rows)
+    budget = data.draw(st.integers(min_value=0, max_value=total + 5))
+    cum = 0
+    want = []
+    for did, t, *_ in sorted(rows):
+        n = len(_toks(t))
+        cum += n
+        want.append((did, n, cum <= budget))
+    with tempfile.TemporaryDirectory() as state:
+        flush = make_budget_admit_flush(spark, state, budget)
+        n_batches = data.draw(st.integers(min_value=1, max_value=3))
+        ordered = sorted(rows)
+        per = (len(ordered) + n_batches - 1) // n_batches
+        for i in range(n_batches):
+            chunk = ordered[i * per : (i + 1) * per]
+            if chunk:
+                flush(spark.createDataFrame(chunk, _SCHEMA), i)
+        got = sorted(
+            map(
+                tuple,
+                spark.read.schema("doc_id long, n_tok long, admitted boolean")
+                .parquet(os.path.join(state, "verdicts"))
+                .select("doc_id", "n_tok", "admitted")
+                .collect(),
+            )
+        )
+    assert got == want
