@@ -146,6 +146,7 @@ HEADLINE = [
     "t21_funnel_skeleton",  # r12: composed 3-stage funnel, DuckDB-matched
     "x6_token_budget_fill",  # r12: global token-budget fill, threshold search
     "t22_budget_admit",  # r12: arrival-order budget admission, distributed prefix sum
+    "t19_hll_rollup",  # r12: sketch-merge rollup, never rescans raw events
 ]
 
 RUNS_PER_QUERY = 3

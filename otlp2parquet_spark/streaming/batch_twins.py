@@ -885,6 +885,74 @@ def t19_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.hll_estimate_from_registers(regs).orderBy("window_start", "event_type")
 
 
+_T19_ROLLUP_SQL = """
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events WHERE user_id IS NOT NULL
+    ), rows_ AS (
+      SELECT event_type,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS reg,
+             CASE WHEN CAST(('0x' || substr(hx, 3, 13)) AS BIGINT) = 0 THEN 53
+                  ELSE 53 - length(bin(CAST(('0x' || substr(hx, 3, 13)) AS BIGINT)))
+             END AS rho
+      FROM h
+    ), regs AS (
+      SELECT event_type, reg, MAX(rho) AS rho
+      FROM rows_ GROUP BY event_type, reg
+    ), per AS (
+      SELECT event_type,
+             SUM(CAST(POWER(2.0, 53 - rho) AS BIGINT)) AS s_present,
+             COUNT(*) AS p
+      FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           FLOOR(
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 9007199254740992.0
+                       / CAST(s_present + (256 - p) * 9007199254740992 AS DOUBLE)
+                       <= 640.0
+                   AND (256 - p) > 0
+                  THEN 256.0 * ln(256.0 / CAST(256 - p AS DOUBLE))
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * 9007199254740992.0
+                       / CAST(s_present + (256 - p) * 9007199254740992 AS DOUBLE)
+             END * 10000.0 + 0.5) / 10000.0 AS n_approx
+    FROM per
+    ORDER BY event_type
+    """
+
+
+@query(
+    "t19_hll_rollup",
+    oracle=_T19_ROLLUP_SQL,
+    tags=("T19", "A8", "A1", "F6"),
+)
+def t19_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19 rollup: per-event_type distinct-user estimates obtained by
+    MAX-MERGING the per-(5-min window) register table — the mergeability
+    dividend made into its own hash-matched query: a year of 5-minute
+    sketches rolls up to any coarser grain WITHOUT rescanning the raw
+    events, because register MAX is commutative/associative/idempotent
+    (merge of per-window MAXes == the global MAX). The Spark side
+    deliberately routes THROUGH hll_reg_buckets' per-window frame (the
+    exact table the T19 live lane persists) and collapses it with the
+    shared estimator keyed on event_type alone; the oracle computes the
+    global registers straight from the raw events — the hash match IS the
+    proof that sketch merge loses nothing vs recomputation.
+
+    Scale shape: the rollup input is |windows| x |types| x 256 register
+    rows — already tiny at any corpus size; the merge + estimate never
+    touch the event stream. At 100 TB this is the difference between a
+    seconds-long sketch-table agg and a full-corpus re-scan."""
+    from otlp2parquet_spark.streaming import pipeline as P
+
+    e = T(spark, sf_dir, "events")
+    regs = P.hll_reg_buckets(e, watermark=None)
+    return P.hll_estimate_from_registers(regs, keys=("event_type",)).orderBy(
+        "event_type"
+    )
+
+
 @query(
     "t21_ingest_funnel",
     # No SQL oracle BY DESIGN: stage 3 is the learned classifier, whose IPM

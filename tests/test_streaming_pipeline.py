@@ -381,3 +381,39 @@ def test_t19_raw_branch_matches_duckdb_at_high_cardinality(spark, tmp_path):
     )
     want = con.execute(spec.oracle).fetchall()
     assert len(want) == 1 and float(want[0][-1]) == est, (want, est)
+
+
+def test_t19_rollup_merge_equals_direct_and_tracks_exact(spark):
+    """t19_hll_rollup's merge of the per-WINDOW register table must equal
+    the estimate computed from a direct per-type register build (MAX is
+    associative: merge of per-window MAXes == global MAX — the
+    mergeability identity, bit-level), and the estimate must track the
+    exact per-type distinct-user count within the standard HLL error
+    (rsd 1.04/sqrt(256) ~ 6.5%; gate at 4 sigma)."""
+    from pyspark.sql import functions as F
+
+    from otlp2parquet_spark.queries.registry import all_specs
+    from otlp2parquet_spark.session import load_table
+
+    e = load_table(spark, SF, "events")
+    rolled = {
+        r.event_type: r.n_approx
+        for r in all_specs()["t19_hll_rollup"].build(spark, SF).collect()
+    }
+    direct = {
+        r.event_type: r.n_approx
+        for r in P.hll_estimate_from_registers(
+            P.hll_reg_buckets(e, watermark=None), keys=("event_type",)
+        ).collect()
+    }
+    assert rolled == direct and rolled
+    exact = {
+        r.event_type: r.n
+        for r in e.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for et, est in rolled.items():
+        assert abs(est - exact[et]) <= 4 * 0.065 * exact[et], (et, est, exact[et])
