@@ -147,6 +147,7 @@ HEADLINE = [
     "x6_token_budget_fill",  # r12: global token-budget fill, threshold search
     "t22_budget_admit",  # r12: arrival-order budget admission, distributed prefix sum
     "t19_hll_rollup",  # r12: sketch-merge rollup, never rescans raw events
+    "t23_stream_sample",  # r12: deterministic top-K sample, TakeOrdered
 ]
 
 RUNS_PER_QUERY = 3

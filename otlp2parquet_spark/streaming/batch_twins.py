@@ -1090,3 +1090,46 @@ def t22_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T23: streaming bounded-state uniform sample (r12)
+
+_SAMPLE_K = 64
+
+
+@query(
+    "t23_stream_sample",
+    oracle=f"""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS hv
+    FROM documents
+    ORDER BY hv, doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+    tags=("T23", "O1", "O2", "F6"),
+)
+def t23_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23 batch twin: a deterministic UNIFORM sample of the whole corpus —
+    the K = _SAMPLE_K (64) docs with the smallest (md5(doc_id), doc_id)
+    keys. The
+    content-addressed hash order makes the sample a pure FUNCTION of the
+    corpus (same docs -> same sample, any engine, any partitioning, any
+    arrival order), which is what lets the live lane (sample_stream)
+    maintain it as K rows of snapshot state: "K smallest so far" is an
+    associative, idempotent merge, so the sample is exact at every point
+    of the stream — the deterministic equivalent of reservoir sampling,
+    without reservoir sampling's order-dependent randomness.
+
+    Scale shape: TakeOrderedAndProject — per-partition top-K partials
+    (K rows per task) merged on the driver; no global sort, no shuffle of
+    the corpus. At 100 TB the driver merge sees K x tasks rows, nothing
+    corpus-sized."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hv")
+        )
+        .orderBy("hv", "doc_id")
+        .limit(_SAMPLE_K)
+    )

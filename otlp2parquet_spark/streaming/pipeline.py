@@ -2272,3 +2272,107 @@ def compact_budget_verdicts(spark: SparkSession, state_dir: str) -> int:
         key_cols=("doc_id",),
         sort_cols=("doc_id",),
     )
+
+
+# ---------------------------------------------------------------------------
+# T23: streaming bounded-state uniform sample (r12)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 64
+
+
+def _sample_epochs(sample_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(sample_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(sample_dir)
+        if d.startswith("epoch=")
+    )
+
+
+def make_sample_flush(spark: SparkSession, state_dir: str, k: int = SAMPLE_K):
+    """The foreachBatch body of sample_stream: maintain the exact
+    "k smallest (md5(doc_id), doc_id)" sample of everything seen so far.
+
+    SNAPSHOT state, not an accretive index: each epoch dir under
+    {state_dir}/sample holds the COMPLETE k-row sample as of that epoch —
+    epoch e is derived by merging the newest epoch < e with the batch and
+    keeping the k smallest, so every epoch supersedes all before it.
+    Replay of epoch e re-reads the same predecessor and overwrites exactly
+    epoch e (idempotent); compaction (compact_sample_state) just deletes
+    superseded epochs — no merge, the newest IS the state. The merge is
+    associative AND idempotent (min-k of a union), so any batch slicing
+    yields the identical final sample — the live==batch gate in
+    tests/test_streaming_sample.py."""
+    import os
+
+    _require_local_state(state_dir, "make_sample_flush")
+    sample_dir = os.path.join(state_dir, "sample")
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        cand = batch_df.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hv")
+        )
+        prior = [p for p in _sample_epochs(sample_dir) if p < e]
+        if prior:
+            prev = spark.read.schema("doc_id long, hv string").parquet(
+                os.path.join(sample_dir, f"epoch={prior[-1]}")
+            )
+            cand = cand.unionByName(prev)
+        (
+            cand.orderBy("hv", "doc_id")
+            .limit(int(k))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(sample_dir, f"epoch={e}"))
+        )
+
+    return flush
+
+
+def sample_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = SAMPLE_K,
+    max_files_per_trigger: int = 1,
+):
+    """Deterministic uniform corpus sample maintained AT INGEST (T23): at
+    every epoch, {state_dir}/sample/epoch=N holds exactly the k docs with
+    the smallest content-addressed keys among everything ingested — the
+    always-fresh eval-holdout/inspection sample a training pipeline wants
+    without ever re-scanning the corpus. Bit-equal to the t23_stream_sample
+    batch twin over the union of the inputs (the hash order is a pure
+    function of the docs), state is k rows regardless of corpus size."""
+    _require_local_state(state_dir, "sample_stream")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(make_sample_flush(spark, state_dir, k))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_sample_state(spark: SparkSession, state_dir: str) -> int:
+    """Delete superseded sample epochs (everything below the newest): each
+    epoch is a complete snapshot, so compaction is pure deletion — no
+    merge, no crash window beyond losing already-superseded dirs."""
+    import os
+    import shutil
+
+    _require_local_state(state_dir, "compact_sample_state")
+    sample_dir = os.path.join(state_dir, "sample")
+    epochs = _sample_epochs(sample_dir)
+    for e in epochs[:-1]:
+        shutil.rmtree(os.path.join(sample_dir, f"epoch={e}"))
+    return max(0, len(epochs) - 1)
