@@ -113,17 +113,34 @@ GRAM_DF_CAP = 500
 
 
 def with_tokens(docs: DataFrame, cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
-    """Project normalized tokens as a MATERIALIZED column (repartition =
-    shuffle boundary).
+    """Project normalized tokens as a MATERIALIZED column.
 
     Critical at scale: referencing a tokens *expression* N times (array
     subscripts inside higher-order lambdas, per-language marker filters)
     re-evaluates the full lower+regex+split chain N times per row — Spark
     disables common-subexpression elimination inside lambda functions. A
     materialized column is scanned, not recomputed (measured ~50x on the
-    trigram builders)."""
+    trigram builders).
+
+    r12 optimization (guide §2.4 — remove shuffles outright): the original
+    form added `.repartition(doc_id)` as the materialization barrier, i.e.
+    a full corpus shuffle of the TOKEN ARRAYS in every tokenizing operator,
+    back-to-back with the spread() exchange most callers had just paid.
+    Since Spark 3.3 (SPARK-36718) CollapseProject refuses to merge a
+    projection whose non-cheap expressions would be duplicated, so a plain
+    `.select()` already keeps the tokenize chain evaluated once per row
+    whenever `toks` is referenced more than once downstream — verified in
+    the committed plans (plans/r12/*_after.txt: the split+regexp chain
+    appears in exactly one Project; no Exchange above the scan). Callers
+    that filtered on `size(toks)` before exploding were restructured to
+    when()-guards so predicate pushdown cannot re-inline the tokenizer
+    below the projection. Downstream groupBys that previously reused the
+    doc_id partitioning now shuffle their own MAP-SIDE PARTIAL aggregates
+    instead — per-doc partial rows (~tens of bytes) where the removed
+    exchange moved every token array (~KB/doc): strictly fewer corpus
+    bytes crossing the network at any scale."""
     toks = F.split(normalized_text(F.col("text")), " ")
-    return docs.select(*cols, toks.alias("toks")).repartition(F.col(cols[0]))
+    return docs.select(*cols, toks.alias("toks"))
 
 
 def gram3_expr(toks) -> "F.Column":
@@ -1367,9 +1384,12 @@ def x2_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), n - SUBSTR_W + 1),
         lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, SUBSTR_W), " ")),
     )
-    wins = (
-        tok_df.filter(n >= SUBSTR_W)
-        .select("doc_id", F.explode(F.array_distinct(windows)).alias("win_hash"))
+    # when()-guard, not a pre-explode filter: explode(NULL) emits no rows,
+    # and an unpushable guard keeps the tokenizer below it evaluated once
+    # (with_tokens no longer shuffles — r12, guide §2.4)
+    wins = tok_df.select(
+        "doc_id",
+        F.explode(F.when(n >= SUBSTR_W, F.array_distinct(windows))).alias("win_hash"),
     )
     # per-doc windows are already distinct, so a plain count over the hash
     # partition == the hash's distinct document frequency. An unordered

@@ -1015,7 +1015,16 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     own 64-bit mask lane); the fixture and any sane mixing config stay
     far below that."""
     d = spread(T(spark, sf_dir, "documents"))
-    srcs = sorted(r[0] for r in d.select("source").distinct().collect())
+    # the bounded source-list collect reads the RAW table, not the spread
+    # frame: column pruning then reaches the parquet scan (ReadSchema =
+    # source only) and the round-robin exchange — which would otherwise
+    # ship every text payload just to list ~20 sources — drops out of the
+    # measurement job entirely (r12, guide §2.3 "project before the
+    # exchange"; measured 2.0 s -> 0.5 s for this collect at sf0.1)
+    srcs = sorted(
+        r[0]
+        for r in T(spark, sf_dir, "documents").select("source").distinct().collect()
+    )
     if len(srcs) > 64:  # pragma: no cover - fixture has ~20 sources
         raise NotImplementedError(
             "x6_source_overlap's single-lane bitmask form supports <= 64 "

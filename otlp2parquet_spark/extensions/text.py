@@ -362,19 +362,26 @@ def x4_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     tok_df = with_tokens(d, ("doc_id", "source"))
     n = F.size("toks")
+    # when()-guard instead of a pre-explode filter: explode(NULL) emits no
+    # rows, so this equals filter(n >= 2) + explode — without handing the
+    # optimizer a pushable predicate that would re-inline the tokenizer
+    # below with_tokens' projection (r12, guide §2.3/§4: with_tokens no
+    # longer shuffles, so the projection is the only tokenize barrier)
     bi = (
-        tok_df.filter(n >= 2)
-        .select(
+        tok_df.select(
             "doc_id",
             "source",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 2),
-                    lambda i: F.struct(
-                        F.col("toks")[i].alias("w1"),
-                        F.concat_ws(
-                            " ", F.col("toks")[i], F.col("toks")[i + 1]
-                        ).alias("bg"),
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), n - 2),
+                        lambda i: F.struct(
+                            F.col("toks")[i].alias("w1"),
+                            F.concat_ws(
+                                " ", F.col("toks")[i], F.col("toks")[i + 1]
+                            ).alias("bg"),
+                        ),
                     ),
                 )
             ).alias("g"),
@@ -524,19 +531,26 @@ def x4_domain_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     tok_df = with_tokens(d, ("doc_id", "source"))
     n = F.size("toks")
+    # when()-guard instead of a pre-explode filter: explode(NULL) emits no
+    # rows, so this equals filter(n >= 2) + explode — without handing the
+    # optimizer a pushable predicate that would re-inline the tokenizer
+    # below with_tokens' projection (r12, guide §2.3/§4: with_tokens no
+    # longer shuffles, so the projection is the only tokenize barrier)
     bi = (
-        tok_df.filter(n >= 2)
-        .select(
+        tok_df.select(
             "doc_id",
             "source",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 2),
-                    lambda i: F.struct(
-                        F.col("toks")[i].alias("w1"),
-                        F.concat_ws(
-                            " ", F.col("toks")[i], F.col("toks")[i + 1]
-                        ).alias("bg"),
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), n - 2),
+                        lambda i: F.struct(
+                            F.col("toks")[i].alias("w1"),
+                            F.concat_ws(
+                                " ", F.col("toks")[i], F.col("toks")[i + 1]
+                            ).alias("bg"),
+                        ),
                     ),
                 )
             ).alias("g"),
@@ -682,17 +696,21 @@ def x4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     tok_df = with_tokens(d, ("doc_id", "source"))
     n = F.size("toks")
+    # when()-guard, not a pre-explode filter: keeps the tokenizer from
+    # being re-inlined below with_tokens' projection (see x4_ngram_lm_score)
     bi = (
-        tok_df.filter(n >= 2)
-        .select(
+        tok_df.select(
             "doc_id",
             "source",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 2),
-                    lambda i: F.struct(
-                        F.col("toks")[i].alias("w1"),
-                        F.col("toks")[i + 1].alias("w2"),
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), n - 2),
+                        lambda i: F.struct(
+                            F.col("toks")[i].alias("w1"),
+                            F.col("toks")[i + 1].alias("w2"),
+                        ),
                     ),
                 )
             ).alias("g"),
@@ -831,18 +849,21 @@ def x4_kn3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     tok_df = with_tokens(d, ("doc_id", "source"))
     n = F.size("toks")
+    # when()-guard, not a pre-explode filter (see x4_ngram_lm_score)
     tri = (
-        tok_df.filter(n >= 3)
-        .select(
+        tok_df.select(
             "doc_id",
             "source",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 3),
-                    lambda i: F.struct(
-                        F.col("toks")[i].alias("w1"),
-                        F.col("toks")[i + 1].alias("w2"),
-                        F.col("toks")[i + 2].alias("w3"),
+                F.when(
+                    n >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), n - 3),
+                        lambda i: F.struct(
+                            F.col("toks")[i].alias("w1"),
+                            F.col("toks")[i + 1].alias("w2"),
+                            F.col("toks")[i + 2].alias("w3"),
+                        ),
                     ),
                 )
             ).alias("g"),
@@ -927,17 +948,20 @@ def lm_doc_bigrams(docs: DataFrame) -> DataFrame:
     training and scoring run (the hh_token_stream discipline)."""
     tok_df = with_tokens(docs, ("doc_id", "source"))
     n = F.size("toks")
+    # when()-guard, not a pre-explode filter (see x4_ngram_lm_score)
     return (
-        tok_df.filter(n >= 2)
-        .select(
+        tok_df.select(
             "doc_id",
             "source",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 2),
-                    lambda i: F.struct(
-                        F.col("toks")[i].alias("w1"),
-                        F.col("toks")[i + 1].alias("w2"),
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), n - 2),
+                        lambda i: F.struct(
+                            F.col("toks")[i].alias("w1"),
+                            F.col("toks")[i + 1].alias("w2"),
+                        ),
                     ),
                 )
             ).alias("g"),
@@ -1961,11 +1985,20 @@ def quality_classifier_train(
         ]
     )
     # pre-shuffle ONCE onto the shard key and cache THAT: the cached plan's
-    # hash partitioning satisfies every round's applyInPandas clustering
+    # partitioning satisfies every round's applyInPandas clustering
     # requirement, so the per-round exchange is elided — R rounds cost ONE
     # corpus shuffle instead of R (visible in the executed plan: rounds > 1
-    # show no Exchange above the InMemoryTableScan)
-    feat = feat.repartition(F.col("shard")).persist()
+    # show no Exchange above the InMemoryTableScan). RANGE partitioning
+    # into exactly `shards` partitions (r12, guide §2.5 "synthetic
+    # partitioning keys with too few distinct values"): murmur3 over the
+    # dense ids 0..shards-1 collides badly — measured: ids 0..7 into 8
+    # partitions land in only 5 distinct buckets, so one task ran THREE
+    # sequential epochs and the round wall tripled; the old
+    # repartition(col) into the default 32 still collided 8 -> 7. Range
+    # boundaries over a handful of dense ints are a bijection, so every
+    # round's wall is ONE epoch. Partitioning never reaches the result:
+    # training groups by shard logically and the mix is over all shards.
+    feat = feat.repartitionByRange(shards, F.col("shard")).persist()
     try:
         w = [0] * (_QC_B + 1)
         for _ in range(rounds):
