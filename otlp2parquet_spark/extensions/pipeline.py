@@ -1964,7 +1964,18 @@ def x6_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum. Selection provably equals the naive spec: pre-boundary
     groups have group-cum < B (so every inclusive prefix fits), and any
     doc after the boundary group starts at cum >= B + its n_tok > B.
-    Two narrow scans by construction (mass pass + select pass)."""
+
+    r12 (guide §2.3/§4 — tokenize once): `base` is consumed THREE times
+    (mass pass, pre-boundary select, boundary-group select), and before
+    r12 each consumer re-ran the corpus scan + tokenizer + quality-regex
+    chain — three full text passes where the docstring promised two. The
+    skinny (doc_id, n_tok, passes, hv, bkt) projection (~40 B/row vs the
+    KB-scale text it derives from) is now localCheckpoint'd once; all
+    three consumers read the checkpointed rows, so the corpus text is
+    scanned and tokenized exactly ONCE per run (measured 2.28 -> ~1.4 s
+    at sf0.1; at 100 TB this removes two full-corpus regex passes). Not
+    cross-run caching: the checkpoint lives and dies inside this query's
+    single computation, exactly like the existing `bc` checkpoint."""
     d = spread(T(spark, sf_dir, "documents"))
     q = quality_feature_exprs()
     hv = (
@@ -1980,6 +1991,7 @@ def x6_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tok") > 0)
         .withColumn("bkt", F.expr(f"hv div {1 << _STRAT_BKT_SHIFT}"))
+        .localCheckpoint(eager=False)
     )
     # bounded (passes, bkt) token-mass frame; checkpointed because the
     # threshold search consumes it twice and DERIVING it is a corpus pass
@@ -2152,21 +2164,42 @@ def ingest_funnel_batch(
     so stage semantics cannot drift between the composed and standalone
     forms. Output: (doc_id, source, k1, k2, k3, k4).
 
-    Scale shape: one hash-partitioned window (uniform 256-bit keys), the
-    minhash band kernel over exact survivors (three skinny-row shuffles),
-    then two frozen-artifact joins (broadcast (B+1)-row weights,
-    broadcast benchmark-bounded gram set) each over a strictly shrinking
-    survivor set — the funnel ORDER is the optimization: the cheapest
-    filter (exact hash) runs first so the expensive stages see only
-    survivors, and all doc_id-keyed re-attaches co-partition."""
+    Scale shape (r12, guide §2.2 — shuffle fewer bytes): the exact stage
+    used to be a window PARTITION BY sha2(text), i.e. a full TEXT-PAYLOAD
+    shuffle on the hash, followed by a second payload shuffle when the
+    skinny LSH verdicts re-attach by doc_id — the corpus crossed the
+    network twice. k1 is now computed entirely on a skinny
+    (doc_id, sha256) projection: one map-side-combined groupBy(hash) for
+    the per-hash MIN doc_id, one skinny join back — ~100 B/row where the
+    payload is KB-scale — and the payload itself shuffles exactly ONCE
+    (the doc_id join that attaches k1; the checkpointed result's doc_id
+    partitioning is what every later skinny re-attach reuses). NULL text
+    rides a sentinel key (no 64-hex collision possible) so the grouping
+    matches the old window's NULL-partition semantics — the r11
+    eqNullSafe lesson applied at the source. Then: the minhash band
+    kernel over exact survivors (three skinny-row shuffles), two
+    frozen-artifact joins (broadcast (B+1)-row weights, broadcast
+    benchmark-bounded gram set) each over a strictly shrinking survivor
+    set — the funnel ORDER is the optimization: the cheapest filter
+    (exact hash) runs first so the expensive stages see only survivors."""
     from otlp2parquet_spark.extensions.dedup import minhash_fs_bands
     from otlp2parquet_spark.extensions.text import qc_score
 
     d = docs.select("doc_id", "source", "text")
-    w_ex = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
-    flags = d.withColumn(
-        "k1", F.col("doc_id") == F.min("doc_id").over(w_ex)
-    ).localCheckpoint(eager=False)  # two consumers: band branch + ledger
+    # skinny exact-stage index: NULL text -> sentinel (cannot collide with
+    # 64-char hex), so NULL-text docs group together exactly like the old
+    # window's NULL partition did
+    h = F.coalesce(
+        F.sha2(F.col("text").cast("binary"), 256), F.lit("␀null-text")
+    )
+    sk = d.select("doc_id", h.alias("h"))
+    firsts = sk.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    k1s = sk.join(firsts, "h").select(
+        "doc_id", (F.col("doc_id") == F.col("first_id")).alias("k1")
+    )
+    flags = d.join(k1s, "doc_id").localCheckpoint(
+        eager=False
+    )  # the ONE payload shuffle; two consumers: band branch + ledger
     bands = minhash_fs_bands(flags.filter("k1").select("doc_id", "text"))
     w_b = Window.partitionBy("band", "bsig")
     lsh = (

@@ -127,10 +127,10 @@ _DUPLICATE_SCAN_ALLOWLIST = {
         "that serializes a hot source"
     ),
     "x6_token_budget_fill": (
-        "the stratified threshold search, budget-weighted: one map-side-"
-        "combined (passes, bucket) token-mass pass (checkpointed for its "
-        "two bounded-frame consumers), then the pre-boundary and "
-        "in-boundary select passes — two corpus scans replace the naive "
+        "the stratified threshold search, budget-weighted: the skinny "
+        "(doc_id, n_tok, passes, hv) base frame is checkpointed once (r12: "
+        "the corpus is scanned and tokenized exactly ONCE; mass pass and "
+        "both select passes read the checkpoint), replacing the naive "
         "single-task global sort + running sum"
     ),
     "x4_heavy_hitters": (
