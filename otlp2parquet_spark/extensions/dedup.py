@@ -1916,15 +1916,28 @@ def x6_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors because signatures are per-surviving-doc work. Final ledger
     is one groupBy(source) of boolean sums — output is sources-sized.
 
-    Scale shape: two hash-partitioned windows (uniform 128/256-bit keys, no
-    skew), the minhash_fs_bands kernel over the deduped remainder, and a
-    sources-sized agg. The corpus frame is localCheckpointed once for its
-    two consumers (band branch, ledger agg)."""
+    Scale shape (r13, guide §2.3/§8 — decide on skinny rows, move the
+    payload once): both content hashes are computed map-side in ONE text
+    pass and the windows run over the SKINNY (doc_id, source, h1, h2)
+    frame — a window over the `h1`/`h2` COLUMNS partitions exactly like
+    the old windows over the hash EXPRESSIONS (NULL text -> NULL hash ->
+    the same NULL partition) — so the two hash-partitioned exchanges move
+    ~100 B/row instead of the KB-scale text, and the lazy checkpoint that
+    feeds the two consumers (band branch, ledger agg) holds skinny flags,
+    not payloads. The text crosses the network exactly ONCE: the doc_id
+    join that re-attaches it to the k2 survivors for the LSH stage
+    (before r13 it crossed twice, through both windows, and sat in the
+    checkpoint). Window keys are uniform 128/256-bit hashes — no skew."""
     d = spread(T(spark, sf_dir, "documents"))
-    w_ex = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
-    w_nh = Window.partitionBy(F.md5(normalized_text(F.col("text")).cast("binary")))
+    w_ex = Window.partitionBy("h1")
+    w_nh = Window.partitionBy("h2")
     flags = (
-        d.select("doc_id", "source", "text")
+        d.select(
+            "doc_id",
+            "source",
+            F.sha2(F.col("text").cast("binary"), 256).alias("h1"),
+            F.md5(normalized_text(F.col("text")).cast("binary")).alias("h2"),
+        )
         .withColumn("k1", F.col("doc_id") == F.min("doc_id").over(w_ex))
         .withColumn(
             "k2",
@@ -1934,9 +1947,20 @@ def x6_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == F.min(F.when(F.col("k1"), F.col("doc_id"))).over(w_nh)
             ),
         )
+        .select("doc_id", "source", "k1", "k2")
         .localCheckpoint(eager=False)
     )
-    bands = minhash_fs_bands(flags.filter(F.col("k2")).select("doc_id", "text"))
+    # merge hint: the survivor side roots in the checkpoint's ExistingRDD,
+    # whose STATIC stats underestimate — Catalyst would broadcast the
+    # corpus-sized survivor id set (the _jaccard_scored bug class). SMJ is
+    # the scale-safe plan; AQE still converts back to a broadcast join at
+    # runtime when the measured side is small, so sf0.1 stays fast.
+    bands = minhash_fs_bands(
+        flags.filter(F.col("k2"))
+        .select("doc_id")
+        .hint("merge")
+        .join(d.select("doc_id", "text"), "doc_id")
+    )
     w_b = Window.partitionBy("band", "bsig")
     lsh = (
         bands.withColumn("first_id", F.min("doc_id").over(w_b))

@@ -564,12 +564,19 @@ def x6_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     x6_seq_pack_sharded — stage composition is unchanged."""
     d = spread(T(spark, sf_dir, "documents"))
     n_tok = token_count_expr(F.col("text"))
+    # r13 (guide §2.3 — project before the exchange): nothing after the
+    # dedup window reads `text`, so the hash is computed map-side and the
+    # payload DROPPED before the window's shuffle — the exchange now moves
+    # ~64 B/row (doc_id, source, n_tok, h) instead of the KB-scale text.
+    # Window over the `h` COLUMN groups exactly like the old window over
+    # the md5 EXPRESSION (NULL text -> NULL h -> the same NULL partition).
     gated = d.select(
-        "doc_id", "source", "text", n_tok.alias("n_tok")
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        F.md5(normalized_text(F.col("text"))).alias("h"),
     ).filter(F.col("n_tok") >= _MIX_MIN_TOKENS)
-    w_dedup = Window.partitionBy(F.md5(normalized_text(F.col("text")))).orderBy(
-        "doc_id"
-    )
+    w_dedup = Window.partitionBy("h").orderBy("doc_id")
     deduped = (
         gated.withColumn("rn", F.row_number().over(w_dedup))
         .filter(F.col("rn") == 1)

@@ -95,7 +95,20 @@ TABLES = (
 # immutable), so inferring once per path per process and pinning thereafter
 # is exactly the file-listing-cache discipline Spark itself applies — it
 # caches METADATA, never data or results.
+#
+# Contract (r12 advisor note): load_table assumes a path's parquet schema
+# is IMMUTABLE for the life of the process — true for the read-only
+# /root/testdata fixtures and for any versioned lake layout where schema
+# evolution lands under a new path. A caller that regenerates fixtures or
+# appends with an evolved schema in-process must call clear_schema_cache()
+# first, or reads silently keep the stale pinned schema (missing columns
+# come back NULL with no error).
 _SCHEMA_CACHE: dict[str, object] = {}
+
+
+def clear_schema_cache() -> None:
+    """Drop every pinned parquet schema (see _SCHEMA_CACHE contract)."""
+    _SCHEMA_CACHE.clear()
 
 
 def _read_parquet_pinned(spark: SparkSession, path: str):
@@ -138,16 +151,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 def _estimated_scan_partitions(df) -> int:
     """Estimate how many scan partitions `df` would get, WITHOUT building
     the RDD: Spark's own split math (FilePartition.maxSplitBytes) applied
-    to the optimized plan's size statistic. `df.rdd.getNumPartitions()` is
+    to the LEAF relation's size statistic. `df.rdd.getNumPartitions()` is
     exact but costs a full physical planning + RDD conversion per call
-    (measured 30-230 ms of serial driver wall); the stats call is ~1-2 ms.
-    The statistic is the same compressed-bytes figure split planning uses,
-    so for the fresh file scans spread() receives the estimate matches the
-    exact count; for derived frames it inherits the planner's estimate,
-    which is the right fidelity for a parallelism heuristic."""
+    (measured 30-230 ms of serial driver wall); the stats walk is ~1-2 ms.
+
+    r13 (r12 verdict ask #5 + advisor note): the estimate is taken ONLY
+    when the optimized plan is Project/Filter nodes over a single leaf
+    relation — the one shape where the statistic provably equals what
+    split planning sees. The r12 version read sizeInBytes at the plan
+    ROOT, where column-pruned projections scale the size DOWN (spurious
+    re-spread of an already-wide scan) and join/explode-inflated stats
+    could skip a needed spread. Scan partitioning is a function of FILE
+    bytes — projections and pushed filters don't change the splits — so
+    walking to the leaf restores exactness for every shape we accept, and
+    anything else (post-join, post-aggregate, post-explode frames) raises
+    so the caller falls back to the exact probe.
+    tests/test_spread_decisions.py pins estimate == probe per category."""
     sess = df.sparkSession
     sc = sess.sparkContext
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    node = df._jdf.queryExecution().optimizedPlan()
+    while node.getClass().getSimpleName() in ("Project", "Filter"):
+        node = node.children().apply(0)
+    if node.getClass().getSimpleName() != "LogicalRelation":
+        raise ValueError(
+            f"not a leaf scan: {node.getClass().getSimpleName()}"
+        )
+    size = int(node.stats().sizeInBytes())
 
     def _bytes_conf(key: str, default: str) -> int:
         val = sess.conf.get(key, default)
@@ -173,10 +202,12 @@ def spread(df, multiplier: int = 1):
     100 TB inputs are naturally wide, but an explicit spread before a
     compute-bound stage is still correct whenever the upstream stage has
     fewer partitions than cores (e.g. after a selective filter or a
-    small-table scan). The wideness check uses the planner's size statistic
-    (see _estimated_scan_partitions) instead of materializing the RDD —
-    the old `.rdd.getNumPartitions()` probe cost 30-230 ms of serial
-    driver wall per call, ~2-3 s per bench pass across ~60 call sites."""
+    small-table scan). The wideness check uses the leaf relation's size
+    statistic (see _estimated_scan_partitions) when the input is a
+    Project/Filter-over-scan shape — every current call site — and falls
+    back to the exact `.rdd.getNumPartitions()` probe (30-230 ms of serial
+    driver wall) for any derived frame, where the planner estimate can
+    diverge arbitrarily from the real partition count (r12 verdict #5)."""
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
     try:
         est = _estimated_scan_partitions(df)
