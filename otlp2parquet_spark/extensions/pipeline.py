@@ -2164,6 +2164,14 @@ def ingest_funnel_batch(
     chain gets a DuckDB oracle auditing stage ORDERING cross-engine while
     t21 itself stays the 4-stage live==batch capstone (r11 verdict ask #1).
 
+    Precondition (r12 advisor note): `doc_id` must be UNIQUE within `docs`.
+    The skinny k1 stage re-attaches per-doc flags with a doc_id equi-join
+    (one k1s row per input row), so a duplicated doc_id would duplicate
+    rows where the pre-r12 window form preserved multiplicity. Every
+    caller feeds ingest keys (unique by construction: the batch fixtures'
+    primary key, the streaming lane's per-record id), and the live==batch
+    bit-equality suite would catch a violation as a row-count drift.
+
     This is THE batch definition the composed streaming lane
     (streaming/pipeline.ingest_funnel_stream) must reproduce batch-for-batch:
     every stage kernel here is the exact function its standalone lane

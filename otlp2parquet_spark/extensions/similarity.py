@@ -212,6 +212,44 @@ def _score_centroids(
     )
 
 
+def _centroid_array(cents: DataFrame) -> DataFrame:
+    """The centroid table folded to ONE row: array<struct<cent_id,cent_emb>>
+    sorted by cent_id — the broadcast-literal form the map-only nearest-
+    centroid argmax consumes (bounded: centroid counts are index
+    parameters, never corpus-sized)."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cent_id"), F.col("cent_emb")))
+        ).alias("carr")
+    )
+
+
+def _nearest_centroid(vec: Column, carr: Column) -> Column:
+    """struct(k, cent_id, cent_emb) of the nearest centroid in `carr` to
+    `vec` — a MAP-ONLY argmax (the _pq_best_code posture: one array-min
+    HOF over the broadcast centroid list, no row fan-out, no window
+    shuffle). Replicates the explode+window form bit-for-bit:
+
+    - ordering: the window sorted (sim DESC, cent_id ASC); here the struct
+      key is -sim, so array_min picks max-sim first, then min cent_id.
+    - NaN: Spark orders NaN LARGER than any double, so the DESC window put
+      NaN-sim centroids FIRST; -NaN is still NaN (which array_min would
+      pick LAST), so NaN keys are mapped to -Infinity — picked first, ties
+      broken by cent_id ASC, exactly the window's NaN partition order.
+      (cosine is NaN only for zero-norm vectors; -Infinity cannot collide
+      with a real key because -sim of a finite cosine is finite.)"""
+    def entry(c):
+        sim = cosine_expr(vec, c.getField("cent_emb"))
+        key = F.when(F.isnan(sim), F.lit(float("-inf"))).otherwise(-sim)
+        return F.struct(
+            key.alias("k"),
+            c.getField("cent_id").alias("cent_id"),
+            c.getField("cent_emb").alias("cent_emb"),
+        )
+
+    return F.array_min(F.transform(carr, entry))
+
+
 def ivf_assign(
     embeddings: DataFrame, n_centroids: int = 8, exact: bool = False
 ) -> tuple[DataFrame, DataFrame]:
@@ -232,13 +270,36 @@ def ivf_assign(
     cents = embeddings.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    scored = _score_centroids(embeddings, cents, n_centroids, exact=exact)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "label", F.col("cent_id").alias("cluster_id"))
-    )
+    if exact or n_centroids <= _TWO_LEVEL_MIN_K:
+        # r13 (guide §2.4/§4): MAP-ONLY argmax over the broadcast centroid
+        # list. The old flat path exploded the corpus x k against the
+        # broadcast join and shuffled every (vector, centroid) row —
+        # embedding payload included — through an Exchange(vec_id) + sort
+        # just to pick rn=1 per vector; at 100 TB that is a k-fold corpus
+        # shuffle for a per-row decision. _nearest_centroid reproduces the
+        # window's (sim DESC, cent_id ASC, NaN-first) order bit-for-bit
+        # (tests/test_ivfpq_equivalence.py pins new == old per row).
+        assign = (
+            embeddings.join(F.broadcast(_centroid_array(cents)))
+            .select(
+                "vec_id",
+                "embedding",
+                "label",
+                _nearest_centroid(F.col("embedding"), F.col("carr"))
+                .getField("cent_id")
+                .alias("cluster_id"),
+            )
+        )
+    else:
+        scored = _score_centroids(embeddings, cents, n_centroids, exact=exact)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id", "embedding", "label", F.col("cent_id").alias("cluster_id")
+            )
+        )
     # materialize both outputs once: the caller probes `assign` from several
     # plan branches (query selection, candidate join) and `cents` twice, and
     # Spark re-executes the whole scan+score+window per branch (audited: 5
@@ -1468,24 +1529,55 @@ def _ivfpq_residual_subs(e: DataFrame, cents: DataFrame, n_centroids: int) -> Da
     assignment when cents are its seeds) and explode residual subvectors —
     lazily checkpointed because build consumes it twice (codebook + codes).
     The shared kernel of ivfpq_build and ivfpq_encode: both MUST assign and
-    residualize identically or streamed codes diverge from built codes."""
-    scored = _score_centroids(e, cents, n_centroids)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cluster_id"))
-    )
-    fdouble = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    cdouble = F.transform(F.col("cent_emb"), lambda x: x.cast("double"))
-    res = (
-        assign.join(F.broadcast(cents), assign.cluster_id == cents.cent_id)
-        .select(
-            "vec_id",
-            "cluster_id",
-            F.zip_with(fdouble, cdouble, lambda x, y: x - y).alias("embedding"),
+    residualize identically or streamed codes diverge from built codes.
+
+    r13 (guide §2.4/§4): assignment + residual are ONE map-only pass — the
+    nearest centroid comes from an argmax HOF over the broadcast centroid
+    list (see _nearest_centroid: bit-identical order to the old
+    explode+window form, pinned by tests/test_ivfpq_equivalence.py), and
+    the residual subtracts the cent_emb carried IN the argmax struct. The
+    old form shuffled the corpus x k (embedding payloads included) through
+    an Exchange(vec_id) + sort for rn=1, then paid a second broadcast join
+    to re-fetch cent_emb; encode is the per-ingest-vector hot path at
+    100 TB, so it must stay narrow (the _pq_best_code posture). The
+    two-level approximate router (> _TWO_LEVEL_MIN_K centroids) keeps the
+    window form; no shipped index uses it (k = 8)."""
+    if n_centroids <= _TWO_LEVEL_MIN_K:
+        best = _nearest_centroid(F.col("embedding"), F.col("carr"))
+        res = (
+            e.join(F.broadcast(_centroid_array(cents)))
+            .select("vec_id", "embedding", best.alias("best"))
+            .select(
+                "vec_id",
+                F.col("best").getField("cent_id").alias("cluster_id"),
+                F.zip_with(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    F.transform(
+                        F.col("best").getField("cent_emb"),
+                        lambda x: x.cast("double"),
+                    ),
+                    lambda x, y: x - y,
+                ).alias("embedding"),
+            )
         )
-    )
+    else:
+        scored = _score_centroids(e, cents, n_centroids)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", F.col("cent_id").alias("cluster_id"))
+        )
+        fdouble = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        cdouble = F.transform(F.col("cent_emb"), lambda x: x.cast("double"))
+        res = (
+            assign.join(F.broadcast(cents), assign.cluster_id == cents.cent_id)
+            .select(
+                "vec_id",
+                "cluster_id",
+                F.zip_with(fdouble, cdouble, lambda x, y: x - y).alias("embedding"),
+            )
+        )
     parts = F.array(
         *[
             F.struct(
