@@ -1916,18 +1916,29 @@ def x6_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors because signatures are per-surviving-doc work. Final ledger
     is one groupBy(source) of boolean sums — output is sources-sized.
 
-    Scale shape (r13, guide §2.3/§8 — decide on skinny rows, move the
-    payload once): both content hashes are computed map-side in ONE text
+    Scale shape (r13, guide §2.3/§8 — decide on skinny rows, NEVER shuffle
+    the payload): both content hashes are computed map-side in ONE text
     pass and the windows run over the SKINNY (doc_id, source, h1, h2)
     frame — a window over the `h1`/`h2` COLUMNS partitions exactly like
     the old windows over the hash EXPRESSIONS (NULL text -> NULL hash ->
     the same NULL partition) — so the two hash-partitioned exchanges move
     ~100 B/row instead of the KB-scale text, and the lazy checkpoint that
-    feeds the two consumers (band branch, ledger agg) holds skinny flags,
-    not payloads. The text crosses the network exactly ONCE: the doc_id
-    join that re-attaches it to the k2 survivors for the LSH stage
-    (before r13 it crossed twice, through both windows, and sat in the
-    checkpoint). Window keys are uniform 128/256-bit hashes — no skew."""
+    feeds the two consumers (LSH flag join, ledger agg) holds skinny
+    flags, not payloads. The LSH stage bands the WHOLE corpus straight off
+    the scan (tokenize + per-gram md5 + partial-min sig agg are all
+    map-side; the sig shuffle moves K longs per doc) instead of first
+    joining text onto the k2 survivor ids — that join was the plan's only
+    payload exchange (sort + hash exchange of every surviving document's
+    text, the guide §8 "re-attach sneaks the shuffle back in" failure),
+    and measured SLOWER at sf0.1 than signature work over the full corpus
+    (2.5 s vs 1.1 s best-of-3). Survivor filtering moves to the skinny
+    side: band rows join the checkpointed flags on doc_id (both sides
+    ~tens of bytes/row) and the bucket minimum becomes
+    MIN(CASE WHEN k2 THEN doc_id END), so non-surviving docs can never be
+    a bucket's first_id and their own dup verdicts are discarded by
+    k3 = k2 AND NOT dup — row-for-row the semantics of banding only
+    survivors, with text crossing the network ZERO times. Window keys are
+    uniform 128/256-bit hashes — no skew."""
     d = spread(T(spark, sf_dir, "documents"))
     w_ex = Window.partitionBy("h1")
     w_nh = Window.partitionBy("h2")
@@ -1950,20 +1961,20 @@ def x6_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "k1", "k2")
         .localCheckpoint(eager=False)
     )
-    # merge hint: the survivor side roots in the checkpoint's ExistingRDD,
-    # whose STATIC stats underestimate — Catalyst would broadcast the
-    # corpus-sized survivor id set (the _jaccard_scored bug class). SMJ is
-    # the scale-safe plan; AQE still converts back to a broadcast join at
-    # runtime when the measured side is small, so sf0.1 stays fast.
-    bands = minhash_fs_bands(
-        flags.filter(F.col("k2"))
-        .select("doc_id")
-        .hint("merge")
-        .join(d.select("doc_id", "text"), "doc_id")
-    )
+    bands = minhash_fs_bands(d.select("doc_id", "text"))
+    # merge hint: the flag side roots in the checkpoint's ExistingRDD,
+    # whose static stats can make Catalyst broadcast a corpus-sized frame
+    # (the _jaccard_scored bug class). SMJ is the scale-safe plan — the
+    # band side is already hash-partitioned by doc_id from the signature
+    # agg — and AQE still converts to a broadcast join at runtime when the
+    # measured side is genuinely small.
     w_b = Window.partitionBy("band", "bsig")
     lsh = (
-        bands.withColumn("first_id", F.min("doc_id").over(w_b))
+        bands.join(flags.select("doc_id", "k2").hint("merge"), "doc_id")
+        .withColumn(
+            "first_id", F.min(F.when(F.col("k2"), F.col("doc_id"))).over(w_b)
+        )
+        .filter(F.col("k2"))
         .groupBy("doc_id")
         .agg(F.max(F.col("doc_id") > F.col("first_id")).alias("dup"))
     )
