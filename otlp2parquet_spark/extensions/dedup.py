@@ -777,11 +777,14 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.band_sig")
-    # materialize once: banded feeds BOTH self-join sides and Spark does no
-    # CSE across join inputs — without this the tokenize + 16-hash
-    # signature aggregation runs twice per query. 4 small rows per doc, so
-    # the checkpoint is tiny relative to the work it saves.
-    banded = banded.localCheckpoint(eager=False)
+    # NO materialization barrier (r13): both self-join sides branch ABOVE
+    # the signature aggregation's doc_id exchange, and AQE reuses identical
+    # shuffle stages across plan branches — the tokenize + 16-hash pass
+    # runs ONCE either way (measured: 7 jobs / 22 stages / 150 tasks with
+    # AND without a localCheckpoint here). Only the 4-small-rows-per-doc
+    # band explode above the reused exchange recomputes per side, while
+    # the checkpoint cost an eager AQE stage materialization at build()
+    # (7.9 s cold / 2.8 s warm vs 2.9 / 1.9 without).
     a = banded.alias("a")
     b = banded.alias("b")
     # merge hint: both sides of the bucket self-join are the full banded
@@ -1959,15 +1962,23 @@ def x6_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", "source", "k1", "k2")
+        # the barrier is LOAD-BEARING here, unlike the r13 removals in
+        # x2_minhash_lsh / x6_epoch_shuffle / x6_source_overlap /
+        # x4_perplexity_buckets: the two consumers (LSH flag join, ledger
+        # agg) prune DIFFERENT column sets, so column pruning pushes
+        # different projections below the h1/h2 exchanges, the exchanges
+        # stop being canonically equal, and AQE stage reuse does NOT fire —
+        # measured without the checkpoint: the corpus text re-enters the
+        # hash windows once per consumer (3 documents scans in the final
+        # adaptive plan vs 1 with it). The checkpointed frame is the skinny
+        # (doc_id, source, k1, k2) flags, never the payload.
         .localCheckpoint(eager=False)
     )
     bands = minhash_fs_bands(d.select("doc_id", "text"))
-    # merge hint: the flag side roots in the checkpoint's ExistingRDD,
-    # whose static stats can make Catalyst broadcast a corpus-sized frame
-    # (the _jaccard_scored bug class). SMJ is the scale-safe plan — the
-    # band side is already hash-partitioned by doc_id from the signature
-    # agg — and AQE still converts to a broadcast join at runtime when the
-    # measured side is genuinely small.
+    # merge hint: SMJ is the scale-safe plan for the corpus-sized flag
+    # join — the band side is already hash-partitioned by doc_id from the
+    # signature agg — and AQE still converts to a broadcast join at
+    # runtime when the measured side is genuinely small.
     w_b = Window.partitionBy("band", "bsig")
     lsh = (
         bands.join(flags.select("doc_id", "k2").hint("merge"), "doc_id")

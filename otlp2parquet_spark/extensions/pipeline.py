@@ -1080,7 +1080,15 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.ia", "p.ib")
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)  # sources^2 rows; consumed twice below
+        # NO materialization barrier (r13): the two consumers (counts, pc)
+        # branch ABOVE the (ia, ib) aggregate exchange, which AQE reuses
+        # across plan branches — the corpus gram pass runs ONCE either way
+        # (measured: 12 jobs / 20 stages / 177 tasks with and without a
+        # localCheckpoint here); only the <= S + C(S,2)-row final aggregate
+        # recomputes per branch. The checkpoint's eager planning of the
+        # corpus subtree was this query's documented r12 build cost
+        # (0.4-5 s per build) and made cold runs bimodal (4.8/7.1/2.8 s vs
+        # a stable 2.7 s without).
     )
     counts = tallies.filter(F.col("ib") == -1).select(
         F.col("ia").alias("sidx"), F.col("cnt").alias("n")
@@ -1176,7 +1184,14 @@ def x6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("epoch", "doc_id", hv.alias("hv"))
         .withColumn("bucket", F.shiftright("hv", 50))
-        .localCheckpoint(eager=False)  # feeds bucket counts AND the rank join
+        # NO materialization barrier (r13): the two consumers (bucket
+        # counts, rank join) branch ABOVE spread()'s round-robin exchange,
+        # which AQE reuses across plan branches (measured: 8 jobs / 18
+        # stages / 235 tasks with and without a localCheckpoint here).
+        # Each branch recomputes only the md5+explode projection over the
+        # reused exchange — two cheap map passes at any scale, where the
+        # checkpoint pinned a corpus-sized (epoch, doc_id, hv, bucket)
+        # RDD and serialized its stages into build().
     )
     counts = scored.groupBy("epoch", "bucket").agg(F.count("*").alias("c"))
     w_off = (

@@ -1822,7 +1822,14 @@ def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rationals in both engines, and a9 proved the
     percentile == quantile_cont interpolation pairing — so the bucket
     label is hash-matched, not tolerance-gated."""
-    scored = x4_ngram_lm_score(spark, sf_dir).localCheckpoint(eager=False)
+    # NO materialization barrier (r13): both consumers (the percentile
+    # aggregate and the final bucket select) branch ABOVE the scorer's
+    # per-doc aggregate exchange, which AQE reuses across plan branches —
+    # the corpus tokenize+score pass runs ONCE either way (measured: 17
+    # jobs / 45 stages / 402 tasks with and without a localCheckpoint
+    # here; best-of-3 2.75 s -> 1.82 s, cold 5.2 -> 2.1, after dropping
+    # it). Only the skinny per-doc final aggregate recomputes per branch.
+    scored = x4_ngram_lm_score(spark, sf_dir)
     th = scored.agg(
         F.percentile("avg_logprob", F.lit(1.0 / 3)).alias("q1"),
         F.percentile("avg_logprob", F.lit(2.0 / 3)).alias("q2"),

@@ -222,6 +222,38 @@ _DUPLICATE_SCAN_ALLOWLIST = {
     "spec's correlated scalar subquery, decorrelated "
     "(tests/test_tpch_plans.py::test_q22_threshold_is_broadcast_not_recomputed "
     "pins the exact count)",
+    # r13: the five barrier-removal sites. The STATIC plan prints the shared
+    # subtree once per branch, but every branch point sits ABOVE an
+    # Exchange, and AQE deduplicates identical shuffle stages at RUNTIME —
+    # tests/test_stage_reuse.py executes each query and pins that the
+    # final adaptive plan scans documents exactly once (the duplicate
+    # branch collapses to a ReusedExchange). Task counts measured identical
+    # to the old localCheckpoint form, minus its eager build-time stage
+    # materialization.
+    "x6_epoch_shuffle": (
+        "bucket-counts and rank-join branches share spread()'s round-robin "
+        "exchange (AQE runtime stage reuse; test_stage_reuse.py pins one "
+        "executed documents scan); each branch recomputes only the cheap "
+        "md5 projection above the reused exchange"
+    ),
+    "x6_source_overlap": (
+        "counts and pair branches share the (ia, ib) tally aggregate's "
+        "exchange (AQE runtime stage reuse; test_stage_reuse.py pins one "
+        "executed documents scan); only the <= S + C(S,2)-row final "
+        "aggregate recomputes per branch"
+    ),
+    "x2_minhash_lsh": (
+        "both self-join sides share the signature aggregate's doc_id "
+        "exchange (AQE runtime stage reuse; test_stage_reuse.py pins one "
+        "executed documents scan); only the 4-rows-per-doc band explode "
+        "recomputes per side"
+    ),
+    "x4_perplexity_buckets": (
+        "percentile and bucket-select branches share the scorer's per-doc "
+        "aggregate exchange (AQE runtime stage reuse; test_stage_reuse.py "
+        "pins the executed documents scan count); only the skinny per-doc "
+        "final aggregate recomputes per branch"
+    ),
 }
 
 
