@@ -998,9 +998,10 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus-sized shuffle — explode per-doc-distinct
     trigrams, reduce each gram MAP-SIDE to a 60-bit md5-prefix key (8-byte
-    shuffle keys) and its source to a bit index (a bounded driver collect
-    of the <= 64 distinct sources, the same class as similarity.py's index
-    sizing), then groupBy gram_key into a single bit_or(1 << idx) LONG.
+    shuffle keys) and its source to a bit index (a row_number over the
+    distinct-source frame, broadcast onto the gram pass — no driver
+    collect anywhere in the query; r13), then groupBy gram_key into a
+    single bit_or(1 << idx) LONG.
     The bitmask aggregation is the load-bearing choice: the collect_set
     form measured 246x wall at 100x salted data because collect_set is an
     ObjectHashAggregate that falls back to sort-based aggregation and
@@ -1022,38 +1023,65 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     own 64-bit mask lane); the fixture and any sane mixing config stay
     far below that."""
     d = spread(T(spark, sf_dir, "documents"))
-    # the bounded source-list collect reads the RAW table, not the spread
-    # frame: column pruning then reaches the parquet scan (ReadSchema =
-    # source only) and the round-robin exchange — which would otherwise
-    # ship every text payload just to list ~20 sources — drops out of the
-    # measurement job entirely (r12, guide §2.3 "project before the
-    # exchange"; measured 2.0 s -> 0.5 s for this collect at sf0.1)
-    srcs = sorted(
-        r[0]
-        for r in T(spark, sf_dir, "documents").select("source").distinct().collect()
+    # Source->bit-index assignment is DISTRIBUTED (r13, verdict ask #6 +
+    # guide §5 "the driver should do almost no data work"): the r12 form
+    # collected the distinct source list to the driver on EVERY build —
+    # a full (column-pruned) corpus pass serialized before the gram pass
+    # could start, re-paid per bench iteration (~0.5 s x 3 at sf0.1) and a
+    # real extra serial pass at 100 TB. The index is now a row_number over
+    # the distinct-source frame (a window over <= 64 rows — bounded by the
+    # lane check below, never corpus-sized) broadcast-joined onto the gram
+    # pass; the distinct aggregate's exchange is built once and AQE-reused
+    # by every broadcast that needs it.
+    w_src = Window.orderBy("source")
+    sidx_frame = (
+        T(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .select("source", (F.row_number().over(w_src) - 1).alias("sidx"))
     )
-    if len(srcs) > 64:  # pragma: no cover - fixture has ~20 sources
-        raise NotImplementedError(
-            "x6_source_overlap's single-lane bitmask form supports <= 64 "
-            "sources; shard source-group pairs across lanes beyond that"
+    # shiftleft wraps silently at 64 (Java shift semantics are mod-64), so
+    # a >64-source corpus must fail LOUDLY, not corrupt masks — the same
+    # contract the old driver-side NotImplementedError enforced, now
+    # raised at execution from inside the plan
+    guarded_sidx = F.when(F.col("sidx") < 64, F.col("sidx")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "x6_source_overlap's single-lane bitmask form supports "
+                    "<= 64 sources; shard source-group pairs across lanes "
+                    "(offending source: "
+                ),
+                F.col("source"),
+                F.lit(")"),
+            )
         )
-    sidx = F.create_map(
-        *[lit for i, s in enumerate(srcs) for lit in (F.lit(s), F.lit(i))]
-    )[F.col("source")]
+    )
     toks = F.split(normalized_text(F.col("text")), " ")
     gram_key = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
-    per_doc = d.select(
-        "source",
-        F.explode(F.array_distinct(gram3_expr(toks))).alias("gram"),
-    ).select(gram_key.alias("gram_key"), sidx.alias("sidx"))
+    per_doc = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(gram3_expr(toks))).alias("gram"),
+        )
+        .join(F.broadcast(sidx_frame), "source")
+        .select(gram_key.alias("gram_key"), guarded_sidx.alias("sidx"))
+    )
     masks = per_doc.groupBy("gram_key").agg(
         F.expr("bit_or(shiftleft(1L, CAST(sidx AS INT)))").alias("mask")
     )
     set_bits = F.filter(
         F.array(
             *[
-                F.when(F.col("mask").bitwiseAND(F.lit(1 << i)) != 0, F.lit(i))
-                for i in range(len(srcs))
+                # bit 63 as a SIGNED long literal (1 << 63 overflows int64)
+                F.when(
+                    F.col("mask").bitwiseAND(
+                        F.lit((1 << i) if i < 63 else -(1 << 63))
+                    )
+                    != 0,
+                    F.lit(i),
+                )
+                for i in range(64)
             ]
         ),
         lambda x: x.isNotNull(),
@@ -1068,7 +1096,7 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             set_bits,
             lambda a, i: F.transform(
-                F.slice(set_bits, i + 2, F.lit(len(srcs))),
+                F.slice(set_bits, i + 2, F.lit(64)),
                 lambda b: F.struct(a.alias("ia"), b.alias("ib")),
             ),
         )
@@ -1096,9 +1124,7 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = tallies.filter(F.col("ib") >= 0).select(
         "ia", "ib", F.col("cnt").alias("n_common")
     )
-    names = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(srcs)], "sidx int, source string"
-    )
+    names = sidx_frame.select("sidx", "source")
     jac = F.col("n_common").cast("double") / (
         F.col("grams_a") + F.col("grams_b") - F.col("n_common")
     ).cast("double")

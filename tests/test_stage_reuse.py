@@ -38,7 +38,11 @@ SF_SMOKE = "/root/testdata/sf0.001"
 _EXPECTED = {
     "x2_minhash_lsh": 1,
     "x6_epoch_shuffle": 1,
-    "x6_source_overlap": 1,
+    # 2 genuine roles: the (source, text) gram pass and the source-only
+    # pruned scan under the distinct-source index frame (r13 — replaced
+    # the per-build driver collect); its three broadcast consumers must
+    # still share ONE distinct aggregate via ReusedExchange
+    "x6_source_overlap": 2,
     "x4_perplexity_buckets": 1,
 }
 
