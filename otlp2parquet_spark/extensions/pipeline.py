@@ -1030,9 +1030,9 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could start, re-paid per bench iteration (~0.5 s x 3 at sf0.1) and a
     # real extra serial pass at 100 TB. The index is now a row_number over
     # the distinct-source frame (a window over <= 64 rows — bounded by the
-    # lane check below, never corpus-sized) broadcast-joined onto the gram
-    # pass; the distinct aggregate's exchange is built once and AQE-reused
-    # by every broadcast that needs it.
+    # lane check below, never corpus-sized) broadcast-joined onto the DOC
+    # rows before the gram explode; the distinct aggregate's exchange is
+    # built once and AQE-reused by every broadcast that needs it.
     w_src = Window.orderBy("source")
     sidx_frame = (
         T(spark, sf_dir, "documents")
@@ -1059,33 +1059,28 @@ def x6_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.split(normalized_text(F.col("text")), " ")
     gram_key = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    # the broadcast index joins the DOC rows, not the exploded gram rows
+    # (r13 A/B: joining after the explode ran the probe per gram instead of
+    # per doc and cost ~0.9 s at sf0.1 — guide §3.3 "explode before a join
+    # multiplies the shuffle", here it multiplied the probe)
     per_doc = (
-        d.select(
-            "source",
+        d.join(F.broadcast(sidx_frame), "source")
+        .select(
+            guarded_sidx.alias("sidx"),
             F.explode(F.array_distinct(gram3_expr(toks))).alias("gram"),
         )
-        .join(F.broadcast(sidx_frame), "source")
-        .select(gram_key.alias("gram_key"), guarded_sidx.alias("sidx"))
+        .select(gram_key.alias("gram_key"), "sidx")
     )
     masks = per_doc.groupBy("gram_key").agg(
         F.expr("bit_or(shiftleft(1L, CAST(sidx AS INT)))").alias("mask")
     )
-    set_bits = F.filter(
-        F.array(
-            *[
-                # bit 63 as a SIGNED long literal (1 << 63 overflows int64)
-                F.when(
-                    F.col("mask").bitwiseAND(
-                        F.lit((1 << i) if i < 63 else -(1 << 63))
-                    )
-                    != 0,
-                    F.lit(i),
-                )
-                for i in range(64)
-            ]
-        ),
-        lambda x: x.isNotNull(),
-    )
+    # ONE codegen HOF loop over sequence(0,63) instead of a 64-branch
+    # when() array (r13 A/B: the literal-array form built a 64-subtree
+    # expression evaluated per mask row and cost ~0.2 s at sf0.1; the
+    # arithmetic shift fills high bits but `& 1` reads only the low bit,
+    # so bit 63 — the signed-overflow case the old form special-cased —
+    # is handled for free)
+    set_bits = F.expr("filter(sequence(0, 63), i -> (shiftright(mask, i) & 1) = 1)")
     # singles (i, -1) and pairs (i, j) emitted from ONE explode so the corpus
     # pass has exactly one consumer — no vocab-sized materialization; the
     # only checkpointed frame is the <= S + C(S,2)-row count table
