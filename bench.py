@@ -336,6 +336,29 @@ def _cal_kernel() -> float:
     return best
 
 
+def _cpu_stat() -> list[int] | None:
+    """Aggregate jiffies from /proc/stat (user..steal), None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before: list[int] | None, after: list[int] | None) -> float | None:
+    """Hypervisor steal over the interval as % of ALL cpu time (r13): the
+    load gate and cal kernel see guest-visible slowness, but a vCPU that is
+    runnable-yet-unscheduled shows up ONLY in the steal counter — measured
+    bursts on this container inflate multi-task sub-second queries 1.5-3x
+    while the single-threaded cal kernel moves far less. Reported so a run
+    with a steal burst is machine-detectable next to its gate fields."""
+    if before is None or after is None:
+        return None
+    d = [b - a for a, b in zip(before, after)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 2) if total > 0 else None
+
+
 def _await_quiet() -> tuple[float, float, int]:
     """(ambient_load, gated_load, waited_s): sleep in 15 s steps until the
     1-minute load is under LOAD_GATE_MAX or the wait budget runs out."""
@@ -350,6 +373,7 @@ def _await_quiet() -> tuple[float, float, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_ambient, load_start, load_waited = _await_quiet()
+    cpu_stat_start = _cpu_stat()
     cal_before = _cal_kernel()
     spark = get_spark(app_name="otlp2parquet-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -465,6 +489,12 @@ def main() -> None:
                 "anchor_gate_status": anchor_gate_status,
                 "anchor_gate_violations": gate_violations,
                 "anchor_gate_unanchored": sorted(unanchored),
+                # hypervisor steal over the whole run (r13, additive): the
+                # share of cpu time the host denied this guest — bursts
+                # inflate tiny multi-task queries far beyond what the
+                # single-threaded cal kernel corrects, so a violation row
+                # next to high steal is contention, not code
+                "cpu_steal_pct_run": _steal_pct(cpu_stat_start, _cpu_stat()),
             }
     )
     print(payload)
