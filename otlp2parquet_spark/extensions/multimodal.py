@@ -387,15 +387,28 @@ def sample_frames(media: DataFrame, every: int = 8) -> DataFrame:
     """Frame-sampling stage: one input video row expands to ceil(n_frames /
     every) frame rows (row-explosion inside mapInPandas — the same 1->N batch
     shape an av.open frame iterator produces). 25 fps assumed for frame
-    timestamps."""
+    timestamps.
+
+    Decode + sample run as ONE mapInPandas kernel (r13, guide §4): the old
+    form chained decode_features' kernel into a second sampling kernel, so
+    every batch crossed the JVM<->Python boundary twice (payload in, features
+    out, features in again, frames out) and paid two ArrowEval stages. The
+    decode body here is decode_features' STUB_DECODER verbatim (sha256-derived
+    n_frames/feature_hash) — a real av.open decoder would expose its frame
+    iterator the same single-pass way, which is exactly why fusing is the
+    production shape: the decoded stream feeds the sampler without ever
+    re-serializing."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, tss, shas = [], [], [], []
-            for mid, n_frames, fhash in zip(
-                pdf["media_id"], pdf["n_frames"], pdf["feature_hash"]
-            ):
-                for i in range(0, int(n_frames), every):
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # STUB_DECODER (same formula as decode_features): derive
+                # deterministic fake dims from the content hash
+                h = hashlib.sha256(bytes(payload or b"")).digest()
+                n_frames = 1 + h[2] % 32
+                fhash = h.hex()[:16]
+                for i in range(0, n_frames, every):
                     ids.append(mid)
                     idxs.append(i)
                     tss.append(i * 40)  # 25 fps
@@ -408,8 +421,8 @@ def sample_frames(media: DataFrame, every: int = 8) -> DataFrame:
     # through a mapInPandas eval barrier, so the selection must be staged by
     # hand or every non-video payload pays the Arrow transfer + decode
     return (
-        decode_features(media.filter(F.col("media_type") == "video/mp4"))
-        .select("media_id", "n_frames", "feature_hash")
+        media.filter(F.col("media_type") == "video/mp4")
+        .select("media_id", "payload")
         .mapInPandas(kernel, schema=FRAME_SCHEMA)
     )
 
