@@ -193,8 +193,17 @@ def resize_media(media: DataFrame, max_side: int = 128) -> DataFrame:
 
     The kernel is where PIL.Image.resize / ffmpeg scale would run; the stub
     emits a deterministic `out_width*out_height`-byte payload derived from
-    the content hash. Runs after decode_features in the same narrow pipeline
-    (no shuffle between decode -> resize at any scale)."""
+    the content hash.
+
+    Decode + resize run as ONE mapInPandas kernel (r13, guide §4): the old
+    form flowed the payload THROUGH decode_features (keep_payload=True) into
+    a second kernel, so every payload byte crossed the JVM<->Python boundary
+    three times (in to decode, out with features, in again to resize). The
+    decode body here is decode_features' STUB_DECODER verbatim (sha256-derived
+    width/height) — a real PIL decode would hand its Image object straight to
+    .resize() the same single-pass way; still no second scan of the media
+    source and no shuffle of payload bytes on media_id (the pre-r12 join-back
+    shape did both)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,16 +214,19 @@ def resize_media(media: DataFrame, max_side: int = 128) -> DataFrame:
                 "resized_len": [],
                 "resized_payload": [],
             }
-            for w, h, payload in zip(pdf["width"], pdf["height"], pdf["payload"]):
-                w, h = int(w), int(h)
+            for payload in pdf["payload"]:
+                # STUB_DECODER (same formula as decode_features): derive
+                # deterministic fake dims from the content hash
+                seed = hashlib.sha256(bytes(payload or b"")).digest()
+                w = 64 + seed[0] % 192
+                h = 64 + seed[1] % 192
                 m = max(w, h)
                 # integer arithmetic: float scale factors round 128.0 down to
                 # 127 for the clamped side (and disagree with the SQL oracle)
                 ow, oh = (w, h) if m <= max_side else (w * max_side // m, h * max_side // m)
                 n = ow * oh
-                # STUB_DECODER: a real kernel returns the re-encoded image;
-                # the stub tiles the sha256 of the source payload to size n
-                seed = hashlib.sha256(bytes(payload or b"")).digest()
+                # a real kernel returns the re-encoded image; the stub tiles
+                # the sha256 of the source payload to size n
                 body = (seed * (n // len(seed) + 1))[:n]
                 out["out_width"].append(ow)
                 out["out_height"].append(oh)
@@ -222,13 +234,8 @@ def resize_media(media: DataFrame, max_side: int = 128) -> DataFrame:
                 out["resized_payload"].append(body)
             yield pd.DataFrame(out)
 
-    # payload flows through the decode kernel (keep_payload) so decode ->
-    # resize is ONE narrow pipeline: no second scan of the media source, no
-    # shuffle of payload bytes on media_id (the old join-back shape did both)
-    return (
-        decode_features(media, keep_payload=True)
-        .select("media_id", "width", "height", "payload")
-        .mapInPandas(kernel, schema=RESIZE_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=RESIZE_SCHEMA
     )
 
 
